@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each module contributes a map of named queries plus matching DuckDB
+  * oracle SQL; this object is just the union. Column names and types are
+  * aligned between the Spark plan and the oracle SQL (the driver's
+  * compare sorts columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the CDC latest-state-per-key materialization — the
+    * semantics the entire reference pipeline exists to produce
+    * (SURVEY.md §2.3 A3). Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipeline.CdcQueries.queries("cdc_latest_state")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + north-star ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    pipeline.CdcQueries.queries ++
+      operators.Relational.queries
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] =
+    pipeline.CdcQueries.oracles ++
+      operators.Relational.oracles
 }

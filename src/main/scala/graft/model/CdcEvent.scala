@@ -1,0 +1,51 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** The unified change-event envelope.
+  *
+  * The reference uses two asymmetric JSON shapes — snapshot events
+  * (`values` + `columns`, replicator.go:138-145) and stream events
+  * (`data` + `lsn`, replicator.go:360-367) — and its consumer silently
+  * drops snapshot payloads because it only decodes the stream shape
+  * (es_consumer/main.go:19-26). We give both kinds ONE schema (SURVEY.md
+  * §1.1): an op tag, the fully-qualified table, a total-order version
+  * (`lsn`), an event timestamp, the partitioning `key`
+  * ("schema.table:pk", replicator.go:374-379), and string-erased
+  * before/after images mirroring the reference's type erasure
+  * (replicator.go:344-359 stringifies every value).
+  *
+  * `MapType(String,String)` keeps the payload dynamic-schema like the
+  * reference; typed analytic queries project out of it with `from_json` /
+  * casts at the boundary.
+  */
+case class CdcEvent(
+    op: String,            // snapshot | insert | update | delete | truncate
+    schemaName: String,
+    tableName: String,
+    lsn: Long,             // total order; reference: uint64 WAL LSN
+    ts: Timestamp,         // event time (reference stamps wall clock, replicator.go:365)
+    key: String,           // "schema.table:pk" — Kafka message key analog
+    before: Map[String, String], // pre-image (update/delete); empty otherwise
+    after: Map[String, String],  // post-image (snapshot/insert/update); empty for delete
+    txnId: Long            // reference logs Begin/Commit Xid but drops it (replicator.go:323-331)
+)
+
+object CdcEvent {
+  val ops: Seq[String] = Seq("snapshot", "insert", "update", "delete", "truncate")
+
+  /** Fixed envelope schema for untyped (DataFrame / from_json) use. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("schemaName", StringType, nullable = false),
+    StructField("tableName", StringType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("before", MapType(StringType, StringType), nullable = true),
+    StructField("after", MapType(StringType, StringType), nullable = true),
+    StructField("txnId", LongType, nullable = false)
+  ))
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** CDC queries over the `events` change log (FIXTURES.md role mapping:
+  * user_id = key, event_id = LSN, event_type = op analog, props = payload).
+  *
+  * Op mapping mirrors the reference's message kinds (replicator.go:319-415):
+  * signup → insert, error → delete (tombstone), click/view/purchase →
+  * update. Every query has a DuckDB oracle; float aggregates go through
+  * exact decimal sums cast back to double so Spark and DuckDB produce
+  * bitwise-identical results regardless of accumulation order.
+  */
+object CdcQueries {
+
+  private def opCol = when(col("event_type") === "signup", "insert")
+    .when(col("event_type") === "error", "delete")
+    .otherwise("update")
+
+  private val opSql =
+    "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END"
+
+  /** Exact sum of a double column: decimal accumulate, double result. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(25,6)")).cast("double")
+  private def dsumSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(25,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3: latest state per key — the flagship semantics.
+    "cdc_latest_state" -> ((s, d) => {
+      ChangeLog.latestState(Tables.events(s, d), Seq("user_id"), "event_id")
+    }),
+
+    // §2.6 DELETE done right: tombstoned keys drop out of the view.
+    "cdc_latest_state_delete" -> ((s, d) => {
+      ChangeLog.latestStateWithTombstones(
+        Tables.events(s, d), Seq("user_id"), "event_id",
+        col("event_type") === "error")
+    }),
+
+    // D6-D11: envelope normalization — op mapping, key construction,
+    // JSON payload projection (D9/D10 analog via get_json_object).
+    "cdc_envelope" -> ((s, d) => {
+      Tables.events(s, d).select(
+        opCol.as("op"),
+        col("event_id").as("lsn"),
+        col("ts"),
+        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
+        col("user_id"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+    }),
+
+    // A4/D13 idempotent replay: duplicated changelog → identical result.
+    "cdc_replay_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      ChangeLog.replayDedup(e.unionByName(e), "event_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("event_id").as("max_lsn"),
+          dsum("value").as("total_value"))
+    }),
+
+    // §3.2 fixed: snapshot seed ∪ overlapping stream, fenced + deduped,
+    // then latest-state — no double-emit, no gaps.
+    "cdc_snapshot_union_fence" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val snapshot = e.filter(col("event_id") <= 500)
+      val stream = e.filter(col("event_id") > 400) // overlap on purpose
+      ChangeLog.latestState(
+        ChangeLog.fenceUnion(snapshot, stream, "event_id"),
+        Seq("user_id"), "event_id")
+    }),
+
+    // Event-time tumbling window aggregation (batch analog of the
+    // streaming windowed agg; reference has no event-time semantics at
+    // all — SURVEY.md §2.7 — we add them).
+    "cdc_window_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+    })
+  )
+
+  private val latestSql =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_latest_state" -> latestSql,
+    "cdc_latest_state_delete" ->
+      s"SELECT * FROM ($latestSql) u WHERE event_type <> 'error'",
+    "cdc_envelope" ->
+      s"""SELECT $opSql AS op, event_id AS lsn, ts,
+         |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  user_id, value,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS prop_k
+         |FROM events""".stripMargin,
+    "cdc_replay_dedup" ->
+      s"""SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_lsn,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY user_id""".stripMargin,
+    "cdc_snapshot_union_fence" -> latestSql,
+    "cdc_window_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

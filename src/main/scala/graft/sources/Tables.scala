@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver corpus (TESTDATA.md).
+  *
+  * Plays the role of the reference's sources: the snapshot full-table scan
+  * (reference `internal/wal/replicator.go:69-184`) becomes a partitioned
+  * columnar parquet scan — Catalyst pushes predicates and prunes columns
+  * into the scan, so downstream operators declare what they need and the
+  * scan reads only that. At 100 TB each table is a directory of many
+  * row-group-sized files; `spark.read.parquet` parallelizes by file split
+  * automatically, nothing here assumes single-node materialization
+  * (unlike the reference's `ReadAll`, replicator.go:103).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as long nanos (legacy conf) and truncate to
+    * microsecond timestamps — the same ns→µs truncation DuckDB applies,
+    * so event-time values agree with the oracle exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
