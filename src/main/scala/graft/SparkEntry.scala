@@ -21,10 +21,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + north-star ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.CdcQueries.queries ++
-      operators.Relational.queries
+      operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     pipeline.CdcQueries.oracles ++
-      operators.Relational.oracles
+      operators.Relational.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles
 }

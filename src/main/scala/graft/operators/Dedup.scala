@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Training-data deduplication over `documents` / `embeddings` — the
+  * LLM-pipeline operator family (north star), each with a DuckDB oracle
+  * implementing the *same* algorithm so results match exactly.
+  *
+  * Portability rule: every hash is built from md5 hex strings (identical
+  * in any engine) and minima are taken lexicographically on those
+  * strings, so no engine-specific 64-bit hash is ever needed.
+  *
+  * Scale design (100 TB):
+  *  - Signature computation (minhash/simhash/fingerprints) is a pure
+  *    per-row projection — no shuffle, embarrassingly parallel.
+  *  - Candidate generation shuffles on band-key / shingle / bucket: the
+  *    classic LSH MapReduce shape, O(candidates) not O(n²).
+  *  - Hot shingles are capped by document frequency before the self-join
+  *    (`DF_CAP`) — the standard skew guard: without it one stop-shingle
+  *    produces a quadratic join island.
+  *  - Only `dedup_embedding_cosine` is brute-force O(n²); its scale path
+  *    is the IVF/LSH blocking shown in Similarity (ann_ivf/ann_lsh).
+  */
+object Dedup {
+
+  private val DF_CAP = 50       // max doc-frequency for a shingle to be a join key
+  private val MINHASH_SEEDS = 8 // signature length
+  private val BANDS = 4         // LSH bands (2 sigs per band)
+  private val JACCARD_NEAR = 0.5
+  private val JACCARD_RELATED = 0.1
+  private val COSINE_NEAR = 0.45
+  private val SIMHASH_HAMMING = 2
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Distinct word n-gram shingles (0-based Spark ≡ 1-based DuckDB). */
+  private def shingleCol(n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(words) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(k => words(i + lit(k))): _*)))
+
+  private def shingleSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $parts))"
+  }
+
+  /** docs → (doc_id, sh: distinct 3-gram shingles). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), shingleCol(3).as("sh"))
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, ${shingleSql(3).replace("w", "string_split(text,' ')")} AS sh
+       |  FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
+
+  /** |A∩B| via filter+contains — semantics identical in both engines
+    * given already-distinct inputs (no reliance on engine dedup order).
+    */
+  private def interSize(a: Column, b: Column): Column =
+    size(filter(a, x => array_contains(b, x)))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val i = interSize(a, b)
+    i.cast("double") / (size(a) + size(b) - i)
+  }
+
+  private val jaccardSql =
+    """CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
+      | / (len(da.sh) + len(db.sh) - len(list_filter(da.sh, x -> list_contains(db.sh, x))))""".stripMargin
+
+  /** Verify candidate pairs against true jaccard of full shingle sets. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on a normalized-text fingerprint. One
+    // shuffle of (hash, id) pairs; payload never moves.
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash + LSH banding: per-row signatures → band-key self-join →
+    // exact jaccard verify. The full shingle→minhash→band→bucket-join
+    // pipeline.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val sig = sh.withColumn("sigs", transform(sequence(lit(0), lit(MINHASH_SEEDS - 1)),
+        sd => array_min(transform(col("sh"), g =>
+          md5(concat(sd.cast("string"), lit("|"), g))))))
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(BANDS - 1)),
+          b => md5(concat(b.cast("string"), lit("|"),
+            col("sigs")(b * 2), col("sigs")(b * 2 + 1))))).as("band_key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh, JACCARD_NEAR)
+    }),
+
+    // Inverted-index n-gram jaccard: candidates share ≥1 rare shingle
+    // (doc-frequency cap kills quadratic skew), then exact verify.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val rare = posting.groupBy("g")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DF_CAP)
+        .select("g")
+      val rarePosting = posting.join(rare, "g")
+      val cand = rarePosting.as("a")
+        .join(rarePosting.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh, JACCARD_RELATED)
+    }),
+
+    // SimHash: 16-bit fingerprint from per-token md5 bits; near-dup =
+    // small hamming distance. Signature is one groupBy over exploded
+    // tokens (map-side combinable).
+    "dedup_simhash" -> ((s, d) => simhashDf(s, d)),
+
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sh = simhashDf(s, d)
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+        .filter(col("hamming") <= SIMHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    }),
+
+    // Embedding near-dup: brute-force cosine over all pairs (test-scale
+    // baseline; blocked variants live in Similarity as the scale path).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      val a = e.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", VectorOps.cosine(col("e_a"), col("e_b")))
+        .filter(col("cosine") >= COSINE_NEAR)
+        .select("vec_a", "vec_b", "cosine")
+    })
+  )
+
+  /** 16-bit simhash per doc; token hash = first 4 md5 hex digits. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
+    val sums = (0 until 16).map(j =>
+      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val fp = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.cast("int").as("simhash"))
+  }
+
+  // ---------------- oracles ----------------
+
+  private val simhashSqlBase: String = {
+    def hexv(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+    val v = s"(4096 * ${hexv(1)} + 256 * ${hexv(2)} + 16 * ${hexv(3)} + ${hexv(4)})"
+    val sums = (0 until 16)
+      .map(j => s"SUM(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fp = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tv AS (SELECT doc_id, $v AS v FROM (SELECT doc_id, substr(md5(w), 1, 4) AS h FROM tok) q),
+       |sums AS (SELECT doc_id, $sums FROM tv GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS INT) AS simhash FROM sums""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS ($docShinglesSql),
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, $MINHASH_SEEDS),
+         |    s -> list_aggregate(list_transform(sh, g -> md5(CAST(s AS VARCHAR) || '|' || g)), 'min')) AS sigs
+         |  FROM d),
+         |band AS (SELECT doc_id, unnest(list_transform(range(0, $BANDS),
+         |    b -> md5(CAST(b AS VARCHAR) || '|' || sigs[b*2+1] || sigs[b*2+2]))) AS band_key
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+         |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS ($docShinglesSql),
+         |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         |rare AS (SELECT g FROM posting GROUP BY g HAVING COUNT(*) <= $DF_CAP),
+         |rp AS (SELECT doc_id, posting.g FROM posting JOIN rare ON posting.g = rare.g),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+         |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin,
+    "dedup_simhash" -> simhashSqlBase,
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSqlBase)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${VectorOps.cosineSql("a.e", "b.e", 64)} AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Three tiers, mirroring how ANN actually scales:
+  *  1. `ann_cosine_topk` — brute force: broadcast the (small) query set
+  *     against the corpus scan; one window per query for top-k. The
+  *     corpus side never shuffles, so at 100 TB this is a single
+  *     embarrassingly-parallel pass + a tiny top-k shuffle (k × queries
+  *     rows).
+  *  2. `ann_ivf_topk` — IVF: deterministic coarse centroids, each corpus
+  *     vector assigned to its nearest centroid (one broadcast pass),
+  *     queries probe the closest `NPROBE` centroid lists. Search cost
+  *     drops by ~|centroids|/NPROBE; recall is approximate by design and
+  *     the oracle implements the identical algorithm.
+  *  3. `ann_lsh_bucket` — sign-bit LSH over fixed axis-aligned dims:
+  *     candidates share the query's bucket (equi-join on bucket id — a
+  *     hash-partitionable key at any scale).
+  *
+  * All cosines use VectorOps (float→double widening + sequential fold),
+  * bitwise-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  private val N_QUERIES = 10 // vec_id < 10 are the query vectors
+  private val TOP_K = 5
+  private val CENT_STRIDE = 50 // vec_id % 50 == 0 → pseudo-centroid
+  private val NPROBE = 2
+  private val LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+
+  private def corpusDf(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") >= N_QUERIES)
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TOP_K)
+      .select("q_id", "vec_id", "cosine", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ann_cosine_topk" -> ((s, d) => {
+      val scored = corpusDf(s, d)
+        .join(broadcast(queriesDf(s, d)))
+        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+      topK(scored)
+    }),
+
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") % CENT_STRIDE === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      // assignment pass: nearest centroid per corpus vector
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = corpusDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("ccos", VectorOps.cosine(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("e"), col("cent_id"))
+      // probe pass: NPROBE nearest centroids per query
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("cent_id"))
+      val probe = queriesDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("qcos", VectorOps.cosine(col("qe"), col("ce")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NPROBE)
+        .select(col("q_id"), col("qe"), col("cent_id"))
+      val scored = probe.join(assign, "cent_id")
+        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+      topK(scored)
+    }),
+
+    "ann_lsh_bucket" -> ((s, d) => {
+      val bucketed = corpusDf(s, d)
+        .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
+      val qb = queriesDf(s, d)
+        .withColumn("bucket", VectorOps.signBucket(col("qe"), LSH_DIMS))
+      val scored = qb.join(bucketed, "bucket")
+        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+      topK(scored)
+    })
+  )
+
+  private val cosQC = VectorOps.cosineSql("qe", "e", 64)
+  private val baseSql =
+    """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qe FROM ev WHERE vec_id < 10),
+      |corpus AS (SELECT vec_id, e FROM ev WHERE vec_id >= 10)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""$baseSql,
+         |scored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""$baseSql,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ev WHERE vec_id % $CENT_STRIDE = 0),
+         |assign AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT corpus.vec_id, corpus.e, cent_id,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", 64)} DESC, cent_id) AS arn
+         |  FROM corpus, cents) t WHERE arn = 1),
+         |probe AS (SELECT q_id, qe, cent_id FROM (
+         |  SELECT q_id, qe, cent_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
+         |  FROM q, cents) t WHERE prn <= $NPROBE),
+         |scored AS (SELECT q_id, vec_id, $cosQC AS cosine
+         |  FROM probe JOIN assign USING (cent_id)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""$baseSql,
+         |cb AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", LSH_DIMS)} AS bucket FROM corpus),
+         |qb AS (SELECT q_id, qe, ${VectorOps.signBucketSql("qe", LSH_DIMS)} AS bucket FROM q),
+         |scored AS (SELECT q_id, vec_id, $cosQC AS cosine
+         |  FROM qb JOIN cb USING (bucket)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, heuristic language ID, fingerprinting. All pure per-row
+  * projections (plus one small groupBy for the lang-id confusion
+  * summary) — no shuffle of document payloads, so the ops scan-scale
+  * linearly at 100 TB.
+  *
+  * Ratios divide exact ints as doubles in a fixed expression order, so
+  * both engines produce identical IEEE results.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val STOPWORDS = Seq("a", "the", "of", "and")
+  private val TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  // language marker tokens (disjoint sets; priority order breaks ties)
+  private val MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "das", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "es" -> Seq("el", "los", "que"))
+
+  private def hits(markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+
+  private def hitsSql(markers: Seq[String]): String = {
+    val inList = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($inList)))"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + a BPE-ish regex token stream.
+    "text_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens_ws"),
+        size(regexp_extract_all(col("text"), lit(TOKEN_RE), lit(0))).as("n_tokens_re"),
+        length(col("text")).as("n_chars_m"))
+    }),
+
+    // Quality scoring: length/diversity/stopword features + a fixed
+    // deterministic score formula.
+    "text_quality" -> ((s, d) => {
+      val n = size(toks)
+      val distinctRatio = size(array_distinct(toks)).cast("double") / n
+      val stopRatio = hits(STOPWORDS).cast("double") / n
+      // single-space-separated corpus: chars excluding separators
+      val avgTokLen = (length(col("text")) - (n - lit(1))).cast("double") / n
+      val score = least(lit(1.0), n.cast("double") / 50.0) *
+        (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
+      Tables.documents(s, d).select(
+        col("doc_id"), n.as("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        avgTokLen.as("avg_token_len"),
+        score.as("quality_score"))
+    }),
+
+    // Heuristic language ID by marker-token hits; grouped confusion
+    // summary against the ground-truth `lang` column.
+    "text_langid" -> ((s, d) => {
+      val hcols = MARKERS.map { case (l, ms) => l -> hits(ms) }
+      val m = greatest(hcols.map(_._2): _*)
+      val predicted = hcols.tail.foldLeft(when(hcols.head._2 === m, hcols.head._1)) {
+        case (acc, (l, h)) => acc.when(h === m, l)
+      }
+      Tables.documents(s, d)
+        .select(col("lang"), predicted.as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Document fingerprinting: exact md5 + min-hash over 4-gram word
+    // windows (rolling-window content fingerprint, shift-robust).
+    "text_fingerprint" -> ((s, d) => {
+      val w = toks
+      val grams = transform(sequence(lit(0), size(w) - lit(4)),
+        i => concat_ws(" ", w(i), w(i + lit(1)), w(i + lit(2)), w(i + lit(3))))
+      Tables.documents(s, d)
+        .filter(size(w) >= 4)
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_md5"),
+          array_min(transform(grams, g => md5(g))).as("fp_shingle"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '$TOKEN_RE')) AS INT) AS n_tokens_re,
+         |  CAST(length(text) AS INT) AS n_chars_m
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS distinct_ratio,
+         |  CAST(${hitsSql(STOPWORDS)} AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_token_len,
+         |  LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+         |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' '))))
+         |    - 0.1 * (CAST(${hitsSql(STOPWORDS)} AS DOUBLE)
+         |        / len(string_split(text, ' '))) AS quality_score
+         |FROM documents""".stripMargin,
+    "text_langid" -> {
+      val hs = MARKERS.map { case (l, ms) => s"${hitsSql(ms)} AS h_$l" }.mkString(", ")
+      val m = MARKERS.map { case (l, _) => s"h_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = MARKERS.map { case (l, _) => s"WHEN h_$l = $m THEN '$l'" }.mkString(" ")
+      s"""WITH h AS (SELECT lang, $hs FROM documents)
+         |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  list_aggregate(list_transform(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]),
+        |    g -> md5(g)), 'min') AS fp_shingle
+        |FROM documents WHERE len(string_split(text, ' ')) >= 4""".stripMargin
+  )
+}
