@@ -16,7 +16,30 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.nonEmpty) {
+    if (args.headOption.contains("stream")) {
+      // Drive the streaming surface end-to-end: events flow through the
+      // stateful latest-state operator and the foreachBatch upsert sink.
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.{ChangeLogStream, RawEvent}
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke").toString + "/state"
+      val in = MemoryStream[RawEvent]
+      val q = in.toDF().writeStream
+        .foreachBatch(ChangeLogStream.upsertBatch(dir, Seq("user_id"), "event_id") _)
+        .outputMode(OutputMode.Append).start()
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      in.addData(RawEvent(1, t(1), 1, "signup", 10, "{}"), RawEvent(2, t(2), 2, "signup", 7, "{}"))
+      q.processAllAvailable()
+      in.addData(RawEvent(3, t(3), 1, "click", 30, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val state = spark.read.parquet(dir).orderBy("user_id")
+        .select("user_id", "event_id", "value").collect().toSeq
+      println(s"[smoke] stream upsert state=$state " +
+        (if (state.map(_.getLong(1)) == Seq(3L, 2L)) "OK" else "WRONG"))
+    } else if (args.nonEmpty) {
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
       SparkEntry.queries(args(0))(spark, sfDir).explain("formatted")
     } else {

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.ChangeLog
+
+/** A raw change event as it arrives on the stream (the `events` corpus
+  * shape; FIXTURES.md maps user_id→key, event_id→LSN, event_type→op).
+  */
+case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Emitted state transition: the current materialized row per key, or a
+  * tombstone marker when the latest op deleted the key.
+  */
+case class StateOut(user_id: Long, event_id: Long, event_type: String,
+    value: Double, deleted: Boolean)
+
+/** Structured Streaming re-expression of the reference pipeline
+  * (SURVEY.md §3): WAL stream → keyed events → idempotent latest-state
+  * materialization.
+  *
+  * What the reference does with hand-rolled loops maps 1:1 here:
+  *  - LSN checkpoint every ~10 s in BoltDB (store.go:54-61, lossy)
+  *    → `checkpointLocation` offsets+state, exact per microbatch.
+  *  - at-least-once redelivery made safe by ES doc-id overwrite
+  *    (es_consumer/main.go:77) → `dropDuplicatesWithinWatermark` +
+  *    idempotent `foreachBatch` merge.
+  *  - no event-time semantics at all (§2.7) → watermarked windows added
+  *    as a first-class improvement.
+  *
+  * State stores scale horizontally: all stateful ops here key by
+  * `user_id`, so state is hash-partitioned across executors and each
+  * partition's store is O(its keys).
+  */
+object ChangeLogStream {
+
+  /** Event-time tumbling-window aggregation with late-data drop. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming replay-dedup: the reference's doc-id idempotency (D13)
+    * with bounded state — duplicates beyond the watermark horizon are
+    * already impossible to re-deliver in-order, so state is evictable.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful latest-state per key with tombstones: the A3 upsert as
+    * explicit keyed state. Emits a StateOut per input change (Update
+    * mode); `deleted=true` marks key removal (reference never emits
+    * these — §2.6). Events within a batch apply in LSN order; stale
+    * (lower-LSN) arrivals are ignored — replay/out-of-order safe.
+    */
+  def latestStatePerKey(events: Dataset[RawEvent]): Dataset[StateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[RawEvent], state: GroupState[StateOut]) =>
+          val ordered = batch.toSeq.sortBy(_.event_id)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[StateOut]
+          ordered.foreach { e =>
+            if (!cur.exists(_.event_id >= e.event_id)) {
+              val next = StateOut(uid, e.event_id, e.event_type, e.value,
+                deleted = e.event_type == "error")
+              cur = Some(next)
+              out += next
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** foreachBatch idempotent keyed upsert into a parquet "latest state"
+    * table — the ES-sink analog (K2/A3) with batch commits instead of
+    * one refresh per document. Merge = union(existing, batch-latest) →
+    * latest-state; staging write + swap keeps readers consistent.
+    * (On a real deployment this is a Delta/Iceberg MERGE; plain parquet
+    * keeps this repo dependency-free.)
+    */
+  def upsertBatch(tableDir: String, keyCols: Seq[String], versionCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchLatest = ChangeLog.latestState(batch, keyCols, versionCol)
+    val merged =
+      if (fs.exists(new Path(tableDir)))
+        ChangeLog.latestState(
+          spark.read.parquet(tableDir).unionByName(batchLatest),
+          keyCols, versionCol)
+      else batchLatest
+    val staging = new Path(tableDir + s"__staging_$batchId")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(tableDir)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ChangeLogStream, RawEvent, StateOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, uid: Long, typ: String, v: Double = 1.0) =
+    RawEvent(id, ts(minute), uid, typ, v, "{}")
+
+  test("windowed agg with watermark drops too-late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.windowedCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 5, 1, "click"), ev(2, 30, 1, "click"), ev(3, 59, 2, "view"))
+      q.processAllAvailable()
+      // advance watermark far past hour-0 (event at 02:30 → wm 02:20)
+      in.addData(ev(4, 150, 1, "click"))
+      q.processAllAvailable()
+      // this event is in hour 0, far behind the watermark → dropped
+      in.addData(ev(5, 10, 1, "click"))
+      q.processAllAvailable()
+      // close hour-2's window too so nothing is pending for assertion stability
+      in.addData(ev(6, 300, 1, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L)),
+        s"late event must NOT be counted; got $rows")
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 1, "insert"), ev(1, 1, 1, "insert"), ev(2, 2, 1, "update"))
+      q.processAllAvailable()
+      in.addData(ev(2, 2, 1, "update"), ev(3, 3, 2, "insert")) // replay of 2
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateful latest-state applies LSN order, tombstones, re-insert") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.latestStatePerKey(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 1, 1, "signup", 10), ev(2, 2, 1, "click", 20))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, 2, "signup", 5), ev(4, 4, 1, "error")) // delete u1
+      q.processAllAvailable()
+      in.addData(ev(2, 2, 1, "click", 20)) // stale replay — must be ignored
+      q.processAllAvailable()
+      in.addData(ev(5, 5, 1, "signup", 99)) // re-insert after tombstone
+      q.processAllAvailable()
+      val last = spark.table("state_out").as[StateOut].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.event_id)).toMap
+      assert(last(1L) === StateOut(1L, 5L, "signup", 99.0, deleted = false))
+      assert(last(2L) === StateOut(2L, 3L, "signup", 5.0, deleted = false))
+      val u1Emissions = spark.table("state_out").as[StateOut].collect()
+        .filter(_.user_id == 1L).map(_.event_id).sorted
+      assert(u1Emissions.toSeq === Seq(1L, 2L, 4L, 5L), "stale replay must not re-emit")
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink is idempotent across replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch(ChangeLogStream.upsertBatch(dir, Seq("user_id"), "event_id") _)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 1, "signup", 10), ev(2, 2, 2, "signup", 7))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, 1, "click", 30))
+      q.processAllAvailable()
+      val afterTwo = spark.read.parquet(dir)
+        .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(afterTwo === Set((1L, 3L, 30.0), (2L, 2L, 7.0)))
+      in.addData(ev(3, 3, 1, "click", 30), ev(1, 1, 1, "signup", 10)) // full replay
+      q.processAllAvailable()
+      val afterReplay = spark.read.parquet(dir)
+        .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(afterReplay === afterTwo, "replay must not change materialized state")
+    } finally q.stop()
+  }
+}
