@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Relational.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.TextAnalysis.queries
+      operators.TextAnalysis.queries ++
+      multimodal.Multimodal.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Relational.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles
+      operators.TextAnalysis.oracles ++
+      multimodal.Multimodal.oracles
 }

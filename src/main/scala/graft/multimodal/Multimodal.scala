@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A media asset as it would land from ingestion: opaque bytes + typed
+  * metadata. At 100 TB the `payload` column dominates storage; all
+  * metadata-only queries must prune it at the parquet scan (never
+  * SELECT * a media table).
+  */
+case class MediaAsset(doc_id: Long, media_type: String, n_bytes: Long,
+    checksum: String, payload: Array[Byte])
+
+/** Decoded features for one asset. */
+case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, channels: Int, histogram: Array[Double])
+
+/** Multimodal-column plumbing: image/audio/video as `binary` columns.
+  *
+  * The Spark-side structure is real — schema, column pruning, batched
+  * per-partition decode (the JVM analog of `mapInPandas` batches), and
+  * feature extraction — while the actual codec is a STUB: this container
+  * has no image/audio libraries, so `decodeBatch` computes deterministic
+  * fake features from the bytes. Swapping in a real decoder changes one
+  * function.
+  */
+object Multimodal {
+
+  /** Media table derived deterministically from `documents` (the corpus
+    * has no real binary assets): payload = UTF-8 text bytes.
+    */
+  def mediaAssets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      // route by id: 0=image, 1=audio, 2=video
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      md5(col("text")).as("checksum"),
+      col("text").cast("binary").as("payload"))
+
+  // ======================== STUB DECODER ========================
+  // Deterministic fake decode: derives shape + byte-histogram features
+  // from the payload bytes. A real deployment replaces the body with an
+  // actual codec (javax.imageio / ffmpeg bindings); the signature — a
+  // BATCH of assets in, features out — is the contract that matters for
+  // Spark: batch-at-a-time amortizes codec init per partition.
+  // ==============================================================
+  def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
+    batch.map { a =>
+      val n = a.n_bytes
+      val hist = new Array[Double](8)
+      a.payload.foreach(b => hist(((b & 0xff) >> 5)) += 1.0)
+      val total = math.max(1.0, a.payload.length.toDouble)
+      MediaFeatures(a.doc_id, a.media_type, n,
+        width = (n % 64).toInt + 1,
+        height = (n % 37).toInt + 1,
+        channels = 3,
+        histogram = hist.map(_ / total))
+    }
+
+  /** Batched decode over partitions: groups each partition's rows into
+    * fixed-size batches (decoder-friendly), never materializing the
+    * whole partition. Payload bytes stay executor-local.
+    */
+  def decodeFeatures(assets: Dataset[MediaAsset], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
+  }
+
+  /** Frame sampling analog: fixed-width windows of the payload as
+    * "frames", each fingerprinted — video keyframe extraction shape
+    * (explode stays lazy; no driver materialization).
+    */
+  val FRAME_CHARS = 100
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata/decode projection — oracle-checked (stub features are
+    // pure SQL-expressible functions of the bytes).
+    "multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      decodeFeatures(mediaAssets(s, d).as[MediaAsset])
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("channels"))
+    }),
+
+    // Frame sampling: one row per fixed-size window with fingerprint.
+    "multimodal_frames" -> ((s, d) => {
+      val nFrames =
+        expr(s"CAST((length(text) + ${FRAME_CHARS - 1}) DIV $FRAME_CHARS AS INT)")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), nFrames - 1),
+            k => struct(k.cast("int").as("frame_id"),
+              md5(col("text").substr(k * FRAME_CHARS + 1, lit(FRAME_CHARS)))
+                .as("frame_md5")))).as("f"))
+        .select(col("doc_id"), col("f.frame_id"), col("f.frame_md5"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 37 + 1 AS INT) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      s"""SELECT doc_id, CAST(k AS INT) AS frame_id,
+         |  md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5
+         |FROM (SELECT doc_id, text,
+         |  unnest(range(0, (length(text) + ${FRAME_CHARS - 1}) // $FRAME_CHARS)) AS k
+         |  FROM documents) t""".stripMargin
+  )
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{GraftFunctions, VectorOps}
 import graft.sources.Tables
 
 /** Training-data deduplication over `documents` / `embeddings` — the
@@ -151,12 +151,13 @@ object Dedup {
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
     // baseline; blocked variants live in Similarity as the scale path).
     "dedup_embedding_cosine" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
       val a = e.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", VectorOps.cosine(col("e_a"), col("e_b")))
+        .withColumn("cosine", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
         .filter(col("cosine") >= COSINE_NEAR)
         .select("vec_a", "vec_b", "cosine")
     })

@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{GraftFunctions, VectorOps}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -35,9 +35,14 @@ object Similarity {
   private val NPROBE = 2
   private val LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  /** codegen'd native kernel (identical numerics to VectorOps.cosine). */
+  private def cos(a: Column, b: Column): Column = GraftFunctions.cosineSim(a, b)
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+  }
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     emb(s, d).filter(col("vec_id") < N_QUERIES)
@@ -58,7 +63,7 @@ object Similarity {
     "ann_cosine_topk" -> ((s, d) => {
       val scored = corpusDf(s, d)
         .join(broadcast(queriesDf(s, d)))
-        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+        .withColumn("cosine", cos(col("qe"), col("e")))
       topK(scored)
     }),
 
@@ -71,7 +76,7 @@ object Similarity {
         .orderBy(col("ccos").desc, col("cent_id"))
       val assign = corpusDf(s, d)
         .join(broadcast(cents))
-        .withColumn("ccos", VectorOps.cosine(col("e"), col("ce")))
+        .withColumn("ccos", cos(col("e"), col("ce")))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
         .select(col("vec_id"), col("e"), col("cent_id"))
@@ -80,12 +85,12 @@ object Similarity {
         .orderBy(col("qcos").desc, col("cent_id"))
       val probe = queriesDf(s, d)
         .join(broadcast(cents))
-        .withColumn("qcos", VectorOps.cosine(col("qe"), col("ce")))
+        .withColumn("qcos", cos(col("qe"), col("ce")))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= NPROBE)
         .select(col("q_id"), col("qe"), col("cent_id"))
       val scored = probe.join(assign, "cent_id")
-        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+        .withColumn("cosine", cos(col("qe"), col("e")))
       topK(scored)
     }),
 
@@ -95,7 +100,7 @@ object Similarity {
       val qb = queriesDf(s, d)
         .withColumn("bucket", VectorOps.signBucket(col("qe"), LSH_DIMS))
       val scored = qb.join(bucketed, "bucket")
-        .withColumn("cosine", VectorOps.cosine(col("qe"), col("e")))
+        .withColumn("cosine", cos(col("qe"), col("e")))
       topK(scored)
     })
   )

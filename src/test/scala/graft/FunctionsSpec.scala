@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, VectorOps}
+import graft.multimodal.{MediaAsset, Multimodal}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("codegen CosineSimilarity is bitwise-equal to the HOF reference") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 8.0f), Array(-1.5f, 0.125f, 2.0f)),
+      (Array(1e-8f, 2e8f, -3.5f), Array(7.0f, -2e-8f, 0.25f))
+    ).toDF("a", "b")
+      .select(VectorOps.asDouble($"a").as("a"), VectorOps.asDouble($"b").as("b"))
+    val rows = df.select(
+      VectorOps.cosine($"a", $"b").as("hof"),
+      GraftFunctions.cosineSim($"a", $"b").as("native")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim is usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].head()
+    assert(v === 1.0)
+  }
+
+  test("multimodal decodeBatch is deterministic and batch-invariant") {
+    val assets = (1L to 130L).map { i =>
+      val bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")
+      MediaAsset(i, "image", bytes.length.toLong, "c", bytes)
+    }
+    val ds = spark.createDataset(assets).repartition(3)
+    val a = Multimodal.decodeFeatures(ds, batchSize = 7).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(ds, batchSize = 64).collect().sortBy(_.doc_id)
+    assert(a.length === 130)
+    assert(a.map(_.doc_id).toSeq === b.map(_.doc_id).toSeq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.width === y.width && x.height === y.height)
+      assert(x.histogram.toSeq === y.histogram.toSeq)
+      assert(math.abs(x.histogram.sum - 1.0) < 1e-9)
+    }
+  }
+}
