@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.CdcQueries.queries ++
       operators.Relational.queries ++
+      operators.RelationalExt.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     pipeline.CdcQueries.oracles ++
       operators.Relational.oracles ++
+      operators.RelationalExt.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second relational wave: as-of join, point-in-time state, grouping
+  * sets, pivot, ranking-window family, array/null scalar ops, lateral
+  * explode, and approximate distinct.
+  *
+  * The as-of join uses the union-window pattern — tag both sides, one
+  * shuffle+sort per key, carry the last left-side id forward — which is
+  * THE scalable form (a single exchange; no per-row range probe, no
+  * broadcast of either side needed at 100 TB).
+  */
+object RelationalExt {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // AS-OF JOIN: for each purchase, the latest strictly-earlier click
+    // of the same user. event_id is the total order (LSN analog), so
+    // max(click_id) over the preceding frame IS the as-of match.
+    "asof_click_purchase" -> ((s, d) => {
+      val ec = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          when(col("event_type") === "click", col("event_id")).as("click_id"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ec.withColumn("last_click", max(col("click_id")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click"))
+    }),
+
+    // Point-in-time (time travel): latest state per key as of LSN 5000.
+    "cdc_state_asof" -> ((s, d) => {
+      graft.pipeline.ChangeLog.latestState(
+        Tables.events(s, d).filter(col("event_id") <= 5000),
+        Seq("user_id"), "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // GROUPING SETS (finer than rollup/cube).
+    "agg_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // PIVOT: order counts by status × priority (explicit value list →
+    // stable schema; empty cells are NULL on both sides).
+    "agg_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+    }),
+
+    // Approximate distinct (HLL++). The sketch is engine-specific, so no
+    // SQL oracle — the driver records a rows-only check; the exact
+    // column is verified by agg_distinct separately.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // Ranking-window family with a total (tie-broken) ordering.
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
+    "window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+    }),
+
+    // Array ops over embeddings (no arithmetic → exact float compare).
+    "array_ops" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        array_max(col("embedding")).as("vmax"),
+        array_min(col("embedding")).as("vmin"),
+        slice(sort_array(col("embedding")), 1, 3).as("smallest3"))
+    }),
+
+    // NULL semantics: nullif/coalesce/null-aware aggregation.
+    "scalar_null" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("disc_or_null", nullif(col("l_discount"), lit(0.0)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("disc_or_null")).as("n_discounted"),
+          sum(when(col("disc_or_null").isNull, 1).otherwise(0)).cast("long")
+            .as("n_zero_disc"),
+          coalesce(min(col("disc_or_null")), lit(-1.0)).as("min_nonzero_disc"))
+    }),
+
+    // Lateral view / posexplode (UDTF shape).
+    "scalar_split_explode" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_click_purchase" ->
+      """SELECT event_id AS purchase_id, user_id, last_click FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "cdc_state_asof" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 5000) t WHERE rn = 1""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  NULLIF(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS "1-URGENT",
+        |  NULLIF(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS "2-HIGH",
+        |  NULLIF(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS "3-MEDIUM",
+        |  NULLIF(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS "4-NOT SPECIFIED",
+        |  NULLIF(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "array_ops" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_dim,
+        |  list_aggregate(embedding, 'max') AS vmax,
+        |  list_aggregate(embedding, 'min') AS vmin,
+        |  list_sort(embedding)[1:3] AS smallest3
+        |FROM embeddings""".stripMargin,
+    "scalar_null" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+        |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+        |  COALESCE(MIN(NULLIF(l_discount, 0.0)), -1.0) AS min_nonzero_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "scalar_split_explode" ->
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos, unnest(l) AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part) t""".stripMargin
+  )
+}
