@@ -76,6 +76,20 @@ object CdcQueries {
         Seq("user_id"), "event_id")
     }),
 
+    // D6-D11 full envelope incl. lag-derived before-images — map-typed
+    // payload columns, so no SQL oracle (driver rows-only check); the
+    // semantics are covered by EnvelopeSpec.
+    "cdc_full_envelope" -> ((s, d) => {
+      Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+    }),
+
+    // D9/D10 wire-format round trip: envelope → JSON → envelope must be
+    // the identity on every scalar field (checked against the source).
+    "cdc_json_roundtrip" -> ((s, d) => {
+      Envelope.jsonRoundTrip(Envelope.toCdcEvents(Tables.events(s, d)))
+        .select(col("lsn"), col("op"), col("key"), col("txnId"))
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -107,6 +121,11 @@ object CdcQueries {
          |  ${dsumSql("value")} AS total_value
          |FROM events GROUP BY user_id""".stripMargin,
     "cdc_snapshot_union_fence" -> latestSql,
+    "cdc_json_roundtrip" ->
+      s"""SELECT event_id AS lsn, $opSql AS op,
+         |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  event_id // 100 AS txnId
+         |FROM events""".stripMargin,
     "cdc_window_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  COUNT(*) AS n, ${dsumSql("value")} AS total_value

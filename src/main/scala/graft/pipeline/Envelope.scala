@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.CdcEvent
+
+/** Envelope construction (reference D6–D11): raw change rows → the
+  * unified CdcEvent envelope, including the before-image the reference
+  * only stubbed (replicator.go:387-396 logs updates but never emits
+  * old+new data — SURVEY.md §2.6).
+  *
+  * The before-image is the previous after-image of the same key: one
+  * window (shuffle on key, sort by LSN) computes it for the whole log —
+  * no point lookups, scales as a single exchange.
+  */
+object Envelope {
+
+  /** events table → Dataset[CdcEvent] with op mapping, key construction
+    * (D11: "schema.table:pk" — but from a DECLARED key, not the
+    * reference's positional first-column guess), string-erased payload
+    * maps (§1.2), and lag-derived before-images.
+    */
+  def toCdcEvents(events: DataFrame): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val emptyMap = typedLit(Map.empty[String, String])
+    val afterImage = map(
+      lit("user_id"), col("user_id").cast("string"),
+      lit("value"), col("value").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events
+      .withColumn("op",
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update"))
+      .withColumn("after_img", afterImage)
+      .withColumn("before_img", lag(col("after_img"), 1).over(w))
+      .select(
+        col("op"),
+        lit("public").as("schemaName"),
+        lit("users").as("tableName"),
+        col("event_id").as("lsn"),
+        col("ts"),
+        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
+        when(col("op") === "insert", emptyMap)
+          .otherwise(coalesce(col("before_img"), emptyMap)).as("before"),
+        when(col("op") === "delete", emptyMap)
+          .otherwise(col("after_img")).as("after"),
+        (col("event_id") / 100).cast("long").as("txnId"))
+      .as[CdcEvent]
+  }
+
+  /** D9/D10: envelope → JSON wire format → back. The reference marshals
+    * to JSON for Kafka (replicator.go:146-150) and unmarshals in the
+    * consumer (es_consumer/main.go:66-71); `to_json`/`from_json` is the
+    * columnar equivalent, with corrupt records becoming nulls instead of
+    * silently-committed poison pills.
+    */
+  def jsonRoundTrip(events: Dataset[CdcEvent]): DataFrame = {
+    val serialized = events.select(to_json(struct(events.columns.map(col): _*)).as("wire"))
+    serialized.select(from_json(col("wire"), CdcEvent.envelopeSchema).as("ev"))
+      .select("ev.*")
+  }
+}
