@@ -118,6 +118,38 @@ object RelationalExt {
           coalesce(min(col("disc_or_null")), lit(-1.0)).as("min_nonzero_disc"))
     }),
 
+    // Salted join — the skew guard pattern, made verifiable: the dim is
+    // replicated SALT ways and the fact side spreads each hot key across
+    // SALT partitions via a deterministic salt; the oracle is the PLAIN
+    // join, proving salting never changes results. (At 100 TB this is
+    // what you do when one nation holds half the customers and AQE's
+    // skew split isn't available, e.g. in a streaming join.)
+    "join_salted" -> ((s, d) => {
+      val SALT = 8
+      val saltedDim = Tables.nation(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+      val saltedFact = Tables.customer(s, d)
+        .withColumn("salt", pmod(col("c_custkey"), lit(SALT)).cast("int"))
+      saltedFact.join(saltedDim,
+        col("c_nationkey") === col("n_nationkey") && saltedFact("salt") === saltedDim("salt"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+    }),
+
+    // Schema evolution: old-schema events (no props column) unioned with
+    // new-schema by name; missing columns become nulls instead of a
+    // pipeline failure — CDC streams change shape over time.
+    "cdc_schema_evolution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val oldSchema = e.filter(col("event_id") % 2 === 0).drop("props")
+      val newSchema = e.filter(col("event_id") % 2 === 1)
+      oldSchema.unionByName(newSchema, allowMissingColumns = true)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("n_missing_props"))
+    }),
+
     // Lateral view / posexplode (UDTF shape).
     "scalar_split_explode" -> ((s, d) => {
       Tables.part(s, d)
@@ -180,6 +212,15 @@ object RelationalExt {
         |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
         |  COALESCE(MIN(NULLIF(l_discount, 0.0)), -1.0) AS min_nonzero_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "join_salted" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "cdc_schema_evolution" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props
+        |FROM events GROUP BY user_id""".stripMargin,
     "scalar_split_explode" ->
       """SELECT p_partkey,
         |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos, unnest(l) AS word
