@@ -112,18 +112,22 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
       // signatures as codegen'd min-aggregations over the posting list
-      // (explode → groupBy) rather than interpreted array HOFs: the md5s
-      // evaluate inside whole-stage codegen and the mins combine
-      // map-side, so signature cost is one linear pass at any scale.
+      // (explode → groupBy) rather than interpreted array HOFs. The
+      // per-seed hash is the first 15 md5 hex digits as a BIGINT (still
+      // engine-portable), so min() runs in HashAggregate with a mutable
+      // long buffer — min(string) would fall back to SortAggregate and
+      // pay an extra sort per seed.
+      def h(seed: Int): Column =
+        conv(substring(md5(concat(lit(s"$seed|"), col("g"))), 1, 15), 16, 10)
+          .cast("long")
       val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val sig = posting.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), lit("|"), col("g")))).as("sig0"),
-        (1 until MINHASH_SEEDS).map(sd =>
-          min(md5(concat(lit(sd.toString), lit("|"), col("g")))).as(s"sig$sd")): _*)
+        min(h(0)).as("sig0"),
+        (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
       val bands = sig.select(col("doc_id"),
         explode(array((0 until BANDS).map(b =>
-          md5(concat(lit(b.toString), lit("|"),
-            col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))): _*)).as("band_key"))
+          md5(concat(lit(s"$b|"), col(s"sig${2 * b}").cast("string"),
+            col(s"sig${2 * b + 1}").cast("string")))): _*)).as("band_key"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -227,19 +231,22 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fingerprint,
         |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      val sigCols = (0 until MINHASH_SEEDS).map(sd =>
+        s"MIN(('0x' || substr(md5('$sd|' || g), 1, 15))::BIGINT) AS sig$sd").mkString(", ")
+      val bandList = (0 until BANDS).map(b =>
+        s"md5('$b|' || CAST(sig${2 * b} AS VARCHAR) || CAST(sig${2 * b + 1} AS VARCHAR))")
+        .mkString("[", ", ", "]")
       s"""WITH d AS ($docShinglesSql),
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, $MINHASH_SEEDS),
-         |    s -> list_aggregate(list_transform(sh, g -> md5(CAST(s AS VARCHAR) || '|' || g)), 'min')) AS sigs
-         |  FROM d),
-         |band AS (SELECT doc_id, unnest(list_transform(range(0, $BANDS),
-         |    b -> md5(CAST(b AS VARCHAR) || '|' || sigs[b*2+1] || sigs[b*2+2]))) AS band_key
-         |  FROM sig),
+         |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         |sig AS (SELECT doc_id, $sigCols FROM posting GROUP BY doc_id),
+         |band AS (SELECT doc_id, unnest($bandList) AS band_key FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, $jaccardSql AS jaccard
          |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
-         |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin,
+         |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH d AS ($docShinglesSql),
          |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
