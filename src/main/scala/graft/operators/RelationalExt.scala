@@ -118,6 +118,36 @@ object RelationalExt {
           coalesce(min(col("disc_or_null")), lit(-1.0)).as("min_nonzero_disc"))
     }),
 
+    // Exact interpolated percentiles (sort-based; both engines use
+    // lo + frac*(hi-lo) interpolation on the same sorted values).
+    "agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+    }),
+
+    // Batch sessionization: a new session starts after a >30 min gap in
+    // a user's event stream. Two windows — lag to flag gaps, running sum
+    // to number sessions — one shuffle+sort total; this is the batch
+    // equivalent of Structured Streaming's session_window.
+    "window_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val gapFlag = when(
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >
+          1800L * 1000000L, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_session", gapFlag)
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    }),
+
     // Salted join — the skew guard pattern, made verifiable: the dim is
     // replicated SALT ways and the fact side spreads each hot key across
     // SALT partitions via a deterministic salt; the oracle is the PLAIN
@@ -212,6 +242,23 @@ object RelationalExt {
         |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
         |  COALESCE(MIN(NULLIF(l_discount, 0.0)), -1.0) AS min_nonzero_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "window_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "join_salted" ->
       """SELECT n_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -86,6 +86,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-stream source: changelog directory drives the same pipeline") {
+    // S3/S5 analog: the change log lands as files; readStream picks them
+    // up incrementally and the latest-state operator consumes unchanged.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, ts(1), 1L, "signup", 5.0, "{}"),
+      org.apache.spark.sql.Row(2L, ts(2), 1L, "click", 6.0, "{}"),
+      org.apache.spark.sql.Row(3L, ts(3), 2L, "signup", 7.0, "{}"))), schema)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[RawEvent]
+    val q = ChangeLogStream.latestStatePerKey(stream)
+      .writeStream.format("memory").queryName("file_state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val last = spark.table("file_state_out").as[StateOut].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.event_id)).toMap
+      assert(last(1L).event_id === 2L && last(2L).event_id === 3L)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent across replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
