@@ -177,6 +177,40 @@ object Dedup {
         .select("doc_a", "doc_b", "hamming")
     }),
 
+    // Duplicate clusters: connected components over the minhash near-dup
+    // pair graph via min-label propagation — the iterative-join shape of
+    // Pregel/GraphX connected components, converging to the same
+    // fixpoint (min reachable id) as the oracle's recursive transitive
+    // closure regardless of iteration order. The driver-side loop runs
+    // O(component diameter) rounds; each round is one shuffle join.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = queries("dedup_minhash_lsh")(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = docs.withColumn("cluster_id", col("doc_id"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val prop = edges
+          .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("src_label")).as("nbr_label"))
+        val next = labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next
+          .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels
+    }),
+
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
     // baseline; blocked variants live in Similarity as the scale path).
     "dedup_embedding_cosine" -> ((s, d) => {
@@ -226,27 +260,38 @@ object Dedup {
        |SELECT doc_id, CAST($fp AS INT) AS simhash FROM sums""".stripMargin
   }
 
+  private lazy val minhashPairsSql: String = {
+    val sigCols = (0 until MINHASH_SEEDS).map(sd =>
+      s"MIN(('0x' || substr(md5('$sd|' || g), 1, 15))::BIGINT) AS sig$sd").mkString(", ")
+    val bandList = (0 until BANDS).map(b =>
+      s"md5('$b|' || CAST(sig${2 * b} AS VARCHAR) || CAST(sig${2 * b + 1} AS VARCHAR))")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS ($docShinglesSql),
+       |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |sig AS (SELECT doc_id, $sigCols FROM posting GROUP BY doc_id),
+       |band AS (SELECT doc_id, unnest($bandList) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fingerprint,
         |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val sigCols = (0 until MINHASH_SEEDS).map(sd =>
-        s"MIN(('0x' || substr(md5('$sd|' || g), 1, 15))::BIGINT) AS sig$sd").mkString(", ")
-      val bandList = (0 until BANDS).map(b =>
-        s"md5('$b|' || CAST(sig${2 * b} AS VARCHAR) || CAST(sig${2 * b + 1} AS VARCHAR))")
-        .mkString("[", ", ", "]")
-      s"""WITH d AS ($docShinglesSql),
-         |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
-         |sig AS (SELECT doc_id, $sigCols FROM posting GROUP BY doc_id),
-         |band AS (SELECT doc_id, unnest($bandList) AS band_key FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
-         |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
-         |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
-    },
+    "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s)
+         |SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS ($docShinglesSql),
          |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),

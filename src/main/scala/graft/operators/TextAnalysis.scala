@@ -79,6 +79,28 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // TF-IDF top terms per document. idf kept rational (N/df, no log:
+    // libm log isn't bitwise-portable across engines) — ranking is
+    // order-isomorphic to the log form for fixed N. Two aggregations +
+    // one window; all shuffle keys are term or doc_id.
+    "text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // scalar N, same as the oracle's subquery
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("tfidf",
+          col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -123,6 +145,16 @@ object TextAnalysis {
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin
     },
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
+        |scored AS (SELECT doc_id, tf.term,
+        |    CAST(tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  list_aggregate(list_transform(
