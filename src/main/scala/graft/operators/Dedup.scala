@@ -56,7 +56,10 @@ object Dedup {
     * cached relation is O(docs × shingle bytes), far smaller than the
     * pair space it prevents recomputing.
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    // NOTE: identical analyzed plans share cache entries via Spark's
+    // CacheManager, so sequential dedup queries in one session reuse
+    // this persist instead of recomputing the shingle pipeline.
     Tables.documents(s, d)
       // the corpus arrives as one parquet file = one partition; spread
       // the per-doc hash pipeline across cores (at 100 TB the scan is
@@ -66,6 +69,7 @@ object Dedup {
       .filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   private val docShinglesSql =
     s"""SELECT doc_id, ${shingleSql(3).replace("w", "string_split(text,' ')")} AS sh
@@ -190,6 +194,7 @@ object Dedup {
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = docs.withColumn("cluster_id", col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -205,6 +210,7 @@ object Dedup {
         changed = next
           .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
           .filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist() // previous round's labels are now dead
         labels = next
         rounds += 1
       }

@@ -86,6 +86,7 @@ object TextAnalysis {
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+        .repartition(col("doc_id")) // single-file scan → spread across cores
       val n = docs.count() // scalar N, same as the oracle's subquery
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
