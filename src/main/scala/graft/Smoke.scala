@@ -39,6 +39,11 @@ object Smoke {
         .select("user_id", "event_id", "value").collect().toSeq
       println(s"[smoke] stream upsert state=$state " +
         (if (state.map(_.getLong(1)) == Seq(3L, 2L)) "OK" else "WRONG"))
+    } else if (args.headOption.contains("sql")) {
+      // ad-hoc SQL against the attached corpus: runMain graft.Smoke sql "<query>" [sfDir]
+      val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      GraftSession.attach(spark, sfDir)
+      spark.sql(args(1)).show(20, truncate = false)
     } else if (args.nonEmpty) {
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
       SparkEntry.queries(args(0))(spark, sfDir).explain("formatted")

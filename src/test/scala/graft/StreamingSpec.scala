@@ -113,6 +113,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchase pairs with clicks at most 1h older") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val clicks = MemoryStream[RawEvent]
+    val purchases = MemoryStream[RawEvent]
+    val c = clicks.toDF()
+      .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.toDF()
+      .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts")
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = p.join(c, expr(
+      """p_user = c_user AND purchase_ts >= click_ts
+        |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 1, 1, "click"))
+      purchases.addData(ev(2, 30, 1, "purchase"), // 29 min after click → joins
+        ev(3, 200, 1, "purchase"))                // >1h after click → no match
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent across replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
