@@ -118,6 +118,25 @@ object RelationalExt {
           coalesce(min(col("disc_or_null")), lit(-1.0)).as("min_nonzero_disc"))
     }),
 
+    // Supply-vs-demand side of the star schema in one pass: per nation,
+    // suppliers and customers aggregated from two broadcast-dim joins
+    // unioned by role tag (exercises the supplier table).
+    "join_supplier_customer" -> ((s, d) => {
+      val nat = broadcast(Tables.nation(s, d))
+      val sup = Tables.supplier(s, d)
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), lit("supplier").as("role"),
+          col("s_acctbal").as("bal"))
+      val cust = Tables.customer(s, d)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), lit("customer").as("role"),
+          col("c_acctbal").as("bal"))
+      sup.unionByName(cust)
+        .groupBy("n_name", "role")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+    }),
+
     // Exact interpolated percentiles (sort-based; both engines use
     // lo + frac*(hi-lo) interpolation on the same sorted values).
     "agg_percentile" -> ((s, d) => {
@@ -242,6 +261,16 @@ object RelationalExt {
         |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
         |  COALESCE(MIN(NULLIF(l_discount, 0.0)), -1.0) AS min_nonzero_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "join_supplier_customer" ->
+      """SELECT n_name, role, COUNT(*) AS n,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM (
+        |  SELECT n_name, 'supplier' AS role, s_acctbal AS bal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT n_name, 'customer' AS role, c_acctbal AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |GROUP BY n_name, role""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS med,

@@ -21,6 +21,14 @@ object TextAnalysis {
   private val STOPWORDS = Seq("a", "the", "of", "and")
   private val TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  // char-bigram profiles per language (top bigrams of each language's
+  // typical text; literal so the oracle is the identical algorithm)
+  private val NGRAM_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "de" -> Seq("en", "ch", "de", "ei", "te"),
+    "fr" -> Seq("es", "le", "de", "on", "nt"),
+    "es" -> Seq("de", "en", "el", "la", "os"))
+
   // language marker tokens (disjoint sets; priority order breaks ties)
   private val MARKERS: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
@@ -71,6 +79,27 @@ object TextAnalysis {
       val hcols = MARKERS.map { case (l, ms) => l -> hits(ms) }
       val m = greatest(hcols.map(_._2): _*)
       val predicted = hcols.tail.foldLeft(when(hcols.head._2 === m, hcols.head._1)) {
+        case (acc, (l, h)) => acc.when(h === m, l)
+      }
+      Tables.documents(s, d)
+        .select(col("lang"), predicted.as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Character-n-gram language ID: score = how many of the doc's char
+    // bigrams appear in a fixed per-language profile (the classic
+    // Cavnar–Trenkle shape with a literal profile so both engines agree
+    // exactly); argmax with fixed priority order.
+    "text_langid_ngram" -> ((s, d) => {
+      val bigrams = array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2))))
+      val scored = NGRAM_PROFILES.map { case (l, prof) =>
+        l -> size(filter(bigrams, g => g.isin(prof.map(x => x: Any): _*)))
+      }
+      val m = greatest(scored.map(_._2): _*)
+      val predicted = scored.tail.foldLeft(when(scored.head._2 === m, scored.head._1)) {
         case (acc, (l, h)) => acc.when(h === m, l)
       }
       Tables.documents(s, d)
@@ -142,6 +171,18 @@ object TextAnalysis {
       val hs = MARKERS.map { case (l, ms) => s"${hitsSql(ms)} AS h_$l" }.mkString(", ")
       val m = MARKERS.map { case (l, _) => s"h_$l" }.mkString("GREATEST(", ", ", ")")
       val cases = MARKERS.map { case (l, _) => s"WHEN h_$l = $m THEN '$l'" }.mkString(" ")
+      s"""WITH h AS (SELECT lang, $hs FROM documents)
+         |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin
+    },
+    "text_langid_ngram" -> {
+      val bg = "list_distinct(list_transform(range(1, length(text)), i -> substr(text, i, 2)))"
+      val hs = NGRAM_PROFILES.map { case (l, prof) =>
+        val inList = prof.map(p => s"'$p'").mkString(", ")
+        s"len(list_filter($bg, g -> g IN ($inList))) AS h_$l"
+      }.mkString(", ")
+      val m = NGRAM_PROFILES.map { case (l, _) => s"h_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = NGRAM_PROFILES.map { case (l, _) => s"WHEN h_$l = $m THEN '$l'" }.mkString(" ")
       s"""WITH h AS (SELECT lang, $hs FROM documents)
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin

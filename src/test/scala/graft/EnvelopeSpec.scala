@@ -34,6 +34,21 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("corrupt wire records become nulls, not silently-committed skips") {
+    // reference behavior D10: bad JSON is committed+skipped silently
+    // (es_consumer/main.go:66-71); ours surfaces it as a null row that a
+    // dead-letter filter can route.
+    import graft.model.CdcEvent
+    val wire = Seq(
+      """{"op":"insert","schemaName":"public","tableName":"users","lsn":1,"ts":"2024-01-01T00:00:00Z","key":"public.users:1","before":{},"after":{"v":"1"},"txnId":0}""",
+      """NOT JSON AT ALL""").toDF("wire")
+    val parsed = wire.select(from_json($"wire", CdcEvent.envelopeSchema).as("ev"))
+    assert(parsed.count() === 2)
+    val good = parsed.filter($"ev".isNotNull && $"ev.lsn".isNotNull)
+    assert(good.count() === 1)
+    assert(good.select($"ev.key").as[String].head() === "public.users:1")
+  }
+
   test("property: latest-state invariant under permutation + duplication") {
     val genLog = for {
       n <- Gen.choose(1, 30)
