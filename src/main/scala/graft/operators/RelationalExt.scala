@@ -118,6 +118,17 @@ object RelationalExt {
           coalesce(min(col("disc_or_null")), lit(-1.0)).as("min_nonzero_disc"))
     }),
 
+    // Custom whole-operator path: top-3 orders per customer through
+    // graft.plans.TopK (LogicalPlan + SparkStrategy + two-phase exec
+    // with per-partition bounded heaps) — oracle-checked against the
+    // window row_number formulation it replaces.
+    "topk_per_key_native" -> ((s, d) => {
+      graft.plans.TopK.perKey(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    }),
+
     // Supply-vs-demand side of the star schema in one pass: per nation,
     // suppliers and customers aggregated from two broadcast-dim joins
     // unioned by role tag (exercises the supplier table).
@@ -261,6 +272,12 @@ object RelationalExt {
         |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
         |  COALESCE(MIN(NULLIF(l_discount, 0.0)), -1.0) AS min_nonzero_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "topk_per_key_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
     "join_supplier_customer" ->
       """SELECT n_name, role, COUNT(*) AS n,
         |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Minimal bridge into `private[sql]` surface for graft's custom plan
+  * nodes — the same technique every Spark extension library uses to
+  * construct DataFrames from custom LogicalPlans. Kept to the two
+  * functions the library needs.
+  */
+object GraftShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(castToImpl(spark), plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    castToImpl(df).queryExecution.analyzed
+}
