@@ -113,6 +113,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows close after the gap + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{session_window, col, count}
+    val in = MemoryStream[RawEvent]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(col("*")).as("n"))
+      .select(col("session_window.start").as("s"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts for u1 separated by > 30 min → two sessions
+      in.addData(ev(1, 0, 1, "click"), ev(2, 10, 1, "click"), ev(3, 60, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(4, 300, 1, "click")) // advance watermark to close them
+      q.processAllAvailable()
+      in.addData(ev(5, 600, 9, "click")) // close u1's third session too
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"n").as[(Long, Long)].collect()
+        .filter(_._1 == 1L).map(_._2).sorted
+      assert(rows.toSeq === Seq(1L, 1L, 2L),
+        s"expected sessions of 2,1,1 events for u1; got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchase pairs with clicks at most 1h older") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
