@@ -65,7 +65,7 @@ object Dedup {
       // the per-doc hash pipeline across cores (at 100 TB the scan is
       // already many splits and this shuffle of raw text is a no-op to
       // drop)
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -222,7 +222,7 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-        .repartition(col("vec_id")) // single-file scan → spread across cores
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
       val a = e.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
@@ -236,7 +236,7 @@ object Dedup {
   /** 16-bit simhash per doc; token hash = first 4 md5 hex digits. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
-      .repartition(col("doc_id")) // parallelize the single-file scan
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
     val sums = (0 until 16).map(j =>

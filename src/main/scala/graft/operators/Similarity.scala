@@ -41,7 +41,7 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .repartition(col("vec_id")) // single-file scan → spread across cores
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
   }
 

@@ -36,6 +36,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et"),
     "es" -> Seq("el", "los", "que"))
 
+  /** documents arrives as one parquet file = one partition locally;
+    * spread per-row HOF pipelines across cores (no-op at real scale).
+    */
+  private def docsPar(s: SparkSession, d: String): DataFrame =
+    // explicit count: AQE would coalesce a small keyed shuffle back to
+    // one partition, defeating the parallelism this exists to create
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def hits(markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
 
@@ -65,7 +74,7 @@ object TextAnalysis {
       val avgTokLen = (length(col("text")) - (n - lit(1))).cast("double") / n
       val score = least(lit(1.0), n.cast("double") / 50.0) *
         (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
-      Tables.documents(s, d).select(
+      docsPar(s, d).select(
         col("doc_id"), n.as("n_tokens"),
         distinctRatio.as("distinct_ratio"),
         stopRatio.as("stopword_ratio"),
@@ -81,7 +90,7 @@ object TextAnalysis {
       val predicted = hcols.tail.foldLeft(when(hcols.head._2 === m, hcols.head._1)) {
         case (acc, (l, h)) => acc.when(h === m, l)
       }
-      Tables.documents(s, d)
+      docsPar(s, d)
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -102,7 +111,7 @@ object TextAnalysis {
       val predicted = scored.tail.foldLeft(when(scored.head._2 === m, scored.head._1)) {
         case (acc, (l, h)) => acc.when(h === m, l)
       }
-      Tables.documents(s, d)
+      docsPar(s, d)
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -115,7 +124,7 @@ object TextAnalysis {
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-        .repartition(col("doc_id")) // single-file scan → spread across cores
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val n = docs.count() // scalar N, same as the oracle's subquery
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -137,7 +146,7 @@ object TextAnalysis {
       val w = toks
       val grams = transform(sequence(lit(0), size(w) - lit(4)),
         i => concat_ws(" ", w(i), w(i + lit(1)), w(i + lit(2)), w(i + lit(3))))
-      Tables.documents(s, d)
+      docsPar(s, d)
         .filter(size(w) >= 4)
         .select(col("doc_id"),
           md5(col("text")).as("fp_md5"),
