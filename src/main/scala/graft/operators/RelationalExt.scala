@@ -43,6 +43,23 @@ object RelationalExt {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    // Event funnel: per user, first occurrence of each stage and whether
+    // the stages happened in order — conditional-min aggregation, one
+    // shuffle regardless of funnel depth (no joins or self-unions).
+    "events_funnel" -> ((s, d) => {
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, col("event_id")))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstOf("signup").as("first_signup"),
+          firstOf("click").as("first_click"),
+          firstOf("purchase").as("first_purchase"))
+        .withColumn("completed_funnel",
+          coalesce(col("first_signup").isNotNull &&
+            col("first_click") > col("first_signup") &&
+            col("first_purchase") > col("first_click"), lit(false)))
+    }),
+
     // GROUPING SETS (finer than rollup/cube).
     "agg_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -231,6 +248,17 @@ object RelationalExt {
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_id <= 5000) t WHERE rn = 1""".stripMargin,
+    "events_funnel" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,
+        |  MIN(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase,
+        |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN event_id END) IS NOT NULL
+        |    AND MIN(CASE WHEN event_type = 'click' THEN event_id END)
+        |      > MIN(CASE WHEN event_type = 'signup' THEN event_id END)
+        |    AND MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |      > MIN(CASE WHEN event_type = 'click' THEN event_id END), FALSE) AS completed_funnel
+        |FROM events GROUP BY user_id""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

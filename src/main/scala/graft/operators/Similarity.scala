@@ -61,6 +61,21 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Measure, don't guess: IVF recall against the brute-force ground
+    // truth — both sides deterministic, so recall itself is a verifiable
+    // number, not an estimate.
+    "ann_ivf_recall" -> ((s, d) => {
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val approx = queries("ann_ivf_topk")(s, d)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy("q_id")
+        .agg((sum(when(col("av").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall"))
+    }),
+
     "ann_cosine_topk" -> ((s, d) => {
       val scored = corpusDf(s, d)
         .join(broadcast(queriesDf(s, d)))
@@ -112,16 +127,16 @@ object Similarity {
       |q AS (SELECT vec_id AS q_id, e AS qe FROM ev WHERE vec_id < 10),
       |corpus AS (SELECT vec_id, e FROM ev WHERE vec_id >= 10)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "ann_cosine_topk" ->
-      s"""$baseSql,
-         |scored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
-         |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
-         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
-    "ann_ivf_topk" ->
-      s"""$baseSql,
+  private lazy val annBruteSql =
+    s"""$baseSql,
+       |scored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+       |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+
+  private lazy val annIvfSql =
+    s"""$baseSql,
          |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ev WHERE vec_id % $CENT_STRIDE = 0),
          |assign AS (SELECT vec_id, e, cent_id FROM (
          |  SELECT corpus.vec_id, corpus.e, cent_id,
@@ -138,7 +153,20 @@ object Similarity {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
          |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
-         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> annBruteSql,
+    "ann_ivf_topk" -> annIvfSql,
+    "ann_ivf_recall" ->
+      s"""WITH exact AS ($annBruteSql),
+         |approx AS ($annIvfSql)
+         |SELECT e.q_id,
+         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id""".stripMargin,
     "ann_lsh_bucket" ->
       s"""$baseSql,
          |cb AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", LSH_DIMS)} AS bucket FROM corpus),

@@ -140,6 +140,35 @@ object TextAnalysis {
         .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
     }),
 
+    // Corpus vocabulary: top-50 terms by frequency (tie-broken) — the
+    // partial-aggregated explode+count shape that scales to any corpus.
+    "text_vocab_top50" -> ((s, d) => {
+      docsPar(s, d)
+        .select(explode(toks).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50)
+    }),
+
+    // Quality-stratified sampling: keep each language's top quintile by
+    // quality score — the curation step of a training-data pipeline.
+    "text_quality_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = size(toks)
+      val distinctRatio = size(array_distinct(toks)).cast("double") / n
+      val stopRatio = hits(STOPWORDS).cast("double") / n
+      val score = least(lit(1.0), n.cast("double") / 50.0) *
+        (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      docsPar(s, d)
+        .select(col("doc_id"), col("lang"), score.as("quality_score"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.2)
+        .select("doc_id", "lang", "quality_score")
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -206,6 +235,22 @@ object TextAnalysis {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS rn FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3""".stripMargin,
+    "text_vocab_top50" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "text_quality_sample" -> {
+      val score =
+        """LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+          |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          |        / len(string_split(text, ' '))))
+          |    - 0.1 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the', 'of', 'and'))) AS DOUBLE)
+          |        / len(string_split(text, ' ')))""".stripMargin
+      s"""WITH scored AS (SELECT doc_id, lang, $score AS quality_score FROM documents),
+         |ranked AS (SELECT *, percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id) AS pr FROM scored)
+         |SELECT doc_id, lang, quality_score FROM ranked WHERE pr <= 0.2""".stripMargin
+    },
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  list_aggregate(list_transform(
