@@ -227,6 +227,49 @@ object RelationalExt {
           sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("n_missing_props"))
     }),
 
+    // Second string-function wave (edit distance, padding, charset ops).
+    "scalar_string2" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("edit_dist"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        rpad(col("p_brand"), 12, ".").as("brand_padded"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_ascii"),
+        expr("chr(ascii(substring(p_name, 1, 1)) + 1)").as("next_char"),
+        repeat(col("p_brand"), 2).as("brand_twice"))
+    }),
+
+    // Second date-function wave (month clamping, day arithmetic).
+    "scalar_date2" -> ((s, d) => {
+      val od = col("o_orderdate").cast("date")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        last_day(od).as("month_end"),
+        add_months(od, 1).as("next_month"),
+        date_sub(od, 7).as("week_before"),
+        dayofyear(od).as("doy"))
+    }),
+
+    // RANGE window frame: value-based neighborhoods, not row counts.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-10000L, 10000L)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_nearby"))
+    }),
+
+    // ROLLUP with grouping indicators (distinguishing subtotal rows).
+    "agg_rollup_grouping" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+    }),
+
     // Lateral view / posexplode (UDTF shape).
     "scalar_split_explode" -> ((s, d) => {
       Tables.part(s, d)
@@ -342,6 +385,34 @@ object RelationalExt {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props
         |FROM events GROUP BY user_id""".stripMargin,
+    "scalar_string2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  rpad(p_brand, 12, '.') AS brand_padded,
+        |  translate(p_brand, '#', '-') AS brand_tr,
+        |  CAST(ascii(substr(p_name, 1, 1)) AS INT) AS first_ascii,
+        |  chr(ascii(substr(p_name, 1, 1)) + 1) AS next_char,
+        |  repeat(p_brand, 2) AS brand_twice
+        |FROM part""".stripMargin,
+    "scalar_date2" ->
+      """SELECT o_orderkey,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS week_before,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_nearby
+        |FROM orders""".stripMargin,
+    "agg_rollup_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "scalar_split_explode" ->
       """SELECT p_partkey,
         |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos, unnest(l) AS word
