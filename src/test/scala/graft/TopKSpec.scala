@@ -35,6 +35,14 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("unknown column names fail fast with the available columns listed") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(events, Seq("no_such_col"), Seq(("value", false)), 3)
+    }
+    assert(e.getMessage.contains("no_such_col"))
+    assert(e.getMessage.contains("user_id"))
+  }
+
   test("k larger than group size returns whole groups") {
     val tiny = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.0))
       .toDF("user_id", "event_id", "value")
