@@ -13,10 +13,22 @@ object SparkEntry {
 
   /** Flagship: the CDC latest-state-per-key materialization — the
     * semantics the entire reference pipeline exists to produce
-    * (SURVEY.md §2.3 A3). Driver smoke-checks rows > 0 on sf0.001.
+    * (SURVEY.md §2.3 A3) — enriched with per-key changelog statistics
+    * (one extra aggregation over the same shuffle key, so the join is
+    * co-partitioned). Driver smoke-checks rows > 0 on sf0.001; row count
+    * equals the number of distinct keys, so it is always non-empty.
     */
-  def entry(spark: SparkSession): DataFrame =
-    pipeline.CdcQueries.queries("cdc_latest_state")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = sources.Tables.events(spark, sfDir)
+    val latest = pipeline.ChangeLog.latestState(events, Seq("user_id"), "event_id")
+    val stats = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_changes"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("lifetime_value"),
+      min(col("ts")).as("first_seen"))
+    latest.join(stats, "user_id")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2 + north-star ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -113,6 +113,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the changelog with a dimension") {
+    // D5 at runtime: the relation-registry lookup as a broadcast join
+    // between the live stream and a static dimension table.
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 1, "click"), ev(2, 2, 2, "click"), ev(3, 3, 9, "click"))
+      q.processAllAvailable()
+      val tiers = spark.table("enrich_out")
+        .select($"user_id", $"tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(tiers === Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("streaming session windows close after the gap + watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{session_window, col, count}
