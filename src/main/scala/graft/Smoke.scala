@@ -37,10 +37,15 @@ object Smoke {
       q.stop()
       val state = spark.read.parquet(dir).orderBy("user_id")
         .select("user_id", "event_id", "value").collect().toSeq
-      println(s"[smoke] stream upsert state=$state " +
-        (if (state.map(_.getLong(1)) == Seq(3L, 2L)) "OK" else "WRONG"))
+      val ok = state.map(_.getLong(1)) == Seq(3L, 2L)
+      println(s"[smoke] stream upsert state=$state " + (if (ok) "OK" else "WRONG"))
+      if (!ok) { spark.stop(); sys.exit(1) }
     } else if (args.headOption.contains("sql")) {
       // ad-hoc SQL against the attached corpus: runMain graft.Smoke sql "<query>" [sfDir]
+      if (args.length < 2) {
+        System.err.println("usage: graft.Smoke sql \"<query>\" [sfDir]")
+        spark.stop(); sys.exit(2)
+      }
       val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       GraftSession.attach(spark, sfDir)
       spark.sql(args(1)).show(20, truncate = false)
@@ -50,6 +55,7 @@ object Smoke {
     } else {
       val n = SparkEntry.entry(spark).count()
       println(s"[smoke] entry rows=$n " + (if (n > 0) "OK" else "EMPTY"))
+      if (n == 0) { spark.stop(); sys.exit(1) }
     }
     spark.stop()
   }

@@ -32,18 +32,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return NULL for ragged inputs even when both children are
+  // non-nullable (and codegen needs a real isNull slot for that path)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+    if (x.length != y.length) {
+      // ragged input → NULL, matching the HOF reference (zip_with pads
+      // with null and the fold poisons) instead of silently truncating
+      null
+    } else {
+      val n = x.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -51,18 +61,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
          |double[] $x = $a.toDoubleArray();
          |double[] $y = $b.toDoubleArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x[$i] * $y[$i];
-         |  $na += $x[$i] * $x[$i];
-         |  $nb += $y[$i] * $y[$i];
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $dot += $x[$i] * $y[$i];
+         |    $na += $x[$i] * $x[$i];
+         |    $nb += $y[$i] * $y[$i];
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -93,6 +93,9 @@ object Multimodal {
       val nFrames =
         expr(s"CAST((length(text) + ${FRAME_CHARS - 1}) DIV $FRAME_CHARS AS INT)")
       Tables.documents(s, d)
+        // guard empty docs: sequence(0, -1) would generate a DESCENDING
+        // [0, -1] in Spark while the oracle's range(0, 0) is empty
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), nFrames - 1),
             k => struct(k.cast("int").as("frame_id"),
@@ -116,6 +119,6 @@ object Multimodal {
          |  md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5
          |FROM (SELECT doc_id, text,
          |  unnest(range(0, (length(text) + ${FRAME_CHARS - 1}) // $FRAME_CHARS)) AS k
-         |  FROM documents) t""".stripMargin
+         |  FROM documents WHERE length(text) > 0) t""".stripMargin
   )
 }

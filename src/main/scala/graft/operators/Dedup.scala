@@ -197,7 +197,8 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      val maxRounds = 1000 // runaway guard only — convergence is checked below
+      while (changed > 0 && rounds < maxRounds) {
         val prop = edges
           .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label")), "src")
           .groupBy(col("dst").as("doc_id"))
@@ -214,6 +215,11 @@ object Dedup {
         labels = next
         rounds += 1
       }
+      // wrong labels must never be returned silently: a component with
+      // diameter > maxRounds is a bug to surface, not truncate
+      if (changed > 0) throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds")
+      edges.unpersist() // labels are materialized; the edge cache is dead
       labels
     }),
 

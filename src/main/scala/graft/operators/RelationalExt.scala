@@ -219,12 +219,17 @@ object RelationalExt {
     // pipeline failure — CDC streams change shape over time.
     "cdc_schema_evolution" -> ((s, d) => {
       val e = Tables.events(s, d)
+      // tag origin explicitly: counting `props IS NULL` would also count
+      // genuinely-null source payloads, diverging from the oracle on any
+      // corpus that has them
       val oldSchema = e.filter(col("event_id") % 2 === 0).drop("props")
+        .withColumn("from_old_schema", lit(1))
       val newSchema = e.filter(col("event_id") % 2 === 1)
+        .withColumn("from_old_schema", lit(0))
       oldSchema.unionByName(newSchema, allowMissingColumns = true)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("n_missing_props"))
+          sum(col("from_old_schema")).cast("long").as("n_missing_props"))
     }),
 
     // Second string-function wave (edit distance, padding, charset ops).

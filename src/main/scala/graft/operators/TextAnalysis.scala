@@ -45,6 +45,25 @@ object TextAnalysis {
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** Quality-score formula, shared by text_quality and
+    * text_quality_sample (and mirrored once in qualityScoreSql) so the
+    * four call sites cannot drift apart.
+    */
+  private def qualityScore: Column = {
+    val n = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = hits(STOPWORDS).cast("double") / n
+    least(lit(1.0), n.cast("double") / 50.0) *
+      (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
+  }
+
+  private def qualityScoreSql: String =
+    s"""LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+       |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' '))))
+       |    - 0.1 * (CAST(${hitsSql(STOPWORDS)} AS DOUBLE)
+       |        / len(string_split(text, ' ')))""".stripMargin
+
   private def hits(markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
 
@@ -72,8 +91,7 @@ object TextAnalysis {
       val stopRatio = hits(STOPWORDS).cast("double") / n
       // single-space-separated corpus: chars excluding separators
       val avgTokLen = (length(col("text")) - (n - lit(1))).cast("double") / n
-      val score = least(lit(1.0), n.cast("double") / 50.0) *
-        (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
+      val score = qualityScore
       docsPar(s, d).select(
         col("doc_id"), n.as("n_tokens"),
         distinctRatio.as("distinct_ratio"),
@@ -155,11 +173,7 @@ object TextAnalysis {
     // quality score — the curation step of a training-data pipeline.
     "text_quality_sample" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val n = size(toks)
-      val distinctRatio = size(array_distinct(toks)).cast("double") / n
-      val stopRatio = hits(STOPWORDS).cast("double") / n
-      val score = least(lit(1.0), n.cast("double") / 50.0) *
-        (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
+      val score = qualityScore
       val w = Window.partitionBy("lang")
         .orderBy(col("quality_score").desc, col("doc_id"))
       docsPar(s, d)
@@ -199,11 +213,7 @@ object TextAnalysis {
          |    / len(string_split(text, ' ')) AS stopword_ratio,
          |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          |    / len(string_split(text, ' ')) AS avg_token_len,
-         |  LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
-         |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |        / len(string_split(text, ' '))))
-         |    - 0.1 * (CAST(${hitsSql(STOPWORDS)} AS DOUBLE)
-         |        / len(string_split(text, ' '))) AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM documents""".stripMargin,
     "text_langid" -> {
       val hs = MARKERS.map { case (l, ms) => s"${hitsSql(ms)} AS h_$l" }.mkString(", ")
@@ -240,13 +250,7 @@ object TextAnalysis {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
     "text_quality_sample" -> {
-      val score =
-        """LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
-          |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-          |        / len(string_split(text, ' '))))
-          |    - 0.1 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the', 'of', 'and'))) AS DOUBLE)
-          |        / len(string_split(text, ' ')))""".stripMargin
-      s"""WITH scored AS (SELECT doc_id, lang, $score AS quality_score FROM documents),
+      s"""WITH scored AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM documents),
          |ranked AS (SELECT *, percent_rank() OVER (PARTITION BY lang
          |    ORDER BY quality_score DESC, doc_id) AS pr FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE pr <= 0.2""".stripMargin

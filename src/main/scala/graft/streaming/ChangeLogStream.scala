@@ -96,6 +96,12 @@ object ChangeLogStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a failed swap can leave the table renamed aside;
+    // restore it before merging so no state is ever dropped
+    val recoverTarget = new Path(tableDir)
+    val recoverBackup = new Path(tableDir + "__prev")
+    if (!fs.exists(recoverTarget) && fs.exists(recoverBackup))
+      fs.rename(recoverBackup, recoverTarget)
     val batchLatest = ChangeLog.latestState(batch, keyCols, versionCol)
     val merged =
       if (fs.exists(new Path(tableDir)))
@@ -105,8 +111,20 @@ object ChangeLogStream {
       else batchLatest
     val staging = new Path(tableDir + s"__staging_$batchId")
     merged.write.mode("overwrite").parquet(staging.toString)
+    // swap via rename-aside so a crash mid-swap never silently loses the
+    // table: the worst case leaves target missing with backup present,
+    // which the recovery branch below (and any operator) can see — and
+    // every rename result is CHECKED, not assumed
     val target = new Path(tableDir)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
+    val backup = new Path(tableDir + "__prev")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"failed to move $target aside to $backup")
+    if (!fs.rename(staging, target)) {
+      // restore the previous state before failing
+      if (fs.exists(backup)) fs.rename(backup, target)
+      throw new java.io.IOException(s"failed to publish $staging to $target")
+    }
+    if (fs.exists(backup)) fs.delete(backup, true)
   }
 }

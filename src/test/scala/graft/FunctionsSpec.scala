@@ -27,6 +27,13 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim returns NULL for ragged (mismatched-length) vectors") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c").collect()
+    assert(rows.head.isNullAt(0), "length mismatch must yield NULL, not a truncated score")
+  }
+
   test("cosine_sim is usable from SQL after registration") {
     GraftFunctions.register(spark)
     val v = spark.sql(
