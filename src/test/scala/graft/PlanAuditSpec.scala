@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan regression guard: no query may silently plan an unbounded
+  * cartesian. Queries that are brute-force BY DESIGN (documented pair
+  * scans over the small embeddings/simhash spaces, with blocked scale
+  * paths alongside) are whitelisted explicitly — additions to this list
+  * should hurt a little.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** intentional cross/pair scans (each has a blocked scale path). */
+  private val intentionallyUnbounded = Set(
+    "ann_cosine_topk",      // broadcast query set × corpus scan
+    "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
+    "ann_ivf_recall",       // composes the two above
+    "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
+    "dedup_embedding_cosine", // documented brute-force baseline
+    "dedup_simhash_pairs"   // 16-bit fingerprint pair scan
+  )
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    if (!intentionallyUnbounded(name) && name != "dedup_clusters") {
+      // dedup_clusters executes driver-side loops at construction; its
+      // component joins are key-equi by construction (covered by its
+      // own oracle + spec).
+      test(s"plan audit: $name has no unintended cartesian") {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+      }
+    }
+  }
+}
