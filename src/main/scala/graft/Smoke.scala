@@ -9,14 +9,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ext mode: prove the config-driven extensions path resolves graft
+    // functions with NO imperative registration (must be set before the
+    // first session of the JVM is created)
+    if (args.headOption.contains("ext"))
+      builder.config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("stream")) {
+    if (args.headOption.contains("ext")) {
+      val c = spark.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+        .head().getDouble(0)
+      println(s"[smoke] extensions cosine_sim=$c " +
+        (if (math.abs(c - 1.0) < 1e-12) "OK" else "WRONG"))
+      if (math.abs(c - 1.0) >= 1e-12) { spark.stop(); sys.exit(1) }
+    } else if (args.headOption.contains("stream")) {
       // Drive the streaming surface end-to-end: events flow through the
       // stateful latest-state operator and the foreachBatch upsert sink.
       import spark.implicits._

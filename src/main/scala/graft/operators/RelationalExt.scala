@@ -232,6 +232,14 @@ object RelationalExt {
           sum(col("from_old_schema")).cast("long").as("n_missing_props"))
     }),
 
+    // Pattern-matching filters: LIKE, NOT LIKE, and anchored regexp.
+    "scalar_like" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").like("%ring%") ||
+          (col("p_name").rlike("^blue ") && !col("p_type").like("PROMO%")))
+        .select("p_partkey", "p_name", "p_type")
+    }),
+
     // Second string-function wave (edit distance, padding, charset ops).
     "scalar_string2" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -390,6 +398,10 @@ object RelationalExt {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props
         |FROM events GROUP BY user_id""".stripMargin,
+    "scalar_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%ring%'
+        |  OR (regexp_matches(p_name, '^blue ') AND p_type NOT LIKE 'PROMO%')""".stripMargin,
     "scalar_string2" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist,
