@@ -81,14 +81,18 @@ object RelationalExt {
         .count()
     }),
 
-    // Approximate distinct (HLL++). The sketch is engine-specific, so no
-    // SQL oracle — the driver records a rows-only check; the exact
-    // column is verified by agg_distinct separately.
+    // Approximate distinct (HLL++). The sketch value is engine-specific,
+    // so the oracle-checked contract is the ACCURACY BOUND, not the raw
+    // estimate: |approx − exact| ≤ 5% · exact must hold (rsd=0.01 gives
+    // ~5σ headroom; HLL++ is deterministic, so this is a stable check).
+    // The oracle computes the exact count and asserts the bound TRUE.
     "agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+            countDistinct(col("l_partkey"))).cast("double") <=
+            lit(0.05) * countDistinct(col("l_partkey"))).as("approx_ok"))
     }),
 
     // Ranking-window family with a total (tie-broken) ordering.
@@ -113,14 +117,20 @@ object RelationalExt {
     }),
 
     // Array ops over embeddings (no arithmetic → exact float compare).
+    // All outputs are scalars: the driver's row hasher cannot sort
+    // array-typed cells, so the sorted-slice is projected to three
+    // element columns (the typed array variant lives in QueriesSpec).
     "array_ops" -> ((s, d) => {
+      val sorted = sort_array(col("embedding"))
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_dim"),
         array_max(col("embedding")).as("vmax"),
         array_min(col("embedding")).as("vmin"),
-        slice(sort_array(col("embedding")), 1, 3).as("smallest3"))
+        element_at(sorted, 1).as("smallest1"),
+        element_at(sorted, 2).as("smallest2"),
+        element_at(sorted, 3).as("smallest3"))
     }),
 
     // NULL semantics: nullif/coalesce/null-aware aggregation.
@@ -292,6 +302,10 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "asof_click_purchase" ->
       """SELECT event_id AS purchase_id, user_id, last_click FROM (
         |  SELECT event_id, user_id, event_type,
@@ -348,7 +362,9 @@ object RelationalExt {
         |  embedding[1] AS first_dim,
         |  list_aggregate(embedding, 'max') AS vmax,
         |  list_aggregate(embedding, 'min') AS vmin,
-        |  list_sort(embedding)[1:3] AS smallest3
+        |  list_sort(embedding)[1] AS smallest1,
+        |  list_sort(embedding)[2] AS smallest2,
+        |  list_sort(embedding)[3] AS smallest3
         |FROM embeddings""".stripMargin,
     "scalar_null" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -76,11 +76,20 @@ object CdcQueries {
         Seq("user_id"), "event_id")
     }),
 
-    // D6-D11 full envelope incl. lag-derived before-images — map-typed
-    // payload columns, so no SQL oracle (driver rows-only check); the
-    // semantics are covered by EnvelopeSpec.
+    // D6-D11 full envelope incl. lag-derived before-images. The map
+    // payloads are projected to scalar before/after fields so the result
+    // is fully oracle-checkable (the driver's row hasher cannot sort
+    // map cells); the typed Dataset[CdcEvent] surface is EnvelopeSpec's.
+    // value round-trips double→string(map)→double exactly (shortest-repr
+    // string casts are lossless), so the oracle lags the raw double.
     "cdc_full_envelope" -> ((s, d) => {
       Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+        .select(col("op"), col("lsn"), col("ts"), col("key"),
+          element_at(col("before"), "value").cast("double").as("before_value"),
+          element_at(col("before"), "k").as("before_k"),
+          element_at(col("after"), "value").cast("double").as("after_value"),
+          element_at(col("after"), "k").as("after_k"),
+          col("txnId"))
     }),
 
     // D9/D10 wire-format round trip: envelope → JSON → envelope must be
@@ -121,6 +130,23 @@ object CdcQueries {
          |  ${dsumSql("value")} AS total_value
          |FROM events GROUP BY user_id""".stripMargin,
     "cdc_snapshot_union_fence" -> latestSql,
+    "cdc_full_envelope" ->
+      s"""WITH e AS (
+         |  SELECT event_id, ts, user_id, value, $opSql AS op,
+         |    json_extract_string(props, '$$.k') AS k
+         |  FROM events),
+         |l AS (
+         |  SELECT *, lag(op) OVER w AS prev_op,
+         |    lag(value) OVER w AS prev_value, lag(k) OVER w AS prev_k
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+         |SELECT op, event_id AS lsn, ts,
+         |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  CASE WHEN op = 'insert' OR prev_op = 'delete' THEN NULL ELSE prev_value END AS before_value,
+         |  CASE WHEN op = 'insert' OR prev_op = 'delete' THEN NULL ELSE prev_k END AS before_k,
+         |  CASE WHEN op = 'delete' THEN NULL ELSE value END AS after_value,
+         |  CASE WHEN op = 'delete' THEN NULL ELSE k END AS after_k,
+         |  event_id // 100 AS txnId
+         |FROM l""".stripMargin,
     "cdc_json_roundtrip" ->
       s"""SELECT event_id AS lsn, $opSql AS op,
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,

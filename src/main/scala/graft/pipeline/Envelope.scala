@@ -31,13 +31,19 @@ object Envelope {
       lit("value"), col("value").cast("string"),
       lit("k"), get_json_object(col("props"), "$.k"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
+    // Lag (op, after_img) together: after a delete the key's state no
+    // longer exists, so the next event's before-image is EMPTY — lagging
+    // the after-image alone would resurrect the deleted payload.
     events
       .withColumn("op",
         when(col("event_type") === "signup", "insert")
           .when(col("event_type") === "error", "delete")
           .otherwise("update"))
       .withColumn("after_img", afterImage)
-      .withColumn("before_img", lag(col("after_img"), 1).over(w))
+      .withColumn("prev", lag(struct(col("op"), col("after_img")), 1).over(w))
+      .withColumn("before_img",
+        when(col("prev.op") === "delete", emptyMap)
+          .otherwise(col("prev.after_img")))
       .select(
         col("op"),
         lit("public").as("schemaName"),

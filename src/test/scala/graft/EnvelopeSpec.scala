@@ -14,16 +14,20 @@ class EnvelopeSpec extends AnyFunSuite {
     // (event_id, ts, user_id, event_type, value, props)
     (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "signup", 1.0, """{"k": 5}"""),
     (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7L, "click", 2.0, """{"k": 6}"""),
-    (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 7L, "error", 0.0, """{"k": 7}""")
+    (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 7L, "error", 0.0, """{"k": 7}"""),
+    (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 7L, "click", 4.0, """{"k": 8}""")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
   test("envelope: op mapping, key, before-image lag, delete clears after") {
     val evs = Envelope.toCdcEvents(eventsDf).collect().sortBy(_.lsn)
-    assert(evs.map(_.op).toSeq === Seq("insert", "update", "delete"))
+    assert(evs.map(_.op).toSeq === Seq("insert", "update", "delete", "update"))
     assert(evs.forall(_.key == "public.users:7"))
     assert(evs(0).before === Map.empty && evs(0).after("value") === "1.0")
     assert(evs(1).before("value") === "1.0" && evs(1).after("value") === "2.0")
     assert(evs(2).before("value") === "2.0" && evs(2).after === Map.empty)
+    // update directly after a delete: the key's state no longer existed,
+    // so the before-image is EMPTY, not the deleted event's payload
+    assert(evs(3).before === Map.empty && evs(3).after("value") === "4.0")
   }
 
   test("json round trip is the identity on scalar envelope fields") {
