@@ -37,4 +37,9 @@ object GraftSession {
   /** Run a named library query. */
   def query(spark: SparkSession, sfDir: String, name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
+
+  /** Release library-internal caches (shared dedup intermediates etc.).
+    * Call when a batch of queries is done; safe to call repeatedly.
+    */
+  def release(): Unit = CachePool.releaseAll()
 }

@@ -68,7 +68,7 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist)
   }
 
   private val docShinglesSql =
@@ -132,7 +132,7 @@ object Dedup {
         explode(array((0 until BANDS).map(b =>
           md5(concat(lit(s"$b|"), col(s"sig${2 * b}").cast("string"),
             col(s"sig${2 * b + 1}").cast("string")))): _*)).as("band_key"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_key") === col("b.band_key") &&
@@ -192,9 +192,9 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist)
       var labels = docs.withColumn("cluster_id", col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist)
       var changed = 1L
       var rounds = 0
       val maxRounds = 1000 // runaway guard only — convergence is checked below
@@ -207,7 +207,7 @@ object Dedup {
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
               .as("cluster_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CachePool.persist)
         changed = next
           .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
           .filter(col("cluster_id") =!= col("old")).count()

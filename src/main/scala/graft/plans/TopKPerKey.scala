@@ -18,9 +18,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * partition and fully sorts each group before discarding all but k.
   * This operator keeps a bounded k-heap per key on each input partition
   * (map side), so the exchange moves at most k·|keys-per-partition| rows
-  * and nothing is ever globally sorted — the same partial/final shape as
-  * aggregation, applied to top-k. At 100 TB with k=5 this is the
-  * difference between shuffling the corpus and shuffling the answer.
+  * and nothing large is ever globally sorted — the same partial/final
+  * shape as aggregation, applied to top-k. At 100 TB with k=5 this is
+  * the difference between shuffling the corpus and shuffling the answer.
+  *
+  * Memory safety at scale:
+  *  - the PARTIAL phase flushes its per-key map whenever it holds
+  *    [[BoundedTopK.FlushKeys]] keys and starts a fresh one — top-k is
+  *    idempotent (topk(topk(x) ∪ topk(y)) == topk(x ∪ y)), so chunked
+  *    partial output stays correct while memory stays bounded at
+  *    O(FlushKeys · k) rows regardless of per-partition key cardinality;
+  *  - the FINAL phase holds NO map at all: it requires input sorted by
+  *    (key, order) — satisfied by a spillable SortExec that Spark
+  *    inserts — and streams, emitting the first k rows of each group.
   *
   * Semantics match the window formulation exactly when the ordering is
   * total (tie-broken), which every graft query guarantees.
@@ -32,27 +42,60 @@ case class TopKPerKeyLogical(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
-/** Shared per-partition bounded top-k (used map-side and reduce-side —
-  * top-k is idempotent: topk(topk(x) ∪ topk(y)) == topk(x ∪ y)).
-  */
+/** Per-partition bounded top-k with chunked flushing (map side). */
 private[plans] object BoundedTopK {
+
+  /** Max distinct keys held before a partial map is flushed downstream.
+    * Bounds partial-phase memory at O(FlushKeys · k) retained rows.
+    */
+  val FlushKeys: Int = 1 << 20
+
   def perKey(iter: Iterator[InternalRow], keys: Seq[Expression],
-      order: Seq[SortOrder], k: Int, output: Seq[Attribute]): Iterator[InternalRow] = {
+      order: Seq[SortOrder], k: Int, output: Seq[Attribute],
+      flushKeys: Int = FlushKeys): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, output)
     val ord = new LazilyGeneratedOrdering(order, output)
-    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
-    iter.foreach { row =>
-      val buf = heaps.getOrElseUpdate(keyProj(row).copy(),
-        mutable.ArrayBuffer.empty[InternalRow])
-      if (buf.length < k) {
-        buf += row.copy()
-        if (buf.length == k) buf.sortInPlace()(ord)
-      } else if (ord.compare(row, buf.last) < 0) {
-        buf(k - 1) = row.copy()
-        buf.sortInPlace()(ord)
+    new Iterator[InternalRow] {
+      private var out: Iterator[InternalRow] = Iterator.empty
+      // a row whose (new) key did not fit in the flushed chunk's map —
+      // it opens the next chunk
+      private var pending: InternalRow = null
+      private def refill(): Unit = {
+        val heaps =
+          mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+        var full = false
+        while (!full && (pending != null || iter.hasNext)) {
+          val row =
+            if (pending != null) { val r = pending; pending = null; r }
+            else iter.next()
+          val kr = keyProj(row)
+          val existing = heaps.get(kr)
+          if (existing.isEmpty && heaps.size >= flushKeys) {
+            pending = row.copy() // flush; this row starts the next chunk
+            full = true
+          } else {
+            val buf = existing.getOrElse {
+              val b = mutable.ArrayBuffer.empty[InternalRow]
+              heaps.put(kr.copy(), b)
+              b
+            }
+            if (buf.length < k) {
+              buf += row.copy()
+              if (buf.length == k) buf.sortInPlace()(ord)
+            } else if (ord.compare(row, buf.last) < 0) {
+              buf(k - 1) = row.copy()
+              buf.sortInPlace()(ord)
+            }
+          }
+        }
+        out = heaps.valuesIterator.flatMap(b => b.sortInPlace()(ord).iterator)
       }
+      override def hasNext: Boolean = {
+        while (!out.hasNext && (pending != null || iter.hasNext)) refill()
+        out.hasNext
+      }
+      override def next(): InternalRow = { hasNext; out.next() }
     }
-    heaps.valuesIterator.flatMap(b => b.sortInPlace()(ord).iterator)
   }
 }
 
@@ -65,13 +108,33 @@ case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
+/** Streaming final pass: input is clustered on the keys and sorted by
+  * (keys, order), so the first k rows of each key group ARE the answer —
+  * no per-key state beyond the current group's counter. The sort it
+  * requires runs over the partial phase's pruned output (≤ k rows per
+  * key per map chunk) in Spark's spillable SortExec, so the final phase
+  * cannot OOM no matter how many distinct keys one partition holds.
+  */
 case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
   override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(BoundedTopK.perKey(_, keys, order, k, child.output))
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      var curKey: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val kr = keyProj(row)
+        if (curKey == null || kr != curKey) { curKey = kr.copy(); emitted = 0 }
+        emitted += 1
+        emitted <= k
+      }
+    }
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
     copy(child = c)
 }

@@ -29,10 +29,23 @@ object Tables {
     * reader rejects. Read it as long nanos (legacy conf) and truncate to
     * microsecond timestamps — the same ns→µs truncation DuckDB applies,
     * so event-time values agree with the oracle exactly.
+    *
+    * The legacy conf is needed only during eager schema inference, so it
+    * is saved and restored around the read (verified empirically: the
+    * execution path keeps producing correct values after the restore) —
+    * reading events must not silently change how OTHER nanos parquet is
+    * read for the rest of the session. No per-read parquet option exists
+    * for this (probed: both spellings fail schema inference).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val raw = try table(s, d, "events")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
     raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
