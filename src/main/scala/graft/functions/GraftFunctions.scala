@@ -32,10 +32,15 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, (usage, doc)) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.expressions", null, name, usage, doc),
         builder))
     }
+    // whole-operator surface: top-k-per-key strategy + the automatic
+    // row_number-filter rewrite that targets it
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
+  }
 }

@@ -137,10 +137,13 @@ object Relational {
         .limit(20)
     }),
 
-    // Window: top-3 orders per customer by price (deterministic
-    // row_number ordering; single shuffle on the partition key).
+    // Window: top-3 orders per customer by price, written as the plain
+    // row_number formulation — the RankLimitRewrite optimizer rule turns
+    // it into the two-phase TopKPerKey operator automatically (the
+    // driver's oracle check therefore verifies the rewrite end-to-end).
     "window_rank_orders" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      graft.plans.TopK.installedWithRewrite(s)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator: top-k rows per key.
@@ -102,6 +102,7 @@ private[plans] object BoundedTopK {
 case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(BoundedTopK.perKey(_, keys, order, k, child.output))
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
@@ -123,6 +124,9 @@ case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(keys.map(SortOrder(_, Ascending)) ++ order)
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+  // partitioning/ordering are preserved, so a Window (or aggregation) on
+  // the same keys directly above adds no exchange and no sort
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, child.output)
@@ -155,6 +159,16 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Also enable the automatic row_number-filter → top-k rewrite
+    * ([[RankLimitRewrite]]) on an imperatively-built session. Idempotent.
+    */
+  def installedWithRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    installed(spark)
+    if (!spark.experimental.extraOptimizations.contains(RankLimitRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankLimitRewrite
+  }
 
   def perKey(df: DataFrame, keyCols: Seq[String], orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopK
+
+class RankLimitRewriteSpec extends AnyFunSuite {
+  // fresh session state: extraOptimizations must not leak into the other
+  // specs' shared session
+  lazy val spark = TestSession.spark.newSession()
+
+  private def orders = graft.sources.Tables
+    .orders(spark, "/root/testdata/sf0.001")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  private def ranked = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w))
+  }
+
+  test("row_number filter is rewritten to the top-k operator, rn preserved") {
+    TopK.installedWithRewrite(spark)
+    val df = ranked.filter(col("rn") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK"), plan)
+    assert(plan.contains("PartialTopK"), plan)
+    // the Window stays (it recomputes rn over ≤k rows per group) but no
+    // WindowGroupLimit pruning remains and, critically, the exchange now
+    // sits between the two top-k phases
+    assert(!plan.contains("WindowGroupLimit"), plan)
+
+    val expected = ranked.filter(col("rn") <= 3) // same plan, judge by rows
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // reference computed WITHOUT the rewrite, via a plain session
+    val plain = graft.sources.Tables
+      .orders(TestSession.spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(_.toSeq).toSet
+    assert(expected === plain)
+    assert(expected.nonEmpty)
+  }
+
+  test("residual conjuncts survive as a filter above the rewrite") {
+    TopK.installedWithRewrite(spark)
+    val df = ranked.filter(col("rn") <= 2 && col("o_totalprice") > 1000.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK"), plan)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getAs[Double]("o_totalprice") > 1000.0))
+    assert(rows.forall(r => r.getAs[Int]("rn") <= 2))
+    assert(rows.nonEmpty)
+  }
+
+  test("non-top-k rank predicates are left alone") {
+    TopK.installedWithRewrite(spark)
+    val df = ranked.filter(col("rn") === 2) // 2nd-best only: not top-k
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FinalTopK"), plan)
+    assert(df.collect().forall(_.getAs[Int]("rn") == 2))
+  }
+}
