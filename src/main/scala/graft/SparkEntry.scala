@@ -35,6 +35,7 @@ object SparkEntry {
     pipeline.CdcQueries.queries ++
       operators.Relational.queries ++
       operators.RelationalExt.queries ++
+      operators.RelationalExt2.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     pipeline.CdcQueries.oracles ++
       operators.Relational.oracles ++
       operators.RelationalExt.oracles ++
+      operators.RelationalExt2.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++

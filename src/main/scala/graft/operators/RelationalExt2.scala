@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third relational wave: non-equi range join, full outer join, exact
+  * portable statistics, ordered string aggregation, argmax/argmin,
+  * boolean aggregates, regexp scalars, and bitwise scalars.
+  *
+  * Portability notes (driver hashes bitwise against DuckDB):
+  *  - corr/stddev are computed from EXACT decimal power sums cast to
+  *    double at the end, with the final arithmetic written identically
+  *    on both sides — engine-native corr()/stddev() accumulate doubles
+  *    in partition order and would never hash-match.
+  *  - string aggregation sorts explicitly (array_sort ∘ collect_list ≡
+  *    string_agg ORDER BY): unordered collect is nondeterministic by
+  *    partitioning on ANY engine.
+  *  - argmax goes through a (value, tiebreak) struct on both sides so
+  *    ties cannot make the result partitioning-dependent.
+  *
+  * Scale notes: the band table in join_range is broadcast (a nested-loop
+  * join against 4 rows, never a shuffle of orders); agg_string_concat
+  * pre-filters to a small deterministic subset before collect_list —
+  * unbounded per-group collect is an anti-pattern at 100 TB.
+  */
+object RelationalExt2 {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Non-equi RANGE JOIN: orders against a tiny price-band dimension.
+    // Broadcast nested-loop — the only sane physical plan for a band
+    // predicate; the fact side streams, nothing shuffles.
+    "join_range" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p00_100k", 0.0, 100000.0),
+        ("p100_200k", 100000.0, 200000.0),
+        ("p200_300k", 200000.0, 300000.0),
+        ("p300_up", 300000.0, 1e9)).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // FULL OUTER JOIN with null rows on both sides: high-balance
+    // customers vs per-customer order counts.
+    "join_full_outer" -> ((s, d) => {
+      val cs = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      val os = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      cs.join(os, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_customer"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+    }),
+
+    // Exact portable statistics: corr and sample stddev from decimal
+    // power sums; identical double arithmetic on both sides.
+    //
+    // The decimal→double cast itself must be portable: once the UNSCALED
+    // value exceeds 2^53, Spark rounds the decimal once (BigDecimal →
+    // double) while DuckDB converts the int128 and divides by 10^scale —
+    // two roundings, off by 1 ulp. Both sides therefore take the SAME
+    // route explicitly: unscaled integer → double (exact-or-single-
+    // rounded in both engines) → divide by 10^scale (identical second
+    // rounding). SF-independent, unlike capping the column magnitudes.
+    "agg_corr_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d2(c: org.apache.spark.sql.Column, scale: Int) = {
+        val p = math.pow(10, scale)
+        (c * lit(p.toLong)).cast("decimal(38,0)").cast("double") / lit(p)
+      }
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          d2(sum(x), 2).as("sx"), d2(sum(y), 2).as("sy"),
+          d2(sum(x * x), 4).as("sxx"), d2(sum(y * y), 4).as("syy"),
+          d2(sum(x * y), 4).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_qty_price"))
+    }),
+
+    // Ordered string aggregation over a small deterministic subset.
+    "agg_string_concat" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+    }),
+
+    // argmax / argmin with an explicit tie-break: DuckDB's arg_max can't
+    // order by a struct, so both sides use one BIGINT key combining
+    // (acctbal in cents, custkey) — monotone in the pair, tie-free.
+    "agg_argmax" -> ((s, d) => {
+      val key = round(col("c_acctbal") * 100).cast("long") *
+        lit(100000000000L) + col("c_custkey")
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          max_by(col("c_name"), key).as("richest"),
+          min_by(col("c_name"), key).as("poorest"),
+          max(col("c_acctbal")).as("max_bal"))
+    }),
+
+    // Boolean aggregates + conditional count.
+    "agg_bool" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("count_if(l_tax = 0)").as("n_taxfree"))
+    }),
+
+    // Regexp scalar family.
+    "scalar_regexp" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        col("p_name").rlike("^[aeiou]").as("starts_vowel"),
+        regexp_replace(col("p_type"), "[A-Z]+", "#").as("type_masked"),
+        instr(col("p_name"), "o").as("first_o"),
+        expr("left(p_name, 3)").as("name3"),
+        expr("right(p_type, 4)").as("type4"))
+    }),
+
+    // Bitwise scalar family over integer keys.
+    "scalar_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("and255"),
+        (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+        shiftleft(col("l_orderkey").bitwiseAND(lit(15L)), 2).as("shl"),
+        shiftright(col("l_orderkey"), 3).as("shr"),
+        expr("CAST(bit_count(l_orderkey) AS INT)").as("popcount"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_range" ->
+      """SELECT band, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('p00_100k', 0.0, 100000.0),
+        |             ('p100_200k', 100000.0, 200000.0),
+        |             ('p200_300k', 200000.0, 300000.0),
+        |             ('p300_up', 300000.0, 1e9)) b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS has_customer,
+        |  COALESCE(cnt, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt
+        |                 FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+    "agg_corr_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(x) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS sx,
+        |    CAST(CAST(SUM(y) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS sy,
+        |    CAST(CAST(SUM(x * x) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS sxx,
+        |    CAST(CAST(SUM(y * y) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS syy,
+        |    CAST(CAST(SUM(x * y) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS sxy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (sxy - sx * sy / n) /
+        |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+        |FROM s""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey % 97 = 0
+        |GROUP BY c_mktsegment""".stripMargin,
+    "agg_argmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000000 + c_custkey) AS richest,
+        |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000000 + c_custkey) AS poorest,
+        |  MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "scalar_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^[aeiou]') AS starts_vowel,
+        |  regexp_replace(p_type, '[A-Z]+', '#', 'g') AS type_masked,
+        |  CAST(strpos(p_name, 'o') AS INT) AS first_o,
+        |  left(p_name, 3) AS name3,
+        |  right(p_type, 4) AS type4
+        |FROM part""".stripMargin,
+    "scalar_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and255,
+        |  l_orderkey | l_linenumber AS or_ln,
+        |  xor(l_orderkey, l_partkey) AS xor_pk,
+        |  (l_orderkey & 15) << 2 AS shl,
+        |  l_orderkey >> 3 AS shr,
+        |  CAST(bit_count(l_orderkey) AS INT) AS popcount
+        |FROM lineitem""".stripMargin
+  )
+}
