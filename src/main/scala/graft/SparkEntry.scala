@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Relational.queries ++
       operators.RelationalExt.queries ++
       operators.RelationalExt2.queries ++
+      operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.Relational.oracles ++
       operators.RelationalExt.oracles ++
       operators.RelationalExt2.oracles ++
+      operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++

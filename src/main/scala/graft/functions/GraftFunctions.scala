@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{ArrayIntersectSize, CosineSimilarity}
 
 /** Registration for graft's native Catalyst expressions.
   *
@@ -19,7 +19,10 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression, (String, String))] = Seq(
     ("cosine_sim", (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)),
-      ("cosine_sim(a, b)", "cosine similarity of two array<double> vectors")))
+      ("cosine_sim(a, b)", "cosine similarity of two array<double> vectors")),
+    ("array_intersect_size", (es: Seq[Expression]) => ArrayIntersectSize(es(0), es(1)),
+      ("array_intersect_size(a, b)",
+        "count of a's elements contained in b (array<string>), hash-probe codegen")))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -27,8 +30,10 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  /** Column-API entry point (requires register() on the session). */
+  /** Column-API entry points (require register() on the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def arrayIntersectSize(a: Column, b: Column): Column =
+    call_function("array_intersect_size", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -75,11 +75,14 @@ object Dedup {
     s"""SELECT doc_id, ${shingleSql(3).replace("w", "string_split(text,' ')")} AS sh
        |  FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
-  /** |A∩B| via filter+contains — semantics identical in both engines
-    * given already-distinct inputs (no reliance on engine dedup order).
+  /** |A∩B| — the codegen hash-probe kernel (ArrayIntersectSize), whose
+    * semantics are exactly `size(filter(a, x -> array_contains(b, x)))`:
+    * identical in both engines given already-distinct inputs (no
+    * reliance on engine dedup order), but O(|a|+|b|) instead of the
+    * interpreted HOF's O(|a|·|b|) per verified pair.
     */
   private def interSize(a: Column, b: Column): Column =
-    size(filter(a, x => array_contains(b, x)))
+    GraftFunctions.arrayIntersectSize(a, b)
 
   private def jaccard(a: Column, b: Column): Column = {
     val i = interSize(a, b)
@@ -91,13 +94,15 @@ object Dedup {
       | / (len(da.sh) + len(db.sh) - len(list_filter(da.sh, x -> list_contains(db.sh, x))))""".stripMargin
 
   /** Verify candidate pairs against true jaccard of full shingle sets. */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(cand.sparkSession)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+
+/** Raw-SQL surface: queries expressed as ANSI SQL strings through
+  * `GraftSession.attach` (temp views + native functions) rather than the
+  * DataFrame API — proving a reference user can bring plain SQL,
+  * including the subquery forms Catalyst must decorrelate into joins:
+  *
+  *  - correlated EXISTS → left-semi hash join (no per-row probe loop)
+  *  - IN subquery       → left-semi join with dedup on the build side
+  *  - scalar subquery   → single-row broadcast, evaluated once
+  *
+  * Each SQL text is written to be valid in BOTH Spark and DuckDB, so the
+  * oracle IS the query string — the strictest possible contract.
+  * Portable-float rule as everywhere: averages via exact decimal sums.
+  */
+object SqlSurface {
+
+  private val texts: Map[String, String] = Map(
+    "sql_correlated_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "sql_in_subquery" ->
+      """SELECT n_name, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY n_name""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                                 / COUNT(*) FROM orders)""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    texts.map { case (name, sql) =>
+      name -> ((s: SparkSession, d: String) => {
+        GraftSession.attach(s, d)
+        s.sql(sql)
+      })
+    }
+
+  val oracles: Map[String, String] = texts
+}

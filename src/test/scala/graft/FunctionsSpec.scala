@@ -42,6 +42,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v === 1.0)
   }
 
+  test("array_intersect_size matches the interpreted HOF, incl. nulls/dupes") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")),          // duplicates in a each count
+      (Seq.empty[String], Seq("x")),
+      (Seq("x", "y"), Seq.empty[String])
+    ).toDF("a", "b")
+      .unionByName(Seq((Seq("a", null, "b"), Seq(null.asInstanceOf[String], "b")))
+        .toDF("a", "b")) // null elements never match
+    val got = df.select(
+      GraftFunctions.arrayIntersectSize($"a", $"b").as("fast"),
+      size(filter($"a", x => array_contains($"b", x))).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+    assert(got.map(_.getInt(0)).toSeq === Seq(2, 2, 0, 0, 1))
+  }
+
   test("multimodal decodeBatch is deterministic and batch-invariant") {
     val assets = (1L to 130L).map { i =>
       val bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")
