@@ -36,6 +36,12 @@ object Dedup {
   private val COSINE_NEAR = 0.45
   private val SIMHASH_HAMMING = 2
 
+  /** Per-seed xor constants (32-bit, arbitrary but fixed: murmur/xxhash
+    * mixing primes) — identical literals in the DuckDB oracle.
+    */
+  private val SEED_XOR = Seq(0x5bd1e995L, 0x9e3779b9L, 0x85ebca6bL,
+    0xc2b2ae35L, 0x27d4eb2fL, 0x165667b1L, 0x9e377989L, 0x7feb352dL)
+
   private def words: Column = split(col("text"), " ")
 
   /** Distinct word n-gram shingles (0-based Spark ≡ 1-based DuckDB). */
@@ -120,23 +126,26 @@ object Dedup {
     // pipeline.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
-      // signatures as codegen'd min-aggregations over the posting list
-      // (explode → groupBy) rather than interpreted array HOFs. The
-      // per-seed hash is the first 15 md5 hex digits as a BIGINT (still
-      // engine-portable), so min() runs in HashAggregate with a mutable
-      // long buffer — min(string) would fall back to SortAggregate and
-      // pay an extra sort per seed.
+      // Signatures as codegen'd min-aggregations over the posting list
+      // (explode → groupBy) with mutable long buffers. ONE md5 per
+      // posting (not one per seed): the 32-hex digest is cut into four
+      // 32-bit slices and each of the 8 seed hashes is slice(s mod 4)
+      // XOR a fixed constant — order-scrambling, engine-portable integer
+      // ops, and 8× less hashing on the hot path. Band keys are plain
+      // value concatenations (equality is all a bucket join needs).
+      val m = md5(col("g"))
+      def slice(j: Int): Column =
+        conv(substring(m, 8 * j + 1, 8), 16, 10).cast("long")
       def h(seed: Int): Column =
-        conv(substring(md5(concat(lit(s"$seed|"), col("g"))), 1, 15), 16, 10)
-          .cast("long")
+        slice(seed % 4).bitwiseXOR(lit(SEED_XOR(seed)))
       val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val sig = posting.groupBy("doc_id").agg(
         min(h(0)).as("sig0"),
         (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
       val bands = sig.select(col("doc_id"),
         explode(array((0 until BANDS).map(b =>
-          md5(concat(lit(s"$b|"), col(s"sig${2 * b}").cast("string"),
-            col(s"sig${2 * b + 1}").cast("string")))): _*)).as("band_key"))
+          concat_ws("|", lit(s"$b"), col(s"sig${2 * b}").cast("string"),
+            col(s"sig${2 * b + 1}").cast("string"))): _*)).as("band_key"))
         .transform(graft.CachePool.persist)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -200,10 +209,17 @@ object Dedup {
         .transform(graft.CachePool.persist)
       var labels = docs.withColumn("cluster_id", col("doc_id"))
         .transform(graft.CachePool.persist)
-      var changed = 1L
+      // convergence probe: labels only ever DECREASE under min-
+      // propagation, so the label sum is strictly monotone until the
+      // fixpoint — one aggregation on the fresh (persisted) labels per
+      // round instead of a join+filter+count against the old ones
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var changed = true
       var rounds = 0
       val maxRounds = 1000 // runaway guard only — convergence is checked below
-      while (changed > 0 && rounds < maxRounds) {
+      while (changed && rounds < maxRounds) {
         val prop = edges
           .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label")), "src")
           .groupBy(col("dst").as("doc_id"))
@@ -213,16 +229,16 @@ object Dedup {
             least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
               .as("cluster_id"))
           .transform(graft.CachePool.persist)
-        changed = next
-          .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-          .filter(col("cluster_id") =!= col("old")).count()
+        val nextSum = labelSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
         labels.unpersist() // previous round's labels are now dead
         labels = next
         rounds += 1
       }
       // wrong labels must never be returned silently: a component with
       // diameter > maxRounds is a bug to surface, not truncate
-      if (changed > 0) throw new IllegalStateException(
+      if (changed) throw new IllegalStateException(
         s"label propagation did not converge in $maxRounds rounds")
       edges.unpersist() // labels are materialized; the edge cache is dead
       labels
@@ -278,10 +294,12 @@ object Dedup {
   }
 
   private lazy val minhashPairsSql: String = {
-    val sigCols = (0 until MINHASH_SEEDS).map(sd =>
-      s"MIN(('0x' || substr(md5('$sd|' || g), 1, 15))::BIGINT) AS sig$sd").mkString(", ")
+    val sigCols = (0 until MINHASH_SEEDS).map { sd =>
+      val slice = s"('0x' || substr(md5(g), ${8 * (sd % 4) + 1}, 8))::BIGINT"
+      s"MIN(xor($slice, ${SEED_XOR(sd)})) AS sig$sd"
+    }.mkString(", ")
     val bandList = (0 until BANDS).map(b =>
-      s"md5('$b|' || CAST(sig${2 * b} AS VARCHAR) || CAST(sig${2 * b + 1} AS VARCHAR))")
+      s"'$b|' || CAST(sig${2 * b} AS VARCHAR) || '|' || CAST(sig${2 * b + 1} AS VARCHAR)")
       .mkString("[", ", ", "]")
     s"""WITH d AS ($docShinglesSql),
        |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
