@@ -141,6 +141,52 @@ object RelationalExt2 {
         expr("right(p_type, 4)").as("type4"))
     }),
 
+    // Approximate percentile with an oracle-checked accuracy bound (same
+    // contract shape as agg_approx_distinct): the sketch value must land
+    // between the exact 45th and 55th percentiles. With accuracy=1000
+    // the rank error is ≤ 0.1%, so the bound has ~50× headroom — and the
+    // GK sketch is deterministic, making this stable.
+    "agg_approx_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          (expr("approx_percentile(o_totalprice, 0.5, 1000)") >=
+            expr("percentile(o_totalprice, 0.45)") &&
+            expr("approx_percentile(o_totalprice, 0.5, 1000)") <=
+              expr("percentile(o_totalprice, 0.55)")).as("approx_ok"))
+    }),
+
+    // Third date/time wave: formatting, epoch seconds, ISO week fields,
+    // date construction.
+    "scalar_date3" -> ((s, d) => {
+      val od = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(od, "yyyy-MM").as("ym"),
+        unix_timestamp(od).as("epoch_s"),
+        weekday(od).as("dow0"),
+        weekofyear(od).as("iso_week"),
+        make_date(year(od), month(od), lit(1)).as("month_start_d"))
+    }),
+
+    // Map-typed scalar ops, projected to scalars for the driver compare:
+    // construct (map_from_arrays, str_to_map), read (element_at), and
+    // transform (transform_values) — the dynamic-payload shape the CDC
+    // envelope uses, exercised as standalone operators.
+    "scalar_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("uid"), lit("typ")),
+        array(col("user_id").cast("string"), col("event_type")))
+      val m2 = transform_values(m, (_, v) => upper(v))
+      val sm = expr("str_to_map(concat('id:', event_id, ',val:', value), ',', ':')")
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(m, "uid").cast("long").as("uid_back"),
+        element_at(m2, "typ").as("typ_upper"),
+        size(map_keys(m)).as("n_keys"),
+        element_at(sm, "val").cast("double").as("val_back"))
+    }),
+
     // Bitwise scalar family over integer keys.
     "scalar_bitwise" -> ((s, d) => {
       Tables.lineitem(s, d).select(
@@ -217,6 +263,26 @@ object RelationalExt2 {
         |  left(p_name, 3) AS name3,
         |  right(p_type, 4) AS type4
         |FROM part""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "scalar_date3" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS dow0,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_start_d
+        |FROM orders""".stripMargin,
+    "scalar_map" ->
+      """SELECT event_id,
+        |  user_id AS uid_back,
+        |  upper(event_type) AS typ_upper,
+        |  CAST(2 AS INT) AS n_keys,
+        |  value AS val_back
+        |FROM events""".stripMargin,
     "scalar_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & 255 AS and255,

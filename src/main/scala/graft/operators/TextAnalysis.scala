@@ -183,6 +183,40 @@ object TextAnalysis {
         .select("doc_id", "lang", "quality_score")
     }),
 
+    // Reproducible sampling at corpus scale: hash-threshold bernoulli
+    // (md5 prefix < threshold ≈ 10%) — unlike RNG-based sample(), the
+    // same doc is in or out on every engine, every run, every cluster
+    // size; this is how you cut a deterministic eval slice from 100 TB.
+    "text_sample_hash" -> ((s, d) => {
+      val sampled =
+        when(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))),
+          1, 4) < "1999", 1).otherwise(0)
+      docsPar(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(sampled).cast("long").as("n_sampled"))
+    }),
+
+    // End-to-end curation composite: exact-dedup canonicals ∩ quality
+    // floor ∩ length floor → per-language corpus stats. The whole
+    // LLM-data funnel as one declarative plan (two shuffles: fp window,
+    // lang agg).
+    "text_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      docsPar(s, d)
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // canonical copy only
+        .withColumn("n_tokens", size(toks))
+        .withColumn("q", qualityScore)
+        .filter(col("q") >= 0.5 && col("n_tokens") >= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_curated"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("quality_mass"))
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -198,6 +232,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_sample_hash" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin,
+    "text_curation_pipeline" ->
+      s"""WITH canon AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+         |                               ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    ${qualityScoreSql.replace("\n", " ")} AS q
+         |  FROM canon WHERE rn = 1)
+         |SELECT lang, COUNT(*) AS n_curated,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS quality_mass
+         |FROM scored WHERE q >= 0.5 AND n_tokens >= 10
+         |GROUP BY lang""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
