@@ -186,6 +186,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[RawEvent]
+    val buys = MemoryStream[RawEvent]
+    val c = clicks.toDF().selectExpr("user_id AS c_uid", "event_id AS click_id", "ts AS c_ts")
+      .withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().selectExpr("user_id AS b_uid", "event_id AS buy_id", "ts AS b_ts")
+      .withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      org.apache.spark.sql.functions.expr(
+        "c_uid = b_uid AND b_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 0, 1, "click"), ev(2, 5, 2, "click"))
+      buys.addData(ev(100, 30, 1, "purchase"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past click-2's join window (+1h+10m)
+      clicks.addData(ev(3, 300, 9, "click"))
+      buys.addData(ev(101, 300, 9, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer")
+        .selectExpr("c_uid", "click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((1L, 1L, 100L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 2L, -1L)),
+        s"unmatched click must surface with null buy after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("AvailableNow file ingest resumes from checkpoint, not from zero") {
     // A2 analog done right: the reference checkpoints its LSN every ~10 s
     // (lossy); Structured Streaming's checkpointLocation records exact
