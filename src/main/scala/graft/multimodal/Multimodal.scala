@@ -17,6 +17,10 @@ case class MediaAsset(doc_id: Long, media_type: String, n_bytes: Long,
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
     width: Int, height: Int, channels: Int, histogram: Array[Double])
 
+/** Resize/thumbnail output: boxed dimensions + scale + content hash. */
+case class ThumbFeatures(doc_id: Long, out_w: Int, out_h: Int,
+    scale_x: Double, thumb_md5: String)
+
 /** Multimodal-column plumbing: image/audio/video as `binary` columns.
   *
   * The Spark-side structure is real — schema, column pruning, batched
@@ -71,6 +75,29 @@ object Multimodal {
     assets.mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** Stub resize: decode + fit-to-box + thumbnail hash in ONE batched
+    * pass per partition (decode→transform chains must not re-batch or
+    * re-shuffle between steps). Real codec swap point = this body.
+    */
+  val THUMB_BOX = 32
+
+  def resizeBatch(batch: Seq[MediaAsset]): Seq[ThumbFeatures] =
+    batch.map { a =>
+      val w = (a.n_bytes % 64).toInt + 1
+      val h = (a.n_bytes % 37).toInt + 1
+      val ow = math.min(w, THUMB_BOX)
+      val oh = math.min(h, THUMB_BOX)
+      val slice = a.payload.take(ow * oh)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+      ThumbFeatures(a.doc_id, ow, oh, w.toDouble / ow,
+        md.map("%02x".format(_)).mkString)
+    }
+
+  def resizeFeatures(assets: Dataset[MediaAsset], batchSize: Int = 64): Dataset[ThumbFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(batchSize).flatMap(resizeBatch))
+  }
+
   /** Frame sampling analog: fixed-width windows of the payload as
     * "frames", each fingerprinted — video keyframe extraction shape
     * (explode stays lazy; no driver materialization).
@@ -86,6 +113,14 @@ object Multimodal {
       decodeFeatures(mediaAssets(s, d).as[MediaAsset])
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("channels"))
+    }),
+
+    // Resize/thumbnail: batched decode→transform chain; the stub's
+    // features are SQL-expressible so the result is fully oracle-checked
+    // (thumb hash = md5 of the boxed byte window).
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      resizeFeatures(mediaAssets(s, d).as[MediaAsset]).toDF()
     }),
 
     // Frame sampling: one row per fixed-size window with fingerprint.
@@ -114,6 +149,17 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 37 + 1 AS INT) AS height,
         |  3 AS channels
         |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    octet_length(encode(text)) % 64 + 1 AS w,
+         |    octet_length(encode(text)) % 37 + 1 AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(LEAST(w, $THUMB_BOX) AS INT) AS out_w,
+         |  CAST(LEAST(h, $THUMB_BOX) AS INT) AS out_h,
+         |  CAST(w AS DOUBLE) / LEAST(w, $THUMB_BOX) AS scale_x,
+         |  md5(substr(text, 1, LEAST(w, $THUMB_BOX) * LEAST(h, $THUMB_BOX))) AS thumb_md5
+         |FROM t""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id, CAST(k AS INT) AS frame_id,
          |  md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5

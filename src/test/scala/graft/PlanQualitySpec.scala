@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positive plan assertions — not just "no cartesian" (PlanAuditSpec)
+  * but "the plan you'd WANT at 100 TB": filters reach the parquet scan,
+  * projections prune columns, dimension joins broadcast, aggregations
+  * hash (not sort), and global top-k fuses into TakeOrdered.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan reads only the columns the query needs") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 7 needed columns; the 9+ unused lineitem columns must be pruned
+    assert(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_shipdate").forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast; no sort-merge of the fact table") {
+    val p = plan("join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouped aggregation hashes (partial + final), never sorts") {
+    val p = plan("agg_having")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("global top-k fuses into TakeOrderedAndProject (no full sort)") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pushable LIKE predicates reach the parquet scan") {
+    // NOTE: scalar_like's full predicate is an OR containing RLIKE —
+    // regex can't push to parquet, and OR is all-or-nothing, so that
+    // query correctly keeps its filter post-scan. A conjunctive LIKE
+    // must push:
+    import org.apache.spark.sql.functions.col
+    val df = sources.Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%ring%") && col("p_type").like("PROMO%"))
+      .select("p_partkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("StringContains") && p.contains("StringStartsWith"), p)
+    assert(p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty, p)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect() // AQE only shows codegen spans in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the plan tree; both
+    // aggregate phases must be inside one
+    assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"), p)
+  }
+}
