@@ -85,6 +85,47 @@ object ChangeLogStream {
       }
   }
 
+  /** Latest-state with TTL: keys idle past `ttl` have their state
+    * dropped via event-time timeout. At 100 TB of changelog the state
+    * store is the scaling liability — unbounded latestStatePerKey state
+    * grows with EVERY key ever seen; TTL caps it at the active-key set.
+    * Trade-off (made explicit, not accidental): an event arriving after
+    * its key expired is applied fresh, exactly like the reference's
+    * at-least-once redelivery re-creating an ES doc.
+    */
+  def latestStatePerKeyWithTTL(events: Dataset[RawEvent],
+      watermark: String = "10 minutes",
+      ttlMs: Long = 60L * 60 * 1000): Dataset[StateOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[RawEvent], state: GroupState[StateOut]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = batch.toSeq.sortBy(_.event_id)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[StateOut]
+            ordered.foreach { e =>
+              if (!cur.exists(_.event_id >= e.event_id)) {
+                val next = StateOut(uid, e.event_id, e.event_type, e.value,
+                  deleted = e.event_type == "error")
+                cur = Some(next)
+                out += next
+              }
+            }
+            cur.foreach(state.update)
+            if (ordered.nonEmpty) {
+              val maxTs = ordered.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** foreachBatch idempotent keyed upsert into a parquet "latest state"
     * table — the ES-sink analog (K2/A3) with batch commits instead of
     * one refresh per document. Merge = union(existing, batch-latest) →

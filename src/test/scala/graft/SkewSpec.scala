@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical proof of the join_salted pattern: a 100%-hot key occupies
+  * ONE shuffle partition unsalted (the straggler that kills a 1000-
+  * executor job) and SALT-many partitions salted. join_salted's oracle
+  * already proves result preservation; this proves the balance.
+  */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("salting spreads a hot join key across shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a real shuffle join: AQE has its OWN broadcast threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // test data is tiny: AQE would merge the salted partitions right
+    // back (at real scale they exceed the advisory size and stay apart)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val SALT = 8
+      // every fact row has the same key: worst-case skew. The key must
+      // be DATA-DEPENDENT (pmod(id,1)+1 ≡ 1) — a literal key would be
+      // constant-folded into the dim filter and the join would plan as
+      // a cartesian with a 1-row side, dodging the shuffle entirely
+      val hot = spark.range(20000)
+        .select((pmod(col("id"), lit(1L)) + 1L).as("k"), col("id").as("v"))
+      val dim = spark.range(5).select(col("id").as("k"), (col("id") * 10).as("d"))
+
+      def partitionsUsed(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id()).count().count()
+
+      val unsalted = hot.join(dim, Seq("k"))
+      assert(partitionsUsed(unsalted) === 1L,
+        "unsalted: the hot key must collapse into a single partition (the straggler)")
+
+      val saltedDim = dim.withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+      val saltedFact = hot.withColumn("salt", pmod(col("v"), lit(SALT)).cast("int"))
+      val salted = saltedFact.join(saltedDim, Seq("k", "salt"))
+      val used = partitionsUsed(salted)
+      assert(used > 1L, s"salted: hot key must spread, used=$used")
+      assert(salted.count() === unsalted.count(), "salting must not change rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+}

@@ -186,6 +186,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL state expiry: idle keys drop, fresh events re-create state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream
+      .latestStatePerKeyWithTTL(in.toDS(), "10 minutes", ttlMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(10, 0, 1, "signup"))
+      q.processAllAvailable()
+      in.addData(ev(5, 1, 1, "click")) // stale (lower LSN): state ignores it
+      q.processAllAvailable()
+      // advance watermark far past key 1's TTL (t0 + 1h); timeout fires
+      in.addData(ev(100, 300, 2, "signup"))
+      q.processAllAvailable()
+      // key 1's state is GONE, so this lower-LSN event now applies fresh
+      in.addData(ev(6, 299, 1, "click"))
+      q.processAllAvailable()
+      val uid1 = spark.table("ttl_out").as[StateOut].collect()
+        .filter(_.user_id == 1L).map(_.event_id).sorted.toSeq
+      assert(uid1 === Seq(6L, 10L),
+        s"expected initial(10) + post-expiry(6), stale(5) ignored; got $uid1")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[RawEvent]
