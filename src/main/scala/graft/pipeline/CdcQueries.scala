@@ -99,6 +99,18 @@ object CdcQueries {
         .select(col("lsn"), col("op"), col("key"), col("txnId"))
     }),
 
+    // §2.6 TRUNCATE done right: the reference only logs truncate
+    // messages (replicator.go:409-411). Semantics: a truncate at LSN F
+    // clears ALL state; keys exist afterwards only if re-created by
+    // later events — i.e. latest-state over the post-fence suffix.
+    "cdc_truncate_reset" -> ((s, d) => {
+      val fence = 8000L
+      ChangeLog.latestState(
+        Tables.events(s, d).filter(col("event_id") > fence),
+        Seq("user_id"), "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -152,6 +164,10 @@ object CdcQueries {
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
          |  event_id // 100 AS txnId
          |FROM events""".stripMargin,
+    "cdc_truncate_reset" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id > 8000) t WHERE rn = 1""".stripMargin,
     "cdc_window_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  COUNT(*) AS n, ${dsumSql("value")} AS total_value
