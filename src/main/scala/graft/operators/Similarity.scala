@@ -38,11 +38,17 @@ object Similarity {
   /** codegen'd native kernel (identical numerics to VectorOps.cosine). */
   private def cos(a: Column, b: Column): Column = GraftFunctions.cosineSim(a, b)
 
+  /** Shared float→double projection, persisted: every ANN query derives
+    * both its query side and corpus side from this one relation, and
+    * Spark's CacheManager matches the identical analyzed plan across the
+    * whole family — one scan + widen pass per session, not two per query.
+    */
   private def emb(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      .transform(graft.CachePool.persist)
   }
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
@@ -53,6 +59,10 @@ object Similarity {
     emb(s, d).filter(col("vec_id") >= N_QUERIES)
 
   private def topK(scored: DataFrame): DataFrame = {
+    // written as the window formulation; RankLimitRewrite turns it into
+    // the two-phase TopKPerKey operator (map-side k-heaps prune before
+    // the exchange; the Window above only re-derives rn over ≤ k rows)
+    graft.plans.TopK.installedWithRewrite(scored.sparkSession)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TOP_K)
@@ -87,14 +97,19 @@ object Similarity {
       val e = emb(s, d)
       val cents = e.filter(col("vec_id") % CENT_STRIDE === 0)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-      // assignment pass: nearest centroid per corpus vector
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
+      // assignment pass: nearest centroid per corpus vector, as a
+      // max_by HASH aggregation (partial combine on the map side, no
+      // sort) — same winner as the row_number formulation: max of
+      // (ccos, -cent_id) ≡ order by ccos desc, cent_id asc pick-first.
+      // `e` rides along via max_by of the same struct (it is constant
+      // within a vec_id group, so the choice is deterministic).
+      val tiebreak = struct(col("ccos"), (-col("cent_id")).as("neg"))
       val assign = corpusDf(s, d)
         .join(broadcast(cents))
         .withColumn("ccos", cos(col("e"), col("ce")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"), tiebreak).as("cent_id"),
+          max_by(col("e"), tiebreak).as("e"))
         .select(col("vec_id"), col("e"), col("cent_id"))
       // probe pass: NPROBE nearest centroids per query
       val wProbe = Window.partitionBy("q_id")
