@@ -187,6 +187,62 @@ object RelationalExt2 {
         element_at(sm, "val").cast("double").as("val_back"))
     }),
 
+    // Multiset semantics: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // cardinalities (bag difference/intersection), unlike the set forms.
+    "set_except_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
+    }),
+    "set_intersect_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
+    }),
+
+    // Pagination: ORDER BY ... OFFSET/LIMIT with a total tie-broken
+    // order (page boundaries are only stable when the sort is total).
+    "topk_offset_page" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20).limit(10)
+    }),
+
+    // NULL ordering: NULLS LAST ascending, with nulls manufactured via
+    // NULLIF — visible in the result only because of the LIMIT.
+    "sort_nulls" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_n"))
+        .orderBy(col("disc_n").asc_nulls_last, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(25)
+    }),
+
+    // Higher-order-function surface with scalar outputs: transform /
+    // filter / exists / forall / aggregate over the token array.
+    "scalar_hof" -> ((s, d) => {
+      val tok = split(col("p_name"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        size(filter(tok, t => length(t) > 4)).as("n_long_words"),
+        exists(tok, t => t.rlike("^[0-9]")).as("any_digit_start"),
+        forall(tok, t => t === lower(t)).as("all_lower"),
+        aggregate(transform(tok, t => length(t)), lit(0), (acc, x) => acc + x)
+          .as("total_chars"))
+    }),
+
+    // Explicit CROSS JOIN of two tiny dims (the only scale-sane use).
+    "join_cross_dims" -> ((s, d) => {
+      Tables.region(s, d).select(col("r_name")).crossJoin(
+        Tables.nation(s, d).select(col("n_name")))
+        .groupBy("r_name").agg(count(lit(1)).as("n_combos"))
+    }),
+
     // Bitwise scalar family over integer keys.
     "scalar_bitwise" -> ((s, d) => {
       Tables.lineitem(s, d).select(
@@ -283,6 +339,38 @@ object RelationalExt2 {
         |  CAST(2 AS INT) AS n_keys,
         |  value AS val_back
         |FROM events""".stripMargin,
+    "set_except_all" ->
+      """SELECT custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY custkey""".stripMargin,
+    "topk_offset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
+    "sort_nulls" ->
+      """SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_n
+        |FROM lineitem
+        |ORDER BY disc_n ASC NULLS LAST, l_orderkey, l_linenumber
+        |LIMIT 25""".stripMargin,
+    "scalar_hof" ->
+      """SELECT p_partkey,
+        |  CAST(len(list_filter(string_split(p_name, ' '), t -> length(t) > 4)) AS INT) AS n_long_words,
+        |  list_aggregate(list_transform(string_split(p_name, ' '), t -> regexp_matches(t, '^[0-9]')), 'bool_or') AS any_digit_start,
+        |  list_aggregate(list_transform(string_split(p_name, ' '), t -> t = lower(t)), 'bool_and') AS all_lower,
+        |  CAST(list_reduce(list_prepend(0, list_transform(string_split(p_name, ' '), t -> CAST(length(t) AS INT))), (a, x) -> a + x) AS INT) AS total_chars
+        |FROM part""".stripMargin,
+    "join_cross_dims" ->
+      """SELECT r_name, COUNT(*) AS n_combos
+        |FROM region CROSS JOIN nation
+        |GROUP BY r_name""".stripMargin,
     "scalar_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & 255 AS and255,

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "dedup_embedding_cosine", // documented brute-force baseline
     "dedup_simhash_pairs",  // 16-bit fingerprint pair scan
-    "join_range"            // band predicate vs 4-row broadcast dim: BNLJ is the plan
+    "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan
+    "join_cross_dims"       // explicit CROSS JOIN of two ≤25-row dims
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
