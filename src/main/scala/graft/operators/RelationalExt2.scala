@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -243,6 +244,38 @@ object RelationalExt2 {
         .groupBy("r_name").agg(count(lit(1)).as("n_combos"))
     }),
 
+    // Rank-family completeness: rank / dense_rank (tie-aware, unlike
+    // row_number), nth_value, lead — over a deliberately tie-prone
+    // ordering (price bucket), so tie semantics are what's verified.
+    "window_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(floor(col("o_totalprice") / 10000).asc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+    }),
+
+    // CDC observability: LSN gap detection — a hole in the change-log
+    // sequence is how replication loss shows up; one window pass. The
+    // corpus log is dense, so loss is SIMULATED deterministically
+    // (drop every 97th LSN) to make the detector's output non-vacuous.
+    "cdc_gap_detect" -> ((s, d) => {
+      val w = Window.orderBy("event_id")
+      Tables.events(s, d)
+        .filter(col("event_id") % 97 =!= 0)
+        .select(col("event_id"))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("event_id") - col("prev_id") > 1)
+        .select(col("prev_id").as("gap_after"),
+          col("event_id").as("gap_before"),
+          (col("event_id") - col("prev_id") - 1).as("n_missing"))
+    }),
+
     // Bitwise scalar family over integer keys.
     "scalar_bitwise" -> ((s, d) => {
       Tables.lineitem(s, d).select(
@@ -339,6 +372,23 @@ object RelationalExt2 {
         |  CAST(2 AS INT) AS n_keys,
         |  value AS val_back
         |FROM events""".stripMargin,
+    "window_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT), o_orderkey)""".stripMargin,
+    "cdc_gap_detect" ->
+      """SELECT prev_id AS gap_after, event_id AS gap_before,
+        |  event_id - prev_id - 1 AS n_missing
+        |FROM (SELECT event_id, lag(event_id, 1) OVER (ORDER BY event_id) AS prev_id
+        |      FROM events WHERE event_id % 97 <> 0) t
+        |WHERE event_id - prev_id > 1""".stripMargin,
     "set_except_all" ->
       """SELECT custkey, COUNT(*) AS multiplicity FROM (
         |  SELECT o_custkey AS custkey FROM orders
