@@ -28,6 +28,8 @@ object Bench {
     "dedup_clusters", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
     "text_tfidf", "text_tokens", "text_langid_ngram",
+    "text_curation_pipeline", "sql_correlated_exists", "join_range",
+    "agg_corr_stats", "window_rank_dense",
     "multimodal_decode", "scalar_math")
 
   private def fmt(v: Double): String = f"$v%.3f"
