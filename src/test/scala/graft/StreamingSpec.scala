@@ -290,6 +290,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState === Set((1L, 2L, 6.0), (2L, 4L, 9.0)))
   }
 
+  test("keyed state survives a query RESTART via the checkpoint") {
+    // A2 for STATE, not just offsets: the reference persists only an
+    // LSN; our state store checkpoints the per-key latest state itself.
+    // Run 1 sets key 1 to LSN 10; run 2 (new query object, same
+    // checkpoint) must still ignore a stale LSN-5 event.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_stateckpt").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[StateOut]
+    def run(): Unit = {
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val q = ChangeLogStream.latestStatePerKey(
+        spark.readStream.schema(schema).parquet(inDir).as[RawEvent])
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StateOut], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Update).start()
+      q.awaitTermination()
+    }
+    writeFiles(Seq(org.apache.spark.sql.Row(10L, ts(1), 1L, "signup", 5.0, "{}")))
+    run()
+    writeFiles(Seq(
+      org.apache.spark.sql.Row(5L, ts(2), 1L, "click", 9.0, "{}"), // stale LSN
+      org.apache.spark.sql.Row(11L, ts(3), 2L, "signup", 7.0, "{}")))
+    run()
+    assert(!emitted.exists(o => o.user_id == 1L && o.event_id == 5L),
+      s"stale LSN must be ignored because restored state knows LSN 10: ${emitted.toSeq}")
+    assert(emitted.exists(_.user_id == 2L), s"fresh key must emit: ${emitted.toSeq}")
+    assert(emitted.exists(o => o.user_id == 1L && o.event_id == 10L))
+  }
+
   test("foreachBatch upsert sink is idempotent across replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
