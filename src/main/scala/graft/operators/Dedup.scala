@@ -42,6 +42,10 @@ object Dedup {
   private val SEED_XOR = Seq(0x5bd1e995L, 0x9e3779b9L, 0x85ebca6bL,
     0xc2b2ae35L, 0x27d4eb2fL, 0x165667b1L, 0x9e377989L, 0x7feb352dL)
 
+  private val EMB_LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
+  private val N_BENCH = 20      // doc_id < 20 plays the benchmark set
+  private val CONTAIN_MIN = 0.4 // containment threshold for a leak flag
+
   private def words: Column = split(col("text"), " ")
 
   /** Distinct word n-gram shingles (0-based Spark ≡ 1-based DuckDB). */
@@ -244,6 +248,49 @@ object Dedup {
       labels
     }),
 
+    // Embedding near-dup, BLOCKED: sign-bit LSH buckets as the join key
+    // — the scale path made a first-class query (the brute-force
+    // baseline below is its oracle-of-intent). Only same-bucket pairs
+    // are scored: O(pairs-in-bucket), hash-partitionable at any scale.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+        .withColumn("bucket", VectorOps.signBucket(col("e"), EMB_LSH_DIMS))
+      val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("e").as("e_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("e").as("e_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
+        .filter(col("cosine") >= COSINE_NEAR)
+        .select("vec_a", "vec_b", "cosine")
+    }),
+
+    // Benchmark-contamination detection: how much of a benchmark doc's
+    // 5-gram shingle set is CONTAINED in each training doc (asymmetric,
+    // unlike jaccard) — the eval-leakage check every LLM data pipeline
+    // needs. Posting-list join, O(shared shingles); the DF-cap guard
+    // from dedup_ngram_jaccard applies unchanged at larger scale.
+    "dedup_contamination" -> ((s, d) => {
+      val five = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(words) >= 5)
+        .select(col("doc_id"), shingleCol(5).as("sh"))
+      val benchP = five.filter(col("doc_id") < N_BENCH)
+        .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+      val benchSize = benchP.groupBy("bench_id").agg(count(lit(1)).as("b_n"))
+      val corpusP = five.filter(col("doc_id") >= N_BENCH)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      benchP.join(corpusP, "g")
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(benchSize, "bench_id")
+        .withColumn("containment", col("n_shared").cast("double") / col("b_n"))
+        .filter(col("containment") >= CONTAIN_MIN)
+        .select("bench_id", "doc_id", "containment")
+    }),
+
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
     // baseline; blocked variants live in Similarity as the scale path).
     "dedup_embedding_cosine" -> ((s, d) => {
@@ -345,6 +392,25 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", EMB_LSH_DIMS)} AS bucket FROM ev)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  ${VectorOps.cosineSql("a.e", "c.e", 64)} AS cosine
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${VectorOps.cosineSql("a.e", "c.e", 64)} >= $COSINE_NEAR""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${shingleSql(5).replace("w", "string_split(text,' ')")} AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 5),
+         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM d WHERE doc_id < $N_BENCH),
+         |bs AS (SELECT bench_id, COUNT(*) AS b_n FROM bp GROUP BY bench_id),
+         |cp AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id >= $N_BENCH),
+         |j AS (SELECT bench_id, doc_id, COUNT(*) AS n_shared
+         |      FROM bp JOIN cp USING (g) GROUP BY 1, 2)
+         |SELECT bench_id, doc_id, CAST(n_shared AS DOUBLE) / b_n AS containment
+         |FROM j JOIN bs USING (bench_id)
+         |WHERE CAST(n_shared AS DOUBLE) / b_n >= $CONTAIN_MIN""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
