@@ -273,19 +273,24 @@ object Dedup {
     // needs. Posting-list join, O(shared shingles); the DF-cap guard
     // from dedup_ngram_jaccard applies unchanged at larger scale.
     "dedup_contamination" -> ((s, d) => {
+      // the 5-gram relation feeds both sides → persist once; the bench
+      // side is tiny (N_BENCH docs) → BROADCAST its posting list, so
+      // corpus postings stream through the join with no shuffle and
+      // only matching shingles reach the aggregate
       val five = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .filter(size(words) >= 5)
         .select(col("doc_id"), shingleCol(5).as("sh"))
+        .transform(graft.CachePool.persist)
       val benchP = five.filter(col("doc_id") < N_BENCH)
         .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
       val benchSize = benchP.groupBy("bench_id").agg(count(lit(1)).as("b_n"))
       val corpusP = five.filter(col("doc_id") >= N_BENCH)
         .select(col("doc_id"), explode(col("sh")).as("g"))
-      benchP.join(corpusP, "g")
+      broadcast(benchP).join(corpusP, "g")
         .groupBy("bench_id", "doc_id")
         .agg(count(lit(1)).as("n_shared"))
-        .join(benchSize, "bench_id")
+        .join(broadcast(benchSize), "bench_id")
         .withColumn("containment", col("n_shared").cast("double") / col("b_n"))
         .filter(col("containment") >= CONTAIN_MIN)
         .select("bench_id", "doc_id", "containment")

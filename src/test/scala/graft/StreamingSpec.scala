@@ -290,6 +290,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState === Set((1L, 2L, 6.0), (2L, 4L, 9.0)))
   }
 
+  test("maxFilesPerTrigger bounds each microbatch (C2 poll-loop analog)") {
+    // the reference polls with a 5 s receive timeout (C2); the file
+    // source's per-trigger cap is the backpressure knob that keeps one
+    // microbatch from swallowing an arbitrarily large backlog
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_ratelim").toString
+    val inDir = s"$base/in"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    (1 to 3).foreach { i =>
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(i.toLong, ts(i), i.toLong, "click", 1.0, "{}"))), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }; ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batchSizes.size === 3 && batchSizes.forall(_ == 1L),
+      s"3 files with cap 1 must become 3 single-row batches: $batchSizes")
+  }
+
   test("keyed state survives a query RESTART via the checkpoint") {
     // A2 for STATE, not just offsets: the reference persists only an
     // LSN; our state store checkpoints the per-key latest state itself.
