@@ -141,16 +141,20 @@ object TextAnalysis {
     // one window; all shuffle keys are term or doc_id.
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      graft.plans.TopK.installedWithRewrite(s)
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val n = docs.count() // scalar N, same as the oracle's subquery
+      // exploded postings feed BOTH tf and df → persist one copy
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+        .transform(graft.CachePool.persist)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // df is |vocab|-sized → broadcast; tf never reshuffles for the join
       val dfreq = terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(dfreq, "term")
+      tf.join(broadcast(dfreq), "term")
         .withColumn("tfidf",
           col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
         .withColumn("rn", row_number().over(w))

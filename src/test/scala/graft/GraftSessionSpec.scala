@@ -19,6 +19,16 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12, "self-similarity must be 1")
   }
 
+  test("release() drops the library's shared cache entries") {
+    // build a query family that persists shared intermediates
+    GraftSession.query(spark, "/root/testdata/sf0.001", "dedup_minhash_lsh").count()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "dedup pipeline should have registered cache entries")
+    GraftSession.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist every CachePool registration")
+  }
+
   test("named queries run through the facade") {
     val df = GraftSession.query(spark, "/root/testdata/sf0.001", "q1_pricing_summary")
     assert(df.count() > 0)
