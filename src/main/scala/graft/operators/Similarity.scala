@@ -97,19 +97,20 @@ object Similarity {
       val e = emb(s, d)
       val cents = e.filter(col("vec_id") % CENT_STRIDE === 0)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-      // assignment pass: nearest centroid per corpus vector, as a
-      // max_by HASH aggregation (partial combine on the map side, no
-      // sort) — same winner as the row_number formulation: max of
-      // (ccos, -cent_id) ≡ order by ccos desc, cent_id asc pick-first.
-      // `e` rides along via max_by of the same struct (it is constant
-      // within a vec_id group, so the choice is deterministic).
-      val tiebreak = struct(col("ccos"), (-col("cent_id")).as("neg"))
+      // assignment pass: nearest centroid per corpus vector. Written as
+      // the row_number formulation — RankLimitRewrite (installed by
+      // topK below, same session) turns the arn=1 filter into the
+      // two-phase TopKPerKey operator: per-partition 1-row heaps, no
+      // sort anywhere. (A max_by over the array column would fall back
+      // to SortAggregate: immutable aggregation buffers can't hash.)
+      graft.plans.TopK.installedWithRewrite(s)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
       val assign = corpusDf(s, d)
         .join(broadcast(cents))
         .withColumn("ccos", cos(col("e"), col("ce")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cent_id"), tiebreak).as("cent_id"),
-          max_by(col("e"), tiebreak).as("e"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
         .select(col("vec_id"), col("e"), col("cent_id"))
       // probe pass: NPROBE nearest centroids per query
       val wProbe = Window.partitionBy("q_id")

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The reference materializes "latest state per key" implicitly via
   * idempotent keyed upserts into Elasticsearch (doc id = LSN,
   * es_consumer/main.go:77-95) fed by an ordered WAL stream
-  * (replicator.go:247-421). Here the same semantics are a single
-  * shuffle-once aggregation: `groupBy(key).agg(max_by(struct(*), version))`
-  * — partial aggregation (map-side combine) means each executor keeps one
-  * candidate row per key before the exchange, so at 100 TB the shuffle
-  * volume is O(distinct keys), not O(events).
+  * (replicator.go:247-421). Here the same semantics are the custom
+  * two-phase top-k operator with k=1: each partition keeps ONE candidate
+  * row per key in a heap (no sort — `max_by(struct(*))` would fall back
+  * to SortAggregate because struct buffers can't hash-aggregate), the
+  * exchange moves O(distinct keys) rows, and the final pass streams.
+  * At 100 TB the shuffle volume is the answer, not the changelog.
   */
 object ChangeLog {
 
@@ -21,12 +22,8 @@ object ChangeLog {
     * `versionCol` must be unique per key for determinism (the WAL LSN is;
     * `event_id` in the test corpus is globally unique).
     */
-  def latestState(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
-    val all = struct(df.columns.map(col): _*)
-    df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(all, col(versionCol)).as("latest"))
-      .select(df.columns.map(c => col(s"latest.`$c`").as(c)): _*)
-  }
+  def latestState(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
+    graft.plans.TopK.perKey(df, keyCols, Seq((versionCol, false)), 1)
 
   /** Latest state with delete tombstones: a key whose LATEST op is a
     * delete disappears from the materialized view (reference stubs
@@ -51,12 +48,22 @@ object ChangeLog {
     * no sort, map-side partial dedup first.
     */
   def fenceUnion(snapshot: DataFrame, stream: DataFrame, idCol: String): DataFrame =
-    snapshot.unionByName(stream).dropDuplicates(idCol)
+    dedupById(snapshot.unionByName(stream), idCol)
 
   /** Replay idempotency (reference A4/D13): consuming the same changelog
-    * twice must not change the result. dropDuplicates on the unique event
-    * id is the batch analog of the ES doc-id overwrite.
+    * twice must not change the result. Dedup on the unique event id is
+    * the batch analog of the ES doc-id overwrite.
     */
   def replayDedup(df: DataFrame, idCol: String): DataFrame =
-    df.dropDuplicates(idCol)
+    dedupById(df, idCol)
+
+  /** One row per id via the top-k operator (k=1, keyed by the id):
+    * `dropDuplicates(id)` would aggregate every payload column with
+    * First over immutable buffers — a SortAggregate that sorts whole
+    * partitions; the heap form never sorts. Rows sharing an id are
+    * replayed duplicates of the SAME logical row, so which copy
+    * survives is immaterial (the same contract dropDuplicates has).
+    */
+  private def dedupById(df: DataFrame, idCol: String): DataFrame =
+    graft.plans.TopK.perKey(df, Seq(idCol), Seq((idCol, false)), 1)
 }

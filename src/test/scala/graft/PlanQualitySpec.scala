@@ -46,6 +46,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("no query falls back to SortAggregate (whitelist: built-in max_by demo)") {
+    // immutable aggregation buffers (structs/strings/arrays in max_by,
+    // collect_*, first over payload columns) silently turn hash
+    // aggregation into whole-partition sorts; every such fallback here
+    // was rewritten onto the top-k operator. agg_argmax intentionally
+    // demonstrates the BUILT-IN max_by (string buffer → SortAggregate);
+    // collect_list in agg_string_concat is inherently object-based.
+    val allow = Set("agg_argmax", "agg_string_concat")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .filterNot(n => n == "dedup_clusters") // driver-side loop at construction
+      .filter(n => plan(n).contains("SortAggregate"))
+    assert(offenders.isEmpty, s"SortAggregate fallback in: $offenders")
+  }
+
   test("pushable LIKE predicates reach the parquet scan") {
     // NOTE: scalar_like's full predicate is an OR containing RLIKE —
     // regex can't push to parquet, and OR is all-or-nothing, so that
