@@ -43,6 +43,29 @@ class TopKSpec extends AnyFunSuite {
     assert(e.getMessage.contains("user_id"))
   }
 
+  test("property: TopK.perKey == window formulation on random logs") {
+    // the operator now carries latest-state + dedup-by-id, so its
+    // equivalence to the window form is checked over random shapes:
+    // random key cardinality, duplicates, negative values, random k
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 6).foreach { trial =>
+      val n = 50 + rnd.nextInt(400)
+      val keyCard = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(keyCard).toLong, i.toLong, rnd.nextInt(100) - 50.0)
+      }
+      val df = rows.toDF("key", "id", "v").repartition(5)
+      val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id", true)), k)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(native === ref, s"trial $trial (n=$n keys=$keyCard k=$k) diverged")
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     val tiny = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.0))
       .toDF("user_id", "event_id", "value")
