@@ -276,6 +276,15 @@ object RelationalExt2 {
           (col("event_id") - col("prev_id") - 1).as("n_missing"))
     }),
 
+    // explode_outer: rows with EMPTY arrays survive as a single
+    // null-element row (plain explode silently drops them — an easy way
+    // to lose documents in a tokenization pipeline).
+    "scalar_explode_outer" -> ((s, d) => {
+      val longToks = filter(split(col("p_name"), " "), t => length(t) > 7)
+      Tables.part(s, d)
+        .select(col("p_partkey"), explode_outer(longToks).as("long_word"))
+    }),
+
     // Bitwise scalar family over integer keys.
     "scalar_bitwise" -> ((s, d) => {
       Tables.lineitem(s, d).select(
@@ -421,6 +430,11 @@ object RelationalExt2 {
       """SELECT r_name, COUNT(*) AS n_combos
         |FROM region CROSS JOIN nation
         |GROUP BY r_name""".stripMargin,
+    "scalar_explode_outer" ->
+      """SELECT p_partkey, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_word
+        |FROM (SELECT p_partkey,
+        |        list_filter(string_split(p_name, ' '), t -> length(t) > 7) AS l
+        |      FROM part) t""".stripMargin,
     "scalar_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & 255 AS and255,

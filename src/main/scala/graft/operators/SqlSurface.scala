@@ -36,7 +36,13 @@ object SqlSurface {
       """SELECT o_orderkey, o_totalprice
         |FROM orders
         |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |                                 / COUNT(*) FROM orders)""".stripMargin)
+        |                                 / COUNT(*) FROM orders)""".stripMargin,
+    "sql_lateral_join" ->
+      """SELECT c_custkey, o.max_price, o.n_orders
+        |FROM customer JOIN LATERAL (
+        |  SELECT MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_custkey = c_custkey) o ON true
+        |WHERE c_custkey % 10 = 0""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     texts.map { case (name, sql) =>
