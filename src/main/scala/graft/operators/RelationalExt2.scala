@@ -50,6 +50,24 @@ object RelationalExt2 {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // The SAME band join as an equi-join on overlap buckets (RangeJoin.
+    // banded): the scale path when the band side is too big to
+    // broadcast. The oracle is the plain range join — proving the
+    // bucketize+residual reformulation is result-preserving (the same
+    // contract join_salted proves for salting).
+    "join_range_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p00_100k", 0.0, 100000.0),
+        ("p100_200k", 100000.0, 200000.0),
+        ("p200_300k", 200000.0, 300000.0),
+        ("p300_up", 300000.0, 700000.0)).toDF("band", "lo", "hi")
+      RangeJoin.banded(Tables.orders(s, d), bands,
+        "o_totalprice", "lo", "hi", width = 50000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // FULL OUTER JOIN with null rows on both sides: high-balance
     // customers vs per-customer order counts.
     "join_full_outer" -> ((s, d) => {
@@ -307,6 +325,16 @@ object RelationalExt2 {
         |             ('p100_200k', 100000.0, 200000.0),
         |             ('p200_300k', 200000.0, 300000.0),
         |             ('p300_up', 300000.0, 1e9)) b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "join_range_bucketed" ->
+      """SELECT band, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('p00_100k', 0.0, 100000.0),
+        |             ('p100_200k', 100000.0, 200000.0),
+        |             ('p200_300k', 200000.0, 300000.0),
+        |             ('p300_up', 300000.0, 700000.0)) b(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band""".stripMargin,
     "join_full_outer" ->

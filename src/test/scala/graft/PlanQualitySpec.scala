@@ -61,6 +61,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"SortAggregate fallback in: $offenders")
   }
 
+  test("bucketed range join plans an equi hash join, not a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p) // broadcast- or shuffled-hash on __bucket
+  }
+
   test("pushable LIKE predicates reach the parquet scan") {
     // NOTE: scalar_like's full predicate is an OR containing RLIKE —
     // regex can't push to parquet, and OR is all-or-nothing, so that
