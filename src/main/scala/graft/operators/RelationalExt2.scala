@@ -294,6 +294,31 @@ object RelationalExt2 {
           (col("event_id") - col("prev_id") - 1).as("n_missing"))
     }),
 
+    // Data-quality profiling in ONE pass + UNPIVOT to long form: the
+    // per-column summary every ingestion pipeline materializes before
+    // trusting a 100 TB drop (wide agg → melt, no per-column scans).
+    "profile_orders" -> ((s, d) => {
+      val wide = Tables.orders(s, d).agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        countDistinct(col("o_custkey")).cast("double").as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).cast("double").as("status_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("double")
+          .as("priority_nulls"))
+      wide.unpivot(Array.empty, wide.columns.map(col), "metric", "value")
+    }),
+
+    // Sliding event-time windows (batch analog of streaming
+    // window(ts, 1h, 30m)): each event lands in BOTH covering windows.
+    "cdc_window_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"))
+    }),
+
     // explode_outer: rows with EMPTY arrays survive as a single
     // null-element row (plain explode silently drops them — an easy way
     // to lose documents in a tokenization pipeline).
@@ -458,6 +483,22 @@ object RelationalExt2 {
       """SELECT r_name, COUNT(*) AS n_combos
         |FROM region CROSS JOIN nation
         |GROUP BY r_name""".stripMargin,
+    "profile_orders" ->
+      """SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+        |UNION ALL SELECT 'custkey_distinct', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL SELECT 'status_distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        |UNION ALL SELECT 'price_min', MIN(o_totalprice) FROM orders
+        |UNION ALL SELECT 'price_max', MAX(o_totalprice) FROM orders
+        |UNION ALL SELECT 'priority_nulls', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders""".stripMargin,
+    "cdc_window_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 * 1800,
+        |            CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 * 1800 - 1800]) AS s0
+        |  FROM events)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + s0 * INTERVAL 1 SECOND AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "scalar_explode_outer" ->
       """SELECT p_partkey, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_word
         |FROM (SELECT p_partkey,
