@@ -319,6 +319,21 @@ object RelationalExt2 {
           col("event_type"), col("n"))
     }),
 
+    // Forward-fill of sparse updates: CDC deltas often carry only the
+    // columns that changed; "last known non-null value per key" is the
+    // reconstruction — last(x, ignoreNulls) over the LSN order. One
+    // shuffle per key, same shape as latest-state.
+    "window_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sparse_v",
+          when(col("event_id") % 3 === 0, col("value")))
+        .withColumn("filled_v",
+          last(col("sparse_v"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "sparse_v", "filled_v")
+    }),
+
     // explode_outer: rows with EMPTY arrays survive as a single
     // null-element row (plain explode silently drops them — an easy way
     // to lose documents in a tokenization pipeline).
@@ -499,6 +514,13 @@ object RelationalExt2 {
         |SELECT TIMESTAMP '1970-01-01 00:00:00' + s0 * INTERVAL 1 SECOND AS window_start,
         |  event_type, COUNT(*) AS n
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "window_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN value END AS sparse_v,
+        |  last_value(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+        |FROM events""".stripMargin,
     "scalar_explode_outer" ->
       """SELECT p_partkey, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_word
         |FROM (SELECT p_partkey,
