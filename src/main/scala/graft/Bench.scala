@@ -32,7 +32,10 @@ object Bench {
     "agg_corr_stats", "window_rank_dense",
     "multimodal_decode", "scalar_math")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the default-locale f-interpolator would render comma
+  // decimal separators (e.g. under LANG=de_DE) and break the JSON line
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

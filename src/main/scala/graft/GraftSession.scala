@@ -23,10 +23,13 @@ object GraftSession {
   /** Register views + functions on an existing session. Idempotent.
     * `events` goes through its dedicated loader (TIMESTAMP(NANOS)
     * normalization) — the raw reader rejects that parquet type.
+    * Pass `only` to register a subset — each registration eagerly reads
+    * parquet footers, so per-query callers should name their tables.
     */
-  def attach(spark: SparkSession, sfDir: String): SparkSession = {
+  def attach(spark: SparkSession, sfDir: String,
+      only: Seq[String] = tableNames): SparkSession = {
     GraftFunctions.register(spark)
-    tableNames.foreach { t =>
+    only.foreach { t =>
       val df = if (t == "events") Tables.events(spark, sfDir)
                else Tables.table(spark, sfDir, t)
       df.createOrReplaceTempView(t)

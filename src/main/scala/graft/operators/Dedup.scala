@@ -36,12 +36,6 @@ object Dedup {
   private val COSINE_NEAR = 0.45
   private val SIMHASH_HAMMING = 2
 
-  /** Per-seed xor constants (32-bit, arbitrary but fixed: murmur/xxhash
-    * mixing primes) — identical literals in the DuckDB oracle.
-    */
-  private val SEED_XOR = Seq(0x5bd1e995L, 0x9e3779b9L, 0x85ebca6bL,
-    0xc2b2ae35L, 0x27d4eb2fL, 0x165667b1L, 0x9e377989L, 0x7feb352dL)
-
   private val EMB_LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
   private val N_BENCH = 20      // doc_id < 20 plays the benchmark set
   private val CONTAIN_MIN = 0.4 // containment threshold for a leak flag
@@ -131,17 +125,17 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
       // Signatures as codegen'd min-aggregations over the posting list
-      // (explode → groupBy) with mutable long buffers. ONE md5 per
-      // posting (not one per seed): the 32-hex digest is cut into four
-      // 32-bit slices and each of the 8 seed hashes is slice(s mod 4)
-      // XOR a fixed constant — order-scrambling, engine-portable integer
-      // ops, and 8× less hashing on the hot path. Band keys are plain
-      // value concatenations (equality is all a bucket join needs).
-      val m = md5(col("g"))
-      def slice(j: Int): Column =
-        conv(substring(m, 8 * j + 1, 8), 16, 10).cast("long")
+      // (explode → groupBy) with mutable long buffers. TWO md5 calls per
+      // posting (not one per seed): each 32-hex digest is cut into four
+      // 32-bit slices, giving 8 INDEPENDENT uniform seed hashes — full
+      // inter-band independence (an earlier xor-remix of one digest
+      // correlated bands 0/2 and 1/3, silently lowering recall) at a
+      // quarter of the round-1 hashing cost.
+      val m1 = md5(col("g"))
+      val m2 = md5(concat(lit("#"), col("g")))
       def h(seed: Int): Column =
-        slice(seed % 4).bitwiseXOR(lit(SEED_XOR(seed)))
+        conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
+          .cast("long")
       val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val sig = posting.groupBy("doc_id").agg(
         min(h(0)).as("sig0"),
@@ -347,8 +341,8 @@ object Dedup {
 
   private lazy val minhashPairsSql: String = {
     val sigCols = (0 until MINHASH_SEEDS).map { sd =>
-      val slice = s"('0x' || substr(md5(g), ${8 * (sd % 4) + 1}, 8))::BIGINT"
-      s"MIN(xor($slice, ${SEED_XOR(sd)})) AS sig$sd"
+      val digest = if (sd < 4) "md5(g)" else "md5('#' || g)"
+      s"MIN(('0x' || substr($digest, ${8 * (sd % 4) + 1}, 8))::BIGINT) AS sig$sd"
     }.mkString(", ")
     val bandList = (0 until BANDS).map(b =>
       s"'$b|' || CAST(sig${2 * b} AS VARCHAR) || '|' || CAST(sig${2 * b + 1} AS VARCHAR)")

@@ -279,19 +279,34 @@ object RelationalExt2 {
     }),
 
     // CDC observability: LSN gap detection — a hole in the change-log
-    // sequence is how replication loss shows up; one window pass. The
-    // corpus log is dense, so loss is SIMULATED deterministically
-    // (drop every 97th LSN) to make the detector's output non-vacuous.
+    // sequence is how replication loss shows up. NOT a global
+    // Window.orderBy (that funnels the whole log through one task):
+    // LSNs are bucketed, lag runs per bucket in parallel, and bucket
+    // BOUNDARIES are stitched from per-bucket min/max aggregates — a
+    // relation of |buckets| rows. The oracle is the naive global-lag
+    // form, proving the parallel decomposition equivalent. The corpus
+    // log is dense, so loss is SIMULATED deterministically (drop every
+    // 97th LSN) to make the detector's output non-vacuous.
     "cdc_gap_detect" -> ((s, d) => {
-      val w = Window.orderBy("event_id")
-      Tables.events(s, d)
+      val BUCKET = 1000L
+      val ids = Tables.events(s, d)
         .filter(col("event_id") % 97 =!= 0)
-        .select(col("event_id"))
-        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .select(col("event_id"), (col("event_id") / BUCKET).cast("long").as("bk"))
+      // interior gaps: lag within each bucket (parallel across buckets)
+      val wIn = Window.partitionBy("bk").orderBy("event_id")
+      val interior = ids
+        .withColumn("prev_id", lag(col("event_id"), 1).over(wIn))
         .filter(col("event_id") - col("prev_id") > 1)
-        .select(col("prev_id").as("gap_after"),
-          col("event_id").as("gap_before"),
-          (col("event_id") - col("prev_id") - 1).as("n_missing"))
+        .select(col("prev_id").as("gap_after"), col("event_id").as("gap_before"))
+      // boundary gaps: per-bucket extrema (|buckets| rows) lag-joined
+      val wBk = Window.orderBy("bk") // tiny: one row per non-empty bucket
+      val boundary = ids.groupBy("bk")
+        .agg(min(col("event_id")).as("bmin"), max(col("event_id")).as("bmax"))
+        .withColumn("prev_max", lag(col("bmax"), 1).over(wBk))
+        .filter(col("bmin") - col("prev_max") > 1)
+        .select(col("prev_max").as("gap_after"), col("bmin").as("gap_before"))
+      interior.unionByName(boundary)
+        .withColumn("n_missing", col("gap_before") - col("gap_after") - 1)
     }),
 
     // Data-quality profiling in ONE pass + UNPIVOT to long form: the

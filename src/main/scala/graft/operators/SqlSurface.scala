@@ -19,6 +19,16 @@ import graft.GraftSession
   */
 object SqlSurface {
 
+  /** Tables each query references — attach registers only these (each
+    * registration eagerly reads parquet footers; re-registering all 10
+    * corpus tables per query construction is wasted I/O).
+    */
+  private val tablesOf: Map[String, Seq[String]] = Map(
+    "sql_correlated_exists" -> Seq("customer", "orders"),
+    "sql_in_subquery" -> Seq("customer", "nation", "orders"),
+    "sql_scalar_subquery" -> Seq("orders"),
+    "sql_lateral_join" -> Seq("customer", "orders"))
+
   private val texts: Map[String, String] = Map(
     "sql_correlated_exists" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers
@@ -47,7 +57,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     texts.map { case (name, sql) =>
       name -> ((s: SparkSession, d: String) => {
-        GraftSession.attach(s, d)
+        GraftSession.attach(s, d, tablesOf(name))
         s.sql(sql)
       })
     }

@@ -35,11 +35,26 @@ final class MetricsListener extends QueryExecutionListener {
     case other => other +: other.children.flatMap(expand)
   }
 
-  private def metricSum(qe: QueryExecution, names: Set[String]): Long =
+  /** Sum ONE metric key across the plan — a single node may report
+    * several related metrics (an exchange has both dataSize and
+    * shuffleBytesWritten; a scan has filesSize and numOutputRows), so
+    * summing synonyms together would double-count in mixed units.
+    */
+  private def metricSum(qe: QueryExecution, name: String): Long =
     try {
       expand(qe.executedPlan).flatMap(_.metrics.collect {
-        case (k, m) if names.contains(k) => m.value
+        case (k, m) if k == name => m.value
       }).sum
+    } catch { case _: Throwable => -1L }
+
+  /** Row count of the TOPMOST operator that reports one — the result's
+    * cardinality, not a sum over every operator in the plan.
+    */
+  private def rootRows(qe: QueryExecution): Long =
+    try {
+      expand(qe.executedPlan).iterator
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value)
+        .nextOption().getOrElse(-1L)
     } catch { case _: Throwable => -1L }
 
   private def record(funcName: String, qe: QueryExecution,
@@ -47,9 +62,9 @@ final class MetricsListener extends QueryExecutionListener {
     buf.add(QueryMetric(
       funcName,
       durationNs,
-      outputRows = metricSum(qe, Set("numOutputRows")),
-      scanBytes = metricSum(qe, Set("filesSize", "bytesRead")),
-      shuffleBytes = metricSum(qe, Set("shuffleBytesWritten", "dataSize")),
+      outputRows = rootRows(qe),
+      scanBytes = metricSum(qe, "filesSize"),
+      shuffleBytes = metricSum(qe, "shuffleBytesWritten"),
       failed = failed))
 
   override def onSuccess(funcName: String, qe: QueryExecution,

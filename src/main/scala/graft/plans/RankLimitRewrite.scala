@@ -37,11 +37,31 @@ object RankLimitRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Floating-point partition keys are excluded: the top-k operator
+    * groups by binary key bytes, so 0.0 vs -0.0 (and NaN bit patterns)
+    * would split groups that the Window — whose keys the analyzer
+    * normalizes via NormalizeFloatingNumbers — merges, re-admitting
+    * rows the dropped rn filter would have removed.
+    */
+  private def containsFloat(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case DoubleType | FloatType => true
+      case a: ArrayType => containsFloat(a.elementType)
+      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case _ => false
+    }
+  }
+
+  private def hasFloatKey(partSpec: Seq[Expression]): Boolean =
+    partSpec.exists(e => containsFloat(e.dataType))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           partSpec, orderSpec, child, _))
-        if partSpec.nonEmpty && orderSpec.nonEmpty =>
+        if partSpec.nonEmpty && orderSpec.nonEmpty && !hasFloatKey(partSpec) =>
       val rn = alias.toAttribute
       val conjuncts = splitConjunctivePredicates(cond)
       val (limits, residual) = conjuncts.partition(limitOf(_, rn).isDefined)

@@ -53,6 +53,7 @@ private[plans] object BoundedTopK {
   def perKey(iter: Iterator[InternalRow], keys: Seq[Expression],
       order: Seq[SortOrder], k: Int, output: Seq[Attribute],
       flushKeys: Int = FlushKeys): Iterator[InternalRow] = {
+    require(flushKeys > 0, s"flushKeys must be positive, got $flushKeys")
     val keyProj = UnsafeProjection.create(keys, output)
     val ord = new LazilyGeneratedOrdering(order, output)
     new Iterator[InternalRow] {
@@ -172,6 +173,9 @@ object TopK {
 
   def perKey(df: DataFrame, keyCols: Seq[String], orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty && orderSpec.nonEmpty,
+      "top-k per key needs at least one key column and one order column")
     val spark = df.sparkSession
     installed(spark)
     val child = GraftShim.analyzed(df)

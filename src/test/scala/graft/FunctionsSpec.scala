@@ -53,12 +53,21 @@ class FunctionsSpec extends AnyFunSuite {
     ).toDF("a", "b")
       .unionByName(Seq((Seq("a", null, "b"), Seq(null.asInstanceOf[String], "b")))
         .toDF("a", "b")) // null elements never match
+      // null ARRAYS: HOF gives NULL for a-null and 0 for b-null — the
+      // kernel must match that asymmetry exactly
+      .unionByName(Seq(
+        (null.asInstanceOf[Seq[String]], Seq("x")),
+        (Seq("x"), null.asInstanceOf[Seq[String]])).toDF("a", "b"))
     val got = df.select(
       GraftFunctions.arrayIntersectSize($"a", $"b").as("fast"),
       size(filter($"a", x => array_contains($"b", x))).as("hof"))
       .collect()
-    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
-    assert(got.map(_.getInt(0)).toSeq === Seq(2, 2, 0, 0, 1))
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getInt(0) === r.getInt(1), r.toString)
+    }
+    def v(r: org.apache.spark.sql.Row) = if (r.isNullAt(0)) -99 else r.getInt(0)
+    assert(got.map(v).toSeq === Seq(2, 2, 0, 0, 1, -99, 0))
   }
 
   test("multimodal decodeBatch is deterministic and batch-invariant") {
