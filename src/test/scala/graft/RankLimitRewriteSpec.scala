@@ -57,6 +57,21 @@ class RankLimitRewriteSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("floating-point partition keys are NOT rewritten (0.0/-0.0 grouping)") {
+    TopK.installedWithRewrite(spark)
+    import spark.implicits._
+    val df = Seq((0.0, 1L, 10.0), (-0.0, 2L, 5.0), (1.5, 3L, 7.0))
+      .toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val ranked = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("FinalTopK"),
+      s"double keys must keep the Window formulation (binary top-k would split 0.0/-0.0):\n$plan")
+    // normalized window semantics: 0.0 and -0.0 are ONE group
+    val rows = ranked.select("id").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(1L, 3L), rows.toString)
+  }
+
   test("non-top-k rank predicates are left alone") {
     TopK.installedWithRewrite(spark)
     val df = ranked.filter(col("rn") === 2) // 2nd-best only: not top-k
