@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.pipeline.ChangeLog
 
@@ -83,6 +83,44 @@ object ChangeLogStream {
           cur.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The same latest-state semantics on Spark 4's transformWithState —
+    * the successor to flatMapGroupsWithState: typed state variables
+    * (ValueState here; list/map state available), per-state TTL config,
+    * timers, and a RocksDB-backed store (set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider — the API requires it). Kept alongside the FMGWS version:
+    * both are driver-relevant surfaces of the same operator.
+    */
+  class LatestStateProcessor extends StatefulProcessor[Long, RawEvent, StateOut] {
+    @transient private var state: ValueState[StateOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StateOut]("latest",
+        Encoders.product[StateOut], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[RawEvent],
+        timerValues: TimerValues): Iterator[StateOut] = {
+      val ordered = rows.toSeq.sortBy(_.event_id)
+      var cur = Option(state.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[StateOut]
+      ordered.foreach { e =>
+        if (!cur.exists(_.event_id >= e.event_id)) {
+          val next = StateOut(key, e.event_id, e.event_type, e.value,
+            deleted = e.event_type == "error")
+          cur = Some(next)
+          out += next
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def latestStatePerKeyTws(events: Dataset[RawEvent]): Dataset[StateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestStateProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Latest-state with TTL: keys idle past `ttl` have their state

@@ -186,6 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState latest-state matches the FMGWS formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEvent]
+      val q = ChangeLogStream.latestStatePerKeyTws(in.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(ev(1, 1, 1, "signup", 5.0), ev(3, 3, 1, "click", 7.0),
+          ev(2, 2, 1, "view", 6.0)) // out-of-order within the batch
+        q.processAllAvailable()
+        in.addData(ev(2, 2, 1, "view", 6.0)) // stale replay: ignored
+        in.addData(ev(4, 4, 2, "error", 0.0))
+        q.processAllAvailable()
+        val out = spark.table("tws_out").as[StateOut].collect()
+        val latest = out.groupBy(_.user_id).view.mapValues(_.maxBy(_.event_id)).toMap
+        assert(latest(1L).event_id === 3L && latest(1L).value === 7.0)
+        assert(latest(2L).deleted, "tombstone flag must surface")
+        assert(!out.exists(o => o.user_id == 1L && o.event_id == 2L && out.count(x =>
+          x.user_id == 1L && x.event_id == 2L) > 1), "stale replay must not re-emit")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("TTL state expiry: idle keys drop, fresh events re-create state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RawEvent]
