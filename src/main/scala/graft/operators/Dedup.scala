@@ -242,6 +242,26 @@ object Dedup {
       labels
     }),
 
+    // Measure, don't guess (text side): MinHash-LSH recall against the
+    // inverted-index ground truth — of the pairs the exhaustive-ish
+    // ngram path proves are jaccard ≥ 0.5, what fraction did banding
+    // surface? Both sides deterministic, so recall is a verifiable
+    // number; a banding change that hurts recall now FAILS loudly
+    // instead of silently shrinking the duplicate graph.
+    "dedup_lsh_recall" -> ((s, d) => {
+      val truth = queries("dedup_ngram_jaccard")(s, d)
+        .filter(col("jaccard") >= JACCARD_NEAR)
+        .select("doc_a", "doc_b")
+      val lsh = queries("dedup_minhash_lsh")(s, d)
+        .select(col("doc_a").as("la"), col("doc_b").as("lb"))
+      truth.join(lsh,
+          col("doc_a") === col("la") && col("doc_b") === col("lb"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("la").isNotNull, 1).otherwise(0)).cast("long").as("n_found"),
+          (sum(when(col("la").isNotNull, 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("recall"))
+    }),
+
     // Embedding near-dup, BLOCKED: sign-bit LSH buckets as the join key
     // — the scale path made a first-class query (the brute-force
     // baseline below is its oracle-of-intent). Only same-bucket pairs
@@ -339,6 +359,18 @@ object Dedup {
        |SELECT doc_id, CAST($fp AS INT) AS simhash FROM sums""".stripMargin
   }
 
+  private lazy val oracleNgramJaccard: String =
+    s"""WITH d AS ($docShinglesSql),
+       |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |rare AS (SELECT g FROM posting GROUP BY g HAVING COUNT(*) <= $DF_CAP),
+       |rp AS (SELECT doc_id, posting.g FROM posting JOIN rare ON posting.g = rare.g),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED)
+       |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin
+
   private lazy val minhashPairsSql: String = {
     val sigCols = (0 until MINHASH_SEEDS).map { sd =>
       val digest = if (sd < 4) "md5(g)" else "md5('#' || g)"
@@ -373,17 +405,7 @@ object Dedup {
          |  UNION
          |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s)
          |SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH d AS ($docShinglesSql),
-         |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
-         |rare AS (SELECT g FROM posting GROUP BY g HAVING COUNT(*) <= $DF_CAP),
-         |rp AS (SELECT doc_id, posting.g FROM posting JOIN rare ON posting.g = rare.g),
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED)
-         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
-         |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
-         |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin,
+    "dedup_ngram_jaccard" -> oracleNgramJaccard,
     "dedup_simhash" -> simhashSqlBase,
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($simhashSqlBase)
@@ -391,6 +413,15 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH truth AS (
+         |  SELECT doc_a, doc_b FROM (${"\n"}${oracleNgramJaccard}) t
+         |  WHERE jaccard >= $JACCARD_NEAR),
+         |lsh AS (SELECT doc_a AS la, doc_b AS lb FROM ($minhashPairsSql) u)
+         |SELECT COUNT(*) AS n_truth,
+         |  CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+         |FROM truth LEFT JOIN lsh ON doc_a = la AND doc_b = lb""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", EMB_LSH_DIMS)} AS bucket FROM ev)
