@@ -37,9 +37,17 @@ object GraftSession {
     spark
   }
 
-  /** Run a named library query. */
+  /** Every named library query, sorted — the discoverable surface a
+    * reference user switches onto.
+    */
+  def catalog: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Run a named library query; unknown names fail with the catalog. */
   def query(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    SparkEntry.queries(name)(spark, sfDir)
+    SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; available: ${catalog.mkString(", ")}")
+    )(spark, sfDir)
 
   /** Release library-internal caches (shared dedup intermediates etc.).
     * Call when a batch of queries is done; safe to call repeatedly.

@@ -19,6 +19,17 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12, "self-similarity must be 1")
   }
 
+  test("catalog lists every query; unknown names fail with the catalog") {
+    assert(GraftSession.catalog.size === SparkEntry.queries.size)
+    assert(GraftSession.catalog.contains("cdc_latest_state"))
+    assert(GraftSession.catalog === GraftSession.catalog.sorted)
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.query(spark, "/root/testdata/sf0.001", "no_such_query")
+    }
+    assert(e.getMessage.contains("no_such_query") &&
+      e.getMessage.contains("cdc_latest_state"))
+  }
+
   test("release() drops the library's shared cache entries") {
     // build a query family that persists shared intermediates
     GraftSession.query(spark, "/root/testdata/sf0.001", "dedup_minhash_lsh").count()
