@@ -30,7 +30,11 @@ object Bench {
     "text_tfidf", "text_tokens", "text_langid_ngram",
     "text_curation_pipeline", "sql_correlated_exists", "join_range",
     "agg_corr_stats", "window_rank_dense",
-    "multimodal_decode", "scalar_math")
+    "multimodal_decode", "scalar_math",
+    // Tail-of-alphabet queries that looked slow in a co-tenant-loaded
+    // round-2 bench window: keep them in the driver-visible subset so
+    // any real regression (vs environmental noise) is attributable.
+    "text_vocab_top50", "topk_offset_page")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line
@@ -54,7 +58,20 @@ object Bench {
     sources.Tables.orders(spark, sfDir)
       .groupBy("o_orderstatus").count().collect()
 
+    // Queries run in name order, so one family (shared "<prefix>_" =
+    // shared intermediates: shingle postings for dedup_*, tf postings for
+    // text_*) is contiguous. Release the CachePool at each family
+    // boundary: within a family the persisted intermediates are reused
+    // across queries (that is their point), but carrying every family's
+    // MEMORY_AND_DISK blocks to the end of the run raises the late-run
+    // memory floor and makes tail queries hostage to co-tenant load
+    // (round-2 bench recorded 41 s for a 0.2 s query that way).
+    def family(name: String): String = name.takeWhile(_ != '_')
+    var prevFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fam = family(name)
+      if (prevFamily != null && fam != prevFamily) CachePool.releaseAll()
+      prevFamily = fam
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

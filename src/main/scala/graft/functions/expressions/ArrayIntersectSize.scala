@@ -71,6 +71,11 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
     }
   }
 
+  // Raw java.util.HashSet (no generic type arguments): Janino's generics
+  // support is partial, and a generic declaration that fails to compile
+  // would silently drop the whole stage to the interpreted path —
+  // defeating the kernel. Raw add/contains take Object, so no casts are
+  // needed; this matches Spark's own codegen convention.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
@@ -86,8 +91,7 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
          |if (!${ev.isNull}) {
          |  ${rightGen.code}
          |  if (!${rightGen.isNull}) {
-         |    java.util.HashSet<org.apache.spark.unsafe.types.UTF8String> $set =
-         |      new java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>();
+         |    java.util.HashSet $set = new java.util.HashSet();
          |    for (int $i = 0; $i < ${rightGen.value}.numElements(); $i++) {
          |      if (!${rightGen.value}.isNullAt($i)) $set.add(${rightGen.value}.getUTF8String($i));
          |    }

@@ -43,7 +43,7 @@ object RankLimitRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * normalizes via NormalizeFloatingNumbers — merges, re-admitting
     * rows the dropped rn filter would have removed.
     */
-  private def containsFloat(t: org.apache.spark.sql.types.DataType): Boolean = {
+  private[graft] def containsFloat(t: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     t match {
       case DoubleType | FloatType => true
@@ -71,9 +71,19 @@ object RankLimitRewrite extends Rule[LogicalPlan] with PredicateHelper {
       } else {
         // if Spark's InferWindowGroupLimit already ran (when this rule is
         // registered late via experimental.extraOptimizations), its
-        // pruning node is subsumed by the top-k operator — strip it
+        // pruning node is subsumed by the top-k operator — strip it, but
+        // ONLY when it provably prunes less than (or exactly) what top-k
+        // keeps: same partition/order spec, row_number semantics, and a
+        // limit no tighter than ours. A mismatched node (different spec or
+        // stricter limit from some other predicate) must stay, else rows
+        // it pruned would be re-admitted.
+        def sameSpec(a: Seq[Expression], b: Seq[Expression]): Boolean =
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
         val source = child match {
-          case WindowGroupLimit(_, _, _, _, inner) => inner
+          case WindowGroupLimit(ps2, os2, RowNumber(), limit, inner)
+              if sameSpec(ps2, partSpec) && sameSpec(os2, orderSpec) &&
+                limit >= ks.min => inner
           case c => c
         }
         val topk = w.copy(child =

@@ -144,8 +144,51 @@ case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
+/** Final pass for the k=1, order-is-the-key special case (dedup by id):
+  * any row of a key group may survive, so no ordering requirement — a
+  * streaming hash filter replaces FinalTopKExec's (key)-sort entirely.
+  *
+  * Memory: the per-partition set holds one COPY OF THE KEY per distinct
+  * key (payload rows are never retained), i.e. O(distinct-keys/partition
+  * × key width) — the same asymptotics as Spark's hash aggregate, minus
+  * its spill path. For the unique-id dedup this backs, key width is one
+  * long or short string; size `spark.sql.shuffle.partitions` so
+  * distinct-ids/partition × key-width fits in executor memory (the same
+  * sizing rule any hash dedup at 100 TB needs).
+  */
+case class DistinctByKeyExec(keys: Seq[Expression], child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val seen = new java.util.HashSet[UnsafeRow]()
+      iter.filter { row =>
+        val kr = keyProj(row) // reused buffer — copy only on first sight
+        if (seen.contains(kr)) false
+        else { seen.add(kr.copy()); true }
+      }
+    }
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
 object TopKStrategy extends SparkStrategy {
+
+  /** k=1 with every order column itself a key column: all rows of a
+    * group compare equal, so "top-1" is "any one" — sort-free dedup.
+    */
+  private def isDistinctByKey(keys: Seq[Expression], order: Seq[SortOrder],
+      k: Int): Boolean =
+    k == 1 && order.forall(o => keys.exists(_.semanticEquals(o.child)))
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyLogical(keys, order, k, child) if isDistinctByKey(keys, order, k) =>
+      DistinctByKeyExec(keys,
+        PartialTopKExec(keys, order, k, planLater(child))) :: Nil
     case TopKPerKeyLogical(keys, order, k, child) =>
       FinalTopKExec(keys, order, k,
         PartialTopKExec(keys, order, k, planLater(child))) :: Nil
@@ -183,6 +226,18 @@ object TopK {
       child.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${child.output.map(_.name)}"))
     val keys = keyCols.map(attr)
+    // The partial map and the final streaming pass group by binary
+    // UnsafeRow key equality, which splits 0.0 vs -0.0 and distinct NaN
+    // bit patterns into separate groups — diverging from groupBy/window
+    // semantics, which normalize floats. RankLimitRewrite refuses float
+    // keys for the same reason; enforce it here too so the public API
+    // cannot silently produce non-normalized grouping.
+    keys.find(k => RankLimitRewrite.containsFloat(k.dataType)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"top-k per key does not support float/double key column ${k.name}: " +
+          "binary key grouping would split 0.0/-0.0 and NaN variants; " +
+          "cast the key to a non-floating type first")
+    }
     val order = orderSpec.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

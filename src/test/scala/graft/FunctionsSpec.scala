@@ -70,6 +70,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.map(v).toSeq === Seq(2, 2, 0, 0, 1, -99, 0))
   }
 
+  test("array_intersect_size projection stays inside WholeStageCodegen") {
+    // The kernel's doGenCode emits a raw java.util.HashSet because Janino's
+    // generics support is partial — a codegen compile failure would fall
+    // back to the interpreted path silently. This asserts the fallback did
+    // NOT happen: the projection prints as a codegen span ("*(n) Project").
+    GraftFunctions.register(spark)
+    // built on range (not a local Seq) so ConvertToLocalRelation cannot
+    // evaluate the projection at optimization time and erase the evidence
+    val df = spark.range(8).select(GraftFunctions.arrayIntersectSize(
+      array(concat(lit("k"), ($"id" % 2).cast("string")), lit("b")),
+      array(lit("k0"), lit("b"))).as("n"))
+    assert(df.collect().map(_.getInt(0)).sum === 12) // 4×2 + 4×1
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"array_intersect_size fell out of whole-stage codegen:\n$plan")
+  }
+
   test("multimodal decodeBatch is deterministic and batch-invariant") {
     val assets = (1L to 130L).map { i =>
       val bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")

@@ -61,6 +61,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"SortAggregate fallback in: $offenders")
   }
 
+  test("unique-id replay dedup never sorts (DistinctByKey fast path)") {
+    // dedup on a globally-unique id with k=1 takes the hash final pass:
+    // the old FinalTopKExec form forced a full (key)-sort of every
+    // surviving row even though any row per id may win
+    val p = plan("cdc_replay_dedup")
+    assert(p.contains("DistinctByKey"), p)
+    assert(!p.contains("Sort"), s"cdc_replay_dedup must be sort-free:\n$p")
+  }
+
   test("bucketed range join plans an equi hash join, not a nested loop") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

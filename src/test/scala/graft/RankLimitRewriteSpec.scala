@@ -72,6 +72,46 @@ class RankLimitRewriteSpec extends AnyFunSuite {
     assert(rows === Set(1L, 3L), rows.toString)
   }
 
+  test("WindowGroupLimit is stripped ONLY when spec matches and limit is not tighter") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, CurrentRow, Descending, LessThanOrEqual, Literal, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.types.IntegerType
+    import graft.plans.RankLimitRewrite
+
+    val k = AttributeReference("k", IntegerType)()
+    val v = AttributeReference("v", IntegerType)()
+    val rel = LocalRelation(k, v)
+    val part = Seq(k)
+    val ord = Seq(SortOrder(v, Descending))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(part, ord, frame)), "rn")()
+    def planWith(inner: LogicalPlan): LogicalPlan =
+      Filter(LessThanOrEqual(rn.toAttribute, Literal(3)),
+        LWindow(Seq(rn), part, ord, inner))
+    def wglAfter(p: LogicalPlan): Seq[WindowGroupLimit] =
+      RankLimitRewrite(p).collect { case w: WindowGroupLimit => w }
+    def rewrote(p: LogicalPlan): Boolean =
+      RankLimitRewrite(p).collect {
+        case t: graft.plans.TopKPerKeyLogical => t }.nonEmpty
+
+    // matching spec, same limit → safe to strip (subsumed by top-k)
+    val same = planWith(WindowGroupLimit(part, ord, RowNumber(), 3, rel))
+    assert(rewrote(same) && wglAfter(same).isEmpty)
+    // mismatched order spec → must be kept (it prunes a DIFFERENT set)
+    val flipped = planWith(
+      WindowGroupLimit(part, Seq(SortOrder(v, Ascending)), RowNumber(), 3, rel))
+    assert(rewrote(flipped) && wglAfter(flipped).nonEmpty,
+      "a WindowGroupLimit with a different spec must survive the rewrite")
+    // tighter limit (from some other predicate) → must be kept
+    val tighter = planWith(WindowGroupLimit(part, ord, RowNumber(), 2, rel))
+    assert(rewrote(tighter) && wglAfter(tighter).nonEmpty,
+      "a stricter WindowGroupLimit must survive — stripping it would re-admit rows")
+    // looser limit → safe to strip
+    val looser = planWith(WindowGroupLimit(part, ord, RowNumber(), 5, rel))
+    assert(rewrote(looser) && wglAfter(looser).isEmpty)
+  }
+
   test("non-top-k rank predicates are left alone") {
     TopK.installedWithRewrite(spark)
     val df = ranked.filter(col("rn") === 2) // 2nd-best only: not top-k

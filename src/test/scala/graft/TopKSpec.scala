@@ -43,6 +43,18 @@ class TopKSpec extends AnyFunSuite {
     assert(e.getMessage.contains("user_id"))
   }
 
+  test("float/double KEY columns are rejected (binary grouping splits 0.0/-0.0)") {
+    // ordering on a double is fine (comparison, not grouping); keying on
+    // one is not — the partial map and final group detection compare raw
+    // key bytes, so 0.0 vs -0.0 and NaN bit variants would split groups
+    // that groupBy/window semantics merge.
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(events, Seq("value"), Seq(("event_id", true)), 3)
+    }
+    assert(e.getMessage.contains("value"))
+    assert(e.getMessage.toLowerCase.contains("float"))
+  }
+
   test("property: TopK.perKey == window formulation on random logs") {
     // the operator now carries latest-state + dedup-by-id, so its
     // equivalence to the window form is checked over random shapes:

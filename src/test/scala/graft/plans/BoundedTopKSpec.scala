@@ -39,6 +39,24 @@ class BoundedTopKSpec extends AnyFunSuite {
       collect(direct).groupBy(_._1).view.mapValues(_.toSet).toMap)
   }
 
+  test("dedup-by-id (k=1, order==key) plans the sort-free DistinctByKey final") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (1L, "a2"), (3L, "c"), (2L, "b2"))
+      .toDF("id", "payload").repartition(3)
+    val deduped = TopK.perKey(df, Seq("id"), Seq(("id", false)), 1)
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("DistinctByKey"), plan)
+    assert(!plan.contains("FinalTopK"), plan)
+    assert(!plan.contains("Sort"),
+      s"unique-id dedup must not sort anything:\n$plan")
+    val ids = deduped.collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // exactly one survivor per id
+    // ...and the general k>1 path is untouched
+    val general = TopK.perKey(df, Seq("id"), Seq(("payload", true)), 1)
+    assert(general.queryExecution.executedPlan.toString.contains("FinalTopK"))
+  }
+
   test("tiny flush threshold emits bounded chunks, not the whole input") {
     // clustered key arrival (the common case after a scan of key-sorted
     // data): each chunk fully reduces its flushKeys keys before a new
