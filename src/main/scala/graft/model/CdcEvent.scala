@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   * reference; typed analytic queries project out of it with `from_json` /
   * casts at the boundary.
   */
+/** Per-column catalog metadata of a snapshot event, captured by the
+  * reference from the wire FieldDescriptions (replicator.go:114-126):
+  * column name, data-type OID, type modifier, wire format. The reference
+  * EMITS this on every snapshot event but its consumer silently drops it
+  * (es_consumer/main.go:19-26 decodes only the stream shape); we carry
+  * it so a consumer can recover declared types — the ES-mapping-
+  * inference use case — without a catalog lookup.
+  */
+case class ColumnMeta(name: String, typeOid: Int, typeMod: Int, format: Int)
+
 case class CdcEvent(
     op: String,            // snapshot | insert | update | delete | truncate
     schemaName: String,
@@ -30,11 +40,21 @@ case class CdcEvent(
     key: String,           // "schema.table:pk" — Kafka message key analog
     before: Map[String, String], // pre-image (update/delete); empty otherwise
     after: Map[String, String],  // post-image (snapshot/insert/update); empty for delete
-    txnId: Long            // reference logs Begin/Commit Xid but drops it (replicator.go:323-331)
+    txnId: Long,           // reference logs Begin/Commit Xid but drops it (replicator.go:323-331)
+    columns: Seq[ColumnMeta] // snapshot-op column catalog (replicator.go:138-145); null for stream events
 )
 
 object CdcEvent {
   val ops: Seq[String] = Seq("snapshot", "insert", "update", "delete", "truncate")
+
+  val columnMetaSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("typeOid", IntegerType, nullable = false),
+    StructField("typeMod", IntegerType, nullable = false),
+    StructField("format", IntegerType, nullable = false)
+  ))
+
+  val columnsType: ArrayType = ArrayType(columnMetaSchema, containsNull = false)
 
   /** Fixed envelope schema for untyped (DataFrame / from_json) use. */
   val envelopeSchema: StructType = StructType(Seq(
@@ -46,6 +66,18 @@ object CdcEvent {
     StructField("key", StringType, nullable = false),
     StructField("before", MapType(StringType, StringType), nullable = true),
     StructField("after", MapType(StringType, StringType), nullable = true),
-    StructField("txnId", LongType, nullable = false)
+    StructField("txnId", LongType, nullable = false),
+    StructField("columns", columnsType, nullable = true)
   ))
+
+  /** The users-table catalog a snapshot of the test corpus carries.
+    * OIDs are the standard PostgreSQL pg_type ids (int8=20, float8=701,
+    * text=25); typeMod -1 = no modifier, format 0 = text wire format —
+    * the values the reference's snapshot query reports for these types.
+    */
+  val usersCatalog: Seq[ColumnMeta] = Seq(
+    ColumnMeta("user_id", 20, -1, 0),
+    ColumnMeta("value", 701, -1, 0),
+    ColumnMeta("k", 25, -1, 0)
+  )
 }

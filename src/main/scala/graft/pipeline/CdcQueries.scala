@@ -99,6 +99,45 @@ object CdcQueries {
         .select(col("lsn"), col("op"), col("key"), col("txnId"))
     }),
 
+    // K1 wire loop closed end-to-end: envelope → Kafka message shape
+    // (key/value BINARY columns, producer.go:35-42) → consumer-side parse
+    // (es_consumer/main.go:44-75) → latest-state materialization. The
+    // oracle computes latest-state directly from the source table, so a
+    // pass proves the produce→consume round trip is the identity on the
+    // pipeline's semantics, not just on individual fields.
+    "cdc_kafka_wire" -> ((s, d) => {
+      val env = Envelope.toCdcEvents(Tables.events(s, d))
+      val parsed = Envelope.fromKafkaMessages(Envelope.toKafkaMessages(env))
+      ChangeLog.latestState(parsed.toDF(), Seq("key"), "lsn")
+        .select(col("key"), col("lsn"), col("op"),
+          element_at(col("after"), "value").cast("double").as("after_value"),
+          element_at(col("after"), "k").as("after_k"))
+    }),
+
+    // Snapshot column-catalog metadata put to work: each snapshot event
+    // carries the per-column {name, typeOid, typeMod, format} catalog the
+    // reference captures from wire FieldDescriptions (replicator.go:114-126)
+    // and its consumer then drops. Here the OID DRIVES the typed
+    // projection of the string-erased payload — each value lands in the
+    // typed column its declared type dictates, the way the reference's
+    // ES mapping inference would type an index.
+    "cdc_snapshot_catalog" -> ((s, d) => {
+      Envelope.snapshotEvents(Tables.events(s, d), fenceLsn = 2000L).toDF()
+        .select(col("lsn"), explode(col("columns")).as("c"), col("after"))
+        .select(
+          col("lsn"),
+          col("c.name").as("col_name"),
+          col("c.typeOid").as("type_oid"),
+          col("c.typeMod").as("type_mod"),
+          col("c.format").as("fmt"),
+          when(col("c.typeOid") === 20,
+            element_at(col("after"), col("c.name")).cast("long")).as("val_bigint"),
+          when(col("c.typeOid") === 701,
+            element_at(col("after"), col("c.name")).cast("double")).as("val_double"),
+          when(col("c.typeOid") === 25,
+            element_at(col("after"), col("c.name"))).as("val_text"))
+    }),
+
     // §2.6 TRUNCATE done right: the reference only logs truncate
     // messages (replicator.go:409-411). Semantics: a truncate at LSN F
     // clears ALL state; keys exist afterwards only if re-created by
@@ -164,6 +203,24 @@ object CdcQueries {
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
          |  event_id // 100 AS txnId
          |FROM events""".stripMargin,
+    "cdc_kafka_wire" ->
+      s"""WITH l AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |SELECT 'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  event_id AS lsn, $opSql AS op,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS after_value,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE json_extract_string(props, '$$.k') END AS after_k
+         |FROM l WHERE rn = 1""".stripMargin,
+    "cdc_snapshot_catalog" ->
+      """WITH snap AS (SELECT * FROM events WHERE event_id <= 2000),
+        |cols(name, type_oid, type_mod, fmt) AS (
+        |  VALUES ('user_id', 20, -1, 0), ('value', 701, -1, 0), ('k', 25, -1, 0))
+        |SELECT s.event_id AS lsn, c.name AS col_name, c.type_oid, c.type_mod, c.fmt,
+        |  CASE WHEN c.type_oid = 20 THEN CAST(s.user_id AS BIGINT) END AS val_bigint,
+        |  CASE WHEN c.type_oid = 701 THEN s.value END AS val_double,
+        |  CASE WHEN c.type_oid = 25 THEN json_extract_string(s.props, '$.k') END AS val_text
+        |FROM snap s CROSS JOIN cols c""".stripMargin,
     "cdc_truncate_reset" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

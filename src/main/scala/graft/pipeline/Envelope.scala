@@ -55,8 +55,66 @@ object Envelope {
           .otherwise(coalesce(col("before_img"), emptyMap)).as("before"),
         when(col("op") === "delete", emptyMap)
           .otherwise(col("after_img")).as("after"),
-        (col("event_id") / 100).cast("long").as("txnId"))
+        (col("event_id") / 100).cast("long").as("txnId"),
+        // stream events carry no catalog — the reference only captures
+        // FieldDescriptions during the snapshot SELECT (replicator.go:114-126);
+        // pgoutput stream tuples identify columns by relation registry
+        lit(null).cast(CdcEvent.columnsType).as("columns"))
       .as[CdcEvent]
+  }
+
+  /** Snapshot events (reference replicator.go:69-184): one event per row
+    * visible at the fence, op="snapshot", payload in `after`, and the
+    * per-column catalog `{name, typeOid, typeMod, format}` attached —
+    * the field the reference emits (replicator.go:138-145) but its
+    * consumer drops. Carrying it lets a downstream consumer type the
+    * string-erased payload without any out-of-band catalog access.
+    */
+  def snapshotEvents(events: DataFrame, fenceLsn: Long): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val afterImage = map(
+      lit("user_id"), col("user_id").cast("string"),
+      lit("value"), col("value").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    events.filter(col("event_id") <= fenceLsn)
+      .select(
+        lit("snapshot").as("op"),
+        lit("public").as("schemaName"),
+        lit("users").as("tableName"),
+        col("event_id").as("lsn"),
+        col("ts"),
+        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
+        typedLit(Map.empty[String, String]).as("before"),
+        afterImage.as("after"),
+        (col("event_id") / 100).cast("long").as("txnId"),
+        typedLit(CdcEvent.usersCatalog).as("columns"))
+      .as[CdcEvent]
+  }
+
+  /** K1 wire shape (producer.go:35-42): one Kafka message per event —
+    * `key` = the partitioning key bytes ("schema.table:pk",
+    * replicator.go:374-379), `value` = the JSON envelope bytes. This is
+    * byte-for-byte the two-column relation a `spark.read.format("kafka")`
+    * batch read delivers, so everything downstream of [[fromKafkaMessages]]
+    * works unchanged against a real broker.
+    */
+  def toKafkaMessages(events: Dataset[CdcEvent]): DataFrame =
+    events.select(
+      col("key").cast("binary").as("key"),
+      to_json(struct(events.columns.map(col): _*)).cast("binary").as("value"))
+
+  /** Consumer side (es_consumer/main.go:44-75): decode the message value
+    * back into the envelope. Corrupt values become null rows (D10 done
+    * right), and the Kafka message key is deliberately IGNORED — the
+    * envelope's own `key` field is authoritative, so a mis-keyed producer
+    * cannot corrupt downstream state.
+    */
+  def fromKafkaMessages(msgs: DataFrame): Dataset[CdcEvent] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs.select(from_json(col("value").cast("string"), CdcEvent.envelopeSchema).as("ev"))
+      .select("ev.*").as[CdcEvent]
   }
 
   /** D9/D10: envelope → JSON wire format → back. The reference marshals

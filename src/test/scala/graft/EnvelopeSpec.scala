@@ -38,6 +38,54 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("snapshot events carry the column catalog; stream events carry null") {
+    import graft.model.{CdcEvent, ColumnMeta}
+    val snaps = Envelope.snapshotEvents(eventsDf, fenceLsn = 2L)
+      .collect().sortBy(_.lsn)
+    assert(snaps.length === 2)
+    assert(snaps.forall(_.op == "snapshot"))
+    // the catalog the reference captures from FieldDescriptions
+    // (replicator.go:114-126): names + PostgreSQL type OIDs + mod + format
+    snaps.foreach { e =>
+      assert(e.columns === CdcEvent.usersCatalog)
+      assert(e.columns.map(_.name) === Seq("user_id", "value", "k"))
+      assert(e.columns.find(_.name == "value").get ===
+        ColumnMeta("value", 701, -1, 0)) // float8
+    }
+    // snapshot payload rides in `after` like any insert — ONE envelope
+    // shape (the reference's values/data asymmetry is the bug we fixed)
+    assert(snaps(0).after("value") === "1.0" && snaps(0).before === Map.empty)
+    // stream events have no catalog (pgoutput identifies columns via the
+    // relation registry, not per-message descriptors)
+    val stream = Envelope.toCdcEvents(eventsDf).collect()
+    assert(stream.forall(_.columns == null))
+    // ...and the catalog survives the JSON wire round trip
+    val rt = Envelope.jsonRoundTrip(Envelope.snapshotEvents(eventsDf, 2L))
+    val rtCols = rt.select($"columns").collect()
+    assert(rtCols.length === 2)
+    assert(rtCols.forall(r => r.getSeq[org.apache.spark.sql.Row](0).length == 3))
+  }
+
+  test("Kafka message shape: binary key/value, consume == direct pipeline") {
+    val env = Envelope.toCdcEvents(eventsDf)
+    val wire = Envelope.toKafkaMessages(env)
+    // exactly the two-column relation a Kafka batch read delivers
+    assert(wire.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("key", "binary"), ("value", "binary")))
+    val keys = wire.select($"key".cast("string")).as[String].collect()
+    assert(keys.forall(_ == "public.users:7")) // producer.go:374-379 key shape
+    // produce → consume is the identity on the envelope
+    val back = Envelope.fromKafkaMessages(wire)
+    assert(back.select($"lsn", $"op", $"key", $"txnId").collect().toSet ===
+      env.select($"lsn", $"op", $"key", $"txnId").collect().toSet)
+    // ...and on the derived latest-state semantics
+    val direct = ChangeLog.latestState(env.toDF(), Seq("key"), "lsn")
+      .select($"lsn", $"op").collect().toSet
+    val viaWire = ChangeLog.latestState(back.toDF(), Seq("key"), "lsn")
+      .select($"lsn", $"op").collect().toSet
+    assert(direct === viaWire && direct.nonEmpty)
+  }
+
   test("corrupt wire records become nulls, not silently-committed skips") {
     // reference behavior D10: bad JSON is committed+skipped silently
     // (es_consumer/main.go:66-71); ours surfaces it as a null row that a
