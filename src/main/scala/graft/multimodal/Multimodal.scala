@@ -46,24 +46,87 @@ object Multimodal {
       md5(col("text")).as("checksum"),
       col("text").cast("binary").as("payload"))
 
-  // ======================== STUB DECODER ========================
-  // Deterministic fake decode: derives shape + byte-histogram features
-  // from the payload bytes. A real deployment replaces the body with an
-  // actual codec (javax.imageio / ffmpeg bindings); the signature — a
-  // BATCH of assets in, features out — is the contract that matters for
-  // Spark: batch-at-a-time amortizes codec init per partition.
+  /** Deterministic synthetic PNG per document: dimensions and the solid
+    * fill color are pure functions of doc_id, so the oracle can PREDICT
+    * them arithmetically while the engine must actually DECODE the PNG
+    * bytes to recover them — a real round-trip check on the codec path.
+    * Generated executor-side in mapPartitions; bytes never touch the
+    * driver.
+    */
+  def imageAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 48 + 16).toInt
+        val h = (id % 29 + 16).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        MediaAsset(id, "image", bytes.length.toLong,
+          md.map("%02x".format(_)).mkString, bytes)
+      }
+    }
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
+  // ===================== DECODER (real + stub) ====================
+  // PNG/BMP payloads take a REAL decode through javax.imageio (ships
+  // with the JDK — no new deps): width/height/channels come from the
+  // decoded raster and the histogram from actual pixel values. Other
+  // media types (audio/video — no codec libs in this container) keep the
+  // deterministic fake, clearly stubbed; swapping in ffmpeg-style
+  // bindings changes only that branch. The signature — a BATCH of assets
+  // in, features out — is the contract that matters for Spark:
+  // batch-at-a-time amortizes codec init per partition.
   // ==============================================================
   def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
     batch.map { a =>
-      val n = a.n_bytes
-      val hist = new Array[Double](8)
-      a.payload.foreach(b => hist(((b & 0xff) >> 5)) += 1.0)
-      val total = math.max(1.0, a.payload.length.toDouble)
-      MediaFeatures(a.doc_id, a.media_type, n,
-        width = (n % 64).toInt + 1,
-        height = (n % 37).toInt + 1,
-        channels = 3,
-        histogram = hist.map(_ / total))
+      val img =
+        if (isPng(a.payload) || isBmp(a.payload))
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        else null
+      if (img != null) {
+        // real decode: histogram of the red channel over all pixels
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            hist(((img.getRGB(x, y) >> 16) & 0xff) >> 5) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(a.doc_id, a.media_type, a.n_bytes, w, h,
+          channels = img.getColorModel.getNumComponents,
+          histogram = hist.map(_ / (w.toLong * h)))
+      } else {
+        val n = a.n_bytes
+        val hist = new Array[Double](8)
+        a.payload.foreach(b => hist(((b & 0xff) >> 5)) += 1.0)
+        val total = math.max(1.0, a.payload.length.toDouble)
+        MediaFeatures(a.doc_id, a.media_type, n,
+          width = (n % 64).toInt + 1,
+          height = (n % 37).toInt + 1,
+          channels = 3,
+          histogram = hist.map(_ / total))
+      }
     }
 
   /** Batched decode over partitions: groups each partition's rows into
@@ -115,6 +178,20 @@ object Multimodal {
           col("width"), col("height"), col("channels"))
     }),
 
+    // REAL codec round trip: synthesize a deterministic solid-color PNG
+    // per doc (dims + color are functions of doc_id), then decode it
+    // with javax.imageio. The oracle predicts width/height/channels and
+    // the histogram's solid bucket arithmetically — the engine can only
+    // match by actually decoding the bytes (header AND pixels).
+    "multimodal_decode_png" -> ((s, d) => {
+      import s.implicits._
+      decodeFeatures(imageAssets(s, d))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          // solid color ⇒ every pixel lands in ONE bucket with weight
+          // exactly 1.0; its 1-based index encodes the red channel >> 5
+          array_position(col("histogram"), 1.0).as("solid_bucket"))
+    }),
+
     // Resize/thumbnail: batched decode→transform chain; the stub's
     // features are SQL-expressible so the result is fully oracle-checked
     // (thumb hash = md5 of the boxed byte window).
@@ -148,6 +225,13 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 37 + 1 AS INT) AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+    "multimodal_decode_png" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 48 + 16 AS INT) AS width,
+        |  CAST(doc_id % 29 + 16 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST((doc_id % 256) // 32 + 1 AS BIGINT) AS solid_bucket
         |FROM documents""".stripMargin,
     "multimodal_resize" ->
       s"""WITH t AS (SELECT doc_id, text,

