@@ -242,6 +242,36 @@ object RelationalExt {
           sum(col("from_old_schema")).cast("long").as("n_missing_props"))
     }),
 
+    // Schema drift beyond missing columns: three epochs of the same
+    // table — legacy files with a NARROW int key and no props, a widened
+    // long-key epoch, and an epoch that ADDED a nested meta struct —
+    // unioned by name with explicit int→long widening (the migration
+    // path SchemaEvolutionSpec proves mergeSchema refuses to take).
+    // Legacy rows surface null props; pre-meta rows surface null meta;
+    // the nested field aggregates through the null structs correctly.
+    "cdc_schema_evolution_widen" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v0 = e.filter(col("event_id") % 3 === 0) // legacy: int key, no props
+        .select(col("event_id"), col("user_id").cast("int").as("user_id"),
+          col("value"))
+      val v1 = e.filter(col("event_id") % 3 === 1) // widened key + props
+        .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      val v2 = e.filter(col("event_id") % 3 === 2) // + nested meta struct
+        .select(col("event_id"), col("user_id"), col("value"), col("props"),
+          struct(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            lit("v2").as("source")).as("meta"))
+      v0.withColumn("user_id", col("user_id").cast("long")) // explicit widen
+        .unionByName(v1, allowMissingColumns = true)
+        .unionByName(v2, allowMissingColumns = true)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNull && col("event_id") % 3 === 0, 1)
+            .otherwise(0)).cast("long").as("n_legacy"),
+          sum(when(col("meta").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_meta"),
+          max(col("meta.k")).as("max_meta_k"))
+    }),
+
     // Pattern-matching filters: LIKE, NOT LIKE, and anchored regexp.
     "scalar_like" -> ((s, d) => {
       Tables.part(s, d)
@@ -413,6 +443,13 @@ object RelationalExt {
     "cdc_schema_evolution" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props
+        |FROM events GROUP BY user_id""".stripMargin,
+    "cdc_schema_evolution_widen" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+        |  MAX(CASE WHEN event_id % 3 = 2
+        |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS max_meta_k
         |FROM events GROUP BY user_id""".stripMargin,
     "scalar_like" ->
       """SELECT p_partkey, p_name, p_type FROM part

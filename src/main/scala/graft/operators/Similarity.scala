@@ -80,31 +80,44 @@ object Similarity {
     * definition of coarse quantization, so this is O(centroids), not
     * O(data); the rebuilt table is broadcast right back.
     */
+  /** Refined centroids are deterministic per (session, dir), and both
+    * IVF queries (plus the recall query, twice) construct them — memoize
+    * the k·d collected values so the Lloyd passes run once per session.
+    * Entries are O(centroids · dim) doubles; keyed by session identity
+    * so a stopped session's entry can never leak a stale plan.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(Long, Seq[Double])]]
+
   private def centroidsDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.plans.TopK.installedWithRewrite(s)
-    val corpus = corpusDf(s, d)
-    var cents = emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    for (_ <- 1 to REFINE_ITERS) {
-      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = corpus.join(broadcast(cents))
-        .withColumn("ccos", cos(col("e"), col("ce")))
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") === 1)
-        .select(col("cent_id"), col("e"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "val")))
-        .groupBy("cent_id", "dim")
-        .agg((sum(col("val").cast("decimal(38,18)")).cast("double") /
-          count(lit(1)).cast("double")).as("mval"))
-        .collect()
-      val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }
-      cents = rebuilt.toDF("cent_id", "ce")
-    }
-    cents
+    val cached = centroidCache.getOrElseUpdate(
+      (System.identityHashCode(s), d), {
+        graft.plans.TopK.installedWithRewrite(s)
+        val corpus = corpusDf(s, d)
+        var cents = emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        for (_ <- 1 to REFINE_ITERS) {
+          val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+          val assigned = corpus.join(broadcast(cents))
+            .withColumn("ccos", cos(col("e"), col("ce")))
+            .withColumn("arn", row_number().over(wA))
+            .filter(col("arn") === 1)
+            .select(col("cent_id"), col("e"))
+          val means = assigned
+            .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "val")))
+            .groupBy("cent_id", "dim")
+            .agg((sum(col("val").cast("decimal(38,18)")).cast("double") /
+              count(lit(1)).cast("double")).as("mval"))
+            .collect()
+          val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+          cents = rebuilt.toDF("cent_id", "ce")
+        }
+        cents.as[(Long, Seq[Double])].collect().toSeq
+      })
+    cached.toDF("cent_id", "ce")
   }
 
   private def topK(scored: DataFrame): DataFrame = {
