@@ -144,7 +144,12 @@ object TextAnalysis {
       graft.plans.TopK.installedWithRewrite(s)
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val n = docs.count() // scalar N, same as the oracle's subquery
+      // scalar N (the oracle's COUNT(*) subquery) joined in as a
+      // single-row broadcast on a constant key — a BroadcastHashJoin,
+      // not a nested loop, and plan CONSTRUCTION stays lazy (a
+      // docs.count() here would run a driver job before the query is
+      // even executed)
+      val nDf = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
       // exploded postings feed BOTH tf and df → persist one copy
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
         .transform(graft.CachePool.persist)
@@ -155,8 +160,11 @@ object TextAnalysis {
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(dfreq), "term")
+        .withColumn("__k", lit(1))
+        .join(broadcast(nDf), "__k")
         .withColumn("tfidf",
-          col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+          col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))

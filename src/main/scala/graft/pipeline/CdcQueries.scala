@@ -99,6 +99,36 @@ object CdcQueries {
         .select(col("lsn"), col("op"), col("key"), col("txnId"))
     }),
 
+    // S4 analog put to work: the envelope demuxed to per-kind tables
+    // (the reference's index router, D12), then filtered by a
+    // publication that subscribes to a strict SUBSET — unpublished
+    // tables' changes never reach the subscriber. Per-table/op progress
+    // counts + LSN range, oracle-checked.
+    "cdc_publication_routing" -> ((s, d) => {
+      val routed = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+        // route lifecycle ops to "users", activity ops to "activity" —
+        // the cdc_<schema>_<table> demux of es_consumer/main.go:66-75
+        .withColumn("tableName",
+          when(col("op").isin("insert", "delete"), "users").otherwise("activity"))
+      Publication.feed(routed, Publication.Spec("pub_users", Seq("public.users")))
+        .groupBy("tableName", "op")
+        .agg(count(lit(1)).as("n"),
+          min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
+    }),
+
+    // K3 analog's payload: the per-transaction replication-progress
+    // report the structured log sink records (rows, LSN range, deletes)
+    // — computed from the changelog itself so it is fully deterministic
+    // and oracle-checked; LogSinkSpec covers the durable append.
+    "cdc_replication_log" -> ((s, d) => {
+      Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+        .groupBy("txnId")
+        .agg(count(lit(1)).as("n_events"),
+          min("lsn").as("first_lsn"), max("lsn").as("last_lsn"),
+          sum(when(col("op") === "delete", 1).otherwise(0)).cast("long")
+            .as("n_deletes"))
+    }),
+
     // K1 wire loop closed end-to-end: envelope → Kafka message shape
     // (key/value BINARY columns, producer.go:35-42) → consumer-side parse
     // (es_consumer/main.go:44-75) → latest-state materialization. The
@@ -203,6 +233,17 @@ object CdcQueries {
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
          |  event_id // 100 AS txnId
          |FROM events""".stripMargin,
+    "cdc_publication_routing" ->
+      s"""SELECT 'users' AS tableName,
+         |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'delete' END AS op,
+         |  COUNT(*) AS n, MIN(event_id) AS min_lsn, MAX(event_id) AS max_lsn
+         |FROM events WHERE event_type IN ('signup', 'error')
+         |GROUP BY 2""".stripMargin,
+    "cdc_replication_log" ->
+      s"""SELECT event_id // 100 AS txnId, COUNT(*) AS n_events,
+         |  MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+         |FROM events GROUP BY 1""".stripMargin,
     "cdc_kafka_wire" ->
       s"""WITH l AS (
          |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

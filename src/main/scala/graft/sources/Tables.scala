@@ -51,4 +51,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Name-keyed lookup through the TYPED loaders (events needs its nanos
+    * handling even when resolved dynamically); unknown names fail fast
+    * with the catalog listed.
+    */
+  def byName(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "region" => region(s, d)
+    case "nation" => nation(s, d)
+    case "customer" => customer(s, d)
+    case "supplier" => supplier(s, d)
+    case "part" => part(s, d)
+    case "orders" => orders(s, d)
+    case "lineitem" => lineitem(s, d)
+    case "events" | "users" => events(s, d) // "users" = the CDC table's role name
+    case "documents" => documents(s, d)
+    case "embeddings" => embeddings(s, d)
+    case other => throw new IllegalArgumentException(
+      s"unknown table $other; available: region nation customer supplier " +
+        "part orders lineitem events users documents embeddings")
+  }
 }

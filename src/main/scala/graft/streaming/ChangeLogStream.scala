@@ -206,4 +206,18 @@ object ChangeLogStream {
     }
     if (fs.exists(backup)) fs.delete(backup, true)
   }
+
+  /** [[upsertBatch]] with the K3 log tee: one structured progress record
+    * (rows, LSN range) appended to the durable log table per committed
+    * micro-batch — what the reference's replicator logs into SQLite on
+    * every message + checkpoint cycle (logger.go:56-73). The record is
+    * appended AFTER the upsert commit so the log never claims progress
+    * the state table lost.
+    */
+  def loggedUpsertBatch(tableDir: String, logDir: String, keyCols: Seq[String],
+      versionCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    upsertBatch(tableDir, keyCols, versionCol)(batch, batchId)
+    graft.ops.LogSink.append(batch.sparkSession, logDir,
+      Seq(graft.ops.LogSink.progressRecord(batch, batchId, versionCol, "upsert-sink")))
+  }
 }

@@ -21,7 +21,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_embedding_cosine", // documented brute-force baseline
     "dedup_simhash_pairs",  // 16-bit fingerprint pair scan
     "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan
-    "join_cross_dims"       // explicit CROSS JOIN of two ≤25-row dims
+    "join_cross_dims",      // explicit CROSS JOIN of two ≤25-row dims
+    "text_tfidf"            // scalar-N subquery: the constant-key join to the
+                            // 1-row COUNT(*) aggregate constant-folds into a
+                            // single-row broadcast — the same physical shape
+                            // Spark gives ScalarSubquery, bounded by design
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
