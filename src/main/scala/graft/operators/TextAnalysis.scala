@@ -20,6 +20,8 @@ object TextAnalysis {
 
   private val STOPWORDS = Seq("a", "the", "of", "and")
   private val TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val PACK_CTX = 512  // tokens per packed training window
+  private val PACK_SHARDS = 8 // independent packing shards
 
   // char-bigram profiles per language (top bigrams of each language's
   // typical text; literal so the oracle is the identical algorithm)
@@ -209,6 +211,44 @@ object TextAnalysis {
           sum(sampled).cast("long").as("n_sampled"))
     }),
 
+    // Sequence packing: greedy contiguous packing of documents into
+    // fixed CTX-token training windows, PER SHARD — the prefix-sum form
+    // that scales. Within a shard, a running token total assigns each
+    // doc to bin (tokens-before DIV CTX); shards are independent, so
+    // the window shuffles one shard per task instead of coalescing the
+    // corpus onto one partition (the global-ORDER-BY prefix sum that
+    // kills naive packing at scale). Integer arithmetic throughout —
+    // bin boundaries are exact on both engines.
+    "text_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsPar(s, d)
+        .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr(s"CAST((cum - n_tokens) DIV $PACK_CTX AS BIGINT)"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // Deterministic train/val/test split: md5 bucket of the salted doc
+    // id (the text_sample_hash idiom) cut at ~90/5/5. Membership is a
+    // pure function of the id, so re-runs, backfills and joins against
+    // eval sets land every document in the same split forever — the
+    // property a random() split silently lacks.
+    "text_train_split" -> ((s, d) => {
+      val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4)
+      val split = when(h < "e666", "train").when(h < "f333", "val").otherwise("test")
+      docsPar(s, d)
+        .select(col("lang"), split.as("split"), size(toks).cast("long").as("n_tokens"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"))
+    }),
+
     // End-to-end curation composite: exact-dedup canonicals ∩ quality
     // floor ∩ length floor → per-language corpus stats. The whole
     // LLM-data funnel as one declarative plan (two shuffles: fp window,
@@ -249,6 +289,28 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT shard, (cum - n_tokens) // $PACK_CTX AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "text_train_split" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY lang, split""".stripMargin,
     "text_curation_pipeline" ->
       s"""WITH canon AS (
          |  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
