@@ -152,7 +152,10 @@ object Similarity {
       val scored = corpusDf(s, d)
         .join(broadcast(queriesDf(s, d)))
         .withColumn("cosine", cos(col("qe"), col("e")))
-      topK(scored)
+      // k×queries rows — persisting the ANSWER (not the scan) lets the
+      // recall query and the standalone query share one scoring pass
+      // via CacheManager's analyzed-plan match
+      topK(scored).transform(graft.CachePool.persist)
     }),
 
     "ann_ivf_topk" -> ((s, d) => {
@@ -183,7 +186,7 @@ object Similarity {
         .select(col("q_id"), col("qe"), col("cent_id"))
       val scored = probe.join(assign, "cent_id")
         .withColumn("cosine", cos(col("qe"), col("e")))
-      topK(scored)
+      topK(scored).transform(graft.CachePool.persist) // shared with recall
     }),
 
     "ann_lsh_bucket" -> ((s, d) => {

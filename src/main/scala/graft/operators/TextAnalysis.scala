@@ -223,7 +223,10 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docsPar(s, d)
+      // raw scan, not docsPar: the shard exchange right below IS the
+      // parallelism (docsPar's doc_id repartition would just add a
+      // second, immediately-discarded shuffle)
+      Tables.documents(s, d)
         .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
           size(toks).cast("long").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))

@@ -70,6 +70,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort"), s"cdc_replay_dedup must be sort-free:\n$p")
   }
 
+  test("sequence packing shuffles ONCE: shard partitioning serves window AND agg") {
+    // the per-shard prefix-sum window hashes on shard; the (shard, bin)
+    // aggregation's required clustering is satisfied by that same
+    // partitioning (shard ⊆ grouping keys), so no second exchange
+    val p = plan("text_pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global prefix sum would coalesce the corpus to one partition:\n$p")
+  }
+
+  test("kafka wire round trip keeps the pruned top-k latest-state shape") {
+    // consuming from the (key, value) wire relation must not degrade the
+    // latest-state plan: partial top-k prunes map-side before the
+    // exchange. (A Window IS present — the envelope's lag-derived
+    // before-image — but latest-state itself must not plan row_number.)
+    val p = plan("cdc_kafka_wire")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("bucketed range join plans an equi hash join, not a nested loop") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
