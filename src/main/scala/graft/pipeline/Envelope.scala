@@ -92,6 +92,40 @@ object Envelope {
       .as[CdcEvent]
   }
 
+  /** Streaming-safe envelope: [[toCdcEvents]] minus the lag-derived
+    * before-image — the lag window needs each key's full history, which
+    * a stream cannot see without keyed state (and the reference never
+    * emits before-images at all, replicator.go:387-396, so the wire
+    * contract loses nothing). Batch consumers who want before-images use
+    * [[toCdcEvents]].
+    */
+  def toCdcEventsStreaming(events: DataFrame): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val emptyMap = typedLit(Map.empty[String, String])
+    val afterImage = map(
+      lit("user_id"), col("user_id").cast("string"),
+      lit("value"), col("value").cast("string"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    events
+      .withColumn("op",
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update"))
+      .select(
+        col("op"),
+        lit("public").as("schemaName"),
+        lit("users").as("tableName"),
+        col("event_id").as("lsn"),
+        col("ts"),
+        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
+        emptyMap.as("before"),
+        when(col("op") === "delete", emptyMap).otherwise(afterImage).as("after"),
+        (col("event_id") / 100).cast("long").as("txnId"),
+        lit(null).cast(CdcEvent.columnsType).as("columns"))
+      .as[CdcEvent]
+  }
+
   /** K1 wire shape (producer.go:35-42): one Kafka message per event —
     * `key` = the partitioning key bytes ("schema.table:pk",
     * replicator.go:374-379), `value` = the JSON envelope bytes. This is

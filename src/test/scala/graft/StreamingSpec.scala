@@ -321,6 +321,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState === Set((1L, 2L, 6.0), (2L, 4L, 9.0)))
   }
 
+  test("end-to-end dataflow: stream → wire → publication → logged upsert == batch") {
+    // the whole reference pipeline in one streaming query: raw change
+    // stream → envelope → Kafka message bytes → consumer-side parse →
+    // publication filter (only the users table is subscribed) → logged
+    // idempotent upsert. The materialized state must equal the batch
+    // computation over the same (published) events, and the log must
+    // hold one progress record per microbatch.
+    import graft.pipeline.{Envelope, Publication}
+    import org.apache.spark.sql.functions.{col, when}
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val table = s"$base/state"
+    val logs = s"$base/logs"
+    val pub = Publication.Spec("pub_users", Seq("public.users"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val env = Envelope.toCdcEventsStreaming(batch)
+        // demux lifecycle ops to "users", activity to "activity" (D12)
+        val routed = env.toDF()
+          .withColumn("tableName",
+            when(col("op").isin("insert", "delete"), "users")
+              .otherwise("activity"))
+          .as[graft.model.CdcEvent]
+        val parsed = Envelope.fromKafkaMessages(Envelope.toKafkaMessages(routed))
+        ChangeLogStream.loggedUpsertBatch(table, logs, Seq("key"), "lsn")(
+          Publication.feed(parsed.toDF(), pub), id)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      in.addData(ev(1, 1, 1, "signup", 5.0), ev(2, 2, 1, "click", 6.0),
+        ev(3, 3, 2, "signup", 7.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 4, 2, "error"), ev(5, 5, 3, "signup", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // published subset = users table = insert/delete ops only; latest
+    // per key: u1→lsn1 insert (click went to the unsubscribed table),
+    // u2→lsn4 delete, u3→lsn5 insert
+    val state = spark.read.parquet(table)
+      .select($"key", $"lsn", $"op").as[(String, Long, String)]
+      .collect().toSet
+    assert(state === Set(
+      ("public.users:1", 1L, "insert"),
+      ("public.users:2", 4L, "delete"),
+      ("public.users:3", 5L, "insert")))
+    // one log record per microbatch, counting only PUBLISHED rows
+    val log = graft.ops.LogSink.read(spark, logs).collect().sortBy(_.batchId)
+    assert(log.map(r => (r.nRows, r.firstLsn, r.lastLsn)).toSeq ===
+      Seq((2L, 1L, 3L), (2L, 4L, 5L)))
+  }
+
   test("maxFilesPerTrigger bounds each microbatch (C2 poll-loop analog)") {
     // the reference polls with a 5 s receive timeout (C2); the file
     // source's per-trigger cap is the backpressure knob that keeps one
