@@ -34,7 +34,11 @@ object Bench {
     // Tail-of-alphabet queries that looked slow in a co-tenant-loaded
     // round-2 bench window: keep them in the driver-visible subset so
     // any real regression (vs environmental noise) is attributable.
-    "text_vocab_top50", "topk_offset_page")
+    "text_vocab_top50", "topk_offset_page",
+    // round-3 additions with nontrivial cost: real PNG decode, the wire
+    // round trip, recall compositions, packing
+    "multimodal_decode_png", "cdc_kafka_wire", "ann_ivf_recall",
+    "dedup_lsh_recall", "text_pack_sequences")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -211,6 +211,21 @@ object TextAnalysis {
           sum(sampled).cast("long").as("n_sampled"))
     }),
 
+    // Repetition quality signals (the gopher-rules family): per-doc
+    // duplicate-word ratio and top-word concentration — the filters
+    // that catch degenerate "batch batch batch" documents exact-dedup
+    // misses. Two hash aggregations over the exploded words (partial
+    // combine on both), no window, no sort.
+    "text_repetition" -> ((s, d) => {
+      val words = docsPar(s, d).select(col("doc_id"), explode(toks).as("w"))
+      val perWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      perWord.groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_word_ratio"),
+        (max("c").cast("double") / sum("c")).as("top_word_frac"))
+    }),
+
     // Sequence packing: greedy contiguous packing of documents into
     // fixed CTX-token training windows, PER SHARD — the prefix-sum form
     // that scales. Within a shard, a running token total assigns each
@@ -292,6 +307,14 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |pw AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_ratio,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+        |FROM pw GROUP BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
