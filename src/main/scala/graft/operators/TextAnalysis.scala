@@ -66,8 +66,15 @@ object TextAnalysis {
        |    - 0.1 * (CAST(${hitsSql(STOPWORDS)} AS DOUBLE)
        |        / len(string_split(text, ' ')))""".stripMargin
 
+  // Native codegen kernel, not the interpreted HOF (higher-order
+  // functions never enter whole-stage codegen): ArrayIntersectSize has
+  // IDENTICAL semantics to size(filter(toks, isin(markers))) — each
+  // occurrence in toks counts — proven bitwise-equal in FunctionsSpec.
   private def hits(markers: Seq[String]): Column =
-    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.expressions.ArrayIntersectSize(
+        org.apache.spark.sql.GraftShim.expression(toks),
+        org.apache.spark.sql.GraftShim.expression(typedLit(markers))))
 
   private def hitsSql(markers: Seq[String]): String = {
     val inList = markers.map(m => s"'$m'").mkString(", ")

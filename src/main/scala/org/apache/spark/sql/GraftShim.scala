@@ -14,4 +14,14 @@ object GraftShim {
 
   def analyzed(df: DataFrame): LogicalPlan =
     castToImpl(df).queryExecution.analyzed
+
+  /** Column from a raw Catalyst Expression — lets pure Column helpers
+    * use graft's native kernels without needing a session to register
+    * the SQL function name first.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
