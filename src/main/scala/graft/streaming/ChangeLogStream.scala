@@ -207,6 +207,24 @@ object ChangeLogStream {
     if (fs.exists(backup)) fs.delete(backup, true)
   }
 
+  /** D12 index routing as physical layout: the reference routes each
+    * document to a per-table ES index named `cdc_<schema>_<table>`
+    * (es_consumer/main.go:66-75); here the envelope lands partitioned
+    * by (schemaName, tableName) — one DIRECTORY per routed table, so a
+    * reader of one table prunes every other table at the directory
+    * level (SinkSpec asserts the pruning from the physical plan).
+    * Append-mode: existing tables' files are never rewritten.
+    */
+  def routeToTables(envelope: DataFrame, dir: String): Unit =
+    envelope.write.partitionBy("schemaName", "tableName")
+      .mode("append").parquet(dir)
+
+  /** Read back ONE routed table — the per-index reader. */
+  def readTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, table: String): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("schemaName") === schema && col("tableName") === table)
+
   /** [[upsertBatch]] with the K3 log tee: one structured progress record
     * (rows, LSN range) appended to the durable log table per committed
     * micro-batch — what the reference's replicator logs into SQLite on
