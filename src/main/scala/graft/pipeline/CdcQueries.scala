@@ -168,6 +168,30 @@ object CdcQueries {
             element_at(col("after"), col("c.name"))).as("val_text"))
     }),
 
+    // Incremental view maintenance — the flagship CDC-CONSUMER pattern:
+    // a per-key SUM maintained from signed changelog deltas (insert:
+    // +after, delete: -before, update: after − before) instead of
+    // rescanning the base table. The before-images the envelope carries
+    // (and the reference never emitted) are exactly what makes the
+    // update/delete deltas computable. One hash aggregation over the
+    // changelog; at 100 TB the delta stream is the only thing read.
+    // On a protocol-consistent log the deltas telescope to the
+    // latest-state value per key (PipelineSpec proves it); here the
+    // corpus's synthetic op mapping re-"inserts" live keys, so this is
+    // the delta-sum itself, oracle-checked as such.
+    "cdc_incremental_sum" -> ((s, d) => {
+      val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+      val beforeV = element_at(col("before"), "value").cast("double")
+      val afterV = element_at(col("after"), "value").cast("double")
+      val delta =
+        when(col("op") === "insert", afterV)
+          .when(col("op") === "delete", -coalesce(beforeV, lit(0.0)))
+          .otherwise(afterV - coalesce(beforeV, lit(0.0)))
+      env.select(col("key"), delta.as("delta"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_changes"), dsum("delta").as("net_sum"))
+    }),
+
     // §2.6 TRUNCATE done right: the reference only logs truncate
     // messages (replicator.go:409-411). Semantics: a truncate at LSN F
     // clears ALL state; keys exist afterwards only if re-created by
@@ -262,6 +286,22 @@ object CdcQueries {
         |  CASE WHEN c.type_oid = 701 THEN s.value END AS val_double,
         |  CASE WHEN c.type_oid = 25 THEN json_extract_string(s.props, '$.k') END AS val_text
         |FROM snap s CROSS JOIN cols c""".stripMargin,
+    "cdc_incremental_sum" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, value, $opSql AS op FROM events),
+         |l AS (
+         |  SELECT *, lag(op) OVER w AS prev_op, lag(value) OVER w AS prev_value
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |d AS (
+         |  SELECT 'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |    CASE WHEN op = 'insert' THEN value
+         |         WHEN op = 'delete'
+         |           THEN -COALESCE(CASE WHEN prev_op = 'delete' THEN NULL ELSE prev_value END, 0)
+         |         ELSE value - COALESCE(CASE WHEN prev_op = 'delete' THEN NULL ELSE prev_value END, 0)
+         |    END AS delta
+         |  FROM l)
+         |SELECT key, COUNT(*) AS n_changes, ${dsumSql("delta")} AS net_sum
+         |FROM d GROUP BY key""".stripMargin,
     "cdc_truncate_reset" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -29,6 +29,51 @@ class PipelineSpec extends AnyFunSuite {
     (6L, "u3", "insert", "e")
   ).toDF("lsn", "key", "op", "payload")
 
+  test("incremental sum telescopes to the latest-state value per key") {
+    // The IVM invariant behind cdc_incremental_sum: signed deltas
+    // (insert +v, delete −before, update after−before) telescope, so
+    // maintaining a SUM from the changelog must equal reading the
+    // materialized latest state — 0 for tombstoned keys. Holds for
+    // PROTOCOL-CONSISTENT logs (an insert implies no live prior state;
+    // the test corpus's event_type→op mapping violates that, which is
+    // why this runs on a consistent log, not the corpus).
+    import graft.pipeline.Envelope
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${m}%02d:00")
+    val events = Seq(
+      // u7: full lifecycle incl. tombstone + re-insert
+      (1L, t(1), 7L, "signup", 5.0, """{"k":1}"""),
+      (2L, t(2), 7L, "click", 7.0, """{"k":2}"""),
+      (3L, t(3), 7L, "error", 0.0, """{"k":3}"""),
+      (4L, t(4), 7L, "signup", 9.0, """{"k":4}"""),
+      // u8: capture starts mid-life (update with no before → baseline 0)
+      (5L, t(5), 8L, "click", 4.0, """{"k":5}"""),
+      (6L, t(6), 8L, "purchase", 6.0, """{"k":6}"""),
+      // u9: ends tombstoned
+      (7L, t(7), 9L, "signup", 3.5, """{"k":7}"""),
+      (8L, t(8), 9L, "error", 0.0, """{"k":8}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val env = Envelope.toCdcEvents(events).toDF()
+    val beforeV = element_at(col("before"), "value").cast("double")
+    val afterV = element_at(col("after"), "value").cast("double")
+    val delta = when(col("op") === "insert", afterV)
+      .when(col("op") === "delete", -coalesce(beforeV, lit(0.0)))
+      .otherwise(afterV - coalesce(beforeV, lit(0.0)))
+    val incremental = env.select(col("key"), delta.as("d"))
+      .groupBy("key")
+      .agg(sum(col("d").cast("decimal(25,6)")).cast("double").as("net"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val latest = ChangeLog.latestState(env, Seq("key"), "lsn")
+      .select(col("key"), col("op"),
+        coalesce(afterV, lit(0.0)).as("v"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.getString(1) == "delete") 0.0 else r.getDouble(2))).toMap
+    assert(incremental.keySet === latest.keySet)
+    incremental.foreach { case (k, net) =>
+      assert(math.abs(net - latest(k)) < 1e-6, s"key $k: $net vs ${latest(k)}")
+    }
+    assert(incremental.nonEmpty)
+  }
+
   test("latestState keeps exactly the max-lsn row per key") {
     val out = ChangeLog.latestState(changelog, Seq("key"), "lsn")
       .select("key", "lsn", "payload").as[(String, Long, String)]
