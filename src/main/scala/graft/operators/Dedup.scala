@@ -147,8 +147,12 @@ object Dedup {
     // the ContextCleaner once unreferenced.
     var labels = docs.withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      // SUM over zero rows is NULL — an empty corpus must converge
+      // immediately, not NPE in the comparison below
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0
