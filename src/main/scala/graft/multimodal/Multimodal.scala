@@ -56,6 +56,10 @@ object Multimodal {
   def imageAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      // ImageIO's default stream cache spools through a TEMP FILE per
+      // image — per-row disk syscalls for fully-in-memory payloads.
+      // Thread-safe static toggle; executors only ever use it this way.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (id % 48 + 16).toInt
         val h = (id % 29 + 16).toInt
@@ -93,11 +97,18 @@ object Multimodal {
   // in, features out — is the contract that matters for Spark:
   // batch-at-a-time amortizes codec init per partition.
   // ==============================================================
-  def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
+  def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory bytes; no temp-file spool
     batch.map { a =>
       val img =
         if (isPng(a.payload) || isBmp(a.payload))
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+          // the magic sniff is cheap and loose (BMP's is just "BM"), so
+          // the codec CAN claim a stream and then throw (IIOException,
+          // even NegativeArraySizeException from a hostile BMP header).
+          // A poison asset must fall through to the stub, not kill the
+          // task — same contract as read() returning null.
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+          catch { case _: Exception => null } // incl. NegativeArraySizeException et al.
         else null
       if (img != null) {
         // real decode: histogram of the red channel over all pixels
@@ -128,6 +139,7 @@ object Multimodal {
           histogram = hist.map(_ / total))
       }
     }
+  }
 
   /** Batched decode over partitions: groups each partition's rows into
     * fixed-size batches (decoder-friendly), never materializing the

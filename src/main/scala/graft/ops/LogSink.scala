@@ -43,16 +43,19 @@ object LogSink {
 
   /** Progress record for one micro-batch of the upsert sink — what the
     * reference's replicator logs per WAL message + checkpoint cycle.
-    * Computed from the batch BEFORE it is handed to the sink: one tiny
-    * aggregation, no second scan of the source.
+    * One count/min/max aggregation over the batch; callers compute it
+    * before the sink commit and append it after (see
+    * ChangeLogStream.loggedUpsertBatch).
     */
   def progressRecord(batch: DataFrame, batchId: Long, lsnCol: String,
       component: String): LogRecord = {
     import org.apache.spark.sql.functions._
     val row = batch.agg(count(lit(1)), min(col(lsnCol)), max(col(lsnCol))).head()
     val n = row.getLong(0)
+    // rows may exist with an all-null lsn column (min/max NULL even
+    // though n > 0) — the -1 fence must cover that, not NPE
+    def lsn(i: Int): Long = if (n == 0 || row.isNullAt(i)) -1L else row.getLong(i)
     LogRecord(new Timestamp(System.currentTimeMillis()), "INFO", component,
-      s"batch $batchId: $n rows", batchId, n,
-      if (n == 0) -1L else row.getLong(1), if (n == 0) -1L else row.getLong(2))
+      s"batch $batchId: $n rows", batchId, n, lsn(1), lsn(2))
   }
 }

@@ -17,6 +17,49 @@ import graft.model.CdcEvent
   */
 object Envelope {
 
+  import org.apache.spark.sql.Column
+
+  private def emptyMap: Column = typedLit(Map.empty[String, String])
+
+  /** op mapping (reference message kinds, replicator.go:319-415). */
+  private def opCol: Column =
+    when(col("event_type") === "signup", "insert")
+      .when(col("event_type") === "error", "delete")
+      .otherwise("update")
+
+  /** String-erased after-image (§1.2: the reference stringifies every
+    * value, replicator.go:344-359). ONE definition — every envelope
+    * builder shares it, so a payload-column change cannot desynchronize
+    * batch, snapshot, and streaming envelopes.
+    */
+  private def afterImage: Column = map(
+    lit("user_id"), col("user_id").cast("string"),
+    lit("value"), col("value").cast("string"),
+    lit("k"), get_json_object(col("props"), "$.k"))
+
+  /** The shared 10-column envelope projection. Expects `op` and
+    * `after_img` columns on the input; `before` and `columns` are the
+    * only per-builder degrees of freedom. `after` empties on delete for
+    * every builder (op="snapshot" never matches).
+    */
+  private def envelopeColumns(before: Column, columnsMeta: Column): Seq[Column] = Seq(
+    col("op"),
+    lit("public").as("schemaName"),
+    lit("users").as("tableName"),
+    col("event_id").as("lsn"),
+    col("ts"),
+    concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
+    before.as("before"),
+    when(col("op") === "delete", emptyMap).otherwise(col("after_img")).as("after"),
+    (col("event_id") / 100).cast("long").as("txnId"),
+    columnsMeta.as("columns"))
+
+  /** Stream events carry no catalog — the reference only captures
+    * FieldDescriptions during the snapshot SELECT (replicator.go:114-126);
+    * pgoutput stream tuples identify columns by relation registry.
+    */
+  private def noCatalog: Column = lit(null).cast(CdcEvent.columnsType)
+
   /** events table → Dataset[CdcEvent] with op mapping, key construction
     * (D11: "schema.table:pk" — but from a DECLARED key, not the
     * reference's positional first-column guess), string-erased payload
@@ -25,41 +68,21 @@ object Envelope {
   def toCdcEvents(events: DataFrame): Dataset[CdcEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val emptyMap = typedLit(Map.empty[String, String])
-    val afterImage = map(
-      lit("user_id"), col("user_id").cast("string"),
-      lit("value"), col("value").cast("string"),
-      lit("k"), get_json_object(col("props"), "$.k"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
     // Lag (op, after_img) together: after a delete the key's state no
     // longer exists, so the next event's before-image is EMPTY — lagging
     // the after-image alone would resurrect the deleted payload.
     events
-      .withColumn("op",
-        when(col("event_type") === "signup", "insert")
-          .when(col("event_type") === "error", "delete")
-          .otherwise("update"))
+      .withColumn("op", opCol)
       .withColumn("after_img", afterImage)
       .withColumn("prev", lag(struct(col("op"), col("after_img")), 1).over(w))
       .withColumn("before_img",
         when(col("prev.op") === "delete", emptyMap)
           .otherwise(col("prev.after_img")))
-      .select(
-        col("op"),
-        lit("public").as("schemaName"),
-        lit("users").as("tableName"),
-        col("event_id").as("lsn"),
-        col("ts"),
-        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
-        when(col("op") === "insert", emptyMap)
-          .otherwise(coalesce(col("before_img"), emptyMap)).as("before"),
-        when(col("op") === "delete", emptyMap)
-          .otherwise(col("after_img")).as("after"),
-        (col("event_id") / 100).cast("long").as("txnId"),
-        // stream events carry no catalog — the reference only captures
-        // FieldDescriptions during the snapshot SELECT (replicator.go:114-126);
-        // pgoutput stream tuples identify columns by relation registry
-        lit(null).cast(CdcEvent.columnsType).as("columns"))
+      .select(envelopeColumns(
+        before = when(col("op") === "insert", emptyMap)
+          .otherwise(coalesce(col("before_img"), emptyMap)),
+        columnsMeta = noCatalog): _*)
       .as[CdcEvent]
   }
 
@@ -73,22 +96,12 @@ object Envelope {
   def snapshotEvents(events: DataFrame, fenceLsn: Long): Dataset[CdcEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val afterImage = map(
-      lit("user_id"), col("user_id").cast("string"),
-      lit("value"), col("value").cast("string"),
-      lit("k"), get_json_object(col("props"), "$.k"))
     events.filter(col("event_id") <= fenceLsn)
-      .select(
-        lit("snapshot").as("op"),
-        lit("public").as("schemaName"),
-        lit("users").as("tableName"),
-        col("event_id").as("lsn"),
-        col("ts"),
-        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
-        typedLit(Map.empty[String, String]).as("before"),
-        afterImage.as("after"),
-        (col("event_id") / 100).cast("long").as("txnId"),
-        typedLit(CdcEvent.usersCatalog).as("columns"))
+      .withColumn("op", lit("snapshot"))
+      .withColumn("after_img", afterImage)
+      .select(envelopeColumns(
+        before = emptyMap,
+        columnsMeta = typedLit(CdcEvent.usersCatalog)): _*)
       .as[CdcEvent]
   }
 
@@ -102,27 +115,10 @@ object Envelope {
   def toCdcEventsStreaming(events: DataFrame): Dataset[CdcEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val emptyMap = typedLit(Map.empty[String, String])
-    val afterImage = map(
-      lit("user_id"), col("user_id").cast("string"),
-      lit("value"), col("value").cast("string"),
-      lit("k"), get_json_object(col("props"), "$.k"))
     events
-      .withColumn("op",
-        when(col("event_type") === "signup", "insert")
-          .when(col("event_type") === "error", "delete")
-          .otherwise("update"))
-      .select(
-        col("op"),
-        lit("public").as("schemaName"),
-        lit("users").as("tableName"),
-        col("event_id").as("lsn"),
-        col("ts"),
-        concat(lit("public.users:"), col("user_id").cast("string")).as("key"),
-        emptyMap.as("before"),
-        when(col("op") === "delete", emptyMap).otherwise(afterImage).as("after"),
-        (col("event_id") / 100).cast("long").as("txnId"),
-        lit(null).cast(CdcEvent.columnsType).as("columns"))
+      .withColumn("op", opCol)
+      .withColumn("after_img", afterImage)
+      .select(envelopeColumns(before = emptyMap, columnsMeta = noCatalog): _*)
       .as[CdcEvent]
   }
 

@@ -234,8 +234,13 @@ object ChangeLogStream {
     */
   def loggedUpsertBatch(tableDir: String, logDir: String, keyCols: Seq[String],
       versionCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    // compute the progress aggregate BEFORE the upsert evaluates the
+    // batch (so the upsert's own scan is the only other pass), but
+    // APPEND it only after the commit — the log never claims progress
+    // the state table lost
+    val record =
+      graft.ops.LogSink.progressRecord(batch, batchId, versionCol, "upsert-sink")
     upsertBatch(tableDir, keyCols, versionCol)(batch, batchId)
-    graft.ops.LogSink.append(batch.sparkSession, logDir,
-      Seq(graft.ops.LogSink.progressRecord(batch, batchId, versionCol, "upsert-sink")))
+    graft.ops.LogSink.append(batch.sparkSession, logDir, Seq(record))
   }
 }

@@ -104,12 +104,18 @@ class FunctionsSpec extends AnyFunSuite {
       // PNG magic but corrupt body: codec returns null → stub fallback,
       // not a crash (the batch must survive poison assets)
       MediaAsset(3L, "image", 12L, "c3",
-        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3, 4, 5, 6, 7))))
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3, 4, 5, 6, 7)),
+      // BMP's magic check is just "BM", so the reader CLAIMS this stream
+      // and then THROWS parsing the garbage header — must also fall
+      // through to the stub, not kill the task
+      MediaAsset(4L, "image", 12L, "c4",
+        ("BM" + "ÿ" * 10).getBytes("ISO-8859-1"))))
     assert(out(0).width === 19 && out(0).height === 7 && out(0).channels === 3)
     assert(out(0).histogram(5) === 1.0 && out(0).histogram.sum === 1.0)
     assert(out(1).width === 33 && out(1).height === 21 && out(1).channels === 3)
     assert(out(1).histogram(1) === 1.0)
     assert(out(2).width === (12 % 64) + 1) // stub path formula
+    assert(out(3).width === (12 % 64) + 1) // throwing decoder → stub, no crash
   }
 
   test("multimodal decodeBatch is deterministic and batch-invariant") {
