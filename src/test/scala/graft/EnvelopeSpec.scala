@@ -101,6 +101,37 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(good.select($"ev.key").as[String].head() === "public.users:1")
   }
 
+  test("property: Kafka wire round trip is the identity on random envelopes") {
+    // produce→consume must be lossless for arbitrary envelope content:
+    // unicode payloads, empty vs populated maps, extreme LSNs, every op
+    import graft.model.{CdcEvent, ColumnMeta}
+    val rnd = new scala.util.Random(0xBEEF)
+    val payloadPool = Seq("plain", "uni→©ode", "with \"quotes\"",
+      "line\nbreak", "tab\tchar", "null")
+    val events = (1 to 60).map { i =>
+      val op = CdcEvent.ops(rnd.nextInt(CdcEvent.ops.size))
+      def m() = if (rnd.nextBoolean()) Map.empty[String, String]
+        else Map("v" -> payloadPool(rnd.nextInt(payloadPool.size)),
+          s"k$i" -> rnd.nextLong().toString)
+      CdcEvent(op, "public", s"t$i", rnd.nextLong().abs.max(1L),
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1 << 30)),
+        s"public.t$i:${rnd.nextInt(100)}", m(), m(), rnd.nextLong(),
+        if (op == "snapshot") Seq(ColumnMeta("v", 25, -1, 0)) else null)
+    }
+    val src = spark.createDataset(events)
+    val back = Envelope.fromKafkaMessages(Envelope.toKafkaMessages(src))
+      .collect().sortBy(_.lsn)
+    val orig = events.sortBy(_.lsn)
+    assert(back.length === orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.op === o.op && b.key === o.key && b.lsn === o.lsn &&
+        b.txnId === o.txnId && b.ts === o.ts, s"scalar drift: $b vs $o")
+      assert(b.before === o.before && b.after === o.after, s"map drift: $b vs $o")
+      assert((b.columns == null) === (o.columns == null))
+      if (o.columns != null) assert(b.columns === o.columns)
+    }
+  }
+
   test("property: latest-state invariant under permutation + duplication") {
     val genLog = for {
       n <- Gen.choose(1, 30)
