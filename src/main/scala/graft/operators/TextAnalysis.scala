@@ -329,7 +329,7 @@ object TextAnalysis {
          |  FROM documents),
          |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-         |SELECT shard, (cum - n_tokens) // $PACK_CTX AS bin, COUNT(*) AS n_docs,
+         |SELECT shard, CAST((cum - n_tokens) // $PACK_CTX AS BIGINT) AS bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
