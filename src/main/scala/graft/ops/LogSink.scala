@@ -50,7 +50,12 @@ object LogSink {
   def progressRecord(batch: DataFrame, batchId: Long, lsnCol: String,
       component: String): LogRecord = {
     import org.apache.spark.sql.functions._
-    val row = batch.agg(count(lit(1)), min(col(lsnCol)), max(col(lsnCol))).head()
+    // cast the min/max to long IN the aggregation: the version column is
+    // any orderable numeric/timestamp type (upsertBatch accepts them
+    // all), and a raw getLong on an int or timestamp min would throw
+    // AFTER the upsert already committed
+    val row = batch.agg(count(lit(1)),
+      min(col(lsnCol)).cast("long"), max(col(lsnCol)).cast("long")).head()
     val n = row.getLong(0)
     // rows may exist with an all-null lsn column (min/max NULL even
     // though n > 0) — the -1 fence must cover that, not NPE

@@ -36,20 +36,37 @@ object LsnCheckpoint {
     }
   }
 
-  /** Atomic single-key upsert: temp write + rename (the BoltDB
-    * transaction's crash-safety contract, store.go:54-61).
+  /** Atomic single-key upsert: temp write + atomic replace (the BoltDB
+    * transaction's crash-safety contract, store.go:54-61). The replace
+    * leaves NO window with a missing checkpoint: on a local filesystem
+    * the rename is a POSIX `rename(2)` (ATOMIC_MOVE + REPLACE_EXISTING);
+    * elsewhere `FileContext.rename(OVERWRITE)`, which HDFS commits as a
+    * single NameNode operation. A crash at any instant leaves either the
+    * previous or the new value readable — never neither.
     */
   def write(spark: SparkSession, path: String, lsn: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(lsn.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p) && !fs.delete(p, false))
-      throw new java.io.IOException(s"cannot replace checkpoint $p")
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"cannot publish checkpoint $tmp -> $p")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // Hadoop's local rename(OVERWRITE) is delete-then-rename under
+        // the hood — exactly the window being closed — so go straight
+        // to the kernel's atomic rename for file:// paths
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** One incremental run: hand `process` only the events NEWER than the

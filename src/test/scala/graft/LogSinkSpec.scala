@@ -35,6 +35,19 @@ class LogSinkSpec extends AnyFunSuite {
     assert(empty.nRows === 0L && empty.firstLsn === -1L && empty.lastLsn === -1L)
   }
 
+  test("progressRecord accepts non-Long version columns (int, timestamp)") {
+    // upsertBatch accepts any orderable version column; the log tee must
+    // not throw AFTER a successful commit just because it isn't a BIGINT
+    val intBatch = Seq((3, "a"), (9, "b")).toDF("lsn", "v")
+    val ri = LogSink.progressRecord(intBatch, 1L, "lsn", "t")
+    assert(ri.firstLsn === 3L && ri.lastLsn === 9L)
+    val tsBatch = Seq((new Timestamp(4000L), "a"), (new Timestamp(9000L), "b"))
+      .toDF("lsn", "v")
+    val rt = LogSink.progressRecord(tsBatch, 2L, "lsn", "t")
+    // timestamp→long is epoch seconds in Spark's cast semantics
+    assert(rt.firstLsn === 4L && rt.lastLsn === 9L)
+  }
+
   test("loggedUpsertBatch tees one progress record per committed batch") {
     val base = tmp("graft_log2")
     val table = s"$base/state"
