@@ -35,6 +35,16 @@ object Dedup {
   private val JACCARD_RELATED = 0.1
   private val COSINE_NEAR = 0.45
   private val SIMHASH_HAMMING = 2
+  private val SIMHASH_BITS = 16
+  // Banded blocking for the simhash pair search: split the fingerprint
+  // into SIMHASH_SEGS equal segments. Pigeonhole: ≤ SIMHASH_HAMMING
+  // differing bits touch ≤ SIMHASH_HAMMING segments, so any qualifying
+  // pair agrees on ≥ SEGS − HAMMING ≥ 1 whole segment (requires
+  // SEGS > HAMMING, asserted below) — an equi-join on (segment index,
+  // segment value) finds every pair the all-pairs scan would.
+  private val SIMHASH_SEGS = 4
+  private val SIMHASH_SEG_BITS = SIMHASH_BITS / SIMHASH_SEGS
+  require(SIMHASH_SEGS > SIMHASH_HAMMING, "pigeonhole needs segs > hamming")
 
   private val EMB_LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
   private val N_BENCH = 20      // doc_id < 20 plays the benchmark set
@@ -265,6 +275,10 @@ object Dedup {
     // tokens (map-side combinable).
     "dedup_simhash" -> ((s, d) => simhashDf(s, d)),
 
+    // All-pairs hamming scan — the oracle-of-intent baseline for the
+    // banded scale path below (whitelisted in PlanAuditSpec as an
+    // intentional pair scan; dedup_simhash_banded is the plan you run
+    // at corpus scale).
     "dedup_simhash_pairs" -> ((s, d) => {
       val sh = simhashDf(s, d)
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
@@ -272,6 +286,36 @@ object Dedup {
       a.join(b, col("doc_a") < col("doc_b"))
         .withColumn("hamming",
           expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+        .filter(col("hamming") <= SIMHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    }),
+
+    // BLOCKED simhash near-dup: pigeonhole-banded segment equi-join +
+    // exact hamming verify — identical output to dedup_simhash_pairs
+    // (SimhashSpec asserts it), but candidate generation is an
+    // equi-join on (segment index, segment value): hash-partitionable,
+    // O(pairs sharing a segment) instead of O(n²). The classic
+    // multi-index hamming search (Manku et al., WWW'07) as one shuffle.
+    "dedup_simhash_banded" -> ((s, d) => {
+      val sh = simhashDf(s, d)
+      val segMask = (1L << SIMHASH_SEG_BITS) - 1
+      val segs = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SIMHASH_SEGS).map(i =>
+          struct(lit(i).as("i"),
+            shiftright(col("simhash"), i * SIMHASH_SEG_BITS)
+              .bitwiseAND(lit(segMask).cast(sh.schema("simhash").dataType))
+              .as("v"))): _*)).as("seg"))
+        .select(col("doc_id"), col("simhash"),
+          col("seg.i").as("seg_i"), col("seg.v").as("seg_v"))
+      val a = segs.select(col("seg_i"), col("seg_v"),
+        col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+      val b = segs.select(col("seg_i"), col("seg_v"),
+        col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+      a.join(b, Seq("seg_i", "seg_v"))
+        .filter(col("doc_a") < col("doc_b"))
+        // a pair can agree on several segments → dedup before the verify
+        .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+        .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
         .filter(col("hamming") <= SIMHASH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     }),
@@ -459,6 +503,17 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING""".stripMargin,
+    "dedup_simhash_banded" ->
+      s"""WITH sh AS ($simhashSqlBase),
+         |seg AS (SELECT doc_id, simhash, i AS seg_i,
+         |    (simhash >> (i * $SIMHASH_SEG_BITS)) & ${(1L << SIMHASH_SEG_BITS) - 1} AS seg_v
+         |  FROM sh, range($SIMHASH_SEGS) t(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS h_a, b.simhash AS h_b
+         |  FROM seg a JOIN seg b ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $SIMHASH_HAMMING""".stripMargin,
     "dedup_lsh_recall" ->
       s"""WITH truth AS (
          |  SELECT doc_a, doc_b FROM (${"\n"}${oracleNgramJaccard}) t
