@@ -34,14 +34,19 @@ object Dedup {
   private val JACCARD_NEAR = 0.5
   private val JACCARD_RELATED = 0.1
   private val COSINE_NEAR = 0.45
-  private val SIMHASH_HAMMING = 2
-  private val SIMHASH_BITS = 16
+  private val SIMHASH_HAMMING = 3
+  private val SIMHASH_BITS = 64
   // Banded blocking for the simhash pair search: split the fingerprint
   // into SIMHASH_SEGS equal segments. Pigeonhole: ≤ SIMHASH_HAMMING
   // differing bits touch ≤ SIMHASH_HAMMING segments, so any qualifying
   // pair agrees on ≥ SEGS − HAMMING ≥ 1 whole segment (requires
   // SEGS > HAMMING, asserted below) — an equi-join on (segment index,
   // segment value) finds every pair the all-pairs scan would.
+  // 64 bits / 4 segments of 16 is the classic multi-index configuration
+  // (Manku et al., WWW'07): 65,536 distinct values PER segment, so the
+  // equi-join key space is 4·65k — real blocking, where the earlier
+  // 16-bit/4-bit layout had only 4·16 = 64 keys (each bucket held n/16
+  // of the corpus: still quadratic, just with a smaller constant).
   private val SIMHASH_SEGS = 4
   private val SIMHASH_SEG_BITS = SIMHASH_BITS / SIMHASH_SEGS
   require(SIMHASH_SEGS > SIMHASH_HAMMING, "pigeonhole needs segs > hamming")
@@ -270,7 +275,7 @@ object Dedup {
       verifyPairs(cand, sh, JACCARD_RELATED)
     }),
 
-    // SimHash: 16-bit fingerprint from per-token md5 bits; near-dup =
+    // SimHash: 64-bit fingerprint from per-token md5 bits; near-dup =
     // small hamming distance. Signature is one groupBy over exploded
     // tokens (map-side combinable).
     "dedup_simhash" -> ((s, d) => simhashDf(s, d)),
@@ -416,37 +421,56 @@ object Dedup {
     })
   )
 
-  /** 16-bit simhash per doc; token hash = first 4 md5 hex digits. */
+  /** 64-bit simhash per doc. Token hash = md5 hex digits 1-8 (bits
+    * 0-31, "lo") and 9-16 (bits 32-63, "hi") — each 32-bit half fits a
+    * signed long EXACTLY, so no engine-specific unsigned-64 parsing is
+    * ever needed. The fingerprint is assembled as a two's-complement
+    * BIGINT: bit 63's weight is Long.MinValue and is added LAST, so the
+    * running sum stays within [−2^63, 2^63−1] at every step — portable
+    * to DuckDB, whose checked BIGINT addition would reject an overflow.
+    */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
-    val sums = (0 until 16).map(j =>
-      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"s$j"))
-    val fp = (0 until 16).map(j =>
-      when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("lo"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hi"))
+    val sums = (0 until SIMHASH_BITS).map { j =>
+      val half = if (j < 32) shiftright(col("lo"), j)
+                 else shiftright(col("hi"), j - 32)
+      sum(when(half.bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val fp = (0 until SIMHASH_BITS).map { j =>
+      val weight = if (j == 63) Long.MinValue else 1L << j
+      when(col(s"s$j") > 0, lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.cast("int").as("simhash"))
+      .select(col("doc_id"), fp.cast("long").as("simhash"))
   }
 
   // ---------------- oracles ----------------
 
+  // Mirrors [[simhashDf]] exactly: the same two 32-bit md5 halves (hex
+  // cast via the '0x' prefix, as in the minhash oracle), the same
+  // per-bit ±1 sums, the same two's-complement assembly with bit 63's
+  // weight −2^63 added last so no checked BIGINT addition can overflow.
   private val simhashSqlBase: String = {
-    def hexv(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
-    val v = s"(4096 * ${hexv(1)} + 256 * ${hexv(2)} + 16 * ${hexv(3)} + ${hexv(4)})"
-    val sums = (0 until 16)
-      .map(j => s"SUM(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-      .mkString(", ")
-    val fp = (0 until 16)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |tv AS (SELECT doc_id, $v AS v FROM (SELECT doc_id, substr(md5(w), 1, 4) AS h FROM tok) q),
+    val sums = (0 until SIMHASH_BITS).map { j =>
+      val half = if (j < 32) s"(lo >> $j)" else s"(hi >> ${j - 32})"
+      s"SUM(CASE WHEN $half & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val fp = (0 until SIMHASH_BITS).map { j =>
+      val weight = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN s$j > 0 THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |tv AS (SELECT doc_id, ('0x' || substr(h, 1, 8))::BIGINT AS lo,
+       |               ('0x' || substr(h, 9, 8))::BIGINT AS hi FROM tok),
        |sums AS (SELECT doc_id, $sums FROM tv GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS INT) AS simhash FROM sums""".stripMargin
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums""".stripMargin
   }
 
   private lazy val oracleNgramJaccard: String =

@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivf_recall",       // composes the two above
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "dedup_embedding_cosine", // documented brute-force baseline
-    "dedup_simhash_pairs",  // 16-bit fingerprint pair scan
+    "dedup_simhash_pairs",  // all-pairs hamming scan (banded is the scale path)
     "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan
     "join_cross_dims",      // explicit CROSS JOIN of two ≤25-row dims
     "text_tfidf"            // scalar-N subquery: the constant-key join to the
