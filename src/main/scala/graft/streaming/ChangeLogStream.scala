@@ -164,47 +164,158 @@ object ChangeLogStream {
       }
   }
 
-  /** foreachBatch idempotent keyed upsert into a parquet "latest state"
-    * table — the ES-sink analog (K2/A3) with batch commits instead of
-    * one refresh per document. Merge = union(existing, batch-latest) →
-    * latest-state; staging write + swap keeps readers consistent.
+  /** Partition-column name of the bucketed latest-state layout. Spark's
+    * file index exposes it as an ordinary (int) column; [[readState]]
+    * drops it for callers that only want the payload.
+    */
+  val BucketCol = "__bucket"
+
+  /** Deterministic bucket of a key: `xxhash64(keyCols) mod numBuckets`.
+    * A pure function of the key columns, so a key lives in exactly one
+    * bucket directory for the life of the table.
+    */
+  def bucketOf(keyCols: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** foreachBatch idempotent keyed upsert into a BUCKETED parquet
+    * "latest state" table — the ES-sink analog (K2/A3) with batch
+    * commits instead of one refresh per document.
+    *
+    * Layout: `tableDir/__bucket=<hash(key) mod NB>/part-*.parquet`,
+    * plus a `_graft_buckets` marker pinning NB (the bucket count is a
+    * TABLE constant: changing it would strand old rows in directories
+    * the merge no longer reads, so the marker — not the per-call
+    * parameter — is authoritative once the table exists; `_`-prefixed
+    * files are invisible to Spark's file index).
+    *
+    * Per batch, only buckets CONTAINING BATCH KEYS are read, merged
+    * (union + latest-state) and swapped; every other bucket's files are
+    * not opened, not rewritten, not even listed beyond the directory
+    * prune — write amplification is O(touched state), not O(state).
+    * That is what the reference's per-doc-ID ES upsert
+    * (es_consumer/main.go:77-95) does per document, batched: at 100 TB
+    * of accumulated state a full-table rewrite per micro-batch is the
+    * scale-killer this layout removes. Readers filtering on
+    * [[BucketCol]] (see [[stateForKey]]) prune untouched buckets at the
+    * directory level.
+    *
+    * Crash safety is per bucket, same rename-aside protocol as before:
+    * staging write → move live bucket aside → publish staged bucket →
+    * drop the aside copy, every rename CHECKED. A crash mid-batch
+    * leaves some buckets updated and some not — safe under replay,
+    * because re-merging the same batch into an already-updated bucket
+    * is a no-op (latest-state is idempotent) and the recovery sweep
+    * below restores any bucket caught between the two renames.
     * (On a real deployment this is a Delta/Iceberg MERGE; plain parquet
     * keeps this repo dependency-free.)
     */
-  def upsertBatch(tableDir: String, keyCols: Seq[String], versionCol: String)(
-      batch: DataFrame, batchId: Long): Unit = {
+  def upsertBatch(tableDir: String, keyCols: Seq[String], versionCol: String,
+      numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: a failed swap can leave the table renamed aside;
-    // restore it before merging so no state is ever dropped
-    val recoverTarget = new Path(tableDir)
-    val recoverBackup = new Path(tableDir + "__prev")
-    if (!fs.exists(recoverTarget) && fs.exists(recoverBackup))
-      fs.rename(recoverBackup, recoverTarget)
-    val batchLatest = ChangeLog.latestState(batch, keyCols, versionCol)
-    val merged =
-      if (fs.exists(new Path(tableDir)))
-        ChangeLog.latestState(
-          spark.read.parquet(tableDir).unionByName(batchLatest),
-          keyCols, versionCol)
-      else batchLatest
-    val staging = new Path(tableDir + s"__staging_$batchId")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    // swap via rename-aside so a crash mid-swap never silently loses the
-    // table: the worst case leaves target missing with backup present,
-    // which the recovery branch below (and any operator) can see — and
-    // every rename result is CHECKED, not assumed
     val target = new Path(tableDir)
-    val backup = new Path(tableDir + "__prev")
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(target) && !fs.rename(target, backup))
-      throw new java.io.IOException(s"failed to move $target aside to $backup")
-    if (!fs.rename(staging, target)) {
-      // restore the previous state before failing
-      if (fs.exists(backup)) fs.rename(backup, target)
-      throw new java.io.IOException(s"failed to publish $staging to $target")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backupRoot = new Path(tableDir + "__prev")
+    // crash recovery: restore any bucket a dying batch left moved aside
+    // (target missing, backup present); backups whose target EXISTS are
+    // superseded copies from after a completed publish — drop them
+    if (fs.exists(backupRoot)) {
+      fs.listStatus(backupRoot).foreach { st =>
+        val restored = new Path(target, st.getPath.getName)
+        if (!fs.exists(restored)) {
+          fs.mkdirs(target)
+          if (!fs.rename(st.getPath, restored))
+            throw new java.io.IOException(s"failed to restore ${st.getPath}")
+        }
+      }
+      fs.delete(backupRoot, true)
     }
-    if (fs.exists(backup)) fs.delete(backup, true)
+    val nb = readOrPinBucketCount(fs, target, numBuckets)
+    val batchLatest = ChangeLog.latestState(batch, keyCols, versionCol)
+      .withColumn(BucketCol, bucketOf(keyCols, nb))
+      .persist()
+    try {
+      // ≤ nb values — O(buckets) on the driver by construction, not O(data)
+      val touched = batchLatest.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val existingTouched =
+        if (fs.exists(target) && fs.listStatus(target).exists(_.isDirectory))
+          spark.read.parquet(tableDir)
+            .filter(col(BucketCol).isin(touched.map(Int.box): _*))
+        else batchLatest.limit(0)
+      val merged = ChangeLog.latestState(
+        existingTouched.unionByName(batchLatest), keyCols, versionCol)
+      val stagingRoot = new Path(tableDir + s"__staging_$batchId")
+      // repartition on the bucket id so each bucket's rows land in one
+      // task → one file per bucket (not tasks × buckets tiny files)
+      merged.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(stagingRoot.toString)
+      fs.mkdirs(target)
+      touched.foreach { b =>
+        val name = s"$BucketCol=$b"
+        val staged = new Path(stagingRoot, name)
+        val live = new Path(target, name)
+        val aside = new Path(backupRoot, name)
+        // a touched bucket has ≥ 1 key ⇒ latest-state has ≥ 1 row
+        if (!fs.exists(staged)) throw new IllegalStateException(
+          s"staging missing touched bucket $name under $stagingRoot")
+        fs.mkdirs(backupRoot)
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (fs.exists(live) && !fs.rename(live, aside))
+          throw new java.io.IOException(s"failed to move $live aside to $aside")
+        if (!fs.rename(staged, live)) {
+          if (fs.exists(aside)) fs.rename(aside, live)
+          throw new java.io.IOException(s"failed to publish $staged to $live")
+        }
+        if (fs.exists(aside)) fs.delete(aside, true)
+      }
+      fs.delete(stagingRoot, true) // only _SUCCESS & co remain
+      if (fs.exists(backupRoot)) fs.delete(backupRoot, true)
+    } finally batchLatest.unpersist()
+  }
+
+  /** The bucket count is pinned by a `_graft_buckets` marker when the
+    * table is created; later batches use the PINNED value so a changed
+    * default can never silently split keys across layouts.
+    */
+  private def readOrPinBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, numBuckets: Int): Int = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val marker = new Path(target, "_graft_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else {
+      fs.mkdirs(target)
+      val out = fs.create(marker, true)
+      try out.write(numBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+      numBuckets
+    }
+  }
+
+  /** The latest-state table without the layout's partition column. */
+  def readState(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop(BucketCol)
+
+  /** Point lookup that PRUNES to the one bucket directory the key can
+    * live in: the bucket predicate folds to a constant, so the file
+    * index lists a single `__bucket=` directory no matter how many
+    * buckets the table holds (SinkSpec asserts the partition filter).
+    * `keyValues` must carry the key columns' EXACT runtime types
+    * (e.g. `7L` for a bigint key): xxhash64 hashes by type, so an Int
+    * where the column is Long would probe the wrong bucket.
+    */
+  def stateForKey(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      keyCols: Seq[String], keyValues: Seq[Any], numBuckets: Int): DataFrame = {
+    require(keyCols.length == keyValues.length, "one value per key column")
+    val bucket = pmod(xxhash64(keyValues.map(lit): _*), lit(numBuckets)).cast("int")
+    keyCols.zip(keyValues).foldLeft(
+      spark.read.parquet(tableDir).filter(col(BucketCol) === bucket)) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
   }
 
   /** D12 index routing as physical layout: the reference routes each
@@ -233,14 +344,14 @@ object ChangeLogStream {
     * the state table lost.
     */
   def loggedUpsertBatch(tableDir: String, logDir: String, keyCols: Seq[String],
-      versionCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      versionCol: String, numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
     // compute the progress aggregate BEFORE the upsert evaluates the
     // batch (so the upsert's own scan is the only other pass), but
     // APPEND it only after the commit — the log never claims progress
     // the state table lost
     val record =
       graft.ops.LogSink.progressRecord(batch, batchId, versionCol, "upsert-sink")
-    upsertBatch(tableDir, keyCols, versionCol)(batch, batchId)
+    upsertBatch(tableDir, keyCols, versionCol, numBuckets)(batch, batchId)
     graft.ops.LogSink.append(batch.sparkSession, logDir, Seq(record))
   }
 }

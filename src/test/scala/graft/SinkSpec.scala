@@ -34,6 +34,86 @@ class SinkSpec extends AnyFunSuite {
     assert(back.count() === expected && expected > 0)
   }
 
+  test("bucketed upsert rewrites ONLY buckets containing batch keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bupsert").toString + "/state"
+    val nb = 8
+    val sink = streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", nb) _
+    // 200 keys span all 8 buckets
+    sink((1L to 200L).map(k => (k, k, s"v$k")).toDF("key", "lsn", "v"), 0L)
+
+    def files(): Map[String, Seq[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+      finally walk.close()
+    }
+    val before = files()
+    assert(before.keys.count(_.endsWith("_graft_buckets")) === 1)
+    assert((0 until nb).forall(b => before.keys.exists(_.startsWith(s"__bucket=$b/"))),
+      s"200 keys must populate all $nb buckets: ${before.keys}")
+
+    // batch 1 touches exactly one key → exactly one bucket
+    sink(Seq((7L, 1000L, "v7new")).toDF("key", "lsn", "v"), 1L)
+    val after = files()
+    // lit type must match the key column (bigint), else the hash differs
+    val touchedBucket = spark.range(1).select(lit(7L).as("b"))
+      .select(streaming.ChangeLogStream.bucketOf(Seq("b"), nb).as("bk"))
+      .head.getInt(0)
+
+    def bucketFiles(m: Map[String, Seq[Byte]], pred: String => Boolean) =
+      m.view.filterKeys(k => k.startsWith("__bucket=") && pred(k)).toMap
+    assert(
+      bucketFiles(after, !_.startsWith(s"__bucket=$touchedBucket/")) ===
+        bucketFiles(before, !_.startsWith(s"__bucket=$touchedBucket/")),
+      "untouched buckets must keep byte-identical files (no rewrite, no rename)")
+    assert(
+      bucketFiles(after, _.startsWith(s"__bucket=$touchedBucket/")) !==
+        bucketFiles(before, _.startsWith(s"__bucket=$touchedBucket/")),
+      "the touched bucket must actually have been republished")
+
+    // merged state is correct: key 7 updated, every other key untouched
+    val state = streaming.ChangeLogStream.readState(spark, dir)
+      .select($"key", $"lsn", $"v").as[(Long, Long, String)].collect().toSet
+    val expected = (1L to 200L).map(k =>
+      if (k == 7L) (7L, 1000L, "v7new") else (k, k, s"v$k")).toSet
+    assert(state === expected)
+
+    // point lookup prunes to the ONE bucket directory at the file index
+    val lookup = streaming.ChangeLogStream.stateForKey(
+      spark, dir, Seq("key"), Seq(7L), nb)
+    assert(lookup.select("v").as[String].collect().toSeq === Seq("v7new"))
+    val scan = lookup.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains(streaming.ChangeLogStream.BucketCol), scan)
+  }
+
+  test("bucketed upsert restores a bucket caught between the two renames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_brecover").toString + "/state"
+    val sink = streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 4) _
+    sink((1L to 40L).map(k => (k, k, s"v$k")).toDF("key", "lsn", "v"), 0L)
+    // simulate a crash in the swap window: live bucket moved aside,
+    // staged copy never published → target missing, backup present
+    val victim = new java.io.File(dir).list().filter(_.startsWith("__bucket=")).head
+    val backupRoot = new java.io.File(dir + "__prev")
+    assert(backupRoot.mkdirs())
+    assert(new java.io.File(dir, victim).renameTo(new java.io.File(backupRoot, victim)))
+    assert(!new java.io.File(dir, victim).exists())
+    // the next batch's recovery sweep must restore the bucket BEFORE
+    // merging, so no key is ever dropped
+    sink(Seq((1L, 100L, "v1new")).toDF("key", "lsn", "v"), 1L)
+    assert(new java.io.File(dir, victim).exists() && !backupRoot.exists())
+    val state = streaming.ChangeLogStream.readState(spark, dir)
+      .select($"key", $"lsn").as[(Long, Long)].collect().toSet
+    assert(state === (1L to 40L).map(k => if (k == 1L) (1L, 100L) else (k, k)).toSet)
+  }
+
   test("routeToTables: one directory per routed table, pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/t"
     val env = pipeline.Envelope.toCdcEventsStreaming(
