@@ -32,8 +32,26 @@ object Similarity {
   private val N_QUERIES = 10 // vec_id < 10 are the query vectors
   private val TOP_K = 5
   private val CENT_STRIDE = 50 // vec_id % 50 == 0 → k-means seed
-  private val NPROBE = 2
-  private val REFINE_ITERS = 2 // Lloyd refinement passes over the seeds
+  // Probe budget: ceil(PROBE_FRAC · cells), floored at PROBE_MIN — a
+  // FRACTION, not an absolute, so the budget tracks the index as the
+  // cell count grows with the corpus. Why this (measured, numpy mirror
+  // of the exact algorithm over sf0.01/sf0.1): this synthetic corpus is
+  // near-uniform in R^64 — no coarse cluster structure — so recall
+  // roughly tracks the probed fraction (plus the locality Voronoi cells
+  // do capture: nprobe=1 gives 0.22–0.36, well above the 1/cells
+  // baseline). Per-query recall ≥ 0.8 costs ~19/40 cells at sf0.1 and
+  // 8/10 at sf0.01 with 5 Lloyd passes; 0.55·cells clears sf0.1 with
+  // margin. On clustered REAL embedding corpora the same target needs
+  // a small O(1) probe count — the fraction is the honest price of
+  // uniform data, not an IVF constant. (Farthest-point seeding was
+  // also measured: no better than stride+Lloyd here.) The floor of 10
+  // makes a ≤18-cell index degenerate to scanning every cell — the
+  // correct regime for tiny corpora, where coarse quantization has
+  // nothing to prune and partial probes just lose recall (sf0.001's
+  // 10-cell index showed 0.6 on one query at 8 probes).
+  private val PROBE_FRAC = 0.55
+  private val PROBE_MIN = 10
+  private val REFINE_ITERS = 5 // Lloyd refinement passes over the seeds
   private val DIM = 64
   private val LSH_DIMS = Seq(1, 9, 17, 25, 33, 41, 49, 57) // 1-based dims
 
@@ -66,10 +84,10 @@ object Similarity {
     * ranking is scale-invariant, so the plain mean IS the spherical
     * k-means centroid for ranking purposes — no normalization step.
     *
-    * Measured against the brute-force ground truth (sf0.001/0.01/0.1),
-    * two passes dominate the raw seeds: recall@NPROBE=1 0.24→0.32 /
-    * 0.30→0.36 / 0.22→0.22, and never worse at NPROBE=2 (0.40→0.40 /
-    * 0.46→0.52 / 0.28→0.30).
+    * Measured against the brute-force ground truth: refinement buys
+    * recall-per-probe — at sf0.1 the probe count where every query
+    * reaches recall ≥ 0.8 drops from 25/40 cells (2 passes) to 19/40
+    * (5 passes); at sf0.01 mean recall 0.8 moves from 6 to 5 probes.
     *
     * Scale shape: each pass is one broadcast join over the corpus (the
     * corpus never shuffles) + a (cent_id, dim)-keyed hash aggregation
@@ -92,10 +110,10 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
 
-  private def centroidsDf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val cached = centroidCache.getOrElseUpdate(
+  private def centroidSeq(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate(
       d, {
+        import s.implicits._
         graft.plans.TopK.installedWithRewrite(s)
         val corpus = corpusDf(s, d)
         var cents = emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
@@ -127,8 +145,15 @@ object Similarity {
         }
         cents.as[(Long, Seq[Double])].collect().toSeq
       })
-    cached.toDF("cent_id", "ce")
+
+  private def centroidsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    centroidSeq(s, d).toDF("cent_id", "ce")
   }
+
+  /** Probe budget for this corpus' index — see [[PROBE_FRAC]]. */
+  private def nprobe(s: SparkSession, d: String): Int =
+    math.max(PROBE_MIN, math.ceil(PROBE_FRAC * centroidSeq(s, d).size).toInt)
 
   private def topK(scored: DataFrame): DataFrame = {
     // written as the window formulation; RankLimitRewrite turns it into
@@ -193,7 +218,7 @@ object Similarity {
         .join(broadcast(cents))
         .withColumn("qcos", cos(col("qe"), col("ce")))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= NPROBE)
+        .filter(col("prn") <= nprobe(s, d))
         .select(col("q_id"), col("qe"), col("cent_id"))
       val scored = probe.join(assign, "cent_id")
         .withColumn("cosine", cos(col("qe"), col("e")))
@@ -264,7 +289,9 @@ object Similarity {
          |  SELECT q_id, qe, cent_id,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
-         |  FROM q, cents) t WHERE prn <= $NPROBE),
+         |  FROM q, cents) t
+         |  WHERE prn <= greatest($PROBE_MIN,
+         |    CAST(ceil($PROBE_FRAC * (SELECT COUNT(*) FROM cents)) AS BIGINT))),
          |scored AS (SELECT q_id, vec_id, $cosQC AS cosine
          |  FROM probe JOIN assign USING (cent_id)),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
