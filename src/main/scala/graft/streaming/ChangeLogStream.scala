@@ -318,6 +318,52 @@ object ChangeLogStream {
     }
   }
 
+  /** [[upsertBatch]] with §2.6 TRUNCATE semantics in the streaming
+    * path. A truncate is a TABLE-level operation, so it belongs at the
+    * table's commit point (this sink), not inside the per-key state
+    * operator: a key-partitioned state group can never observe another
+    * key's truncate, and exploding the fence across the key universe is
+    * exactly the shuffle the keyed layout exists to avoid. (The
+    * reference only ever LOGS truncate — replicator.go:409-411; a sink
+    * doing it right clears the index, which is what this does.)
+    *
+    * Per batch, in crash-safe order:
+    *  1. a truncate whose version advances the persisted fence clears
+    *     every bucket — including any moved-aside crash-recovery copies,
+    *     which would otherwise be restored post-clear — and THEN
+    *     advances the fence ([[graft.pipeline.LsnCheckpoint]]'s atomic
+    *     replace). A crash between the two re-runs the clear on replay
+    *     (the truncate is still ahead of the stored fence); the reverse
+    *     order could persist a fence over uncleared state.
+    *  2. rows at-or-below the fence are dropped — a stale replay of
+    *     pre-truncate history must not resurrect cleared keys.
+    *  3. surviving rows upsert as usual (idempotent, bucketed).
+    */
+  def truncateAwareUpsertBatch(tableDir: String, keyCols: Seq[String],
+      versionCol: String, isTruncate: org.apache.spark.sql.Column,
+      numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fencePath = tableDir + "__fence"
+    val oldFence = graft.pipeline.LsnCheckpoint.read(spark, fencePath)
+    val fenceRow = batch.filter(isTruncate)
+      .agg(max(col(versionCol).cast("long"))).head()
+    val newFence = if (fenceRow.isNullAt(0)) -1L else fenceRow.getLong(0)
+    if (newFence > oldFence) {
+      val target = new Path(tableDir)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val backupRoot = new Path(tableDir + "__prev")
+      if (fs.exists(backupRoot)) fs.delete(backupRoot, true)
+      if (fs.exists(target))
+        fs.listStatus(target)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+          .foreach(st => fs.delete(st.getPath, true))
+      graft.pipeline.LsnCheckpoint.write(spark, fencePath, newFence)
+    }
+    val fence = math.max(oldFence, newFence)
+    val survivors = batch.filter(!isTruncate && col(versionCol).cast("long") > fence)
+    upsertBatch(tableDir, keyCols, versionCol, numBuckets)(survivors, batchId)
+  }
+
   /** D12 index routing as physical layout: the reference routes each
     * document to a per-table ES index named `cdc_<schema>_<table>`
     * (es_consumer/main.go:66-75); here the envelope lands partitioned

@@ -450,6 +450,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.exists(o => o.user_id == 1L && o.event_id == 10L))
   }
 
+  test("truncate event clears relation state and fences stale replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString + "/state"
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch(ChangeLogStream.truncateAwareUpsertBatch(
+        dir, Seq("user_id"), "event_id",
+        org.apache.spark.sql.functions.col("event_type") === "truncate", 4) _)
+      .outputMode(OutputMode.Append).start()
+    def state(): Set[(Long, Long)] =
+      ChangeLogStream.readState(spark, dir)
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    try {
+      in.addData(ev(1, 1, 1, "signup", 10), ev(2, 2, 2, "signup", 7))
+      q.processAllAvailable()
+      assert(state() === Set((1L, 1L), (2L, 2L)))
+      // TRUNCATE at LSN 5, carried on an arbitrary key — it applies to
+      // the TABLE; the same batch already re-creates user 3 at LSN 6
+      in.addData(ev(5, 3, 99, "truncate"), ev(6, 4, 3, "signup", 1))
+      q.processAllAvailable()
+      assert(state() === Set((3L, 6L)),
+        "truncate must clear EVERY key, not just the carrier key's group")
+      // a stale replay of pre-truncate history (LSN 1 < fence 5) must
+      // not resurrect user 1; a fresh post-fence event re-creates user 2
+      in.addData(ev(1, 1, 1, "signup", 10), ev(7, 5, 2, "click", 2))
+      q.processAllAvailable()
+      assert(state() === Set((3L, 6L), (2L, 7L)),
+        "pre-fence replay resurrected cleared state")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent across replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
