@@ -54,7 +54,7 @@ object TextAnalysis {
   private def qualityScore: Column = {
     val n = size(toks)
     val distinctRatio = size(array_distinct(toks)).cast("double") / n
-    val stopRatio = hits(STOPWORDS).cast("double") / n
+    val stopRatio = hits(toks, STOPWORDS).cast("double") / n
     least(lit(1.0), n.cast("double") / 50.0) *
       (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
   }
@@ -70,10 +70,10 @@ object TextAnalysis {
   // functions never enter whole-stage codegen): ArrayIntersectSize has
   // IDENTICAL semantics to size(filter(toks, isin(markers))) — each
   // occurrence in toks counts — proven bitwise-equal in FunctionsSpec.
-  private def hits(markers: Seq[String]): Column =
+  private def hits(tokens: Column, markers: Seq[String]): Column =
     org.apache.spark.sql.GraftShim.column(
       graft.functions.expressions.ArrayIntersectSize(
-        org.apache.spark.sql.GraftShim.expression(toks),
+        org.apache.spark.sql.GraftShim.expression(tokens),
         org.apache.spark.sql.GraftShim.expression(typedLit(markers))))
 
   private def hitsSql(markers: Seq[String]): String = {
@@ -97,7 +97,7 @@ object TextAnalysis {
     "text_quality" -> ((s, d) => {
       val n = size(toks)
       val distinctRatio = size(array_distinct(toks)).cast("double") / n
-      val stopRatio = hits(STOPWORDS).cast("double") / n
+      val stopRatio = hits(toks, STOPWORDS).cast("double") / n
       // single-space-separated corpus: chars excluding separators
       val avgTokLen = (length(col("text")) - (n - lit(1))).cast("double") / n
       val score = qualityScore
@@ -112,12 +112,20 @@ object TextAnalysis {
     // Heuristic language ID by marker-token hits; grouped confusion
     // summary against the ground-truth `lang` column.
     "text_langid" -> ((s, d) => {
-      val hcols = MARKERS.map { case (l, ms) => l -> hits(ms) }
+      // staged selects: the token array once per row, then one marker
+      // count per language. A single projection would inline `toks`
+      // into every branch; CollapseProject keeps multiply-referenced
+      // non-cheap aliases in their own Project, so each stage computes
+      // exactly once.
+      val hcols = MARKERS.map { case (l, ms) => l -> col(s"h_$l") }
       val m = greatest(hcols.map(_._2): _*)
       val predicted = hcols.tail.foldLeft(when(hcols.head._2 === m, hcols.head._1)) {
         case (acc, (l, h)) => acc.when(h === m, l)
       }
       docsPar(s, d)
+        .select(col("lang"), toks.as("tk"))
+        .select(col("lang") +:
+          MARKERS.map { case (l, ms) => hits(col("tk"), ms).as(s"h_$l") }: _*)
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -131,14 +139,21 @@ object TextAnalysis {
       val bigrams = array_distinct(transform(
         sequence(lit(1), length(col("text")) - 1),
         i => col("text").substr(i, lit(2))))
-      val scored = NGRAM_PROFILES.map { case (l, prof) =>
-        l -> size(filter(bigrams, g => g.isin(prof.map(x => x: Any): _*)))
-      }
+      // staged like text_langid: the single-projection form inlined the
+      // interpreted bigram pipeline into every CASE branch — 16
+      // evaluations per row (measured 2.0 s at sf0.1; ~0.5 s staged)
+      val scored = NGRAM_PROFILES.map { case (l, _) => l -> col(s"h_$l") }
       val m = greatest(scored.map(_._2): _*)
       val predicted = scored.tail.foldLeft(when(scored.head._2 === m, scored.head._1)) {
         case (acc, (l, h)) => acc.when(h === m, l)
       }
       docsPar(s, d)
+        .select(col("lang"), bigrams.as("bg"))
+        .select(col("lang") +:
+          NGRAM_PROFILES.map { case (l, prof) =>
+            size(filter(col("bg"), g => g.isin(prof.map(x => x: Any): _*)))
+              .as(s"h_$l")
+          }: _*)
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
