@@ -233,6 +233,58 @@ object TextAnalysis {
           sum(sampled).cast("long").as("n_sampled"))
     }),
 
+    // Corpus mixture accounting: per-source doc/token mass and its
+    // share of the corpus — the number every data-mixing recipe starts
+    // from. One hash agg + a 1-row broadcast total (constant-key join,
+    // same shape as text_tfidf's scalar N); shares divide exact bigint
+    // token counts as doubles in fixed order, so both engines agree
+    // bitwise.
+    "text_source_mix" -> ((s, d) => {
+      val bySource = docsPar(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).cast("long").as("n_tokens"))
+      val total = bySource
+        .agg(sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .withColumn("__k", lit(1))
+      bySource.withColumn("__k", lit(1))
+        .join(broadcast(total), "__k")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"))
+    }),
+
+    // Mixture rebalancing: deterministically down-sample EVERY source
+    // to the smallest source's token mass (a uniform target mixture).
+    // Membership = keyed md5 threshold (the text_sample_hash pattern):
+    // a pure function of doc_id, so the sample is reproducible under
+    // replay and shard-order-independent — no RNG state, no global
+    // sort. Per-source rates ride a broadcast (|sources| rows); the
+    // corpus is scanned once per aggregate with no payload shuffle.
+    "text_source_sample" -> ((s, d) => {
+      val docs = docsPar(s, d)
+        .select(col("doc_id"), col("source"), size(toks).as("nt"))
+        .transform(graft.CachePool.persist)
+      val bySource = docs.groupBy("source")
+        .agg(sum(col("nt")).cast("long").as("src_tokens"))
+      val budget = bySource.agg(min("src_tokens").as("budget"))
+        .withColumn("__k", lit(1))
+      val rated = bySource.withColumn("__k", lit(1))
+        .join(broadcast(budget), "__k")
+        .select(col("source"),
+          (col("budget").cast("double") / col("src_tokens")).as("rate"))
+      val hv = conv(substring(
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("int")
+      docs.join(broadcast(rated), "source")
+        .withColumn("kept",
+          when(hv.cast("double") < col("rate") * 65536.0, 1).otherwise(0))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          sum(col("nt")).cast("long").as("n_tokens"),
+          sum(col("kept") * col("nt")).cast("long").as("kept_tokens"))
+    }),
+
     // Repetition quality signals (the gopher-rules family): per-doc
     // duplicate-word ratio and top-word concentration — the filters
     // that catch degenerate "batch batch batch" documents exact-dedup
@@ -329,6 +381,31 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "text_source_mix" ->
+      """WITH t AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE)
+        |    / CAST((SELECT SUM(n_tokens) FROM t) AS BIGINT) AS token_share
+        |FROM t""".stripMargin,
+    "text_source_sample" ->
+      """WITH dt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |bysrc AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tokens
+        |  FROM dt GROUP BY source),
+        |rated AS (SELECT source,
+        |    CAST((SELECT MIN(src_tokens) FROM bysrc) AS DOUBLE) / src_tokens AS rate
+        |  FROM bysrc),
+        |k AS (SELECT dt.source, nt,
+        |    CASE WHEN CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS DOUBLE)
+        |           < rate * 65536.0 THEN 1 ELSE 0 END AS kept
+        |  FROM dt JOIN rated ON dt.source = rated.source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(kept * nt) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |pw AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)

@@ -22,10 +22,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_simhash_pairs",  // all-pairs hamming scan (banded is the scale path)
     "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan
     "join_cross_dims",      // explicit CROSS JOIN of two ≤25-row dims
-    "text_tfidf"            // scalar-N subquery: the constant-key join to the
+    "text_tfidf",           // scalar-N subquery: the constant-key join to the
                             // 1-row COUNT(*) aggregate constant-folds into a
                             // single-row broadcast — the same physical shape
                             // Spark gives ScalarSubquery, bounded by design
+    "text_source_mix",      // same scalar-subquery shape: 1-row total-tokens
+                            // (resp. min-budget) aggregate joined on a
+                            // constant key — a 1-row broadcast, bounded
+    "text_source_sample"
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
