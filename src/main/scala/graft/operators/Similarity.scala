@@ -225,6 +225,30 @@ object Similarity {
       topK(scored) // not persisted — see ann_cosine_topk's note
     }),
 
+    // k-NN label vote: classify each query by the majority label of its
+    // brute-force top-k neighbors (tie → smallest label, a total order
+    // both engines share) and report it against the query's own label —
+    // the standard embedding-quality eval. Candidate generation is the
+    // existing top-k (corpus never shuffles); the vote itself moves only
+    // k·queries rows, and the label lookup broadcasts the tiny top-k
+    // side into the corpus scan.
+    "ann_knn_classify" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val topk = queries("ann_cosine_topk")(s, d).select("q_id", "vec_id")
+      val votes = labels.join(broadcast(topk), "vec_id")
+        .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("q_id").orderBy(col("n_votes").desc, col("label"))
+      val pred = votes.withColumn("vrn", row_number().over(w))
+        .filter(col("vrn") === 1)
+        .select(col("q_id"), col("label").as("predicted_label"), col("n_votes"))
+      pred.join(
+          broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("true_label"))
+            .filter(col("q_id") < N_QUERIES)),
+          "q_id")
+        .select("q_id", "predicted_label", "true_label", "n_votes")
+    }),
+
     "ann_lsh_bucket" -> ((s, d) => {
       val bucketed = corpusDf(s, d)
         .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
@@ -300,6 +324,16 @@ object Similarity {
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_knn_classify" ->
+      s"""WITH topk AS ($annBruteSql),
+         |votes AS (SELECT q_id, label, COUNT(*) AS n_votes
+         |  FROM topk JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+         |pred AS (SELECT q_id, label AS predicted_label, n_votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_votes DESC, label) AS vrn FROM votes) t
+         |  WHERE vrn = 1)
+         |SELECT q_id, predicted_label, tl.label AS true_label, n_votes
+         |FROM pred JOIN embeddings tl ON pred.q_id = tl.vec_id""".stripMargin,
     "ann_cosine_topk" -> annBruteSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_recall" ->

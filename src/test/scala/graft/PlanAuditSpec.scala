@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_cosine_topk",      // broadcast query set × corpus scan
     "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
     "ann_ivf_recall",       // composes the two above
+    "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "dedup_embedding_cosine", // documented brute-force baseline
     "dedup_simhash_pairs",  // all-pairs hamming scan (banded is the scale path)
