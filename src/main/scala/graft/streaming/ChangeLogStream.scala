@@ -238,13 +238,20 @@ object ChangeLogStream {
       val touched = batchLatest.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
+      // mergeSchema + allowMissingColumns: an upstream ALTER TABLE ADD
+      // COLUMN (CDC tables drift over a pipeline's lifetime) must not
+      // kill the sink. Added columns surface as NULL on the side that
+      // lacks them — the Delta/Iceberg MERGE evolution contract; type
+      // CHANGES still refuse loudly (SchemaEvolutionSpec documents the
+      // explicit per-epoch widening path for those).
       val existingTouched =
         if (fs.exists(target) && fs.listStatus(target).exists(_.isDirectory))
-          spark.read.parquet(tableDir)
+          spark.read.option("mergeSchema", "true").parquet(tableDir)
             .filter(col(BucketCol).isin(touched.map(Int.box): _*))
         else batchLatest.limit(0)
       val merged = ChangeLog.latestState(
-        existingTouched.unionByName(batchLatest), keyCols, versionCol)
+        existingTouched.unionByName(batchLatest, allowMissingColumns = true),
+        keyCols, versionCol)
       val stagingRoot = new Path(tableDir + s"__staging_$batchId")
       // repartition on the bucket id so each bucket's rows land in one
       // task → one file per bucket (not tasks × buckets tiny files)
@@ -296,9 +303,13 @@ object ChangeLogStream {
     }
   }
 
-  /** The latest-state table without the layout's partition column. */
+  /** The latest-state table without the layout's partition column.
+    * mergeSchema: after a schema-evolving batch, rewritten buckets
+    * carry the new column while untouched buckets still hold the old
+    * file schema — the union is the table's schema.
+    */
   def readState(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir).drop(BucketCol)
+    spark.read.option("mergeSchema", "true").parquet(tableDir).drop(BucketCol)
 
   /** Point lookup that PRUNES to the one bucket directory the key can
     * live in: the bucket predicate folds to a constant, so the file
@@ -313,7 +324,8 @@ object ChangeLogStream {
     require(keyCols.length == keyValues.length, "one value per key column")
     val bucket = pmod(xxhash64(keyValues.map(lit): _*), lit(numBuckets)).cast("int")
     keyCols.zip(keyValues).foldLeft(
-      spark.read.parquet(tableDir).filter(col(BucketCol) === bucket)) {
+      spark.read.option("mergeSchema", "true").parquet(tableDir)
+        .filter(col(BucketCol) === bucket)) {
       case (df, (k, v)) => df.filter(col(k) === lit(v))
     }
   }

@@ -114,6 +114,31 @@ class SinkSpec extends AnyFunSuite {
     assert(state === (1L to 40L).map(k => if (k == 1L) (1L, 100L) else (k, k)).toSet)
   }
 
+  test("bucketed upsert survives an upstream ADD COLUMN (schema evolution)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bevolve").toString + "/state"
+    val sink = streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 4) _
+    sink((1L to 20L).map(k => (k, k, s"v$k")).toDF("key", "lsn", "v"), 0L)
+    // the upstream table grows a column mid-stream; only key 1's bucket
+    // is rewritten — other buckets keep the OLD file schema on disk
+    sink(Seq((1L, 100L, "v1new", "x")).toDF("key", "lsn", "v", "extra"), 1L)
+    val state = streaming.ChangeLogStream.readState(spark, dir)
+    assert(state.schema.fieldNames.contains("extra"))
+    val rows = state.select($"key", $"v", coalesce($"extra", lit("-")))
+      .as[(Long, String, String)].collect().toSet
+    val expected = (1L to 20L).map(k =>
+      if (k == 1L) (1L, "v1new", "x") else (k, s"v$k", "-")).toSet
+    assert(rows === expected)
+    // and the narrower side works too: a later batch WITHOUT the new
+    // column upserts fine, its rows surfacing NULL extra
+    sink(Seq((2L, 200L, "v2new")).toDF("key", "lsn", "v"), 2L)
+    val after = streaming.ChangeLogStream.readState(spark, dir)
+      .filter($"key".isin(1L, 2L))
+      .select($"key", $"v", coalesce($"extra", lit("-")))
+      .as[(Long, String, String)].collect().toSet
+    assert(after === Set((1L, "v1new", "x"), (2L, "v2new", "-")))
+  }
+
   test("routeToTables: one directory per routed table, pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/t"
     val env = pipeline.Envelope.toCdcEventsStreaming(
