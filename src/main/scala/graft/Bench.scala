@@ -38,7 +38,9 @@ object Bench {
     // round-3 additions with nontrivial cost: real PNG decode, the wire
     // round trip, recall compositions, packing
     "multimodal_decode_png", "cdc_kafka_wire", "ann_ivf_recall",
-    "dedup_lsh_recall", "text_pack_sequences")
+    "dedup_lsh_recall", "text_pack_sequences",
+    // round-6 additions: the banded simhash scale path and the knn vote
+    "dedup_simhash_banded", "ann_knn_classify")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -285,6 +285,20 @@ object TextAnalysis {
           sum(col("kept") * col("nt")).cast("long").as("kept_tokens"))
     }),
 
+    // Corpus integrity audit (the Deequ/Great-Expectations stage every
+    // ingest runs before training): row count, null/empty text, stored
+    // n_chars vs actual length, duplicate ids. One full scan, one tiny
+    // aggregate row out — nothing shuffles but the partial aggregates.
+    "text_integrity_audit" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1).otherwise(0)).cast("long").as("n_null_text"),
+        sum(when(length(col("text")) === 0, 1).otherwise(0)).cast("long").as("n_empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+          .cast("long").as("n_len_mismatch"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_ids"))
+    }),
+
     // Repetition quality signals (the gopher-rules family): per-doc
     // duplicate-word ratio and top-word concentration — the filters
     // that catch degenerate "batch batch batch" documents exact-dedup
@@ -381,6 +395,13 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    "text_integrity_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+        |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+        |  COUNT(*) - COUNT(DISTINCT doc_id) AS n_dup_ids
+        |FROM documents""".stripMargin,
     "text_source_mix" ->
       """WITH t AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
