@@ -337,6 +337,17 @@ object Dedup {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
     }),
 
+    // The simhash family's cluster output: connected components over
+    // the BANDED near-dup pair graph — the composition you actually run
+    // at corpus scale (blocked candidate generation feeding min-label
+    // propagation), same fixpoint machinery as dedup_clusters.
+    "dedup_simhash_clusters" -> ((s, d) => {
+      val pairs = queries("dedup_simhash_banded")(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      connectedComponents(docs,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
+    }),
+
     // Measure, don't guess (text side): MinHash-LSH recall against the
     // inverted-index ground truth — of the pairs the exhaustive-ish
     // ngram path proves are jaccard ≥ 0.5, what fraction did banding
@@ -504,6 +515,18 @@ object Dedup {
        |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
   }
 
+  private lazy val simhashBandedSql: String =
+    s"""WITH sh AS ($simhashSqlBase),
+       |seg AS (SELECT doc_id, simhash, i AS seg_i,
+       |    (simhash >> (i * $SIMHASH_SEG_BITS)) & ${(1L << SIMHASH_SEG_BITS) - 1} AS seg_v
+       |  FROM sh, range($SIMHASH_SEGS) t(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS h_a, b.simhash AS h_b
+       |  FROM seg a JOIN seg b ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $SIMHASH_HAMMING""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fingerprint,
@@ -527,17 +550,16 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_HAMMING""".stripMargin,
-    "dedup_simhash_banded" ->
-      s"""WITH sh AS ($simhashSqlBase),
-         |seg AS (SELECT doc_id, simhash, i AS seg_i,
-         |    (simhash >> (i * $SIMHASH_SEG_BITS)) & ${(1L << SIMHASH_SEG_BITS) - 1} AS seg_v
-         |  FROM sh, range($SIMHASH_SEGS) t(i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS h_a, b.simhash AS h_b
-         |  FROM seg a JOIN seg b ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
-         |    AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $SIMHASH_HAMMING""".stripMargin,
+    "dedup_simhash_banded" -> simhashBandedSql,
+    "dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($simhashBandedSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s)
+         |SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc""".stripMargin,
     "dedup_lsh_recall" ->
       s"""WITH truth AS (
          |  SELECT doc_a, doc_b FROM (${"\n"}${oracleNgramJaccard}) t

@@ -34,10 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
-    if (!intentionallyUnbounded(name) && name != "dedup_clusters") {
-      // dedup_clusters executes driver-side loops at construction; its
-      // component joins are key-equi by construction (covered by its
-      // own oracle + spec).
+    if (!intentionallyUnbounded(name) && !name.endsWith("_clusters")) {
+      // the *_clusters queries execute driver-side label-propagation
+      // loops at construction; their component joins are key-equi by
+      // construction (covered by their own oracle + spec).
       test(s"plan audit: $name has no unintended cartesian") {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
