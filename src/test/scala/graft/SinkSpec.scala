@@ -93,6 +93,25 @@ class SinkSpec extends AnyFunSuite {
       .contains(streaming.ChangeLogStream.BucketCol), scan)
   }
 
+  test("bucket count is pinned at creation: a mismatched later param is ignored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpin").toString + "/state"
+    streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 4)(
+      (1L to 40L).map(k => (k, k, s"v$k")).toDF("key", "lsn", "v"), 0L)
+    // a replay (or a redeploy with a changed default) passes NB=16; the
+    // _graft_buckets marker must win, or key 7's update would land in a
+    // 16-bucket slot while its old row sits in a 4-bucket one — split
+    // brain: both rows visible, latest-state broken
+    streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 16)(
+      Seq((7L, 100L, "v7new")).toDF("key", "lsn", "v"), 1L)
+    val buckets = new java.io.File(dir).list().filter(_.startsWith("__bucket=")).toSeq
+    assert(buckets.forall(_.stripPrefix("__bucket=").toInt < 4),
+      s"must keep the pinned 4-bucket layout: $buckets")
+    val key7 = streaming.ChangeLogStream.readState(spark, dir)
+      .filter($"key" === 7L).select($"lsn", $"v").as[(Long, String)].collect().toSeq
+    assert(key7 === Seq((100L, "v7new")), s"exactly one, updated, row: $key7")
+  }
+
   test("bucketed upsert restores a bucket caught between the two renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_brecover").toString + "/state"
