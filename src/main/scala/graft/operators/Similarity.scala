@@ -17,9 +17,12 @@ import graft.sources.Tables
   *     rows).
   *  2. `ann_ivf_topk` — IVF: deterministic coarse centroids, each corpus
   *     vector assigned to its nearest centroid (one broadcast pass),
-  *     queries probe the closest `NPROBE` centroid lists. Search cost
-  *     drops by ~|centroids|/NPROBE; recall is approximate by design and
-  *     the oracle implements the identical algorithm.
+  *     queries probe the closest `nprobe` centroid lists, where the
+  *     probe budget is a FRACTION of the cell count (see [[PROBE_FRAC]]
+  *     for the measured reasoning). Search cost drops by
+  *     ~|centroids|/nprobe; recall is approximate by design, measured
+  *     by `ann_ivf_recall`, and the oracle implements the identical
+  *     algorithm including the budget rule.
   *  3. `ann_lsh_bucket` — sign-bit LSH over fixed axis-aligned dims:
   *     candidates share the query's bucket (equi-join on bucket id — a
   *     hash-partitionable key at any scale).
