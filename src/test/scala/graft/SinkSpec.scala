@@ -158,6 +158,30 @@ class SinkSpec extends AnyFunSuite {
     assert(after === Set((1L, "v1new", "x"), (2L, "v2new", "-")))
   }
 
+  test("batch-incremental consumption drives the bucketed upsert (scheduled-job mode)") {
+    // the reference's scheduled-consumer pattern without a streaming
+    // query: LsnCheckpoint hands each run only the post-checkpoint
+    // increment; the bucketed sink merges it idempotently. Crash-replay
+    // safety falls out of the composition: a failed run leaves the
+    // checkpoint untouched, the retry re-merges the same increment.
+    import spark.implicits._
+    import graft.pipeline.LsnCheckpoint
+    val base = java.nio.file.Files.createTempDirectory("graft_increment").toString
+    val (ckpt, dir) = (s"$base/ckpt", s"$base/state")
+    def run(events: org.apache.spark.sql.DataFrame): Long =
+      LsnCheckpoint.consumeIncrement(events, "lsn", ckpt)(inc =>
+        streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 4)(inc, 0L))
+    val epoch1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("lsn", "key", "v")
+    assert(run(epoch1) === 2L)
+    // next scheduled run sees old + new rows; only the delta processes
+    val epoch2 = epoch1.union(Seq((3L, 10L, "a2")).toDF("lsn", "key", "v"))
+    assert(run(epoch2) === 1L, "must consume ONLY the post-checkpoint increment")
+    assert(run(epoch2) === 0L, "nothing new → no work, no state change")
+    val state = streaming.ChangeLogStream.readState(spark, dir)
+      .select($"key", $"v").as[(Long, String)].collect().toSet
+    assert(state === Set((10L, "a2"), (20L, "b")))
+  }
+
   test("routeToTables: one directory per routed table, pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/t"
     val env = pipeline.Envelope.toCdcEventsStreaming(
