@@ -217,6 +217,25 @@ object Dedup {
           count(lit(1)).as("n_copies"))
     }),
 
+    // Exact dedup KEEPING THE BEST COPY: real pipelines don't keep the
+    // minimum doc_id among duplicates, they keep the highest-quality
+    // one. Shares TextAnalysis's quality formula (one definition, both
+    // engines); argmax per fingerprint is the row_number → TopKPerKey
+    // form — per-partition 1-row heaps, no sort, O(distinct) exchange.
+    "dedup_exact_keep_best" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fingerprint")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("fingerprint"),
+          TextAnalysis.qualityScore.as("quality_score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("fingerprint", "doc_id", "quality_score")
+    }),
+
     // MinHash + LSH banding: per-row signatures → band-key self-join →
     // exact jaccard verify. The full shingle→minhash→band→bucket-join
     // pipeline.
@@ -532,6 +551,13 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fingerprint,
         |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_keep_best" ->
+      s"""WITH scored AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+         |    ${TextAnalysis.qualityScoreSql} AS quality_score
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+         |    ORDER BY quality_score DESC, doc_id) AS rn FROM scored)
+         |SELECT fingerprint, doc_id, quality_score FROM r WHERE rn = 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),

@@ -51,7 +51,7 @@ object TextAnalysis {
     * text_quality_sample (and mirrored once in qualityScoreSql) so the
     * four call sites cannot drift apart.
     */
-  private def qualityScore: Column = {
+  private[operators] def qualityScore: Column = {
     val n = size(toks)
     val distinctRatio = size(array_distinct(toks)).cast("double") / n
     val stopRatio = hits(toks, STOPWORDS).cast("double") / n
@@ -59,7 +59,7 @@ object TextAnalysis {
       (lit(0.5) + lit(0.5) * distinctRatio) - lit(0.1) * stopRatio
   }
 
-  private def qualityScoreSql: String =
+  private[operators] def qualityScoreSql: String =
     s"""LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
        |    * (0.5 + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
        |        / len(string_split(text, ' '))))
