@@ -39,8 +39,11 @@ object Bench {
     // round trip, recall compositions, packing
     "multimodal_decode_png", "cdc_kafka_wire", "ann_ivf_recall",
     "dedup_lsh_recall", "text_pack_sequences",
-    // round-6 additions: the banded simhash scale path and the knn vote
-    "dedup_simhash_banded", "ann_knn_classify")
+    // round-6 additions: the banded simhash scale path, the knn vote,
+    // the iterative-graph pair, and the layout/chunking ops
+    "dedup_simhash_banded", "ann_knn_classify",
+    "graph_pagerank", "graph_bfs_hops", "layout_zorder",
+    "text_chunk_windows", "events_retention")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

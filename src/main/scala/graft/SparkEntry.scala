@@ -39,6 +39,8 @@ object SparkEntry {
       operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Graph.queries ++
+      operators.Layout.queries ++
       operators.TextAnalysis.queries ++
       multimodal.Multimodal.queries
 
@@ -51,6 +53,8 @@ object SparkEntry {
       operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.Graph.oracles ++
+      operators.Layout.oracles ++
       operators.TextAnalysis.oracles ++
       multimodal.Multimodal.oracles
 }

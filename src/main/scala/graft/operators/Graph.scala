@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph dataflow over the customer↔supplier bipartite graph
+  * (an edge = "this customer ordered from this supplier", i.e. a distinct
+  * `(o_custkey, l_suppkey)` pair through orders ⋈ lineitem).
+  *
+  * Two classic at-scale iterative algorithms plus the degree profile:
+  *
+  *  - `graph_pagerank` — damped PageRank, the canonical "repeat a join
+  *    until it converges" workload.
+  *  - `graph_bfs_hops`  — BFS frontier expansion from a seed node
+  *    (supply-chain distance), the other canonical shape: a monotone
+  *    min-aggregation fixpoint.
+  *  - `graph_degrees`   — degree histogram per node class.
+  *
+  * Scale design (the Pregel layout, re-expressed declaratively):
+  *  - The edge relation is built ONCE, hash-partitioned by `src`, and
+  *    persisted; every iteration joins the per-node state against the
+  *    stationary edges. Verified on the executed (adaptive) plan: AQE
+  *    plans each iteration as a broadcast of the rank state into the
+  *    cached edge partitions — the edges never move, and the only
+  *    per-iteration shuffle is the message aggregation by `dst`. With a
+  *    node state too large to broadcast the join degrades to a shuffle
+  *    join co-keyed on `src` (the state side moves, the cached layout
+  *    still bounds the edge side). At 100 TB the edge build is one
+  *    orders⋈lineitem shuffle (both sides keyed by orderkey) + a
+  *    distinct; iterations touch no base table again.
+  *  - All rank/distance arithmetic is 64-bit INTEGER (rank mass in units
+  *    of 1e-12, floor division for contribution splits and damping).
+  *    Integer sums are associative-commutative — the result is
+  *    bit-identical no matter the partitioning, task order, or engine —
+  *    so the DuckDB oracle runs the IDENTICAL algorithm (`//` and Spark's
+  *    `div` agree: both truncate, and every operand here is positive).
+  *    Float PageRank would diverge between engines in the last ulp;
+  *    integer PageRank cannot.
+  *  - Overflow bound: total rank mass is conserved at nodes·R0 minus
+  *    floor losses, so a node's incoming sum < nodes·R0 ≈ 1.6e16 at
+  *    sf0.1; 85·that ≈ 1.4e18 < 2^63. Rescale R0 if node counts pass
+  *    ~1e6 per rank unit budget.
+  */
+object Graph {
+
+  private val R0 = 1000000000000L // initial rank mass per node (1e12)
+  private val JUMP = 15L * R0 / 100 // damping teleport share (exact)
+  private val ITERS = 3
+  private val BFS_ROUNDS = 4
+  private val SEED = "c1" // customer key 1 exists at every SF
+
+  /** Edge relation with out-degree attached: (src, dst, d) — both
+    * directions of each customer↔supplier pair, so the random walk is
+    * symmetric and every node has in-edges (no dangling-mass special
+    * case). Partitioned by `src` once and persisted: the iteration joins
+    * probe this stationary relation.
+    */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c_node"),
+        concat(lit("s"), col("l_suppkey")).as("s_node"))
+      .distinct()
+    val e = pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
+      .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    e.join(deg, "src")
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .transform(graft.CachePool.persist)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Damped PageRank, ITERS unrolled rounds. Each round: contribution
+    // split rank/degree per edge (integer floor), message sum per dst,
+    // damping as (JUMP + 85·sum div 100). The undirected construction
+    // guarantees every node receives messages each round, so the state
+    // relation never shrinks or grows.
+    "graph_pagerank" -> ((s, d) => {
+      val ed = edgesWithDeg(s, d)
+      var rank = ed.select(col("src").as("node")).distinct()
+        .withColumn("rank_units", lit(R0))
+      for (_ <- 1 to ITERS) {
+        rank = ed.join(rank, ed("src") === rank("node"))
+          .select(col("dst"), expr("rank_units div d").as("contrib"))
+          .groupBy("dst")
+          .agg(sum("contrib").as("m"))
+          .select(col("dst").as("node"),
+            (lit(JUMP) + expr("(85 * m) div 100")).as("rank_units"))
+      }
+      rank
+    }),
+
+    // BFS frontier expansion from SEED: dist = min over (current dist,
+    // neighbor dist + 1), BFS_ROUNDS rounds — nodes discovered in round
+    // k keep distance k forever (min is monotone), so the unrolled form
+    // equals true BFS up to depth BFS_ROUNDS. Output: nodes per distance.
+    // Each round's state is persisted: the round-k plan references
+    // round k-1 TWICE (union branch + join probe), so an unpersisted
+    // chain doubles per round — 2^BFS_ROUNDS evaluations of the base
+    // (measured 6.8 s vs 1 s at sf0.1). The cache makes each round
+    // compute once; entries are O(nodes) rows and released with the
+    // family's CachePool batch.
+    "graph_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val ed = edgesWithDeg(s, d)
+      var dist = Seq((SEED, 0L)).toDF("node", "dist")
+      for (_ <- 1 to BFS_ROUNDS) {
+        dist = graft.CachePool.persist(
+          dist.union(
+              dist.join(ed, dist("node") === ed("src"))
+                .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+            .groupBy("node").agg(min("dist").as("dist")))
+      }
+      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // Degree histogram per node class ('c' customers / 's' suppliers):
+    // the standard first look at any graph's skew (a power-law tail here
+    // means the pagerank message aggregation needs salting at scale).
+    "graph_degrees" -> ((s, d) => {
+      edgesWithDeg(s, d)
+        .select(col("src"), col("d")).distinct()
+        .groupBy(substring(col("src"), 1, 1).as("node_type"),
+          col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    })
+  )
+
+  /** Shared oracle prefix: the identical edge construction. */
+  private val edgesSql =
+    """pairs AS (SELECT DISTINCT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+      |  UNION ALL SELECT s_node, c_node FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg USING (src))""".stripMargin
+
+  private lazy val pagerankSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $edgesSql,
+         |r0 AS (SELECT src AS node, CAST($R0 AS BIGINT) AS rank_units FROM deg)""".stripMargin)
+    for (i <- 1 to ITERS) {
+      sb.append(s""",
+         |r$i AS (SELECT ed.dst AS node,
+         |    CAST($JUMP + (85 * SUM(r.rank_units // ed.d)) // 100 AS BIGINT) AS rank_units
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, rank_units FROM r$ITERS")
+    sb.toString
+  }
+
+  private lazy val bfsSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $edgesSql,
+         |d0 AS (SELECT '$SEED' AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin)
+    for (i <- 1 to BFS_ROUNDS) {
+      sb.append(s""",
+         |d$i AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT ed.dst, p.dist + 1 FROM d${i - 1} p JOIN ed ON p.node = ed.src) t
+         |  GROUP BY node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT dist, COUNT(*) AS n_nodes FROM d$BFS_ROUNDS GROUP BY dist")
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
+    "graph_bfs_hops" -> bfsSql,
+    "graph_degrees" ->
+      s"""WITH $edgesSql
+         |SELECT substr(src, 1, 1) AS node_type, d AS degree, COUNT(*) AS n_nodes
+         |FROM (SELECT DISTINCT src, d FROM ed) t GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -86,6 +86,59 @@ object Relational {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q4 shape: correlated EXISTS against the fact table — orders
+    // in a window with at least one late-shipped line, counted per
+    // priority. Plans as a LEFT SEMI join on the order key: the probe
+    // side streams, the EXISTS never duplicates orders, and the
+    // non-equi shipdate condition rides the semi join.
+    "q4_priority_exists" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — a conditional-aggregate
+    // ratio over one broadcast dimension join. Decimal sums keep the
+    // numerator/denominator exact; the single final division is the
+    // only float op, so the percentage is bit-identical to the oracle.
+    "q14_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", revenue)).cast("double") /
+            sum(revenue).cast("double")).as("promo_pct"),
+          sum(when(col("p_type") === "PROMO", revenue)).cast("double").as("promo_revenue"),
+          sum(revenue).cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive bands (brand × size ×
+    // quantity). One broadcast equi-join on partkey carries all three
+    // branches; the OR-filter evaluates post-join inside codegen — no
+    // union-of-three-scans blowup, one pass over the fact table.
+    "q19_disjunct_bands" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Broadcast dimension chain: the D5 relation-lookup join done at
     // warehouse scale (stream side never shuffles).
     "join_broadcast_dims" -> ((s, d) => {
@@ -317,6 +370,29 @@ object Relational {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql END) AS DOUBLE)
+         |    / CAST(SUM($revenueSql) AS DOUBLE) AS promo_pct,
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql END) AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q19_disjunct_bands" ->
+      s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "join_broadcast_dims" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -60,6 +60,24 @@ object RelationalExt {
             col("first_purchase") > col("first_click"), lit(false)))
     }),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // per week-offset of later activity — the activity-analytics matrix
+    // behind every "wk N retention" dashboard. Two hash aggregations
+    // (first-seen per user, then matrix cells) + one broadcast-sized
+    // join back; week arithmetic is integer day math (datediff div 7),
+    // exact on both engines.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // GROUPING SETS (finer than rollup/cube).
     "agg_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -359,6 +377,14 @@ object RelationalExt {
         |    AND MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
         |      > MIN(CASE WHEN event_type = 'click' THEN event_id END), FALSE) AS completed_funnel
         |FROM events GROUP BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT ev.user_id, cohort_week,
+        |    DATEDIFF('day', cohort_week, wk) // 7 AS week_offset
+        |  FROM ev JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -22,6 +22,8 @@ object TextAnalysis {
   private val TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val PACK_CTX = 512  // tokens per packed training window
   private val PACK_SHARDS = 8 // independent packing shards
+  private val CHUNK_W = 64    // tokens per training chunk
+  private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
 
   // char-bigram profiles per language (top bigrams of each language's
   // typical text; literal so the oracle is the identical algorithm)
@@ -79,6 +81,26 @@ object TextAnalysis {
   private def hitsSql(markers: Seq[String]): String = {
     val inList = markers.map(m => s"'$m'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($inList)))"
+  }
+
+  /** Shared chunk relation (text_chunk_windows / text_chunk_dedup):
+    * overlapping CHUNK_W-token windows at stride CHUNK_STRIDE with an
+    * md5 content fingerprint per chunk. Persisted so the family shares
+    * one generate+slice pass.
+    */
+  private def chunkRel(s: SparkSession, d: String): DataFrame = {
+    val starts = sequence(lit(0), size(col("t")) - 1, lit(CHUNK_STRIDE))
+    val chunk = slice(col("t"), col("chunk_start") + 1, lit(CHUNK_W))
+    docsPar(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(starts).as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_fp"))
+      .transform(graft.CachePool.persist)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,6 +397,29 @@ object TextAnalysis {
           sum(col("q").cast("decimal(18,6)")).cast("double").as("quality_mass"))
     }),
 
+    // Document chunking: overlapping CHUNK_W-token windows at stride
+    // CHUNK_STRIDE — the step that turns curated documents into
+    // fixed-context training samples (overlap preserves cross-boundary
+    // context). Pure per-row generate+slice: the generator multiplies
+    // rows ~n_tokens/stride-fold but touches no other row, so the op
+    // scan-scales.
+    "text_chunk_windows" -> ((s, d) => chunkRel(s, d)),
+
+    // Chunk-level dedup over the same relation: fingerprints repeated
+    // across documents (train/eval contamination happens at CHUNK
+    // granularity — whole-doc dedup misses a copied passage inside an
+    // otherwise-novel document). Hash-groupBy on the 16-byte chunk_fp:
+    // the chunk TEXT never shuffles, only fingerprints — the exact-dedup
+    // scale argument, one level finer.
+    "text_chunk_dedup" -> ((s, d) => {
+      chunkRel(s, d)
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .filter(col("n_copies") > 1)
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -390,6 +435,29 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chunk_windows" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 1, $CHUNK_STRIDE)) AS chunk_start
+         |  FROM tk)
+         |SELECT doc_id,
+         |  CAST(chunk_start // $CHUNK_STRIDE AS INT) AS chunk_idx,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(len(t[chunk_start + 1 : chunk_start + $CHUNK_W]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(t[chunk_start + 1 : chunk_start + $CHUNK_W], ' ')) AS chunk_fp
+         |FROM st""".stripMargin,
+    "text_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 1, $CHUNK_STRIDE)) AS chunk_start
+         |  FROM tk),
+         |ch AS (SELECT doc_id,
+         |    md5(array_to_string(t[chunk_start + 1 : chunk_start + $CHUNK_W], ' ')) AS chunk_fp
+         |  FROM st)
+         |SELECT chunk_fp, COUNT(*) AS n_copies,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM ch GROUP BY chunk_fp HAVING COUNT(*) > 1""".stripMargin,
     "text_sample_hash" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the iterative-graph and layout operators —
+  * properties the DuckDB oracle's value-equality cannot express:
+  * conservation laws, monotonicity, and the structural guarantees the
+  * scaladocs claim.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("pagerank conserves rank mass up to floor losses") {
+    val rank = q("graph_pagerank")
+    val n = rank.count()
+    val total = rank.agg(sum("rank_units")).head.getLong(0)
+    val exact = n * 1000000000000L
+    assert(total <= exact, "integer floors can only LOSE mass")
+    // each contribution floor loses < deg units per node per round, each
+    // damping floor < 100; 3 rounds over this graph lose ≪ 0.1%
+    assert(total > (exact * 999L) / 1000L,
+      s"mass leak too large: $total of $exact")
+  }
+
+  test("pagerank keeps every node and assigns positive rank") {
+    val rank = q("graph_pagerank")
+    val degrees = q("graph_degrees")
+    val nodes = degrees.agg(sum("n_nodes")).head.getLong(0)
+    assert(rank.count() === nodes, "iteration dropped or invented nodes")
+    assert(rank.filter(col("rank_units") <= 0).count() === 0)
+  }
+
+  test("bfs frontier: one seed at dist 0, neighbors of the seed at 1") {
+    val hops = q("graph_bfs_hops").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops(0L) === 1L, "exactly the seed at distance 0")
+    assert(hops.getOrElse(1L, 0L) > 0, "seed has at least one neighbor")
+    // bipartite: odd distances are suppliers, even are customers — the
+    // seed's 1-hop count can never exceed the supplier population
+    val rank = q("graph_degrees").filter(col("node_type") === "s")
+      .agg(sum("n_nodes")).head.getLong(0)
+    assert(hops(1L) <= rank)
+  }
+
+  test("zorder buckets are range-tight on BOTH dimensions") {
+    val b = q("layout_zorder").collect()
+    val (maxPk, maxSk) = (b.map(_.getLong(3)).max, b.map(_.getLong(5)).max)
+    // 64 buckets = 8×8 grid: each bucket must span ≤ ~1/8 of each key
+    // range (+1 cell slack for the integer normalization boundary)
+    b.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= maxPk / 8 + maxPk / 256 + 1,
+        s"bucket ${r.getLong(0)} spans too much of partkey")
+      assert(r.getLong(5) - r.getLong(4) <= maxSk / 8 + maxSk / 256 + 1,
+        s"bucket ${r.getLong(0)} spans too much of suppkey")
+    }
+  }
+
+  test("range splits are contiguous, disjoint, balanced") {
+    val t = q("layout_range_split").orderBy("split_id").collect()
+    assert(t.length === 32)
+    t.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) < b.getLong(1), "tiles must not overlap")
+    }
+    val counts = t.map(_.getLong(3))
+    assert(counts.max - counts.min <= 1, "ntile balance is ±1 by contract")
+  }
+
+  test("pagerank iterations read the persisted edges, not the base tables") {
+    val plan = q("graph_pagerank").queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "edge relation must come from the cache on every iteration")
+  }
+
+  test("chunk windows cover every token and agree with text_tokens") {
+    val chunks = q("text_chunk_windows")
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_start").as("last_start"),
+        sum("n_chunk_tokens").as("covered"))
+    val toks = q("text_tokens").select(col("doc_id"), col("n_tokens_ws"))
+    val joined = perDoc.join(toks, "doc_id")
+    // starts are 0,48,…,≤n-1 ⇒ n_chunks = floor((n-1)/48)+1; the final
+    // chunk reaches the end ⇒ coverage (with overlap) ≥ n
+    assert(joined.filter(
+      col("n_chunks") =!= expr("((n_tokens_ws - 1) div 48) + 1") ||
+      col("covered") < col("n_tokens_ws")).count() === 0)
+  }
+
+  test("retention matrix: offset-0 cell equals each cohort's size") {
+    val m = q("events_retention")
+    val zero = m.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("at0"))
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohortSize = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n"))
+    assert(zero.join(cohortSize, "cohort_week")
+      .filter(col("at0") =!= col("n")).count() === 0,
+      "every user is active in their own cohort week by definition")
+  }
+}

@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_source_mix",      // same scalar-subquery shape: 1-row total-tokens
                             // (resp. min-budget) aggregate joined on a
                             // constant key — a 1-row broadcast, bounded
-    "text_source_sample"
+    "text_source_sample",
+    "layout_zorder"         // 1-row max-key aggregate broadcast into the
+                            // scan for range normalization — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
