@@ -29,6 +29,7 @@ object Layout {
   private val ZBITS = 8 // bits per dimension → 16-bit Morton code
   private val ZBUCKET_SHIFT = 10 // keep top 6 bits → 64 buckets
   private val SPLITS = 32
+  private val TARGET_CHARS = 100000L // compaction target: chars per output file
 
   /** Interleave the low ZBITS of `a` (odd positions) and `b` (even):
     * the Morton code as a sum of shifted bit tests — pure integer ops,
@@ -69,6 +70,23 @@ object Layout {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     }),
 
+    // Small-file compaction plan: per source partition of the document
+    // corpus, how many TARGET_CHARS-sized output files a compaction
+    // rewrite should produce and the mean docs per file — the planner
+    // behind OPTIMIZE/rewriteDataFiles. One hash aggregation; all
+    // integer ceil-division, so the plan is engine-exact. At 100 TB the
+    // same aggregate runs per (table, partition) over the file listing,
+    // which is millions of rows, not billions — planner-sized.
+    "layout_compaction_plan" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .withColumn("n_files",
+          expr(s"(total_chars + ${TARGET_CHARS - 1}) div $TARGET_CHARS"))
+        .withColumn("docs_per_file",
+          expr("(n_docs + n_files - 1) div n_files"))
+    }),
+
     // Balanced range-split boundaries for l_orderkey: distinct keys,
     // ntile(SPLITS) in key order, then each tile's [lo, hi] + key count.
     // ntile's fill rule (earlier tiles get the remainder) is shared SQL
@@ -95,6 +113,15 @@ object Layout {
          |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
          |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
          |FROM c GROUP BY 1""".stripMargin,
+    "layout_compaction_plan" ->
+      s"""WITH agg AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         |  FROM documents GROUP BY source),
+         |f AS (SELECT source, n_docs, total_chars,
+         |    (total_chars + ${TARGET_CHARS - 1}) // $TARGET_CHARS AS n_files
+         |  FROM agg)
+         |SELECT source, n_docs, total_chars, n_files,
+         |  (n_docs + n_files - 1) // n_files AS docs_per_file
+         |FROM f""".stripMargin,
     "layout_range_split" ->
       s"""SELECT split_id, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
          |  COUNT(*) AS n_keys

@@ -139,6 +139,57 @@ object Relational {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q7 shape: nation-pair trade volume. The two big relations
+    // (orders⋈customer, then ⋈lineitem) shuffle co-keyed on their join
+    // keys — customer is unfiltered, so broadcasting it would not
+    // survive a 100× scale-up; supplier and nation ARE broadcast (dim
+    // tables orders of magnitude under the fact). The nation decode
+    // happens twice under different aliases, once per side of the pair.
+    "q7_nation_volume" -> ((s, d) => {
+      val natS = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val natC = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val custN = Tables.customer(s, d)
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(custN, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — who returned the
+    // most value last quarter. Selective filters (returnflag, quarter)
+    // reach both scans before the orderkey shuffle join; customer joins
+    // by shuffle (unfiltered), nation by broadcast; top-20 is a bounded
+    // TakeOrdered, never a global sort.
+    "q10_returned_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Broadcast dimension chain: the D5 relation-lookup join done at
     // warehouse scale (stream side never shuffles).
     "join_broadcast_dims" -> ((s, d) => {
@@ -393,6 +444,31 @@ object Relational {
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, n_name AS nation,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "join_broadcast_dims" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -78,6 +78,26 @@ object RelationalExt {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Join-key skew profile: the diagnostic that decides whether a join
+    // needs salting BEFORE it runs — per-key row counts for the heaviest
+    // keys, each with its share of the table and its multiple of the
+    // mean key load. One hash aggregation over the fact + a 1-row
+    // global-stats broadcast; the top-10 is a bounded TakeOrdered. A
+    // key at x_avg ≫ 1 is the one that stalls a reducer at 100 TB.
+    "join_skew_profile" -> ((s, d) => {
+      val freq = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+      val tot = freq.agg(sum("n_rows").as("total_rows"),
+        count(lit(1)).as("n_keys"))
+      freq.crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("n_rows"),
+          (col("n_rows").cast("double") / col("total_rows")).as("share"),
+          (col("n_rows") * col("n_keys")).cast("double")
+            ./(col("total_rows")).as("x_avg"))
+        .orderBy(col("n_rows").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     // GROUPING SETS (finer than rollup/cube).
     "agg_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -385,6 +405,14 @@ object RelationalExt {
         |  FROM ev JOIN c USING (user_id))
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "join_skew_profile" ->
+      """WITH freq AS (SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+        |tot AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM freq)
+        |SELECT l_suppkey, n_rows,
+        |  CAST(n_rows AS DOUBLE) / total_rows AS share,
+        |  CAST(n_rows * n_keys AS DOUBLE) / total_rows AS x_avg
+        |FROM freq, tot
+        |ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -31,8 +31,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // (resp. min-budget) aggregate joined on a
                             // constant key — a 1-row broadcast, bounded
     "text_source_sample",
-    "layout_zorder"         // 1-row max-key aggregate broadcast into the
+    "layout_zorder",        // 1-row max-key aggregate broadcast into the
                             // scan for range normalization — bounded
+    "join_skew_profile"     // 1-row global-stats aggregate broadcast into
+                            // the per-key frequencies — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
