@@ -204,6 +204,48 @@ object CdcQueries {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    // SCD Type 2 from the raw change log: every change per key becomes a
+    // validity interval [valid_from_lsn, valid_to_lsn) with its payload;
+    // the current version has an open (null) upper bound. One window
+    // per key (lead over event_id) — partitioned by the key, so the sort
+    // is per-key local and the op scales as a single shuffle on user_id.
+    // This is the warehouse-side history table a CDC feed materializes
+    // when consumers need "value as of any LSN", not just latest.
+    "cdc_scd2_intervals" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), opCol.as("op"), col("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from_lsn", col("event_id"))
+        .withColumn("valid_to_lsn", lead("event_id", 1).over(w))
+        .withColumn("is_current", col("valid_to_lsn").isNull)
+        .drop("event_id")
+    }),
+
+    // Log compaction (the Kafka-compacted-topic semantics the reference's
+    // producer relies on): keep only the LAST event per (key, utc day).
+    // Bounds retained history to keys × days regardless of update rate —
+    // the difference between an append-only log and a log you can still
+    // replay after a year at 100 TB/day. One partitioned window, no
+    // global sort; n_collapsed records the compaction ratio per cell.
+    "cdc_log_compact" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_id"), col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_collapsed",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("event_id").as("last_lsn"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("n_collapsed"))
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -221,6 +263,24 @@ object CdcQueries {
       |  FROM events) t WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_scd2_intervals" ->
+      s"""SELECT user_id, $opSql AS op, value,
+         |  CAST(row_number() OVER w AS INT) AS version,
+         |  event_id AS valid_from_lsn,
+         |  lead(event_id, 1) OVER w AS valid_to_lsn,
+         |  lead(event_id, 1) OVER w IS NULL AS is_current
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "cdc_log_compact" ->
+      """SELECT user_id, day, event_id AS last_lsn,
+        |  event_type AS last_event_type, value AS last_value, n_collapsed
+        |FROM (SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |    event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(DATE_TRUNC('day', ts) AS DATE)
+        |      ORDER BY event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, CAST(DATE_TRUNC('day', ts) AS DATE)) AS n_collapsed
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "cdc_latest_state" -> latestSql,
     "cdc_latest_state_delete" ->
       s"SELECT * FROM ($latestSql) u WHERE event_type <> 'error'",

@@ -113,6 +113,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("scd2 intervals tile each key's history: no gaps, no overlaps, one current") {
+    val iv = SparkEntry.queries("cdc_scd2_intervals")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "version", "valid_from_lsn", "valid_to_lsn", "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    iv.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      // versions are 1..n dense
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rows.length),
+        s"user $uid: versions not dense")
+      // interval k closes exactly where interval k+1 opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2),
+            s"user $uid: gap/overlap between v${a.getInt(1)} and v${b.getInt(1)}")
+        case _ =>
+      }
+      // exactly the last interval is current (open-ended)
+      assert(sorted.count(_.getBoolean(4)) === 1 && sorted.last.getBoolean(4),
+        s"user $uid: current-version invariant broken")
+    }
+  }
+
+  test("log compaction preserves latest-state per key and bounds rows by keys x days") {
+    val sfDir = "/root/testdata/sf0.001"
+    val compact = SparkEntry.queries("cdc_log_compact")(spark, sfDir)
+    // the compacted log's last cell per key equals the full log's latest state
+    val fromCompact = ChangeLog.latestState(
+      compact.select($"user_id", $"day", $"last_lsn".as("event_id"),
+        $"last_event_type".as("event_type"), $"last_value".as("value")),
+      Seq("user_id"), "event_id")
+      .select("user_id", "event_id", "event_type").collect().toSet
+    val direct = ChangeLog.latestState(
+      sources.Tables.events(spark, sfDir), Seq("user_id"), "event_id")
+      .select("user_id", "event_id", "event_type").collect().toSet
+    assert(fromCompact === direct, "compaction must not lose the latest state")
+    // row bound: one row per (key, day) cell, and the collapse counts
+    // account for every original event
+    val cells = compact.count()
+    assert(cells === compact.select("user_id", "day").distinct().count())
+    val collapsed = compact.agg(sum("n_collapsed")).head.getLong(0)
+    assert(collapsed === sources.Tables.events(spark, sfDir).count())
+  }
+
   test("fenceUnion dedups the snapshot/stream overlap window") {
     val snapshot = changelog.filter($"lsn" <= 4)
     val stream = changelog.filter($"lsn" >= 3) // overlap at 3,4

@@ -119,4 +119,31 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregate phases must be inside one
     assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter should cut fact-scan rows BEFORE
+    // the shuffle: Spark's runtime row-level filter builds a bloom
+    // filter on the filtered creation side and injects might_contain
+    // into the fact scan. The optimization is size-gated (fact side
+    // ≥ 10 GB by default) so it never fires at test scale — lower the
+    // gates to prove the engine path works, restore them after.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join shape
+      import org.apache.spark.sql.functions.col
+      val ord = sources.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"runtime bloom filter did not inject:\n$p")
+      joined.collect() // and the filtered plan still executes correctly
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
 }
