@@ -43,7 +43,11 @@ object Bench {
     // the iterative-graph pair, and the layout/chunking ops
     "dedup_simhash_banded", "ann_knn_classify",
     "graph_pagerank", "graph_bfs_hops", "layout_zorder",
-    "text_chunk_windows", "events_retention")
+    "text_chunk_windows", "events_retention",
+    // late round-6 additions: nation-pair shuffle join, SCD2 window,
+    // the stride-1 n-gram audit, and the label-centroid rebuild
+    "q7_nation_volume", "cdc_scd2_intervals",
+    "text_ngram_hotspots", "ann_label_centroids")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

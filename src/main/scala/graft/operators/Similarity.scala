@@ -252,6 +252,56 @@ object Similarity {
         .select("q_id", "predicted_label", "true_label", "n_votes")
     }),
 
+    // Embedding-hygiene report: per-label centroid (elementwise mean)
+    // and the label's cohesion around it (mean/min cosine of members to
+    // centroid). Low mean_cos = a label whose embeddings don't cluster —
+    // mislabelled data or a collapsed embedding model; the report a
+    // training pipeline runs before trusting labels at all. Scale
+    // shape: one (label, dim)-keyed hash agg (output labels·d rows,
+    // collected and broadcast back — the O(centroids) IVF rebuild),
+    // then one broadcast join over the corpus; the corpus never
+    // shuffles.
+    //
+    // Order-independence via POWER-OF-TWO quantization, not decimal:
+    // a decimal(38,10) cast looked equivalent but is NOT engine-exact —
+    // a float whose dyadic denominator is exactly 2^11 lands exactly
+    // halfway between two 10-dp decimals, and Spark (HALF_UP, away
+    // from zero) and DuckDB (toward +inf) disagree on negative ties
+    // (sf0.1 has such a value: -0.22314453125 at vec 1062 dim 6, which
+    // skewed label 8's centroid by 1e-10 and every downstream cosine
+    // by ~1e-12). floor(x·2^30 + 0.5) has no tie rule at all: ·2^30 is
+    // an exact exponent shift for any float, +0.5 and floor are exact
+    // IEEE ops with one defined answer, and the per-group SUM is then
+    // exact 64-bit integer arithmetic — associative, engine-independent.
+    // Bounds: |sum| ≤ n·2^30, so the exact-long→double window (2^53)
+    // holds to n ≈ 8e6 rows per (label,dim) cell; rescale past that.
+    "ann_label_centroids" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val Q = 1073741824.0 // 2^30
+      val base = Tables.embeddings(s, d)
+        .select(col("label"), VectorOps.asDouble(col("embedding")).as("e"))
+        .transform(graft.CachePool.persist) // two passes: means + cohesion
+      val means = base
+        .select(col("label"), posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("label", "dim")
+        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+          count(lit(1)).cast("double")).as("mval"))
+        .collect()
+      val cents = means.groupBy(_.getInt(0)).toSeq
+        .map { case (l, rows) =>
+          (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toDF("label", "ce")
+      base.join(broadcast(cents), "label")
+        .withColumn("c", cos(col("e"), col("ce")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(floor(col("c") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mean_cos"),
+          min("c").as("min_cos"))
+    }),
+
     "ann_lsh_bucket" -> ((s, d) => {
       val bucketed = corpusDf(s, d)
         .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
@@ -327,6 +377,21 @@ object Similarity {
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_label_centroids" ->
+      s"""WITH ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |m AS (SELECT label, dim,
+         |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM ev) u
+         |  GROUP BY label, dim),
+         |cents AS (SELECT label, array_agg(mval ORDER BY dim) AS ce FROM m GROUP BY label),
+         |sc AS (SELECT ev.label, ${VectorOps.cosineSql("e", "ce", DIM)} AS c
+         |  FROM ev JOIN cents USING (label))
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(FLOOR(c * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
+         |  MIN(c) AS min_cos
+         |FROM sc GROUP BY label""".stripMargin,
     "ann_knn_classify" ->
       s"""WITH topk AS ($annBruteSql),
          |votes AS (SELECT q_id, label, COUNT(*) AS n_votes

@@ -420,6 +420,31 @@ object TextAnalysis {
         .filter(col("n_copies") > 1)
     }),
 
+    // Memorization audit: the most-repeated 8-gram sequences across the
+    // corpus, with how many distinct documents they appear in — stride-1
+    // n-grams catch the boilerplate/licence-header/repeated-passage
+    // content a model memorizes verbatim (chunk dedup at stride 48
+    // cannot see phrases that straddle chunk boundaries). The generator
+    // multiplies rows ×n_tokens, but each shuffled row is only
+    // (8-gram string, doc_id) — the document text itself never
+    // shuffles — and the report is a bounded TakeOrdered top-20.
+    "text_ngram_hotspots" -> ((s, d) => {
+      val NG = 8
+      val starts = sequence(lit(0), size(col("t")) - NG, lit(1))
+      docsPar(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= NG)
+        .select(col("doc_id"), col("t"), explode(starts).as("st"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("t"), col("st") + 1, lit(NG))).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -435,6 +460,14 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_hotspots" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8, 1)) AS s
+        |  FROM tk WHERE len(t) >= 8),
+        |ng AS (SELECT doc_id, array_to_string(t[s + 1 : s + 8], ' ') AS ngram FROM st)
+        |SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ng GROUP BY ngram HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
     "text_chunk_windows" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |st AS (SELECT doc_id, t,
