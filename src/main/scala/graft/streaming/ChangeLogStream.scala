@@ -19,6 +19,15 @@ case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class StateOut(user_id: Long, event_id: Long, event_type: String,
     value: Double, deleted: Boolean)
 
+/** One SCD Type 2 validity interval: version `version` of key `user_id`
+  * held `value` over [valid_from_lsn, valid_to_lsn); the open (current)
+  * interval has valid_to_lsn = None. Update-keyed by (user_id, version):
+  * closing an interval re-emits the same version with its upper bound.
+  */
+case class Scd2Out(user_id: Long, version: Int, event_type: String,
+    value: Double, valid_from_lsn: Long, valid_to_lsn: Option[Long],
+    is_current: Boolean)
+
 /** Structured Streaming re-expression of the reference pipeline
   * (SURVEY.md §3): WAL stream → keyed events → idempotent latest-state
   * materialization.
@@ -76,6 +85,42 @@ object ChangeLogStream {
             if (!cur.exists(_.event_id >= e.event_id)) {
               val next = StateOut(uid, e.event_id, e.event_type, e.value,
                 deleted = e.event_type == "error")
+              cur = Some(next)
+              out += next
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming SCD Type 2: the batch `cdc_scd2_intervals` history table
+    * maintained incrementally. Each arriving change CLOSES the key's
+    * open interval (re-emitting it with its upper bound — Update mode
+    * keyed on (user_id, version), so a sink upserts the closed form
+    * over the earlier open emission) and opens the next version. State
+    * is exactly ONE open interval per key — O(keys), not O(history):
+    * the closed intervals live in the sink, which is what makes the
+    * history table maintainable at 100 TB of changelog without ever
+    * re-reading it. Stale (LSN ≤ open interval's start) arrivals are
+    * ignored — replay-safe for the same reason latestStatePerKey is.
+    */
+  def scd2PerKey(events: Dataset[RawEvent]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[RawEvent], state: GroupState[Scd2Out]) =>
+          val ordered = batch.toSeq.sortBy(_.event_id)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          ordered.foreach { e =>
+            if (!cur.exists(_.valid_from_lsn >= e.event_id)) {
+              cur.foreach { open =>
+                out += open.copy(valid_to_lsn = Some(e.event_id),
+                  is_current = false)
+              }
+              val next = Scd2Out(uid, cur.map(_.version).getOrElse(0) + 1,
+                e.event_type, e.value, e.event_id, None, is_current = true)
               cur = Some(next)
               out += next
             }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{ChangeLogStream, RawEvent, StateOut}
+import graft.streaming.{ChangeLogStream, RawEvent, Scd2Out, StateOut}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -83,6 +83,51 @@ class StreamingSpec extends AnyFunSuite {
       val u1Emissions = spark.table("state_out").as[StateOut].collect()
         .filter(_.user_id == 1L).map(_.event_id).sorted
       assert(u1Emissions.toSeq === Seq(1L, 2L, 4L, 5L), "stale replay must not re-emit")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 intervals converge to the batch window formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lead, row_number}
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.scd2PerKey(in.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Update).start()
+    val events = Seq(
+      ev(1, 1, 1, "signup", 10), ev(2, 2, 1, "click", 20),
+      ev(3, 3, 2, "signup", 5))
+    val later = Seq(
+      ev(5, 5, 1, "purchase", 30), ev(2, 2, 1, "click", 20), // stale replay
+      ev(6, 6, 2, "error"))
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(later: _*)
+      q.processAllAvailable()
+      // Update-mode sink semantics: latest emission per (user_id, version)
+      val streamed = spark.table("scd2_out").as[Scd2Out].collect()
+        .groupBy(r => (r.user_id, r.version)).values
+        .map(_.maxBy(r => (r.valid_to_lsn.isDefined, r.valid_from_lsn)))
+        .map(r => (r.user_id, r.version, r.value, r.valid_from_lsn,
+          r.valid_to_lsn.getOrElse(-1L), r.is_current))
+        .toSet
+      // the batch formulation over the SAME (deduped) event set
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val batch = (events ++ later).distinct.toDF()
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_lsn", lead("event_id", 1).over(w))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+          r.getAs[Double]("value"), r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("valid_to_lsn")).map(_.toLong).getOrElse(-1L),
+          r.isNullAt(r.fieldIndex("valid_to_lsn"))))
+        .toSet
+      assert(streamed === batch,
+        "incremental interval maintenance must equal the batch window")
+      // exactly one open interval per key
+      val open = streamed.filter(_._6)
+      assert(open.map(_._1) === Set(1L, 2L))
     } finally q.stop()
   }
 
