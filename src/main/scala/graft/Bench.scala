@@ -47,7 +47,8 @@ object Bench {
     // late round-6 additions: nation-pair shuffle join, SCD2 window,
     // the stride-1 n-gram audit, and the label-centroid rebuild
     "q7_nation_volume", "cdc_scd2_intervals",
-    "text_ngram_hotspots", "ann_label_centroids")
+    "text_ngram_hotspots", "ann_label_centroids",
+    "join_fuzzy_block", "events_resample_daily")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -81,8 +81,10 @@ object Layout {
       Tables.documents(s, d)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        // greatest(1, …): a partition whose docs are all empty still
+        // writes one file — and div-by-zero never reaches the plan
         .withColumn("n_files",
-          expr(s"(total_chars + ${TARGET_CHARS - 1}) div $TARGET_CHARS"))
+          expr(s"greatest(1L, (total_chars + ${TARGET_CHARS - 1}) div $TARGET_CHARS)"))
         .withColumn("docs_per_file",
           expr("(n_docs + n_files - 1) div n_files"))
     }),
@@ -117,7 +119,7 @@ object Layout {
       s"""WITH agg AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
          |  FROM documents GROUP BY source),
          |f AS (SELECT source, n_docs, total_chars,
-         |    (total_chars + ${TARGET_CHARS - 1}) // $TARGET_CHARS AS n_files
+         |    greatest(1, (total_chars + ${TARGET_CHARS - 1}) // $TARGET_CHARS) AS n_files
          |  FROM agg)
          |SELECT source, n_docs, total_chars, n_files,
          |  (n_docs + n_files - 1) // n_files AS docs_per_file

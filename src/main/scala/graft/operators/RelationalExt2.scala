@@ -33,6 +33,71 @@ object RelationalExt2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Blocked fuzzy entity matching (the edit-distance tier of entity
+    // resolution), via DELETION-NEIGHBORHOOD blocking: each name emits
+    // 9 block keys — the digit suffix with position i removed, tagged
+    // by i. Two same-length names at levenshtein distance ≤ 1 differ in
+    // at most one digit position, so they MUST collide on the key that
+    // deletes that position (pigeonhole — the simhash banding argument
+    // on strings), and any colliding pair differs ONLY at the deleted
+    // position, so blocking recall is exactly 1.0 for distance-1: no
+    // declared miss class at all. Block sizes are bounded by the
+    // alphabet (≤ 10 names share a deletion key), so candidates are
+    // O(n), not O(block²) — a naive prefix block on THIS data (dense
+    // sequential ids) degenerates to one block holding the whole table,
+    // measured 3.2 s at sf0.01 and quadratic beyond. Output is O(n):
+    // per name, how many near-matches and the smallest one.
+    "join_fuzzy_block" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name"), substring(col("c_name"), 10, 9).as("sfx"))
+      val keys = (1 to 9).map { i =>
+        concat(lit(s"$i:"), substring(col("sfx"), 1, i - 1),
+          substring(col("sfx"), i + 1, 9 - i))
+      }
+      val keyed = c.select(col("c_name"), explode(array(keys: _*)).as("blk"))
+      val l = keyed.select(col("c_name").as("name_a"), col("blk"))
+      val r = keyed.select(col("c_name").as("name_b"), col("blk"))
+      l.join(r, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct() // a pair may share keys
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .groupBy(col("name_a").as("name"))
+        // min over the NUMERIC suffix, not the string: a StringType
+        // aggregation buffer silently downgrades hash aggregation to
+        // SortAggregate (whole-partition sorts — PlanQualitySpec's
+        // repo-wide sweep rejects it). Fixed-width names make the
+        // numeric min equivalent; reconstruct the name after the agg.
+        .agg(count(lit(1)).as("n_near"),
+          min(substring(col("name_b"), 10, 9).cast("long")).as("mn"))
+        .select(col("name"), col("n_near"),
+          concat(lit("Customer#"), lpad(col("mn").cast("string"), 9, "0"))
+            .as("nearest"))
+    }),
+
+    // Time-series spine resample: one row per (user, day) over each
+    // user's own active span — including zero-activity gap days, which
+    // a plain groupBy can never produce. The spine generates from a
+    // 2-column per-user aggregate (first/last day), so the explode is
+    // O(users·span); the daily totals join back on the (user, day) key.
+    // The downstream use is every "daily active / churn / streak"
+    // metric that needs explicit gap rows.
+    "events_resample_daily" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(25,6)")).cast("double").as("total_value"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+    }),
+
     // Non-equi RANGE JOIN: orders against a tiny price-band dimension.
     // Broadcast nested-loop — the only sane physical plan for a band
     // predicate; the fact side streams, nothing shuffles.
@@ -372,6 +437,35 @@ object RelationalExt2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_block" -> {
+      val arms = (1 to 9).map { i =>
+        s"SELECT c_name, '$i:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}) AS blk FROM c"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH c AS (SELECT c_name, substr(c_name, 10, 9) AS sfx FROM customer),
+         |k AS ($arms),
+         |cand AS (SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+         |  FROM k a JOIN k b ON a.blk = b.blk AND a.c_name < b.c_name),
+         |v AS (SELECT * FROM cand WHERE levenshtein(name_a, name_b) <= 1)
+         |SELECT name_a AS name, COUNT(*) AS n_near,
+         |  'Customer#' || lpad(CAST(MIN(CAST(substr(name_b, 10, 9) AS BIGINT)) AS VARCHAR),
+         |    9, '0') AS nearest
+         |FROM v GROUP BY name_a""".stripMargin
+    },
+    "events_resample_daily" ->
+      """WITH ev AS (SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day, value
+        |  FROM events),
+        |daily AS (SELECT user_id, day, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  COALESCE(total_value, 0.0) AS total_value
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
     "join_range" ->
       """SELECT band, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

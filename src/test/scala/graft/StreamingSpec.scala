@@ -495,6 +495,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.exists(o => o.user_id == 1L && o.event_id == 10L))
   }
 
+  test("SCD2 open interval survives a query RESTART and closes correctly") {
+    // the open interval IS the state: after a restart, the next change
+    // must close the interval opened before the restart with the right
+    // version number — proving history continuity across failures.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2ckpt").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+    def run(): Unit = {
+      val q = ChangeLogStream.scd2PerKey(
+        spark.readStream.schema(schema).parquet(inDir).as[RawEvent])
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Scd2Out], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Update).start()
+      q.awaitTermination()
+    }
+    writeFiles(Seq(org.apache.spark.sql.Row(10L, ts(1), 1L, "signup", 5.0, "{}")))
+    run()
+    writeFiles(Seq(org.apache.spark.sql.Row(20L, ts(2), 1L, "click", 9.0, "{}")))
+    run()
+    // run 2 must emit v1 CLOSED at exactly LSN 20 (state restored) + v2 open
+    assert(emitted.exists(o => o.version == 1 && o.valid_to_lsn.contains(20L)
+      && !o.is_current), s"v1 must close at the restart-crossing change: ${emitted.toSeq}")
+    assert(emitted.exists(o => o.version == 2 && o.valid_from_lsn == 20L
+      && o.is_current), s"v2 must open: ${emitted.toSeq}")
+  }
+
   test("truncate event clears relation state and fences stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString + "/state"
