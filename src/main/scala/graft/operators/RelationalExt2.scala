@@ -180,6 +180,46 @@ object RelationalExt2 {
             .as("corr_qty_price"))
     }),
 
+    // Per-group z-score outlier screen — the data-quality gate that
+    // catches corrupt loads (a fat-fingered price, a unit mixup) before
+    // they poison downstream aggregates. Two passes: exact-decimal
+    // moments per group (the agg_corr_stats construction — mean/std are
+    // then bitwise-deterministic doubles), broadcast the tiny stats
+    // relation back over the fact scan, flag |v − mean| > 3σ. The fact
+    // table is read twice but never shuffled with its payload — the
+    // stats side is O(groups).
+    "profile_outliers" -> ((s, d) => {
+      // Moments in integer CENTS at scale 0, not the d2 decimal-scale
+      // trick: sum(v²)·10⁴ is ~2e19 at sf0.1 — past the 2^53 window
+      // where Spark's one-step decimal→double and DuckDB's two-step
+      // (int128→double, then ÷10^scale) conversions agree (the bound
+      // Similarity.scala documents). A scale-0 integer sum is converted
+      // by ONE correctly-rounded cast in both engines — identical at
+      // any magnitude the decimal can hold.
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long")
+      val stats = Tables.orders(s, d)
+        .select(col("o_orderpriority"), cents.as("c"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).cast("double").as("sc"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).cast("double").as("scc"))
+        .select(col("o_orderpriority"),
+          (col("sc") / lit(100.0) / col("n")).as("mean_price"),
+          (sqrt((col("scc") - col("sc") * col("sc") / col("n")) / (col("n") - 1))
+            / lit(100.0)).as("std_price"))
+      Tables.orders(s, d).select("o_orderpriority", "o_totalprice")
+        .join(broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          max("mean_price").as("mean_price"),
+          max("std_price").as("std_price"),
+          sum(when(abs(col("o_totalprice") - col("mean_price")) >
+            lit(3.0) * col("std_price"), 1L).otherwise(0L)).as("n_outliers"),
+          max(abs(col("o_totalprice") - col("mean_price")) / col("std_price"))
+            .as("max_abs_z"))
+    }),
+
     // Ordered string aggregation over a small deterministic subset.
     "agg_string_concat" -> ((s, d) => {
       Tables.customer(s, d)
@@ -512,6 +552,30 @@ object RelationalExt2 {
         |  (sxy - sx * sy / n) /
         |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
         |FROM s""".stripMargin,
+    "profile_outliers" ->
+      """WITH st AS (
+        |  -- int128→double via the exact decimal STRING: DuckDB's direct
+        |  -- hugeint cast is a two-part conversion that lands 1 ulp off
+        |  -- the correctly-rounded value for sums past 2^63 (measured on
+        |  -- this data's 5-LOW group); string parsing is correctly
+        |  -- rounded and matches Spark's BigDecimal→double exactly.
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS sc,
+        |    CAST(CAST(SUM(c * c) AS VARCHAR) AS DOUBLE) AS scc
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |        FROM orders) t
+        |  GROUP BY o_orderpriority),
+        |m AS (SELECT o_orderpriority, sc / 100.0 / n AS mean_price,
+        |    sqrt((scc - sc * sc / n) / (n - 1)) / 100.0 AS std_price
+        |  FROM st)
+        |SELECT o.o_orderpriority, COUNT(*) AS n,
+        |  MAX(mean_price) AS mean_price, MAX(std_price) AS std_price,
+        |  CAST(SUM(CASE WHEN ABS(o_totalprice - mean_price) > 3.0 * std_price
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MAX(ABS(o_totalprice - mean_price) / std_price) AS max_abs_z
+        |FROM orders o JOIN m USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "agg_string_concat" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  string_agg(c_name, '|' ORDER BY c_name) AS names
