@@ -90,6 +90,34 @@ class GraphSpec extends AnyFunSuite {
       col("covered") < col("n_tokens_ws")).count() === 0)
   }
 
+  test("fuzzy blocking finds every distance-1 pair and nothing farther") {
+    val out = q("join_fuzzy_block").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // names are dense sequential ids: Customer#…000 and Customer#…001
+    // differ in one digit — the canonical distance-1 pair must be found
+    assert(out.contains("Customer#000000000"), "distance-1 neighbor missed")
+    // and every reported nearest really is at distance ≤ 1 of its name
+    out.foreach { case (a, b) =>
+      val d = a.zip(b).count { case (x, y) => x != y }
+      assert(a.length == b.length && d <= 1, s"$a -> $b is distance $d")
+    }
+  }
+
+  test("spine resample emits explicit zero rows for gap days") {
+    val sp = q("events_resample_daily")
+    // every user's span is dense: (hi - lo).days + 1 rows, no holes
+    val spans = sp.groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("day").as("lo"), max("day").as("hi"),
+        sum(when(col("n_events") === 0, 1).otherwise(0)).as("n_gap_days"))
+      .withColumn("expected", expr("datediff(hi, lo) + 1"))
+    assert(spans.filter(col("n_rows") =!= col("expected")).count() === 0,
+      "spine must be dense over each user's active span")
+    // gap rows carry exactly zero activity
+    assert(sp.filter(col("n_events") === 0 && col("total_value") =!= 0.0)
+      .count() === 0)
+  }
+
   test("retention matrix: offset-0 cell equals each cohort's size") {
     val m = q("events_retention")
     val zero = m.filter(col("week_offset") === 0)
