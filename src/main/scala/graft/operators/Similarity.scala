@@ -302,6 +302,33 @@ object Similarity {
           min("c").as("min_cos"))
     }),
 
+    // Int8 quantization error report: per-vector symmetric quantization
+    // (scale = max |component|, q = round(127·v/scale)) and the
+    // per-label reconstruction error it costs — the sizing study behind
+    // every compressed vector store (int8 is 4× smaller and usually
+    // <1% recall loss; this measures the "usually" on YOUR data).
+    // Determinism toolkit as elsewhere: round = floor(x+0.5) (no
+    // engine-specific tie rule), error means quantize through the 2^40
+    // integer grid (order-independent sums), max over exact doubles.
+    // Per-row work only + one hash agg — scan-scales at any corpus.
+    "ann_int8_error" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val Q = 1099511627776.0 // 2^40
+      val scaled = Tables.embeddings(s, d)
+        .select(col("label"), VectorOps.asDouble(col("embedding")).as("e"))
+        .withColumn("m", array_max(transform(col("e"), x => abs(x))))
+        .withColumn("scale", when(col("m") === 0.0, lit(1.0)).otherwise(col("m")))
+      val recon = scaled
+        .select(col("label"), col("scale"), posexplode(col("e")).as(Seq("dim", "val")))
+        .withColumn("qv", floor(col("val") * 127.0 / col("scale") + 0.5))
+        .withColumn("aerr", abs(col("val") - col("qv") * col("scale") / 127.0))
+      recon.groupBy("label")
+        .agg(count(lit(1)).as("n_values"),
+          (sum(floor(col("aerr") * col("aerr") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mean_sq_err"),
+          max("aerr").as("max_abs_err"))
+    }),
+
     "ann_lsh_bucket" -> ((s, d) => {
       val bucketed = corpusDf(s, d)
         .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
@@ -377,6 +404,21 @@ object Similarity {
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_int8_error" ->
+      """WITH ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (SELECT label, e,
+        |    CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS scale
+        |  FROM (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS m
+        |        FROM ev) t),
+        |pd AS (SELECT label, scale, unnest(e) AS val FROM sc),
+        |q AS (SELECT label, scale, val,
+        |    FLOOR(val * 127.0 / scale + 0.5) AS qv FROM pd),
+        |er AS (SELECT label, ABS(val - qv * scale / 127.0) AS aerr FROM q)
+        |SELECT label, COUNT(*) AS n_values,
+        |  CAST(SUM(CAST(FLOOR(aerr * aerr * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS mean_sq_err,
+        |  MAX(aerr) AS max_abs_err
+        |FROM er GROUP BY label""".stripMargin,
     "ann_label_centroids" ->
       s"""WITH ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |m AS (SELECT label, dim,
