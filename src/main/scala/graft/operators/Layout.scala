@@ -115,14 +115,19 @@ object Layout {
          |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
          |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
          |FROM c GROUP BY 1""".stripMargin,
+    // DuckDB's SUM over BIGINT widens to HUGEINT, and greatest/'//'
+    // propagate it — cast every derived column back to BIGINT so the
+    // driver's type-sensitive value hash matches Spark's LongType
+    // (same convention as Dedup's CAST(SUM(…) AS BIGINT)).
     "layout_compaction_plan" ->
-      s"""WITH agg AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      s"""WITH agg AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |  FROM documents GROUP BY source),
          |f AS (SELECT source, n_docs, total_chars,
-         |    greatest(1, (total_chars + ${TARGET_CHARS - 1}) // $TARGET_CHARS) AS n_files
+         |    CAST(greatest(1, (total_chars + ${TARGET_CHARS - 1}) // $TARGET_CHARS) AS BIGINT) AS n_files
          |  FROM agg)
          |SELECT source, n_docs, total_chars, n_files,
-         |  (n_docs + n_files - 1) // n_files AS docs_per_file
+         |  CAST((n_docs + n_files - 1) // n_files AS BIGINT) AS docs_per_file
          |FROM f""".stripMargin,
     "layout_range_split" ->
       s"""SELECT split_id, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,

@@ -21,13 +21,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(norm(r[i]) for i in order))
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, [str(types[i]) for i in order]
+
+
+# Declared-type strictness: the driver's value hash renders DuckDB types
+# (HUGEINT vs BIGINT, DECIMAL vs DOUBLE) differently even when Python
+# fetchall() normalizes them to equal ints/floats — round 6's
+# layout_compaction_plan passed this pre-flight on values and failed the
+# driver on exactly that. Compare the DECLARED oracle column types
+# against the Spark parquet result's types and reject any drift the
+# equivalence table below doesn't explicitly allow.
+TYPE_EQUIV = {
+    # Spark parquet timestamps read back as TIMESTAMP WITH TIME ZONE
+    # under DuckDB defaults while oracle expressions produce TIMESTAMP;
+    # both render values identically for the driver's UTC session.
+    ("TIMESTAMP WITH TIME ZONE", "TIMESTAMP"),
+    ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+}
+
+
+def types_ok(spark_t, duck_t):
+    return spark_t == duck_t or (spark_t, duck_t) in TYPE_EQUIV
 
 
 def norm(v):
@@ -64,15 +84,23 @@ def main(sf_dir, out_dir):
             continue
         spark_rel = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-        scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
+        scols, srows, stypes = canon(
+            spark_rel.fetchall(), spark_rel.columns, spark_rel.types)
         try:
             duck_rel = con.sql(oracle[name])
-            dcols, drows = canon(duck_rel.fetchall(), duck_rel.columns)
+            dcols, drows, dtypes = canon(
+                duck_rel.fetchall(), duck_rel.columns, duck_rel.types)
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
         if scols != [c.lower() for c in dcols] and scols != dcols:
             failures.append((name, f"columns differ: spark={scols} duck={dcols}"))
+            continue
+        drift = [(c, s, d) for c, s, d in zip(scols, stypes, dtypes)
+                 if not types_ok(s, d)]
+        if drift:
+            failures.append((name, "declared-type drift (driver hash WILL "
+                             f"diverge): {[f'{c}: spark={s} duck={d}' for c, s, d in drift]}"))
             continue
         if len(srows) != len(drows):
             failures.append((name, f"row count: spark={len(srows)} duck={len(drows)}"))
