@@ -63,7 +63,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver reads only a ~2000-char output tail,
+    // and any chatty WARN class (round 6: CacheManager double-persist
+    // notices, since also fixed at the source in CachePool) can push the
+    // JSON contract line out of that window. The bench's only output
+    // obligation is the JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup: codegen + whole-stage compile + parquet reader + shuffle
     // machinery. Absorbs one-time JVM cost outside the timed region.
