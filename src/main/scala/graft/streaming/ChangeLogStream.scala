@@ -130,6 +130,27 @@ object ChangeLogStream {
       }
   }
 
+  /** foreachBatch adapter wiring [[scd2PerKey]] into the bucketed
+    * [[upsertBatch]] sink: the history table keyed on (user_id,
+    * version), so a closed interval's re-emission UPSERTS over its
+    * earlier open emission and the sink converges to the batch
+    * `cdc_scd2_intervals` table.
+    *
+    * The upsert's version column cannot be `valid_from_lsn` alone: the
+    * open and closed emissions of one (key, version) share it (it is
+    * the interval's fixed lower bound), and a tie must not let the open
+    * form survive. `__closed_seq` = coalesce(valid_to_lsn, -1) makes
+    * closure dominant — any closed emission (valid_to_lsn ≥ 0) beats
+    * the open one (-1), and replayed duplicates are idempotent. The
+    * column stays in the table as sink metadata (readers get it from
+    * [[readState]]; it equals valid_to_lsn except for open rows).
+    */
+  def scd2UpsertBatch(tableDir: String, numBuckets: Int = 16)(
+      batch: Dataset[Scd2Out], batchId: Long): Unit =
+    upsertBatch(tableDir, Seq("user_id", "version"), "__closed_seq", numBuckets)(
+      batch.toDF().withColumn("__closed_seq",
+        coalesce(col("valid_to_lsn"), lit(-1L))), batchId)
+
   /** The same latest-state semantics on Spark 4's transformWithState —
     * the successor to flatMapGroupsWithState: typed state variables
     * (ValueState here; list/map state available), per-state TTL config,
@@ -304,24 +325,49 @@ object ChangeLogStream {
         .write.partitionBy(BucketCol).mode("overwrite")
         .parquet(stagingRoot.toString)
       fs.mkdirs(target)
-      touched.foreach { b =>
-        val name = s"$BucketCol=$b"
-        val staged = new Path(stagingRoot, name)
-        val live = new Path(target, name)
-        val aside = new Path(backupRoot, name)
-        // a touched bucket has ≥ 1 key ⇒ latest-state has ≥ 1 row
-        if (!fs.exists(staged)) throw new IllegalStateException(
-          s"staging missing touched bucket $name under $stagingRoot")
-        fs.mkdirs(backupRoot)
-        if (fs.exists(aside)) fs.delete(aside, true)
-        if (fs.exists(live) && !fs.rename(live, aside))
-          throw new java.io.IOException(s"failed to move $live aside to $aside")
-        if (!fs.rename(staged, live)) {
-          if (fs.exists(aside)) fs.rename(aside, live)
-          throw new java.io.IOException(s"failed to publish $staged to $live")
+      fs.mkdirs(backupRoot)
+      // Publish buckets CONCURRENTLY: the rename protocol below is
+      // entirely per-bucket (no bucket touches another bucket's paths),
+      // so cross-bucket ordering carries no invariant — only the
+      // aside-before-publish order WITHIN a bucket does, and each task
+      // preserves it. Sequential publishing is O(touched) driver→store
+      // round trips per batch; against an object store at thousands of
+      // buckets that dominates the batch. A bounded pool keeps the
+      // metadata-op fan-out polite. On failure every completed bucket
+      // stays published (replay re-merges it as a no-op) and any bucket
+      // caught between its two renames is restored by the recovery
+      // sweep above — the same partial-batch states a crash can leave.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(touched.length, 16))
+      try {
+        val tasks = touched.map { b =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val name = s"$BucketCol=$b"
+              val staged = new Path(stagingRoot, name)
+              val live = new Path(target, name)
+              val aside = new Path(backupRoot, name)
+              // a touched bucket has ≥ 1 key ⇒ latest-state has ≥ 1 row
+              if (!fs.exists(staged)) throw new IllegalStateException(
+                s"staging missing touched bucket $name under $stagingRoot")
+              if (fs.exists(aside)) fs.delete(aside, true)
+              if (fs.exists(live) && !fs.rename(live, aside))
+                throw new java.io.IOException(s"failed to move $live aside to $aside")
+              if (!fs.rename(staged, live)) {
+                if (fs.exists(aside)) fs.rename(aside, live)
+                throw new java.io.IOException(s"failed to publish $staged to $live")
+              }
+              if (fs.exists(aside)) fs.delete(aside, true)
+            }
+          })
         }
-        if (fs.exists(aside)) fs.delete(aside, true)
-      }
+        // get() rethrows the task's exception (unwrapped from the
+        // ExecutionException) after every task has been submitted
+        tasks.foreach { t =>
+          try t.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
       fs.delete(stagingRoot, true) // only _SUCCESS & co remain
       if (fs.exists(backupRoot)) fs.delete(backupRoot, true)
     } finally batchLatest.unpersist()
@@ -334,17 +380,24 @@ object ChangeLogStream {
   private def readOrPinBucketCount(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, numBuckets: Int): Int = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val marker = new Path(target, "_graft_buckets")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    } else {
+    readBucketCount(fs, target).getOrElse {
       fs.mkdirs(target)
-      val out = fs.create(marker, true)
+      val out = fs.create(new Path(target, "_graft_buckets"), true)
       try out.write(numBuckets.toString.getBytes("UTF-8"))
       finally out.close()
       numBuckets
+    }
+  }
+
+  /** The pinned bucket count, if the table has been created. */
+  private def readBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path): Option[Int] = {
+    val marker = new Path(target, "_graft_buckets")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      finally in.close()
     }
   }
 
@@ -363,11 +416,26 @@ object ChangeLogStream {
     * `keyValues` must carry the key columns' EXACT runtime types
     * (e.g. `7L` for a bigint key): xxhash64 hashes by type, so an Int
     * where the column is Long would probe the wrong bucket.
+    *
+    * The bucket count comes from the table's own `_graft_buckets`
+    * marker, same as [[upsertBatch]] — the table is the single source
+    * of truth for its layout. `numBuckets` is only a fallback for
+    * pre-marker tables (and otherwise ignored): a caller passing a
+    * stale count against a pinned table would probe the wrong
+    * directory and silently read empty, the worst failure mode a
+    * point lookup can have.
     */
   def stateForKey(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      keyCols: Seq[String], keyValues: Seq[Any], numBuckets: Int): DataFrame = {
+      keyCols: Seq[String], keyValues: Seq[Any], numBuckets: Int = -1): DataFrame = {
     require(keyCols.length == keyValues.length, "one value per key column")
-    val bucket = pmod(xxhash64(keyValues.map(lit): _*), lit(numBuckets)).cast("int")
+    val target = new Path(tableDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nb = readBucketCount(fs, target).getOrElse {
+      require(numBuckets > 0,
+        s"$tableDir has no _graft_buckets marker and no explicit bucket count was given")
+      numBuckets
+    }
+    val bucket = pmod(xxhash64(keyValues.map(lit): _*), lit(nb)).cast("int")
     keyCols.zip(keyValues).foldLeft(
       spark.read.option("mergeSchema", "true").parquet(tableDir)
         .filter(col(BucketCol) === bucket)) {

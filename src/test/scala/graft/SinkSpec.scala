@@ -112,6 +112,37 @@ class SinkSpec extends AnyFunSuite {
     assert(key7 === Seq((100L, "v7new")), s"exactly one, updated, row: $key7")
   }
 
+  test("point lookup reads the pinned bucket count: wrong caller NB still hits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blookup").toString + "/state"
+    streaming.ChangeLogStream.upsertBatch(dir, Seq("key"), "lsn", 4)(
+      (1L to 40L).map(k => (k, k, s"v$k")).toDF("key", "lsn", "v"), 0L)
+    // a caller whose config drifted from the table's pinned layout used
+    // to probe hash(key) mod CALLER_NB — the wrong directory — and
+    // silently read empty. The marker must win for every key and for
+    // every wrong caller value (incl. the no-arg default).
+    for (k <- 1L to 40L) {
+      val hits = streaming.ChangeLogStream
+        .stateForKey(spark, dir, Seq("key"), Seq(k), numBuckets = 16)
+        .select($"v").as[String].collect().toSeq
+      assert(hits === Seq(s"v$k"), s"key $k with caller NB=16")
+      val defaultHits = streaming.ChangeLogStream
+        .stateForKey(spark, dir, Seq("key"), Seq(k))
+        .select($"v").as[String].collect().toSeq
+      assert(defaultHits === Seq(s"v$k"), s"key $k with marker-only lookup")
+    }
+    // a markerless directory with no explicit count must refuse loudly,
+    // not guess a layout
+    val bare = java.nio.file.Files.createTempDirectory("graft_bnomarker").toString
+    Seq((1L, 1L, "x")).toDF("key", "lsn", "v")
+      .withColumn(streaming.ChangeLogStream.BucketCol, lit(0))
+      .write.partitionBy(streaming.ChangeLogStream.BucketCol)
+      .mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException] {
+      streaming.ChangeLogStream.stateForKey(spark, bare, Seq("key"), Seq(1L))
+    }
+  }
+
   test("bucketed upsert restores a bucket caught between the two renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_brecover").toString + "/state"

@@ -535,6 +535,48 @@ class StreamingSpec extends AnyFunSuite {
       && o.is_current), s"v2 must open: ${emitted.toSeq}")
   }
 
+  test("streaming SCD2 through the bucketed sink equals batch cdc_scd2_intervals") {
+    // end-to-end: scd2PerKey emissions → scd2UpsertBatch (keyed on
+    // (user_id, version)) must leave the sink holding EXACTLY the batch
+    // history table — every closed interval's re-emission upserting
+    // over its earlier open form, including pairs split across
+    // micro-batches AND pairs inside one batch.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2sink").toString + "/hist"
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.scd2PerKey(in.toDS())
+      .writeStream
+      .foreachBatch(ChangeLogStream.scd2UpsertBatch(dir, numBuckets = 4) _)
+      .outputMode(OutputMode.Update).start()
+    try {
+      // the real corpus, delivered in LSN order split across two
+      // batches: intervals opened in batch 1 close in batch 2
+      val events = sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[RawEvent].collect().sortBy(_.event_id)
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("version").cast("int"), col("op"),
+        col("value"), col("valid_from_lsn"),
+        coalesce(col("valid_to_lsn"), lit(-1L)).as("valid_to_lsn"),
+        col("is_current"))
+      .as[(Long, Int, String, Double, Long, Long, Boolean)].collect().toSet
+    val sunk = canon(ChangeLogStream.readState(spark, dir)
+      .withColumn("op", when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete").otherwise("update")))
+    val batch = canon(SparkEntry.queries("cdc_scd2_intervals")(spark, sfDir))
+    assert(sunk === batch,
+      "incrementally maintained history must equal the batch SCD2 table")
+  }
+
   test("truncate event clears relation state and fences stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString + "/state"
