@@ -48,7 +48,9 @@ object Bench {
     // the stride-1 n-gram audit, and the label-centroid rebuild
     "q7_nation_volume", "cdc_scd2_intervals",
     "text_ngram_hotspots", "ann_label_centroids",
-    "join_fuzzy_block", "events_resample_daily")
+    "join_fuzzy_block", "events_resample_daily",
+    // round-7: the radius-2 deletion-neighborhood tier (45-key fan-out)
+    "join_fuzzy_block2")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

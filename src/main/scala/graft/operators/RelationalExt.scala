@@ -92,8 +92,13 @@ object RelationalExt {
       freq.crossJoin(broadcast(tot))
         .select(col("l_suppkey"), col("n_rows"),
           (col("n_rows").cast("double") / col("total_rows")).as("share"),
-          (col("n_rows") * col("n_keys")).cast("double")
-            ./(col("total_rows")).as("x_avg"))
+          // cast BEFORE the multiply: n_rows · n_keys as 64-bit ints
+          // wraps around 2^63 (n_rows ~1e12 × n_keys ~1e7) in Spark
+          // while DuckDB widens to int128 — the double product is
+          // overflow-free (and IEEE-identical on both engines) at any
+          // magnitude this diagnostic can meet
+          (col("n_rows").cast("double") * col("n_keys")
+            / col("total_rows")).as("x_avg"))
         .orderBy(col("n_rows").desc, col("l_suppkey"))
         .limit(10)
     }),
@@ -410,7 +415,7 @@ object RelationalExt {
         |tot AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM freq)
         |SELECT l_suppkey, n_rows,
         |  CAST(n_rows AS DOUBLE) / total_rows AS share,
-        |  CAST(n_rows * n_keys AS DOUBLE) / total_rows AS x_avg
+        |  CAST(n_rows AS DOUBLE) * n_keys / total_rows AS x_avg
         |FROM freq, tot
         |ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin,
     "agg_grouping_sets" ->

@@ -74,6 +74,49 @@ object RelationalExt2 {
             .as("nearest"))
     }),
 
+    // Distance-≤2 tier of the same entity resolution, via UNTAGGED
+    // deletion neighborhoods of depth 1 and 2. Position tags must go:
+    // distance 2 between equal-length names is either two
+    // substitutions — both names reach the same 7-char string by
+    // deleting the two substituted positions (depth-2 keys) — or one
+    // insert + one delete (a shift), where the two sides delete
+    // DIFFERENT positions to meet at the same 8-char string (depth-1
+    // keys, which also cover distance 1). Those are all cost-≤2 edit
+    // scripts between equal-length strings, so blocking recall is
+    // again exactly 1.0 — no declared miss class (GraphSpec asserts
+    // this against the brute-force pair set). Block sizes stay
+    // alphabet-bounded: an 8-char variant re-expands to ≤ 9·10 names,
+    // a 7-char one to ≤ C(9,2)·10² — constants, so candidates are
+    // O(n · const), not O(n²); the 45-key fan-out (9 + C(9,2)) is the
+    // price of the wider radius and is the standard recall/candidate
+    // trade of deletion blocking.
+    "join_fuzzy_block2" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name"), substring(col("c_name"), 10, 9).as("sfx"))
+      val del1 = (1 to 9).map { i =>
+        concat(lit("1:"), substring(col("sfx"), 1, i - 1),
+          substring(col("sfx"), i + 1, 9 - i))
+      }
+      val del2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield
+        concat(lit("2:"), substring(col("sfx"), 1, i - 1),
+          substring(col("sfx"), i + 1, j - i - 1),
+          substring(col("sfx"), j + 1, 9 - j))
+      val keyed = c.select(col("c_name"),
+        explode(array(del1 ++ del2: _*)).as("blk"))
+      val l = keyed.select(col("c_name").as("name_a"), col("blk"))
+      val r = keyed.select(col("c_name").as("name_b"), col("blk"))
+      l.join(r, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct() // a pair shares many keys
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .groupBy(col("name_a").as("name"))
+        .agg(count(lit(1)).as("n_near"),
+          min(substring(col("name_b"), 10, 9).cast("long")).as("mn"))
+        .select(col("name"), col("n_near"),
+          concat(lit("Customer#"), lpad(col("mn").cast("string"), 9, "0"))
+            .as("nearest"))
+    }),
+
     // Time-series spine resample: one row per (user, day) over each
     // user's own active span — including zero-activity gap days, which
     // a plain groupBy can never produce. The spine generates from a
@@ -486,6 +529,23 @@ object RelationalExt2 {
          |cand AS (SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
          |  FROM k a JOIN k b ON a.blk = b.blk AND a.c_name < b.c_name),
          |v AS (SELECT * FROM cand WHERE levenshtein(name_a, name_b) <= 1)
+         |SELECT name_a AS name, COUNT(*) AS n_near,
+         |  'Customer#' || lpad(CAST(MIN(CAST(substr(name_b, 10, 9) AS BIGINT)) AS VARCHAR),
+         |    9, '0') AS nearest
+         |FROM v GROUP BY name_a""".stripMargin
+    },
+    "join_fuzzy_block2" -> {
+      val arms1 = (1 to 9).map { i =>
+        s"SELECT c_name, '1:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}) AS blk FROM c"
+      }
+      val arms2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield
+        s"SELECT c_name, '2:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}, ${j - i - 1}) || substr(sfx, ${j + 1}) AS blk FROM c"
+      val arms = (arms1 ++ arms2).mkString("\n  UNION ALL ")
+      s"""WITH c AS (SELECT c_name, substr(c_name, 10, 9) AS sfx FROM customer),
+         |k AS ($arms),
+         |cand AS (SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+         |  FROM k a JOIN k b ON a.blk = b.blk AND a.c_name < b.c_name),
+         |v AS (SELECT * FROM cand WHERE levenshtein(name_a, name_b) <= 2)
          |SELECT name_a AS name, COUNT(*) AS n_near,
          |  'Customer#' || lpad(CAST(MIN(CAST(substr(name_b, 10, 9) AS BIGINT)) AS VARCHAR),
          |    9, '0') AS nearest

@@ -103,6 +103,43 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy blocking at radius 2 equals the brute-force pair set") {
+    // the pigeonhole claim in the query comment, checked literally:
+    // UNTAGGED depth-1/-2 deletion keys must surface EVERY pair at
+    // levenshtein ≤ 2 — including the shift pairs (one insert + one
+    // delete at different positions) that the position-tagged
+    // distance-1 scheme structurally cannot see
+    val names = sources.Tables.customer(spark, sfDir)
+      .select("c_name").collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    // reconstruct the blocked query's accepted pair set from its report
+    val out = q("join_fuzzy_block2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val bruteCounts = brute.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(out === bruteCounts,
+      "per-name near counts must equal brute force exactly (recall 1.0)")
+    // and the shift class really occurs in the corpus (the test has
+    // teeth): some brute pair is NOT within Hamming distance 2
+    assert(brute.exists { case (a, b) =>
+      a.zip(b).count { case (x, y) => x != y } > 2
+    }, "corpus must contain an insert+delete (shift) pair at radius 2")
+  }
+
   test("spine resample emits explicit zero rows for gap days") {
     val sp = q("events_resample_daily")
     // every user's span is dense: (hi - lo).days + 1 rows, no holes
