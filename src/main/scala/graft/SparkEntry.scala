@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Layout.queries ++
       operators.TextAnalysis.queries ++
+      operators.Curation.queries ++
       multimodal.Multimodal.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -56,5 +57,6 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Layout.oracles ++
       operators.TextAnalysis.oracles ++
+      operators.Curation.oracles ++
       multimodal.Multimodal.oracles
 }

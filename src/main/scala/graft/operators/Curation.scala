@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation and training-export operators — the last mile of a
+  * 100 TB training-data pipeline, after dedup/quality has picked the
+  * documents:
+  *
+  *  - `text_redact_ids` — identifier detection + redaction report. The
+  *    synthetic corpus carries no emails/SSNs, so the detector targets
+  *    the identifier class it DOES contain (long digit runs in entity
+  *    names); the machinery — codegen'd regexp count/mask, per-cohort
+  *    leak report — is byte-for-byte what a PII pass runs with a wider
+  *    pattern set at scale. Pure per-row projections + one hash agg.
+  *  - `text_source_temperature` — temperature-flattened source mixing
+  *    weights (alpha = 0.5), the sampling curve LLM pretraining uses to
+  *    up-weight small high-quality sources. sqrt is IEEE
+  *    correctly-rounded on every engine (unlike pow), and the weight
+  *    normalization runs on a 2^30 integer grid so the row order of the
+  *    denominator sum cannot flip a ulp (same trick as the label
+  *    centroids).
+  *  - `text_length_histogram` — document-length histogram + cumulative
+  *    shares: the packing-efficiency / truncation-loss planning input
+  *    for a fixed sequence-length trainer. All integer bucket math.
+  *  - `text_export_shuffle` — deterministic pseudorandom export order:
+  *    sort key = md5 of a seeded id, shard = first hex nibble. The same
+  *    hash on any engine, any partitioning, any day — reproducible
+  *    training runs need the shuffle to be a pure function of
+  *    (seed, doc_id), never of cluster layout. Global top-k by hash
+  *    order is a TakeOrdered (no full sort); the full export would
+  *    repartitionByRange on the same key.
+  */
+object Curation {
+
+  private val GRID = 1L << 30 // integer grid for order-independent sums
+  private val SEED = "shuf42:"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_redact_ids" -> ((s, d) => {
+      val masked = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_name"),
+          regexp_replace(col("c_name"), "[0-9]{5,}", "*").as("redacted"))
+      masked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_names"),
+          sum(when(col("c_name") =!= col("redacted"), 1L).otherwise(0L))
+            .as("n_with_ids"),
+          // chars removed by masking = identifier payload volume
+          sum((length(col("c_name")) - length(col("redacted"))).cast("long"))
+            .as("n_chars_masked"),
+          countDistinct(col("redacted")).as("n_distinct_redacted"))
+    }),
+
+    "text_source_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("q",
+          floor(sqrt(col("n_docs").cast("double")) * GRID).cast("long"))
+      val tot = counts.agg(sum("q").as("total_q"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (col("q").cast("double") / col("total_q").cast("double"))
+            .as("weight"),
+          // integer quota out of 10k sampled docs — exact on any engine
+          expr("(q * 10000) div total_q").as("quota_per_10k"))
+    }),
+
+    "text_length_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(expr("(n_chars div 100) * 100").as("bucket_lo"), col("n_chars"))
+      val tot = docs.agg(count(lit(1)).as("total_docs"))
+      docs.groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("bucket_chars"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket_lo"), col("n_docs"), col("bucket_chars"),
+          (col("n_docs").cast("double") / col("total_docs").cast("double"))
+            .as("share"))
+    }),
+
+    "text_export_shuffle" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit(SEED), col("doc_id").cast("string"))).as("sort_key"))
+        .withColumn("shard", substring(col("sort_key"), 1, 1))
+        .orderBy("sort_key")
+        .limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the 'g' flag matches Spark's replace-all regexp_replace semantics
+    "text_redact_ids" ->
+      """WITH m AS (SELECT c_mktsegment, c_name,
+        |    regexp_replace(c_name, '[0-9]{5,}', '*', 'g') AS redacted
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_names,
+        |  CAST(SUM(CASE WHEN c_name <> redacted THEN 1 ELSE 0 END) AS BIGINT) AS n_with_ids,
+        |  CAST(SUM(length(c_name) - length(redacted)) AS BIGINT) AS n_chars_masked,
+        |  COUNT(DISTINCT redacted) AS n_distinct_redacted
+        |FROM m GROUP BY c_mktsegment""".stripMargin,
+    "text_source_temperature" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $GRID) AS BIGINT) AS q
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(q) AS BIGINT) AS total_q FROM c)
+         |SELECT source, n_docs,
+         |  CAST(q AS DOUBLE) / CAST(total_q AS DOUBLE) AS weight,
+         |  (q * 10000) // total_q AS quota_per_10k
+         |FROM c, t""".stripMargin,
+    "text_length_histogram" ->
+      """WITH d AS (SELECT (n_chars // 100) * 100 AS bucket_lo, n_chars FROM documents),
+        |t AS (SELECT COUNT(*) AS total_docs FROM d)
+        |SELECT bucket_lo, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bucket_chars,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share
+        |FROM d, t GROUP BY bucket_lo, total_docs""".stripMargin,
+    "text_export_shuffle" ->
+      s"""SELECT doc_id,
+         |  md5('$SEED' || CAST(doc_id AS VARCHAR)) AS sort_key,
+         |  substr(md5('$SEED' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+         |FROM documents
+         |ORDER BY sort_key LIMIT 50""".stripMargin
+  )
+}

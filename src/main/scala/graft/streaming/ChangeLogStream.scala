@@ -130,6 +130,37 @@ object ChangeLogStream {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to the click
+    * that preceded them within `horizon` — the streaming form of the
+    * batch `asof_click_purchase` attribution. Both sides carry
+    * watermarks, which is what lets Spark BOUND the join state: a
+    * buffered click can only match purchases inside its horizon, so
+    * once the purchase watermark passes click_ts + horizon the click is
+    * evicted. Without the time bound the state grows with every click
+    * ever seen — the difference between a join that runs forever at
+    * 100 TB/day and one that OOMs in an afternoon. Inner join in
+    * append mode: matches emit as soon as both sides arrive.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "5 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p, expr(
+      s"""click_user = purchase_user AND
+         |purchase_ts >= click_ts AND
+         |purchase_ts <= click_ts + interval $horizon""".stripMargin))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** foreachBatch adapter wiring [[scd2PerKey]] into the bucketed
     * [[upsertBatch]] sink: the history table keyed on (user_id,
     * version), so a closed interval's re-emission UPSERTS over its

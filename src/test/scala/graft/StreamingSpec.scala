@@ -535,6 +535,78 @@ class StreamingSpec extends AnyFunSuite {
       && o.is_current), s"v2 must open: ${emitted.toSeq}")
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = MemoryStream[RawEvent]
+    val purchases = MemoryStream[RawEvent]
+    val q = ChangeLogStream.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    val clickRows = Seq(
+      ev(1, 10, 1, "click"), ev(2, 30, 1, "click"),
+      ev(3, 10, 2, "click"), ev(4, 50, 3, "click"))
+    val purchaseRows = Seq(
+      ev(10, 12, 1, "purchase", 5.0),   // ← click 1 (2 min later)
+      ev(11, 33, 1, "purchase", 7.0),   // ← click 2 only (23 min after click 1)
+      ev(12, 40, 2, "purchase", 9.0),   // 30 min after click 3: outside horizon
+      ev(13, 49, 3, "purchase", 1.0))   // 1 min BEFORE click 4: no match
+    try {
+      in2(clicks, clickRows); in2(purchases, purchaseRows)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("click_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // the batch formulation of the same interval predicate
+      val batch = clickRows.toDF().as("c").join(purchaseRows.toDF().as("p"),
+        expr("""c.user_id = p.user_id AND p.ts >= c.ts AND
+                p.ts <= c.ts + interval 5 minutes"""))
+        .select(col("c.event_id"), col("p.event_id"), col("p.value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch, "stream-stream join must equal batch join")
+      assert(streamed === Set((1L, 10L, 5.0), (2L, 11L, 7.0)),
+        "horizon and ordering constraints must both bind")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is bounded: watermark evicts expired clicks") {
+    // the 100 TB argument made observable: after the watermark passes
+    // click_ts + horizon + delay, the buffered click is GONE from the
+    // state store — a late purchase inside its horizon no longer joins.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[RawEvent]
+    val purchases = MemoryStream[RawEvent]
+    val q = ChangeLogStream.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in2(clicks, Seq(ev(1, 10, 1, "click")))
+      in2(purchases, Seq(ev(10, 11, 9, "purchase"))) // unrelated user, advances wm
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click 1's eviction point
+      in2(clicks, Seq(ev(2, 500, 8, "click")))
+      in2(purchases, Seq(ev(11, 500, 9, "purchase")))
+      q.processAllAvailable()
+      // a purchase that WOULD have matched click 1 arrives way late
+      in2(purchases, Seq(ev(12, 12, 1, "purchase", 5.0)))
+      q.processAllAvailable()
+      val matched = spark.table("attr_evict")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(!matched.contains((1L, 12L)),
+        "expired click state must be evicted, not kept forever")
+      // sanity: the machinery does match in-horizon pairs (the first
+      // assert isn't vacuously passing on a broken join)
+      in2(purchases, Seq(ev(13, 501, 8, "purchase", 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("attr_evict")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+        .contains((2L, 13L)))
+    } finally q.stop()
+  }
+
+  private def in2(s: MemoryStream[RawEvent], rows: Seq[RawEvent]): Unit =
+    s.addData(rows: _*)
+
   test("streaming SCD2 through the bucketed sink equals batch cdc_scd2_intervals") {
     // end-to-end: scd2PerKey emissions → scd2UpsertBatch (keyed on
     // (user_id, version)) must leave the sink holding EXACTLY the batch
