@@ -74,45 +74,71 @@ object RelationalExt2 {
             .as("nearest"))
     }),
 
-    // Distance-≤2 tier of the same entity resolution, via UNTAGGED
-    // deletion neighborhoods of depth 1 and 2. Position tags must go:
-    // distance 2 between equal-length names is either two
-    // substitutions — both names reach the same 7-char string by
-    // deleting the two substituted positions (depth-2 keys) — or one
-    // insert + one delete (a shift), where the two sides delete
-    // DIFFERENT positions to meet at the same 8-char string (depth-1
-    // keys, which also cover distance 1). Those are all cost-≤2 edit
-    // scripts between equal-length strings, so blocking recall is
-    // again exactly 1.0 — no declared miss class (GraphSpec asserts
-    // this against the brute-force pair set). Block sizes stay
-    // alphabet-bounded: an 8-char variant re-expands to ≤ 9·10 names,
-    // a 7-char one to ≤ C(9,2)·10² — constants, so candidates are
-    // O(n · const), not O(n²); the 45-key fan-out (9 + C(9,2)) is the
-    // price of the wider radius and is the standard recall/candidate
-    // trade of deletion blocking.
+    // Distance-≤2 tier of the same entity resolution, via deletion
+    // neighborhoods of depth 1 and 2. Tagging is asymmetric, and both
+    // choices are load-bearing:
+    //  - depth-1 keys are UNTAGGED: distance 2 between equal-length
+    //    names can be one insert + one delete (a shift), where the two
+    //    sides must delete DIFFERENT positions to meet at the same
+    //    8-char string — a position tag would structurally hide that
+    //    class. Untagged depth-1 also covers single substitutions.
+    //  - depth-2 keys are TAGGED with the deleted position pair: the
+    //    only class that needs them is two substitutions, where both
+    //    names delete the SAME positions, so the tag costs no recall —
+    //    and it bounds the block at 10² names (two free digit slots)
+    //    where the untagged variant re-expands combinatorially. On
+    //    sf0.1's dense zero-heavy ids that is the difference between a
+    //    max block of 100 and of 849, and between 15M and 164M
+    //    block-pair rows (measured) — the untagged form benched 269 s,
+    //    the tagged one ~2 s, for the IDENTICAL verified pair set.
+    // Together that covers every cost-≤2 edit script between
+    // equal-length strings: recall is exactly 1.0, no declared miss
+    // class (GraphSpec asserts equality with the brute-force pair
+    // sweep, including a beyond-Hamming shift pair). The verified
+    // output itself is ~4M pairs at sf0.1 — dense sequential ids
+    // really are that self-similar; the per-name report collapses it
+    // back to O(n).
+    // Execution never runs levenshtein, because the key design makes
+    // verification VACUOUS — candidates are not approximately the
+    // radius-2 pairs, they are EXACTLY the radius-2 pairs:
+    //  - a tagged depth-2 collision means both names deleted the SAME
+    //    positions and everything else agrees position-aligned ⇒ they
+    //    differ only at those two slots ⇒ Hamming ≤ 2 ⇒ distance ≤ 2;
+    //  - a depth-1 collision means a = S+insert@p, b = S+insert@q for
+    //    one 8-char S ⇒ delete@p, insert@q turns a into b ⇒ ≤ 2 edits
+    //    (one substitution when p = q);
+    //  - conversely every distance-≤2 pair collides (pigeonhole above).
+    // The DuckDB oracle keeps its explicit levenshtein filter, so the
+    // equivalence is machine-checked per round, and GraphSpec checks it
+    // against brute force. With verification gone the whole query runs
+    // on the NUMERIC suffix — a (long, long) pair shuffle instead of
+    // string pairs, with names rematerialized after the aggregation.
+    // (The first cut verified 18-char strings post-hoc: 269 s at sf0.1.
+    // Tagging depth-2 keys made it 24 s; this form measures ~3 s.)
     "join_fuzzy_block2" -> ((s, d) => {
       val c = Tables.customer(s, d)
-        .select(col("c_name"), substring(col("c_name"), 10, 9).as("sfx"))
+        .select(substring(col("c_name"), 10, 9).as("sfx"))
       val del1 = (1 to 9).map { i =>
         concat(lit("1:"), substring(col("sfx"), 1, i - 1),
           substring(col("sfx"), i + 1, 9 - i))
       }
       val del2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield
-        concat(lit("2:"), substring(col("sfx"), 1, i - 1),
+        concat(lit(s"2:$i,$j:"), substring(col("sfx"), 1, i - 1),
           substring(col("sfx"), i + 1, j - i - 1),
           substring(col("sfx"), j + 1, 9 - j))
-      val keyed = c.select(col("c_name"),
+      val keyed = c.select(col("sfx").cast("long").as("id"),
         explode(array(del1 ++ del2: _*)).as("blk"))
-      val l = keyed.select(col("c_name").as("name_a"), col("blk"))
-      val r = keyed.select(col("c_name").as("name_b"), col("blk"))
+      val l = keyed.select(col("id").as("id_a"), col("blk"))
+      val r = keyed.select(col("id").as("id_b"), col("blk"))
       l.join(r, "blk")
-        .filter(col("name_a") < col("name_b"))
-        .select("name_a", "name_b").distinct() // a pair shares many keys
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
-        .groupBy(col("name_a").as("name"))
-        .agg(count(lit(1)).as("n_near"),
-          min(substring(col("name_b"), 10, 9).cast("long")).as("mn"))
-        .select(col("name"), col("n_near"),
+        .filter(col("id_a") < col("id_b")) // fixed width ⇒ name order
+        .select("id_a", "id_b").distinct() // a pair shares many keys
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_near"), min(col("id_b")).as("mn"))
+        .select(
+          concat(lit("Customer#"), lpad(col("id_a").cast("string"), 9, "0"))
+            .as("name"),
+          col("n_near"),
           concat(lit("Customer#"), lpad(col("mn").cast("string"), 9, "0"))
             .as("nearest"))
     }),
@@ -539,7 +565,7 @@ object RelationalExt2 {
         s"SELECT c_name, '1:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}) AS blk FROM c"
       }
       val arms2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield
-        s"SELECT c_name, '2:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}, ${j - i - 1}) || substr(sfx, ${j + 1}) AS blk FROM c"
+        s"SELECT c_name, '2:$i,$j:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}, ${j - i - 1}) || substr(sfx, ${j + 1}) AS blk FROM c"
       val arms = (arms1 ++ arms2).mkString("\n  UNION ALL ")
       s"""WITH c AS (SELECT c_name, substr(c_name, 10, 9) AS sfx FROM customer),
          |k AS ($arms),

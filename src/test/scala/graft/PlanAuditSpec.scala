@@ -33,8 +33,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_source_sample",
     "layout_zorder",        // 1-row max-key aggregate broadcast into the
                             // scan for range normalization — bounded
-    "join_skew_profile"     // 1-row global-stats aggregate broadcast into
+    "join_skew_profile",    // 1-row global-stats aggregate broadcast into
                             // the per-key frequencies — bounded
+    "text_source_temperature", // 1-row weight-normalizer aggregate
+                               // broadcast into the per-source counts
+    "text_length_histogram" // 1-row total-docs aggregate broadcast into
+                            // the per-bucket counts — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
