@@ -139,6 +139,53 @@ object Relational {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q8 shape: national market share — the widest join in the
+    // suite (lineitem, part, supplier, orders, customer, nation×2,
+    // region). Selectivity drives the plan: part is filtered on p_type
+    // and broadcast, supplier+nation decode broadcasts, the
+    // customer→nation→region chain broadcasts its dims and reduces
+    // customer to a key set BEFORE the fact joins, and orders carries
+    // its date filter to the scan. Only two shuffles of fact-scale
+    // data remain (orders⋈customer key set on custkey; that result
+    // ⋈lineitem on orderkey) — at 100 TB those are the honest cost,
+    // everything else rides a broadcast. The share division happens in
+    // DOUBLE after exact-decimal sums: decimal division scale rules
+    // differ between engines, double division is IEEE-identical.
+    "q8_market_share" -> ((s, d) => {
+      val pt = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val custEur = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(custEur, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", revenue))
+            .cast("double").as("nation_revenue"),
+          sum(revenue).cast("double").as("total_revenue"))
+        .select(col("o_year"),
+          coalesce(col("nation_revenue"), lit(0.0)).as("nation_revenue"),
+          col("total_revenue"),
+          (coalesce(col("nation_revenue"), lit(0.0)) / col("total_revenue"))
+            .as("mkt_share"))
+    }),
+
     // TPC-H Q7 shape: nation-pair trade volume. The two big relations
     // (orders⋈customer, then ⋈lineitem) shuffle co-keyed on their join
     // keys — customer is unfiltered, so broadcasting it would not
@@ -444,6 +491,30 @@ object Relational {
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH eur_cust AS (
+         |  SELECT c_custkey FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |l AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CASE WHEN sn.n_name = 'NATION_3' THEN $revenueSql END AS nrev,
+         |    $revenueSql AS rev
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN eur_cust ON o_custkey = c_custkey
+         |  WHERE p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01')
+         |SELECT o_year,
+         |  COALESCE(CAST(SUM(nrev) AS DOUBLE), 0.0) AS nation_revenue,
+         |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+         |  COALESCE(CAST(SUM(nrev) AS DOUBLE), 0.0) / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+         |FROM l GROUP BY o_year""".stripMargin,
     "q7_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lines

@@ -138,6 +138,32 @@ object RelationalExt {
             lit(0.05) * countDistinct(col("l_partkey"))).as("approx_ok"))
     }),
 
+    // Count-min-sketch heavy hitters: the one-pass bounded-memory
+    // frequency sketch (width ⌈e/ε⌉ × depth ⌈ln 1/δ⌉ counters) that at
+    // 100 TB replaces a full groupBy when only the heavy tail matters.
+    // Sketch values are seed/impl-specific, so — like the HLL query —
+    // the oracle-checked contract is the GUARANTEE, not the counters:
+    // estimate ∈ [exact, exact + ε·N] must hold for every probed key
+    // (one-sided error is the CMS theorem; fixed seed makes it
+    // deterministic). Build is distributed (treeAggregate inside
+    // stat.countMinSketch); only the O(width·depth) sketch and the
+    // bounded top-10 ever reach the driver.
+    "agg_cms_heavy_hitters" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_suppkey")
+      val cms = li.stat.countMinSketch(col("l_suppkey"),
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val slack = math.ceil(0.001 * cms.totalCount()).toLong
+      val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = top.map { case (k, n) =>
+        val est = cms.estimateCount(k)
+        (k, n, est >= n && est <= n + slack)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("l_suppkey", "n_exact", "bound_ok")
+    }),
+
     // Ranking-window family with a total (tie-broken) ordering.
     "window_ntile" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")
@@ -379,6 +405,10 @@ object RelationalExt {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_cms_heavy_hitters" ->
+      """SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS bound_ok
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY n_exact DESC, l_suppkey LIMIT 10""".stripMargin,
     "asof_click_purchase" ->
       """SELECT event_id AS purchase_id, user_id, last_click FROM (
         |  SELECT event_id, user_id, event_type,
