@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Relational.queries ++
       operators.RelationalExt.queries ++
       operators.RelationalExt2.queries ++
+      operators.TpchRest.queries ++
       operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       operators.Relational.oracles ++
       operators.RelationalExt.oracles ++
       operators.RelationalExt2.oracles ++
+      operators.TpchRest.oracles ++
       operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

@@ -37,8 +37,14 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the per-key frequencies — bounded
     "text_source_temperature", // 1-row weight-normalizer aggregate
                                // broadcast into the per-source counts
-    "text_length_histogram" // 1-row total-docs aggregate broadcast into
+    "text_length_histogram", // 1-row total-docs aggregate broadcast into
                             // the per-bucket counts — bounded
+    "q11_important_parts",  // 1-row global-total aggregate broadcast as the
+                            // importance threshold — bounded
+    "q15_top_supplier",     // 1-row MAX(revenue) aggregate broadcast for the
+                            // top-supplier equality — bounded
+    "q22_idle_balances"     // 1-row AVG(positive balance) aggregate broadcast
+                            // as the balance threshold — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
