@@ -103,6 +103,34 @@ object Dedup {
   private def interSize(a: Column, b: Column): Column =
     GraftFunctions.arrayIntersectSize(a, b)
 
+  /** (doc_id, band_key) LSH postings, persisted for reuse across the
+    * self-join (resp. bipartite probe) sides.
+    *
+    * Signatures as codegen'd min-aggregations over the posting list
+    * (explode → groupBy) with mutable long buffers. TWO md5 calls per
+    * posting (not one per seed): each 32-hex digest is cut into four
+    * 32-bit slices, giving 8 INDEPENDENT uniform seed hashes — full
+    * inter-band independence (an earlier xor-remix of one digest
+    * correlated bands 0/2 and 1/3, silently lowering recall) at a
+    * quarter of the round-1 hashing cost.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val m1 = md5(col("g"))
+    val m2 = md5(concat(lit("#"), col("g")))
+    def h(seed: Int): Column =
+      conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
+        .cast("long")
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sig = posting.groupBy("doc_id").agg(
+      min(h(0)).as("sig0"),
+      (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
+    sig.select(col("doc_id"),
+      explode(array((0 until BANDS).map(b =>
+        concat_ws("|", lit(s"$b"), col(s"sig${2 * b}").cast("string"),
+          col(s"sig${2 * b + 1}").cast("string"))): _*)).as("band_key"))
+      .transform(graft.CachePool.persist)
+  }
+
   private def jaccard(a: Column, b: Column): Column = {
     val i = interSize(a, b)
     i.cast("double") / (size(a) + size(b) - i)
@@ -241,31 +269,37 @@ object Dedup {
     // pipeline.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
-      // Signatures as codegen'd min-aggregations over the posting list
-      // (explode → groupBy) with mutable long buffers. TWO md5 calls per
-      // posting (not one per seed): each 32-hex digest is cut into four
-      // 32-bit slices, giving 8 INDEPENDENT uniform seed hashes — full
-      // inter-band independence (an earlier xor-remix of one digest
-      // correlated bands 0/2 and 1/3, silently lowering recall) at a
-      // quarter of the round-1 hashing cost.
-      val m1 = md5(col("g"))
-      val m2 = md5(concat(lit("#"), col("g")))
-      def h(seed: Int): Column =
-        conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
-          .cast("long")
-      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sig = posting.groupBy("doc_id").agg(
-        min(h(0)).as("sig0"),
-        (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until BANDS).map(b =>
-          concat_ws("|", lit(s"$b"), col(s"sig${2 * b}").cast("string"),
-            col(s"sig${2 * b + 1}").cast("string"))): _*)).as("band_key"))
-        .transform(graft.CachePool.persist)
+      val bands = minhashBands(sh)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh, JACCARD_NEAR)
+    }),
+
+    // INCREMENTAL near-dedup: a new snapshot against the standing
+    // corpus — the pattern that makes dedup sustainable at 100 TB.
+    // Re-running the full self-join per snapshot is O(corpus²-ish);
+    // the incremental form is bipartite: only the incoming batch
+    // computes fresh signatures, the corpus band postings are the
+    // standing index (built once per corpus version — here rebuilt
+    // because a query is stateless, in production persisted bucketed
+    // BY band_key so the probe join is shuffle-free on the corpus
+    // side), and the exact-jaccard verify touches only candidates.
+    // The batch membership is a pure function of doc_id (salted-md5
+    // threshold, the text_train_split convention) so both engines
+    // agree on the split without any state.
+    "dedup_incremental" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val bands = minhashBands(sh)
+      val incomingSide = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2")
+      val corpusBands = bands.filter(!incomingSide)
+      val incomingBands = bands.filter(incomingSide)
+      val cand = corpusBands.as("a")
+        .join(incomingBands.as("b"), col("a.band_key") === col("b.band_key"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       verifyPairs(cand, sh, JACCARD_NEAR)
@@ -515,7 +549,8 @@ object Dedup {
        |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
        |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin
 
-  private lazy val minhashPairsSql: String = {
+  /** shared shingle → signature → band-posting CTE chain. */
+  private lazy val minhashBandCtes: String = {
     val sigCols = (0 until MINHASH_SEEDS).map { sd =>
       val digest = if (sd < 4) "md5(g)" else "md5('#' || g)"
       s"MIN(('0x' || substr($digest, ${8 * (sd % 4) + 1}, 8))::BIGINT) AS sig$sd"
@@ -523,12 +558,30 @@ object Dedup {
     val bandList = (0 until BANDS).map(b =>
       s"'$b|' || CAST(sig${2 * b} AS VARCHAR) || '|' || CAST(sig${2 * b + 1} AS VARCHAR)")
       .mkString("[", ", ", "]")
-    s"""WITH d AS ($docShinglesSql),
+    s"""d AS ($docShinglesSql),
        |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
        |sig AS (SELECT doc_id, $sigCols FROM posting GROUP BY doc_id),
-       |band AS (SELECT doc_id, unnest($bandList) AS band_key FROM sig),
+       |band AS (SELECT doc_id, unnest($bandList) AS band_key FROM sig)""".stripMargin
+  }
+
+  private lazy val minhashPairsSql: String =
+    s"""WITH $minhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
+
+  /** bipartite (corpus × incoming snapshot) variant of the band join;
+    * the incoming side is the salted-md5 doc_id split, identical in
+    * both engines.
+    */
+  private lazy val incrementalPairsSql: String = {
+    val inc = "substr(md5(CAST(%s AS VARCHAR)), 1, 1) IN ('0','1','2')"
+    s"""WITH $minhashBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band_key = b.band_key
+       |  WHERE NOT ${inc.format("a.doc_id")} AND ${inc.format("b.doc_id")})
        |SELECT doc_a, doc_b, $jaccardSql AS jaccard
        |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
        |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
@@ -559,6 +612,7 @@ object Dedup {
          |    ORDER BY quality_score DESC, doc_id) AS rn FROM scored)
          |SELECT fingerprint, doc_id, quality_score FROM r WHERE rn = 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_incremental" -> incrementalPairsSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

@@ -27,7 +27,8 @@ object SqlSurface {
     "sql_correlated_exists" -> Seq("customer", "orders"),
     "sql_in_subquery" -> Seq("customer", "nation", "orders"),
     "sql_scalar_subquery" -> Seq("orders"),
-    "sql_lateral_join" -> Seq("customer", "orders"))
+    "sql_lateral_join" -> Seq("customer", "orders"),
+    "sql_recursive_spine" -> Seq("orders"))
 
   private val texts: Map[String, String] = Map(
     "sql_correlated_exists" ->
@@ -52,7 +53,34 @@ object SqlSurface {
         |FROM customer JOIN LATERAL (
         |  SELECT MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders
         |  FROM orders WHERE o_custkey = c_custkey) o ON true
-        |WHERE c_custkey % 10 = 0""".stripMargin)
+        |WHERE c_custkey % 10 = 0""".stripMargin,
+    // Recursive CTE (Spark 4 + DuckDB): a gap-free monthly spine LEFT
+    // JOINed to a sparse revenue rollup — the "report every month even
+    // the empty ones" calendar shape. Linear recursion, 89 iterations
+    // (bounded well under Spark's 100-level recursion limit); the spine
+    // is O(months) rows so the recursion cost is nil. Scale shape: the
+    // rollup aggregates orders BEFORE the join (map-side partial, one
+    // O(months)-row result) — joining raw orders to the spine instead
+    // would shuffle the whole fact onto ~89 month keys, a skew
+    // disaster at 100 TB that no optimizer un-writes for you. The DATE
+    // casts pin the month key to DATE in both engines (DuckDB's
+    // date_trunc/interval arithmetic would otherwise yield TIMESTAMP
+    // where Spark yields DATE).
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE spine(mo) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM spine
+        |  WHERE mo < DATE '2002-05-01'),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_totalprice > 400000
+        |  GROUP BY 1)
+        |SELECT spine.mo, COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(rev, 0.0) AS revenue
+        |FROM spine LEFT OUTER JOIN m ON m.mo = spine.mo""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     texts.map { case (name, sql) =>
