@@ -49,8 +49,13 @@ object Bench {
     "q7_nation_volume", "cdc_scd2_intervals",
     "text_ngram_hotspots", "ann_label_centroids",
     "join_fuzzy_block", "events_resample_daily",
-    // round-7: the radius-2 deletion-neighborhood tier (45-key fan-out)
-    "join_fuzzy_block2")
+    // round-7: the radius-2 deletion-neighborhood tier (45-key fan-out),
+    // the two heaviest of the 13 new TPC-H shapes, the incremental
+    // bipartite dedup, and the mergeable-HLL rollup. (The remaining
+    // round-7 queries are all sub-0.5 s and live in bench_full.json —
+    // the driver-visible line must stay well under its 2000-char tail.)
+    "join_fuzzy_block2", "q21_sole_fault_supplier", "q18_large_volume",
+    "dedup_incremental", "agg_hll_mergeable")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -131,6 +131,29 @@ object Dedup {
       .transform(graft.CachePool.persist)
   }
 
+  /** Streaming-ingestion entry point: near-dups (jaccard ≥ τ_near) of an
+    * incoming `(doc_id, text)` batch against a standing corpus, exposed
+    * for `foreachBatch` use — each microbatch is one incremental
+    * snapshot run through the bipartite band probe. The corpus band
+    * postings are recomputed here because this API is stateless; a
+    * production ingestion pipeline persists them (bucketed BY band_key)
+    * and passes the same DataFrames in, at which point a microbatch
+    * costs O(batch) signatures + a pruned probe join. Output:
+    * (doc_a: corpus id, doc_b: batch id, jaccard).
+    */
+  def incrementalMatches(corpus: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val corpusSh = corpus.filter(size(words) >= 3)
+      .select(col("doc_id"), shingleCol(3).as("sh"))
+    val batchSh = batchDocs.filter(size(words) >= 3)
+      .select(col("doc_id"), shingleCol(3).as("sh"))
+    val cand = minhashBands(corpusSh).as("a")
+      .join(minhashBands(batchSh).as("b"),
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, corpusSh.unionByName(batchSh), JACCARD_NEAR)
+  }
+
   private def jaccard(a: Column, b: Column): Column = {
     val i = interSize(a, b)
     i.cast("double") / (size(a) + size(b) - i)

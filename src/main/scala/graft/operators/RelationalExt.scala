@@ -138,6 +138,38 @@ object RelationalExt {
             lit(0.05) * countDistinct(col("l_partkey"))).as("approx_ok"))
     }),
 
+    // Mergeable-sketch cardinality rollup (DataSketches HLL): the
+    // pattern that makes distinct-counting compose at 100 TB — build a
+    // sketch PER GROUP (map-side partial, fixed bytes per group),
+    // re-aggregate groups by UNIONING sketches instead of rescanning
+    // rows. Here: per-returnflag sketches, then one union for the
+    // global estimate — the second level touches O(groups) sketches,
+    // not O(rows). countDistinct alongside is the per-group exact
+    // check; the union row's exact comes from one more distinct agg
+    // (the thing the sketch union REPLACES at scale, kept here only to
+    // verify the bound). As with the other sketch queries the
+    // oracle-checked contract is the GUARANTEE (±3% at lgK=12), not
+    // the impl-specific estimate.
+    "agg_hll_mergeable" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perFlag = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .transform(graft.CachePool.persist)
+      val groups = perFlag.select(col("l_returnflag"),
+        col("exact_parts"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
+          .cast("double") <= lit(0.03) * col("exact_parts")).as("bound_ok"))
+      val globalExact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val union = perFlag.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("est"))
+        .crossJoin(broadcast(globalExact))
+        .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")).cast("double") <=
+            lit(0.03) * col("exact_parts")).as("bound_ok"))
+      groups.unionByName(union)
+    }),
+
     // Count-min-sketch heavy hitters: the one-pass bounded-memory
     // frequency sketch (width ⌈e/ε⌉ × depth ⌈ln 1/δ⌉ counters) that at
     // 100 TB replaces a full groupBy when only the heavy tail matters.
@@ -405,6 +437,14 @@ object RelationalExt {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_hll_mergeable" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS bound_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL' AS l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS bound_ok
+        |FROM lineitem""".stripMargin,
     "agg_cms_heavy_hitters" ->
       """SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS bound_ok
         |FROM lineitem GROUP BY l_suppkey

@@ -167,6 +167,26 @@ object RelationalExt2 {
           coalesce(col("total_value"), lit(0.0)).as("total_value"))
     }),
 
+    // Semi-structured props via the Spark 4 VARIANT type: parse once,
+    // extract typed paths with variant_get — the open-schema path for
+    // event payloads (vs. a rigid from_json schema). VARIANT's binary
+    // encoding makes repeated path extraction O(path) instead of
+    // re-parsing the JSON text per field; at 100 TB the parse is the
+    // dominant cost and it happens exactly once per row here. The
+    // oracle extracts the same path with DuckDB's JSON operators —
+    // value parity on the typed k, not on any engine's encoding.
+    "events_variant_props" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(v, "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("distinct_k"))
+    }),
+
     // Non-equi RANGE JOIN: orders against a tiny price-band dimension.
     // Broadcast nested-loop — the only sane physical plan for a band
     // predicate; the fact side streams, nothing shuffles.
@@ -592,6 +612,13 @@ object RelationalExt2 {
         |  COALESCE(n_events, 0) AS n_events,
         |  COALESCE(total_value, 0.0) AS total_value
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+    "events_variant_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k,
+        |  COUNT(DISTINCT CAST(props->>'$.k' AS INT)) AS distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "join_range" ->
       """SELECT band, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -43,8 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // importance threshold — bounded
     "q15_top_supplier",     // 1-row MAX(revenue) aggregate broadcast for the
                             // top-supplier equality — bounded
-    "q22_idle_balances"     // 1-row AVG(positive balance) aggregate broadcast
+    "q22_idle_balances",    // 1-row AVG(positive balance) aggregate broadcast
                             // as the balance threshold — bounded
+    "agg_hll_mergeable"     // 1-row global exact-distinct aggregate broadcast
+                            // next to the union-sketch estimate — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

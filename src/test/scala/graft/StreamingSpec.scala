@@ -452,6 +452,46 @@ class StreamingSpec extends AnyFunSuite {
       s"3 files with cap 1 must become 3 single-row batches: $batchSizes")
   }
 
+  test("streaming ingestion near-dedup against a standing corpus == batch incremental") {
+    // The LLM-pipeline ingestion shape: docs arrive as a stream, each
+    // microbatch is one incremental snapshot probed against the standing
+    // corpus band index (Dedup.incrementalMatches inside foreachBatch).
+    // Splitting the incoming set across TWO microbatches must yield
+    // exactly the batch dedup_incremental result — per-doc signatures
+    // make the bipartite probe batch-size-invariant.
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val incomingSide = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1", "2")
+    val corpus = docs.filter(!incomingSide)
+    val incoming = docs.filter(incomingSide)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (half1, half2) = incoming.splitAt(incoming.length / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = graft.operators.Dedup.incrementalMatches(corpus, b)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect()
+        got.synchronized { got ++= m }; ()
+      }
+      .start()
+    try {
+      in.addData(half1.toIndexedSeq); q.processAllAvailable()
+      in.addData(half2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.toSet === expected, s"stream=${got.toSet} batch=$expected")
+    assert(expected.nonEmpty, "test corpus must contain cross-split near-dups")
+  }
+
   test("keyed state survives a query RESTART via the checkpoint") {
     // A2 for STATE, not just offsets: the reference persists only an
     // LSN; our state store checkpoints the per-key latest state itself.
