@@ -413,6 +413,28 @@ object Dedup {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
     }),
 
+    // The dedup pipeline's actual OUTPUT: the kept corpus. One doc per
+    // near-dup cluster — the highest-quality copy (singletons keep
+    // themselves; every doc is its own component until merged). This is
+    // the query a training pipeline materializes; the pair/cluster
+    // relations are its intermediates. The per-cluster argmax runs on
+    // the 1-row-heap TopKPerKey form (no sort of the corpus), and the
+    // quality join is co-keyed on doc_id.
+    "dedup_keep_canonical" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val clusters = queries("dedup_clusters")(s, d)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore.as("quality_score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      clusters.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("quality_score"))
+    }),
+
     // The simhash family's cluster output: connected components over
     // the BANDED near-dup pair graph — the composition you actually run
     // at corpus scale (blocked candidate generation feeding min-label
@@ -645,6 +667,23 @@ object Dedup {
          |  UNION
          |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s)
          |SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc""".stripMargin,
+    "dedup_keep_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s),
+         |comp AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc),
+         |scored AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score
+         |  FROM documents),
+         |r AS (SELECT cluster_id, comp.doc_id, quality_score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality_score DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN scored ON comp.doc_id = scored.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc, quality_score
+         |FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> oracleNgramJaccard,
     "dedup_simhash" -> simhashSqlBase,
     "dedup_simhash_pairs" ->

@@ -26,7 +26,7 @@ import graft.sources.Tables
   */
 object Layout {
 
-  private val ZBITS = 8 // bits per dimension → 16-bit Morton code
+  private[graft] val ZBITS = 8 // bits per dimension → 16-bit Morton code
   private val ZBUCKET_SHIFT = 10 // keep top 6 bits → 64 buckets
   private val SPLITS = 32
   private val TARGET_CHARS = 100000L // compaction target: chars per output file
@@ -36,7 +36,7 @@ object Layout {
     * whole-stage-codegen friendly, and expressible identically in the
     * oracle's SQL.
     */
-  private def morton(a: Column, b: Column): Column =
+  private[graft] def morton(a: Column, b: Column): Column =
     (0 until ZBITS).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)

@@ -280,6 +280,25 @@ object Relational {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): the corpus has
+    // no NULL keys, so both rollups derive one via NULLIF — the NULL
+    // row surviving the join is exactly what separates <=> from = (a
+    // plain join drops it silently). <=> remains a HASHABLE equi-key
+    // (EqualNullSafe is a valid hash-join key in Catalyst), so this
+    // plans as a broadcast/hash join, not a nested loop — which is why
+    // the operator matters at scale: the naive `a = b OR (a IS NULL
+    // AND b IS NULL)` rewrite is NOT recognized as an equi-key and
+    // degrades to BNLJ.
+    "join_null_safe" -> ((s, d) => {
+      val k = when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag"))
+      val a = Tables.lineitem(s, d).groupBy(k.as("flag"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = Tables.lineitem(s, d).filter(col("l_linestatus") === "F")
+        .groupBy(k.as("flag_b")).agg(count(lit(1)).as("n_finished"))
+      a.join(b, col("flag") <=> col("flag_b"))
+        .select(col("flag"), col("n_all"), col("n_finished"))
+    }),
+
     // Sort + limit top-k with total tie-break (rank boundary stable).
     "topk_orders" -> ((s, d) => {
       Tables.orders(s, d)
@@ -553,6 +572,15 @@ object Relational {
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT NULLIF(l_returnflag, 'N') AS flag, COUNT(*) AS n_all
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT NULLIF(l_returnflag, 'N') AS flag_b, COUNT(*) AS n_finished
+        |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1)
+        |SELECT flag, n_all, n_finished
+        |FROM a JOIN b ON flag IS NOT DISTINCT FROM flag_b""".stripMargin,
     "join_semi" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers
         |FROM customer
