@@ -114,7 +114,7 @@ object Dedup {
     * correlated bands 0/2 and 1/3, silently lowering recall) at a
     * quarter of the round-1 hashing cost.
     */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  private def minhashBands(sh: DataFrame, cache: Boolean = true): DataFrame = {
     val m1 = md5(col("g"))
     val m2 = md5(concat(lit("#"), col("g")))
     def h(seed: Int): Column =
@@ -124,11 +124,11 @@ object Dedup {
     val sig = posting.groupBy("doc_id").agg(
       min(h(0)).as("sig0"),
       (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
-    sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"),
       explode(array((0 until BANDS).map(b =>
         concat_ws("|", lit(s"$b"), col(s"sig${2 * b}").cast("string"),
           col(s"sig${2 * b + 1}").cast("string"))): _*)).as("band_key"))
-      .transform(graft.CachePool.persist)
+    if (cache) bands.transform(graft.CachePool.persist) else bands
   }
 
   /** Streaming-ingestion entry point: near-dups (jaccard ≥ τ_near) of an
@@ -146,8 +146,13 @@ object Dedup {
       .select(col("doc_id"), shingleCol(3).as("sh"))
     val batchSh = batchDocs.filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
+    // corpus side: cached — identical analyzed plans across microbatches
+    // share ONE CacheManager entry, so the standing index persists once.
+    // batch side: NOT cached — each microbatch has a fresh plan, and a
+    // per-batch persist would accumulate a new cache entry per batch for
+    // bands that are consumed exactly once (the probe join).
     val cand = minhashBands(corpusSh).as("a")
-      .join(minhashBands(batchSh).as("b"),
+      .join(minhashBands(batchSh, cache = false).as("b"),
         col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -24,16 +24,19 @@ import graft.sources.Tables
   */
 object Relational {
 
-  private val money = "decimal(18,2)"   // prices, quantities, balances
-  private val rate = "decimal(9,2)"     // discount/tax in [0,1]
+  // Shared with TpchRest — ONE definition of the exact-decimal money
+  // widths: a drift between files would silently desynchronize rounding
+  // between the two query sets while each still passed its own oracle.
+  private[operators] val money = "decimal(18,2)" // prices, quantities, balances
+  private[operators] val rate = "decimal(9,2)"   // discount/tax in [0,1]
 
   private def dsum(c: Column): Column = sum(c.cast(money)).cast("double")
 
   /** revenue = extendedprice * (1 - discount), exact decimal. */
-  private def revenue: Column =
+  private[operators] def revenue: Column =
     (col("l_extendedprice").cast(money) *
       (lit(1).cast(rate) - col("l_discount").cast(rate)))
-  private val revenueSql =
+  private[operators] val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

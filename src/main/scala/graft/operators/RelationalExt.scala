@@ -147,9 +147,13 @@ object RelationalExt {
     // not O(rows). countDistinct alongside is the per-group exact
     // check; the union row's exact comes from one more distinct agg
     // (the thing the sketch union REPLACES at scale, kept here only to
-    // verify the bound). As with the other sketch queries the
-    // oracle-checked contract is the GUARANTEE (±3% at lgK=12), not
-    // the impl-specific estimate.
+    // verify the bound). As with the other sketch queries, what the
+    // oracle checks is the ACCURACY CONTRACT, not the impl-specific
+    // estimate — and unlike CMS, HLL's error is probabilistic with no
+    // hard bound: at lgK=12 the relative standard error is
+    // 1.04/√4096 ≈ 1.6%, so the asserted ±6% is ≈3.7σ (per-row chance
+    // failure ~1e-4, negligible across the 5 checked rows even if the
+    // corpus is regenerated), NOT a theorem.
     "agg_hll_mergeable" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val perFlag = li.groupBy("l_returnflag")
@@ -159,14 +163,14 @@ object RelationalExt {
       val groups = perFlag.select(col("l_returnflag"),
         col("exact_parts"),
         (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
-          .cast("double") <= lit(0.03) * col("exact_parts")).as("bound_ok"))
+          .cast("double") <= lit(0.06) * col("exact_parts")).as("bound_ok"))
       val globalExact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
       val union = perFlag.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("est"))
         .crossJoin(broadcast(globalExact))
         .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
           (abs(col("est") - col("exact_parts")).cast("double") <=
-            lit(0.03) * col("exact_parts")).as("bound_ok"))
+            lit(0.06) * col("exact_parts")).as("bound_ok"))
       groups.unionByName(union)
     }),
 

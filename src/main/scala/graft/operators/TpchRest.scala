@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -38,14 +38,9 @@ import graft.sources.Tables
   */
 object TpchRest {
 
-  private val money = "decimal(18,2)"
-  private val rate = "decimal(9,2)"
-
-  private def revenue: Column =
-    (col("l_extendedprice").cast(money) *
-      (lit(1).cast(rate) - col("l_discount").cast(rate)))
-  private val revenueSql =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))"
+  // one definition of the exact-decimal money arithmetic for the whole
+  // TPC-H surface — see the note at Relational.money
+  import Relational.{money, rate, revenue, revenueSql}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -117,6 +117,12 @@ class TpchRestSpec extends AnyFunSuite {
   test("q17: correlated-avg decorrelation leaves the threshold join co-keyed or broadcast") {
     val rows = run("q17_small_qty_revenue").collect()
     assert(rows.length === 1 && rows(0).getDouble(0) > 0)
+    // the decorrelated threshold join must be an equi hash/merge join —
+    // never a nested loop (the shape a correlated rewrite can degrade to)
+    val p = formatted("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q20: nested semi-join chain plans LEFT SEMI, never a full join of supplier") {
@@ -126,16 +132,34 @@ class TpchRestSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"expected semi joins:\n$p")
   }
 
-  test("q16: anti-joined negative-balance suppliers never appear in any class count") {
-    // every counted supplier must have non-negative balance: recompute the
-    // pair relation with the exclusion inverted and require disjointness
+  test("q16: anti-joined low-balance suppliers never appear in any class count") {
+    // enforce the exclusion, not just non-emptiness: the total distinct
+    // supplier count across classes WITH the anti join must be strictly
+    // below the same rollup WITHOUT it (deleting the left_anti from the
+    // query makes these equal and fails here), and the exclusion must be
+    // non-vacuous on pairs that actually reach a surviving part class.
     val bad = graft.sources.Tables.supplier(spark, sfDir)
       .filter(col("s_acctbal") < 1000).select("s_suppkey")
+    val pt = graft.sources.Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size") <= 25).select("p_partkey")
     val pairs = graft.sources.Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_suppkey").distinct()
-      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_semi")
-    // sanity: the exclusion is non-vacuous at this SF
-    assert(bad.count() > 0 && pairs.count() > 0)
-    assert(run("q16_supplier_diversity").count() > 0)
+      .join(pt, col("l_partkey") === col("p_partkey"), "left_semi")
+    val excludedPairs = pairs
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+    assert(excludedPairs > 0, "exclusion must be non-vacuous at this SF")
+    val withExclusion = run("q16_supplier_diversity")
+      .agg(sum("supplier_cnt")).collect()(0).getLong(0)
+    val withoutExclusion = pairs
+      .join(graft.sources.Tables.part(spark, sfDir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size") <= 25).select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(withExclusion < withoutExclusion,
+      s"anti join must remove suppliers: $withExclusion !< $withoutExclusion")
   }
 }
