@@ -45,4 +45,17 @@ class EmptyCorpusSpec extends AnyFunSuite {
     CachePool.releaseAll()
     assert(failures.isEmpty, s"queries failing on empty input:\n${failures.mkString("\n")}")
   }
+
+  test("incrementalMatches tolerates an empty batch and an empty corpus") {
+    // the streaming-ingestion entry point meets empty microbatches
+    // (idle trigger) and empty corpora (first snapshot) as a matter of
+    // course — both must yield zero matches, not a throw
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    assert(graft.operators.Dedup.incrementalMatches(docs, none).count() === 0L)
+    assert(graft.operators.Dedup.incrementalMatches(none, docs).count() === 0L)
+    CachePool.releaseAll()
+  }
 }
