@@ -203,6 +203,29 @@ object Dedup {
     * `shortcut = false` recovers plain propagation (kept for the spec
     * that proves the shortcut reduces rounds without changing output).
     */
+  /** Memoized cluster assignment per (dir, pair-kind): three queries
+    * consume the label-propagation fixpoint (`dedup_clusters`,
+    * `dedup_simhash_clusters`, `dedup_keep_canonical`) and the loop's
+    * collects are the expensive part — run it once per JVM per corpus.
+    * Keyed by (dir, kind) like Similarity's centroid memo: entries are
+    * bounded by distinct corpora touched; the stored DataFrame is
+    * backed by localCheckpoint'ed RDDs, valid for the lifetime of the
+    * one JVM-wide SparkContext this library runs under. A losing racer
+    * recomputes the same deterministic result — wasted work, never
+    * wrong answers.
+    */
+  private val componentsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def componentsFor(s: SparkSession, d: String, kind: String,
+      pairsOf: (SparkSession, String) => DataFrame): DataFrame =
+    componentsMemo.getOrElseUpdate((d, kind), {
+      val pairs = pairsOf(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      connectedComponents(docs,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
+    })
+
   private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame,
       shortcut: Boolean = true): (DataFrame, Int) = {
     val edges = pairs
@@ -411,12 +434,8 @@ object Dedup {
     // (see [[connectedComponents]]), converging to the same fixpoint
     // (min reachable id) as the oracle's recursive transitive closure
     // regardless of iteration order.
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = queries("dedup_minhash_lsh")(s, d)
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      connectedComponents(docs,
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
-    }),
+    "dedup_clusters" -> ((s, d) =>
+      componentsFor(s, d, "minhash", queries("dedup_minhash_lsh"))),
 
     // The dedup pipeline's actual OUTPUT: the kept corpus. One doc per
     // near-dup cluster — the highest-quality copy (singletons keep
@@ -444,12 +463,8 @@ object Dedup {
     // the BANDED near-dup pair graph — the composition you actually run
     // at corpus scale (blocked candidate generation feeding min-label
     // propagation), same fixpoint machinery as dedup_clusters.
-    "dedup_simhash_clusters" -> ((s, d) => {
-      val pairs = queries("dedup_simhash_banded")(s, d)
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      connectedComponents(docs,
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))._1
-    }),
+    "dedup_simhash_clusters" -> ((s, d) =>
+      componentsFor(s, d, "simhash", queries("dedup_simhash_banded"))),
 
     // Measure, don't guess (text side): MinHash-LSH recall against the
     // inverted-index ground truth — of the pairs the exhaustive-ish
