@@ -55,7 +55,11 @@ object Bench {
     // round-7 queries are all sub-0.5 s and live in bench_full.json —
     // the driver-visible line must stay well under its 2000-char tail.)
     "join_fuzzy_block2", "q21_sole_fault_supplier", "q18_large_volume",
-    "dedup_incremental", "agg_hll_mergeable")
+    "dedup_incremental", "agg_hll_mergeable",
+    // round-7 late additions: the exact prefix-filter similarity join
+    // (the only new query with a posting self-join) and the basket
+    // pair expansion
+    "dedup_jaccard_prefix", "basket_part_pairs")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -37,6 +37,7 @@ object SparkEntry {
       operators.RelationalExt.queries ++
       operators.RelationalExt2.queries ++
       operators.TpchRest.queries ++
+      operators.Mining.queries ++
       operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       operators.RelationalExt.oracles ++
       operators.RelationalExt2.oracles ++
       operators.TpchRest.oracles ++
+      operators.Mining.oracles ++
       operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

@@ -379,6 +379,45 @@ object Dedup {
       verifyPairs(cand, sh, JACCARD_RELATED)
     }),
 
+    // EXACT set-similarity self-join via prefix filtering (Bayardo et
+    // al. WWW'07 / Xiao et al. PPJoin): order each doc's shingles by
+    // ascending global document frequency (rarest first; ties on the
+    // shingle string — total order, since per-doc shingles are
+    // distinct), keep only the first |d| − ⌈τ·|d|⌉ + 1 as join keys.
+    // Prefix-filter theorem: any pair with jaccard ≥ τ must share at
+    // least one token within BOTH prefixes — so unlike the LSH and
+    // DF-capped candidate generators above, recall is 1.0 BY
+    // CONSTRUCTION, not measured: this query's output IS the complete
+    // pair set at τ = JACCARD_NEAR, computed without an all-pairs scan.
+    // The length filter (2·min ≥ max ⟸ jaccard ≥ ½) prunes candidates
+    // before the exact verify. Scale: the join keys are each doc's
+    // RAREST shingles, so posting lists on the join key are short by
+    // construction — the frequency ordering is itself the skew guard
+    // (the DF_CAP heuristic above caps hot keys; prefix filtering
+    // avoids ever emitting them). τ = 0.5 ⟹ prefix length
+    // |d| − ⌈|d|/2⌉ + 1 = |d| div 2 + 1 (integer, engine-exact).
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val df = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      val ordered = posting.join(df, "g")
+        .groupBy("doc_id")
+        .agg(transform(sort_array(collect_list(struct(col("df"), col("g")))),
+          x => x("g")).as("toks"))
+      val prefix = ordered.select(col("doc_id"),
+          size(col("toks")).as("len"),
+          explode(slice(col("toks"), lit(1),
+            shiftright(size(col("toks")), 1) + lit(1))).as("g"))
+        .transform(graft.CachePool.persist)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.len"), col("b.len")) * 2 >=
+              greatest(col("a.len"), col("b.len")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh, JACCARD_NEAR)
+    }),
+
     // SimHash: 64-bit fingerprint from per-token md5 bits; near-dup =
     // small hamming distance. Signature is one groupBy over exploded
     // tokens (map-side combinable).
@@ -614,6 +653,30 @@ object Dedup {
        |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
        |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin
 
+  /** Same prefix-filter algorithm in DuckDB. Candidate-set parity is
+    * not required for correctness (both engines' prefixes are lossless
+    * supersets of the true pair set and the exact verify filters to
+    * jaccard ≥ τ), but the ordering is in fact identical: ascending
+    * (df, shingle) on lowercase-ASCII strings is the same total order
+    * under Spark UTF8 binary comparison and DuckDB's default binary
+    * collation. `list_slice`'s 1-based inclusive end == Spark `slice`'s
+    * (start=1, length=n).
+    */
+  private lazy val oracleJaccardPrefix: String =
+    s"""WITH d AS ($docShinglesSql),
+       |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |df AS (SELECT g, COUNT(*) AS df FROM posting GROUP BY g),
+       |tok AS (SELECT doc_id, list(posting.g ORDER BY df.df, posting.g) AS toks
+       |  FROM posting JOIN df ON posting.g = df.g GROUP BY doc_id),
+       |pr AS (SELECT doc_id, len(toks) AS l,
+       |  unnest(list_slice(toks, 1, len(toks) // 2 + 1)) AS g FROM tok),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    AND 2 * least(a.l, b.l) >= greatest(a.l, b.l))
+       |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+       |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |WHERE $jaccardSql >= $JACCARD_NEAR""".stripMargin
+
   /** shared shingle → signature → band-posting CTE chain. */
   private lazy val minhashBandCtes: String = {
     val sigCols = (0 until MINHASH_SEEDS).map { sd =>
@@ -705,6 +768,7 @@ object Dedup {
          |SELECT cluster_id, doc_id AS kept_doc, quality_score
          |FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> oracleNgramJaccard,
+    "dedup_jaccard_prefix" -> oracleJaccardPrefix,
     "dedup_simhash" -> simhashSqlBase,
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($simhashSqlBase)

@@ -227,6 +227,24 @@ object TextAnalysis {
         .limit(50)
     }),
 
+    // BPE merge step 1: global adjacent-token-pair frequencies, the
+    // count a byte-pair-encoding tokenizer trainer computes each merge
+    // round. Pure per-row pair expansion (no shuffle until the count),
+    // map-side combinable; at 100 TB each merge round is exactly this
+    // one aggregation, so tokenizer training cost is O(rounds) scans of
+    // an already-tokenized corpus. Top-30 with full tie order (n desc,
+    // then the pair itself) for a deterministic result.
+    "text_bpe_pairs" -> ((s, d) => {
+      docsPar(s, d)
+        .filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => struct(toks(i).as("w1"), toks(i + lit(1)).as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // Quality-stratified sampling: keep each language's top quintile by
     // quality score — the curation step of a training-data pipeline.
     "text_quality_sample" -> ((s, d) => {
@@ -623,6 +641,12 @@ object TextAnalysis {
       """SELECT term, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "text_bpe_pairs" ->
+      """SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS w,
+        |        unnest(range(1, len(string_split(text, ' ')))) AS i
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
     "text_quality_sample" -> {
       s"""WITH scored AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM documents),
          |ranked AS (SELECT *, percent_rank() OVER (PARTITION BY lang
