@@ -59,7 +59,9 @@ object Bench {
     // round-7 late additions: the exact prefix-filter similarity join
     // (the only new query with a posting self-join) and the basket
     // pair expansion
-    "dedup_jaccard_prefix", "basket_part_pairs")
+    "dedup_jaccard_prefix", "basket_part_pairs",
+    // the directed near-superset detector (rare-shingle posting join)
+    "dedup_containment")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

@@ -29,6 +29,7 @@ object Dedup {
 
   private val DF_CAP = 50       // max doc-frequency for a shingle to be a join key
   private val MIN_SHARED = 3    // candidate pairs must share ≥ this many shingles
+  private val CONTAINMENT_T = 0.8 // |A∩B|/|A| threshold: A is "inside" B
   private val MINHASH_SEEDS = 8 // signature length
   private val BANDS = 4         // LSH bands (2 sigs per band)
   private val JACCARD_NEAR = 0.5
@@ -167,6 +168,45 @@ object Dedup {
   private val jaccardSql =
     """CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
       | / (len(da.sh) + len(db.sh) - len(list_filter(da.sh, x -> list_contains(db.sh, x))))""".stripMargin
+
+  /** Directed-containment pair engine over a (doc_id, sh) shingle
+    * relation: emits (contained_doc, container_doc, containment) for
+    * every candidate pair direction with |A∩B| / |A| ≥ CONTAINMENT_T.
+    * Candidates come from the same rare-shingle inverted index as
+    * dedup_ngram_jaccard (identical analyzed plan ⇒ the CacheManager
+    * shares the posting relation across the family); the exact verify
+    * divides ONE integer intersection by each side's own set size, so
+    * a pair costs one kernel call, not two. Exposed for synthetic-
+    * corpus testing; the named query runs it on the documents table.
+    */
+  private[graft] def containmentPairs(sh: DataFrame): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = posting.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DF_CAP)
+      .select("g")
+    val rarePosting = posting.join(rare, "g")
+    val cand = rarePosting.as("a")
+      .join(rarePosting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MIN_SHARED)
+      .select("doc_a", "doc_b")
+    val j = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
+      .transform(graft.CachePool.persist) // both directions read it
+    val ab = j.select(col("doc_a").as("contained_doc"),
+      col("doc_b").as("container_doc"),
+      (col("inter").cast("double") / size(col("sh_a"))).as("containment"))
+    val ba = j.select(col("doc_b").as("contained_doc"),
+      col("doc_a").as("container_doc"),
+      (col("inter").cast("double") / size(col("sh_b"))).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= CONTAINMENT_T)
+  }
 
   /** Verify candidate pairs against true jaccard of full shingle sets. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -378,6 +418,21 @@ object Dedup {
         .select("doc_a", "doc_b")
       verifyPairs(cand, sh, JACCARD_RELATED)
     }),
+
+    // DIRECTED containment |A∩B| / |A| ≥ τ — the near-superset detector
+    // jaccard misses: a short doc quoted whole inside a much longer one
+    // has tiny jaccard (union is dominated by B) but containment ≈ 1.
+    // Training pipelines drop the contained copy; MinHash under-samples
+    // it (asymmetric overlap), so this runs off the same rare-shingle
+    // inverted index as dedup_ngram_jaccard — identical analyzed plan ⇒
+    // the CacheManager shares the posting relation across the family —
+    // and verifies candidates exactly, emitting BOTH directions of each
+    // undirected candidate so a mutual near-dup appears twice (a,b ≥ τ
+    // and b,a ≥ τ), which is the actionable form: `contained_doc` is
+    // the drop candidate. The DF cap is the documented recall heuristic
+    // shared with the jaccard query: a pair sharing ONLY stop-shingles
+    // is invisible — identically in both engines.
+    "dedup_containment" -> ((s, d) => containmentPairs(docShingles(s, d))),
 
     // EXACT set-similarity self-join via prefix filtering (Bayardo et
     // al. WWW'07 / Xiao et al. PPJoin): order each doc's shingles by
@@ -653,6 +708,30 @@ object Dedup {
        |FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
        |WHERE $jaccardSql >= $JACCARD_RELATED""".stripMargin
 
+  /** Same rare-shingle candidates as oracleNgramJaccard; the exact
+    * verify divides the SAME integer intersection by each side's own
+    * set size (one IEEE division of two exact ints per direction —
+    * engine-identical), and the UNION ALL mirrors the directed
+    * emission.
+    */
+  private lazy val oracleContainment: String =
+    s"""WITH d AS ($docShinglesSql),
+       |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |rare AS (SELECT g FROM posting GROUP BY g HAVING COUNT(*) <= $DF_CAP),
+       |rp AS (SELECT doc_id, posting.g FROM posting JOIN rare ON posting.g = rare.g),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
+       |    len(da.sh) AS la, len(db.sh) AS lb
+       |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id),
+       |u AS (SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       |    CAST(inter AS DOUBLE) / la AS containment FROM j
+       |  UNION ALL SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / lb FROM j)
+       |SELECT contained_doc, container_doc, containment
+       |FROM u WHERE containment >= $CONTAINMENT_T""".stripMargin
+
   /** Same prefix-filter algorithm in DuckDB. Candidate-set parity is
     * not required for correctness (both engines' prefixes are lossless
     * supersets of the true pair set and the exact verify filters to
@@ -768,6 +847,7 @@ object Dedup {
          |SELECT cluster_id, doc_id AS kept_doc, quality_score
          |FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> oracleNgramJaccard,
+    "dedup_containment" -> oracleContainment,
     "dedup_jaccard_prefix" -> oracleJaccardPrefix,
     "dedup_simhash" -> simhashSqlBase,
     "dedup_simhash_pairs" ->

@@ -36,6 +36,18 @@ object Mining {
   /** asof_tolerance staleness bound, in event_id (LSN) units. */
   private val ASOF_TOL = 200L
 
+  /** events_decay_score half-life, in event_id (LSN) units. */
+  private val DECAY_HL = 1000L
+
+  /** Decay exponent cap: contributions older than CAP half-lives floor
+    * at 2^-CAP ≈ 9e-13 instead of underflowing — and, more importantly,
+    * the cap is what makes the whole sum EXACT (see the query comment).
+    */
+  private val DECAY_CAP = 40
+
+  /** events_burst_days anomaly threshold, in self-baseline std units. */
+  private val BURST_Z = 2.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Markov transition matrix: count (event_type → next event_type)
@@ -92,6 +104,76 @@ object Mining {
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("last_click"))
+    }),
+
+    // Exponentially time-decayed per-user activity score (the decayed
+    // counter behind recency-weighted engagement ranking): each event
+    // contributes 2^-(age div HL) half-lives after the user's latest
+    // event, capped at 2^-CAP.
+    //
+    // Determinism by construction: float exponential sums are
+    // order-dependent across partitionings, so instead each term is the
+    // INTEGER 2^(CAP - k) in units of 2^-CAP (a single bit), summed as
+    // a long — associative, partition-order-free, and engine-exact; the
+    // score is one long→double conversion + one IEEE division at the
+    // end (both deterministic round-to-nearest in Spark and DuckDB).
+    // Overflow bound: per-user sum ≤ n·2^CAP, safe for n < 2^23 ≈ 8.4M
+    // events/user (raise CAP losses or shard the window beyond that).
+    //
+    // One exchange total: the window partitions by user_id and the
+    // groupBy reuses that partitioning, so the event payload shuffles
+    // once regardless of corpus size.
+    "events_decay_score" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("m", max("event_id").over(w))
+        .withColumn("n_events", count(lit(1)).over(w))
+        .withColumn("units", expr(
+          s"shiftleft(cast(1 as bigint), cast($DECAY_CAP - " +
+            s"least((m - event_id) div $DECAY_HL, $DECAY_CAP) as int))"))
+        .groupBy("user_id", "n_events")
+        .agg(sum("units").as("score_units"))
+        .withColumn("decay_score",
+          col("score_units").cast("double") / math.pow(2.0, DECAY_CAP))
+    }),
+
+    // Burst detection against each user's OWN baseline: days whose event
+    // count exceeds the user's mean daily count by > BURST_Z of the
+    // user's own std — the per-entity anomaly screen (account takeover,
+    // scraper bursts) that a global outlier scan can't see, because a
+    // heavy user's normal day outweighs a light user's 10× spike.
+    // Baseline = the user's ACTIVE days (zero-days would need a spine
+    // join — events_resample_daily is that operator; self-baseline on
+    // active days is the standard burst heuristic).
+    //
+    // Determinism: moments stay INTEGER to the end — var = (n·Σc² −
+    // (Σc)²) / n² as one long numerator and denominator, converted once
+    // — and z needs only exact conversions, one subtraction, one
+    // division and sqrt, which IEEE 754 requires correctly rounded
+    // (unlike log/exp), so both engines agree bitwise. Overflow bound:
+    // n·Σc² < 2^63 holds to ~1e5 active days × ~3e6 events/day.
+    // Shuffle shape: daily rollup (one exchange of (user, day) keys),
+    // then a user-partition window over day rows — O(user-days), the
+    // raw event payload moves once.
+    "events_burst_days" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("user_id")
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("s", sum("n_events").over(w))
+        .withColumn("ss", sum(col("n_events") * col("n_events")).over(w))
+        .withColumn("num", col("n_days") * col("ss") - col("s") * col("s"))
+        .withColumn("mean_daily",
+          col("s").cast("double") / col("n_days").cast("double"))
+        .withColumn("z",
+          (col("n_events").cast("double") - col("mean_daily")) /
+            sqrt(col("num").cast("double") /
+              (col("n_days") * col("n_days")).cast("double")))
+        .filter(col("num") > 0 && col("z") > BURST_Z)
+        .select("user_id", "day", "n_events", "mean_daily", "z")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +209,46 @@ object Mining {
          |        RANGE BETWEEN $ASOF_TOL PRECEDING AND 1 PRECEDING)
          |      AS last_click
          |  FROM events WHERE event_type IN ('click', 'purchase')) t
-         |WHERE event_type = 'purchase'""".stripMargin)
+         |WHERE event_type = 'purchase'""".stripMargin,
+
+    // Same integer-unit algorithm; `<<` on BIGINT stays BIGINT, and the
+    // SUM is cast back from DuckDB's HUGEINT widening per the repo
+    // convention. 1099511627776.0 = 2^40 = 2^DECAY_CAP.
+    "events_decay_score" ->
+      s"""WITH w AS (SELECT user_id, event_id,
+         |    MAX(event_id) OVER (PARTITION BY user_id) AS m,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM events),
+         |s AS (SELECT user_id, n_events,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST($DECAY_CAP -
+         |      least((m - event_id) // $DECAY_HL, $DECAY_CAP) AS INT)) AS BIGINT)
+         |      AS score_units
+         |  FROM w GROUP BY user_id, n_events)
+         |SELECT user_id, n_events, score_units,
+         |  CAST(score_units AS DOUBLE) / 1099511627776.0 AS decay_score
+         |FROM s""".stripMargin,
+
+    // Same integer-moment algorithm; SUM windows widen to HUGEINT in
+    // DuckDB and are cast back, `*` on BIGINT does not widen, and the z
+    // expression repeats the Spark parenthesization exactly.
+    "events_burst_days" ->
+      s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    COUNT(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT user_id, day, n_events,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n_days,
+         |    CAST(SUM(n_events) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+         |    CAST(SUM(n_events * n_events) OVER (PARTITION BY user_id)
+         |      AS BIGINT) AS ss
+         |  FROM daily),
+         |x AS (SELECT user_id, day, n_events,
+         |    n_days * ss - s * s AS num,
+         |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+         |    (CAST(n_events AS DOUBLE) -
+         |        CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+         |      sqrt(CAST(n_days * ss - s * s AS DOUBLE) /
+         |        CAST(n_days * n_days AS DOUBLE)) AS z
+         |  FROM w)
+         |SELECT user_id, day, n_events, mean_daily, z
+         |FROM x WHERE num > 0 AND z > $BURST_Z""".stripMargin)
 }

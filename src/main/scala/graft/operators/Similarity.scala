@@ -337,6 +337,34 @@ object Similarity {
       val scored = qb.join(bucketed, "bucket")
         .withColumn("cosine", cos(col("qe"), col("e")))
       topK(scored)
+    }),
+
+    // Per-dimension corpus statistics — the embedding-quality screen run
+    // before indexing any vector corpus: a dead dimension (variance ≈ 0)
+    // wastes index bits, a runaway one (|mean| ≫ others) dominates L2
+    // and should be centered, and min/max bound the int8 scale choice.
+    // One posexplode + one hash agg keyed by dim: O(rows·d) map work
+    // into exactly d output rows, no payload shuffle (scan-scales at
+    // any corpus size). Determinism toolkit as the centroid/int8 ops:
+    // means through the 2^30 (resp. 2^40 for squares) integer grid so
+    // the sums are order-independent longs; variance is then two exact
+    // IEEE ops over engine-identical doubles; min/max exact.
+    "ann_dim_stats" -> ((s, d) => {
+      val Q = 1073741824.0    // 2^30
+      val Q2 = 1099511627776.0 // 2^40
+      Tables.embeddings(s, d)
+        .select(VectorOps.asDouble(col("embedding")).as("e"))
+        .select(posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_values"),
+          (sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mean_val"),
+          min("val").as("min_val"), max("val").as("max_val"),
+          (sum(floor(col("val") * col("val") * Q2 + 0.5)).cast("double") /
+            Q2 / count(lit(1)).cast("double")).as("mean_sq"))
+        .withColumn("var_val",
+          col("mean_sq") - col("mean_val") * col("mean_val"))
+        .drop("mean_sq")
     })
   )
 
@@ -464,6 +492,23 @@ object Similarity {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
          |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
-         |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
+    // generate_subscripts is 1-based — shift to Spark's 0-based
+    // posexplode dims. Same grid constants (2^30 means, 2^40 squares)
+    // and the same left-associative division order as the Spark side.
+    "ann_dim_stats" ->
+      """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |u AS (SELECT CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,
+        |        unnest(e) AS val FROM ev),
+        |a AS (SELECT dim, COUNT(*) AS n_values,
+        |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+        |    MIN(val) AS min_val, MAX(val) AS max_val,
+        |    CAST(SUM(CAST(FLOOR(val * val * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS mean_sq
+        |  FROM u GROUP BY dim)
+        |SELECT dim, n_values, mean_val, min_val, max_val,
+        |  mean_sq - mean_val * mean_val AS var_val
+        |FROM a""".stripMargin
   )
 }

@@ -24,6 +24,7 @@ object TextAnalysis {
   private val PACK_SHARDS = 8 // independent packing shards
   private val CHUNK_W = 64    // tokens per training chunk
   private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
+  private val PMI_MIN_PAIR = 5 // collocation floor: drop hapax pairs
 
   // char-bigram profiles per language (top bigrams of each language's
   // typical text; literal so the oracle is the identical algorithm)
@@ -242,6 +243,67 @@ object TextAnalysis {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // Skip-gram co-occurrence counts: (center, context) token pairs at
+    // forward offsets 1 and 2 — the sufficient statistic of
+    // word2vec-style embedding training and PMI association mining
+    // (symmetric-window counts are the mirror sum of these directed
+    // rows). Keeping the offset as a column gives the positional
+    // co-occurrence matrix SVD-of-PMI methods factor. Same shuffle
+    // shape as text_bpe_pairs: per-row expansion bounded by 2·|doc|,
+    // map-side combinable hash agg, top-k under a total tie order.
+    "text_skipgram_pairs" -> ((s, d) => {
+      docsPar(s, d)
+        .select(col("text"), explode(array(lit(1), lit(2))).as("dist"))
+        .filter(size(toks) > col("dist"))
+        .select(col("dist"), explode(transform(
+          sequence(lit(0), size(toks) - col("dist") - lit(1)),
+          i => struct(toks(i).as("w1"),
+            toks(i + col("dist")).as("w2")))).as("p"))
+        .groupBy(col("dist"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("dist"), col("w1"), col("w2"))
+        .limit(40)
+    }),
+
+    // Collocation extraction: adjacent-pair association strength as the
+    // PMI RATIO r = P(w1,w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) —
+    // deliberately NOT log-PMI: log is not required to be correctly
+    // rounded by IEEE 754, so Spark's StrictMath and DuckDB's libm can
+    // disagree in the last ulp and break cross-engine determinism,
+    // while the ratio needs only long→double conversions, two
+    // multiplications and one division (all exactly-rounded, identical
+    // bits in both engines; doubles BEFORE multiplying — the long
+    // product n_pair·N overflows 2^63 at web-corpus scale). Rank order
+    // is identical either way (log is monotone). Three aggregations
+    // over one token relation: unigram counts, bigram counts, and the
+    // corpus total (1-row broadcast); min-count floor kills the
+    // hapax-pair noise that dominates raw PMI.
+    "text_pmi_ratio" -> ((s, d) => {
+      val tok = docsPar(s, d)
+        .filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => struct(toks(i).as("w1"), toks(i + lit(1)).as("w2")))).as("p"))
+        .transform(graft.CachePool.persist)
+      val uni = docsPar(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+        .transform(graft.CachePool.persist)
+      val total = uni.agg(sum("nw").as("n_tokens"))
+      val pairs = tok.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= PMI_MIN_PAIR)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("nw").as("n_w1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("nw").as("n_w2")), "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          (col("n_pair").cast("double") * col("n_tokens").cast("double") /
+            (col("n_w1").cast("double") * col("n_w2").cast("double")))
+            .as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
         .limit(30)
     }),
 
@@ -647,6 +709,33 @@ object TextAnalysis {
         |        unnest(range(1, len(string_split(text, ' ')))) AS i
         |      FROM documents WHERE len(string_split(text, ' ')) >= 2) t
         |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
+    // Identical ratio expression shape (doubles before multiplying,
+    // same parenthesization) — see the query comment for why the ratio
+    // replaces log-PMI.
+    "text_pmi_ratio" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 2),
+         |uni AS (SELECT w, COUNT(*) AS nw
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  GROUP BY w),
+         |total AS (SELECT CAST(SUM(nw) AS BIGINT) AS n_tokens FROM uni),
+         |pairs AS (SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS n_pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tok) t
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $PMI_MIN_PAIR)
+         |SELECT w1, w2, n_pair,
+         |  CAST(n_pair AS DOUBLE) * CAST(n_tokens AS DOUBLE) /
+         |    (CAST(a.nw AS DOUBLE) * CAST(b.nw AS DOUBLE)) AS pmi_ratio
+         |FROM pairs JOIN uni a ON pairs.w1 = a.w JOIN uni b ON pairs.w2 = b.w, total
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""".stripMargin,
+    // range(1, L-o+1) is 1..L-o, so w[i+o] reaches exactly w[L] — the
+    // 1-based mirror of Spark's sequence(0, L-o-1) over 0-based toks.
+    "text_skipgram_pairs" ->
+      """SELECT o AS dist, w[i] AS w1, w[i + o] AS w2, COUNT(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS w, o,
+        |        unnest(range(1, len(string_split(text, ' ')) - o + 1)) AS i
+        |      FROM documents, (VALUES (1), (2)) t(o)
+        |      WHERE len(string_split(text, ' ')) > o) t2
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, dist, w1, w2 LIMIT 40""".stripMargin,
     "text_quality_sample" -> {
       s"""WITH scored AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM documents),
          |ranked AS (SELECT *, percent_rank() OVER (PARTITION BY lang

@@ -45,8 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // top-supplier equality — bounded
     "q22_idle_balances",    // 1-row AVG(positive balance) aggregate broadcast
                             // as the balance threshold — bounded
-    "agg_hll_mergeable"     // 1-row global exact-distinct aggregate broadcast
+    "agg_hll_mergeable",    // 1-row global exact-distinct aggregate broadcast
                             // next to the union-sketch estimate — bounded
+    "text_pmi_ratio"        // 1-row corpus-token-total aggregate broadcast
+                            // into the pair/unigram join — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
