@@ -174,6 +174,44 @@ object Mining {
               (col("n_days") * col("n_days")).cast("double")))
         .filter(col("num") > 0 && col("z") > BURST_Z)
         .select("user_id", "day", "n_events", "mean_daily", "z")
+    }),
+
+    // Session-level conversion funnel: sessionize (the window_sessionize
+    // gap rule — new session after a >30 min silence), then per session
+    // keep only two conditional extremes — first click LSN and last
+    // purchase LSN — and count sessions where a purchase FOLLOWED a
+    // click (order by event_id = commit order, so "followed" is exact,
+    // not timestamp-tie-lucky). Shape: the event payload shuffles once
+    // into the per-user session window; the session relation is
+    // O(sessions) and the funnel is a 1-row global agg of integer
+    // flags. conv_rate is two exact long→double conversions and one
+    // IEEE division — engine-identical bits.
+    "events_session_funnel" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val gapFlag = when(
+        unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > 1800L * 1000000L, 1)
+        .otherwise(0)
+      val sessions = Tables.events(s, d)
+        .withColumn("new_session", gapFlag)
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(when(col("event_type") === "click", col("event_id")))
+            .as("first_click"),
+          max(when(col("event_type") === "purchase", col("event_id")))
+            .as("last_purchase"))
+      sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("first_click").isNotNull, 1L).otherwise(0L))
+          .as("n_click_sessions"),
+        sum(when(col("last_purchase") > col("first_click"), 1L).otherwise(0L))
+          .as("n_converted"))
+        .withColumn("conv_rate",
+          col("n_converted").cast("double") /
+            col("n_click_sessions").cast("double"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +288,27 @@ object Mining {
          |        CAST(n_days * n_days AS DOUBLE)) AS z
          |  FROM w)
          |SELECT user_id, day, n_events, mean_daily, z
-         |FROM x WHERE num > 0 AND z > $BURST_Z""".stripMargin)
+         |FROM x WHERE num > 0 AND z > $BURST_Z""".stripMargin,
+
+    // Same gap rule and conditional extremes; NULL comparison falls to
+    // the ELSE branch in both engines, SUM/COUNT widenings cast back.
+    "events_session_funnel" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, event_type,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g),
+        |f AS (SELECT user_id, session_id,
+        |    MIN(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN event_id END) AS last_purchase
+        |  FROM s GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
+        |  CAST(SUM(CASE WHEN last_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN last_purchase > first_click THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS conv_rate
+        |FROM f""".stripMargin)
 }

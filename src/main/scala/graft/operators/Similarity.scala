@@ -365,6 +365,40 @@ object Similarity {
         .withColumn("var_val",
           col("mean_sq") - col("mean_val") * col("mean_val"))
         .drop("mean_sq")
+    }),
+
+    // Full covariance matrix of the embedding corpus (upper triangle
+    // incl. diagonal) — the sufficient statistic for PCA whitening /
+    // decorrelation before quantization or IVF training. Map work is
+    // the honest O(rows·d²) of exact covariance; the shuffle is only
+    // d(d+1)/2 partial-agg groups per map partition (2,080 for d=64),
+    // so the corpus itself never moves — scan-scales like the dim-stats
+    // screen. Determinism: every sum crosses the integer grid as a LONG
+    // (2^30 per-dim means, 2^40 products) so partial-agg order can't
+    // change a bit; cov = E[xy] − E[x]E[y] is then three exact
+    // conversions and three IEEE ops over engine-identical doubles.
+    // Overflow bound: n·2^40 < 2^63 holds to ~8.4M rows for |x| ≤ 1
+    // (shard-and-merge or drop to a 2^35 grid beyond that).
+    "ann_covariance" -> ((s, d) => {
+      val Q = 1073741824.0    // 2^30
+      val Q2 = 1099511627776.0 // 2^40
+      Tables.embeddings(s, d)
+        .select(VectorOps.asDouble(col("embedding")).as("e"))
+        .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi"),
+          explode(transform(sequence(col("i"), size(col("e")) - 1),
+            j => struct(j.as("j"), col("e")(j).as("vj")))).as("p"))
+        .groupBy(col("i").cast("long").as("dim_i"),
+          col("p.j").cast("long").as("dim_j"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(floor(col("vi") * Q + 0.5).cast("long")).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mi"),
+          (sum(floor(col("p.vj") * Q + 0.5).cast("long")).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mj"),
+          (sum(floor(col("vi") * col("p.vj") * Q2 + 0.5).cast("long"))
+            .cast("double") / Q2 / count(lit(1)).cast("double")).as("mp"))
+        .select(col("dim_i"), col("dim_j"), col("n_rows"),
+          (col("mp") - col("mi") * col("mj")).as("cov"))
     })
   )
 
@@ -509,6 +543,25 @@ object Similarity {
         |  FROM u GROUP BY dim)
         |SELECT dim, n_values, mean_val, min_val, max_val,
         |  mean_sq - mean_val * mean_val AS var_val
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // Upper-triangle pair expansion via nested unnests (1-based
+    // subscripts shifted to Spark's 0-based dims); identical grid
+    // constants and division order as the Spark side.
+    "ann_covariance" ->
+      """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ui AS (SELECT e, generate_subscripts(e, 1) AS ip FROM ev),
+        |up AS (SELECT e, ip, unnest(generate_series(ip, len(e))) AS jp FROM ui),
+        |p AS (SELECT CAST(ip - 1 AS BIGINT) AS dim_i,
+        |        CAST(jp - 1 AS BIGINT) AS dim_j,
+        |        e[ip] AS vi, e[jp] AS vj FROM up),
+        |a AS (SELECT dim_i, dim_j, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(FLOOR(vi * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mi,
+        |    CAST(SUM(CAST(FLOOR(vj * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mj,
+        |    CAST(SUM(CAST(FLOOR(vi * vj * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS mp
+        |  FROM p GROUP BY 1, 2)
+        |SELECT dim_i, dim_j, n_rows, mp - mi * mj AS cov FROM a""".stripMargin
   )
 }

@@ -255,14 +255,26 @@ object TextAnalysis {
     // shape as text_bpe_pairs: per-row expansion bounded by 2·|doc|,
     // map-side combinable hash agg, top-k under a total tie order.
     "text_skipgram_pairs" -> ((s, d) => {
+      // Tokenize ONCE and emit both offsets from the same token array in
+      // a single flatten pass — the explode-the-offset-first alternative
+      // duplicates every text payload row and re-splits it per offset
+      // (measured 1.8 s → this shape at sf0.1; same result set). The
+      // index range is the offset-1 range for both offsets; an offset-2
+      // pair at the boundary reads past the array via `get` (the
+      // ANSI-tolerant accessor: null instead of INVALID_ARRAY_INDEX)
+      // and is dropped by the isNotNull filter (split never yields
+      // null tokens, so null w2 ⇔ out of range).
+      val w = col("w")
       docsPar(s, d)
-        .select(col("text"), explode(array(lit(1), lit(2))).as("dist"))
-        .filter(size(toks) > col("dist"))
-        .select(col("dist"), explode(transform(
-          sequence(lit(0), size(toks) - col("dist") - lit(1)),
-          i => struct(toks(i).as("w1"),
-            toks(i + col("dist")).as("w2")))).as("p"))
-        .groupBy(col("dist"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .select(toks.as("w"))
+        .filter(size(w) >= 2)
+        .select(explode(flatten(transform(array(lit(1), lit(2)), dst =>
+          transform(sequence(lit(0), size(w) - lit(2)),
+            i => struct(dst.as("dist"), w(i).as("w1"),
+              get(w, i + dst).as("w2")))))).as("p"))
+        .filter(col("p.w2").isNotNull)
+        .groupBy(col("p.dist").as("dist"), col("p.w1").as("w1"),
+          col("p.w2").as("w2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("dist"), col("w1"), col("w2"))
         .limit(40)
@@ -305,6 +317,66 @@ object TextAnalysis {
             .as("pmi_ratio"))
         .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
         .limit(30)
+    }),
+
+    // Weighted sampling without replacement at corpus scale: PRIORITY
+    // SAMPLING (Duffield/Lund/Thorup, JACM 2007) — each doc gets
+    // priority w/u for a uniform u ∈ (0,1], and the top-k priorities
+    // form the sample (inclusion probability increasing in weight w =
+    // token count, so the slice over-represents long documents the way
+    // a token-budget curation pass wants). u is hash-derived
+    // ((hv+1)/2^16 from the md5 keyed slice, the text_sample_hash
+    // pattern), so membership is a pure function of doc_id: replayable,
+    // shard-order-free, engine-identical. Determinism of the score: w
+    // and hv are exact ints; priority = (w·2^16 as double) / (hv+1 as
+    // double) is two exact conversions (w·2^16 < 2^53) and ONE IEEE
+    // division — bit-identical in Spark and DuckDB. The plan is
+    // TakeOrderedAndProject: per-partition top-k heaps + a k-row driver
+    // merge, never a global sort — the only all-corpus traffic is
+    // k rows per partition, at any corpus size.
+    "text_priority_sample" -> ((s, d) => {
+      val hv = conv(substring(
+        md5(concat(lit("ps|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+      docsPar(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"), hv.as("hv"))
+        .withColumn("priority",
+          (col("n_tokens") * 65536L).cast("double") /
+            (col("hv") + 1L).cast("double"))
+        .select("doc_id", "source", "n_tokens", "priority")
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
+    }),
+
+    // Curriculum bucketing: decile assignment by quality score WITHOUT
+    // a global per-doc sort. The corpus aggregates to one row per
+    // DISTINCT score first (scores are a deterministic closed-form over
+    // small integer features, so the distinct-score relation is
+    // planner-sized — the layout_range_split argument), then a window
+    // over those few rows computes the exact cumulative histogram, and
+    // decile(s) = min(9, ⌊10·|docs below s|/n⌋) — all-integer, so ties
+    // share a decile and both engines agree bitwise. Per-doc work is
+    // one scan + one score-keyed agg; the single-partition window sees
+    // only distinct scores, never documents.
+    "text_quality_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perScore = docsPar(s, d)
+        .select(qualityScore.as("q"), size(toks).cast("long").as("nt"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("nd"), sum("nt").as("st"))
+      val ord = Window.orderBy("q")
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val whole = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perScore
+        .withColumn("cum_before", coalesce(sum("nd").over(before), lit(0L)))
+        .withColumn("n_total", sum("nd").over(whole))
+        .withColumn("decile",
+          least(lit(9L), expr("(cum_before * 10) div n_total")))
+        .groupBy("decile")
+        .agg(sum("nd").as("n_docs"), sum("st").as("sum_tokens"),
+          min("q").as("min_score"), max("q").as("max_score"))
     }),
 
     // Quality-stratified sampling: keep each language's top quintile by
@@ -742,6 +814,34 @@ object TextAnalysis {
          |    ORDER BY quality_score DESC, doc_id) AS pr FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE pr <= 0.2""".stripMargin
     },
+    // Same priority formula: exact BIGINTs into two CASTs and one IEEE
+    // division (BIGINT * BIGINT does not widen in DuckDB).
+    "text_priority_sample" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('ps|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(n_tokens * 65536 AS DOUBLE) / CAST(hv + 1 AS DOUBLE) AS priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    // Same distinct-score cumulative histogram; window SUMs widen to
+    // HUGEINT and are cast back, `//` on BIGINT stays BIGINT.
+    "text_quality_deciles" ->
+      s"""WITH scored AS (SELECT $qualityScoreSql AS q,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |ps AS (SELECT q, COUNT(*) AS nd, CAST(SUM(nt) AS BIGINT) AS st
+         |  FROM scored GROUP BY q),
+         |c AS (SELECT q, nd, st,
+         |    CAST(COALESCE(SUM(nd) OVER (ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before,
+         |    CAST(SUM(nd) OVER () AS BIGINT) AS n_total
+         |  FROM ps),
+         |dd AS (SELECT *, least(9, (cum_before * 10) // n_total) AS decile FROM c)
+         |SELECT decile, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |  CAST(SUM(st) AS BIGINT) AS sum_tokens,
+         |  MIN(q) AS min_score, MAX(q) AS max_score
+         |FROM dd GROUP BY decile""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  list_aggregate(list_transform(
