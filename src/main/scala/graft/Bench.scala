@@ -61,7 +61,10 @@ object Bench {
     // pair expansion
     "dedup_jaccard_prefix", "basket_part_pairs",
     // the directed near-superset detector (rare-shingle posting join)
-    "dedup_containment")
+    "dedup_containment",
+    // round-7 late additions with nontrivial cost: the bipartite wedge
+    // expansion and the corpus-wide token census
+    "graph_butterflies", "text_hapax")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

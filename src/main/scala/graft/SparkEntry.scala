@@ -38,6 +38,7 @@ object SparkEntry {
       operators.RelationalExt2.queries ++
       operators.TpchRest.queries ++
       operators.Mining.queries ++
+      operators.Stats.queries ++
       operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.RelationalExt2.oracles ++
       operators.TpchRest.oracles ++
       operators.Mining.oracles ++
+      operators.Stats.oracles ++
       operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

@@ -51,6 +51,17 @@ object Graph {
   private val BFS_ROUNDS = 4
   private val SEED = "c1" // customer key 1 exists at every SF
 
+  /** Butterfly counting degeneracy guard: customers with more than this
+    * many distinct suppliers are excluded from the pair expansion. A
+    * single degree-D hub contributes C(D,2) wedges — quadratic — so
+    * every practical bipartite motif counter caps or samples hub
+    * vertices; the cap makes the bound explicit and DETERMINISTIC (the
+    * oracle applies the identical HAVING filter), instead of an
+    * OOM-at-scale surprise. At TPC-H shape the customer→supplier degree
+    * is ~40, so the cap bites only the hub tail.
+    */
+  private val WEDGE_CAP = 64
+
   /** Edge relation with out-degree attached: (src, dst, d) — both
     * directions of each customer↔supplier pair, so the random walk is
     * symmetric and every node has in-edges (no dangling-mass special
@@ -69,6 +80,35 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     e.join(deg, "src")
       .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .transform(graft.CachePool.persist)
+  }
+
+  /** Common-customer count per supplier pair over the degree-capped
+    * bipartite graph — the wedge relation every bipartite motif /
+    * co-occurrence analysis is built from. Pairs are generated from
+    * per-customer SORTED supplier arrays (one groupBy on the natural
+    * key, per-row expansion bounded by C(WEDGE_CAP,2)), not an
+    * edge×edge self-join — so the candidate relation is O(customers ·
+    * cap²) with no join-key skew, and the only shuffles are the two
+    * hash aggregations. Persisted via CachePool: `graph_butterflies`
+    * and `graph_supplier_overlap` run back-to-back in Bench/Verify and
+    * share one evaluation (identical analyzed plans hit the
+    * CacheManager).
+    */
+  private def supplierPairCounts(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
+      .distinct()
+    cs.groupBy("cust")
+      .agg(sort_array(collect_set(col("sup"))).as("sups"))
+      .filter(size(col("sups")).between(2, WEDGE_CAP))
+      .select(explode(flatten(transform(col("sups"), (x, i) =>
+        transform(slice(col("sups"), i + lit(2), size(col("sups"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("sup_a"), col("p.b").as("sup_b"))
+      .agg(count(lit(1)).as("n_common"))
       .transform(graft.CachePool.persist)
   }
 
@@ -127,6 +167,29 @@ object Graph {
         .groupBy(substring(col("src"), 1, 1).as("node_type"),
           col("d").as("degree"))
         .agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // Bipartite clustering census. A bipartite graph has NO triangles
+    // (odd cycles are impossible), so its clustering primitive is the
+    // BUTTERFLY — the 4-cycle (c1,s1,c2,s2) — counted as Σ C(w,2) over
+    // supplier pairs with w common customers. One row: pairs with ≥1
+    // shared customer, wedges (Σw), butterflies. All integer — engine-
+    // exact; w·(w−1) is even so `div 2` loses nothing. Overflow: w ≤
+    // customers, so C(w,2) < 2^63 needs w < 4.3e9 — never binding.
+    "graph_butterflies" -> ((s, d) => {
+      supplierPairCounts(s, d).agg(
+        count(lit(1)).as("n_pairs"),
+        sum("n_common").as("n_wedges"),
+        sum(expr("n_common * (n_common - 1) div 2")).as("n_butterflies"))
+    }),
+
+    // Co-purchase similarity: the 15 supplier pairs sharing the most
+    // customers — the one-mode projection ranking behind "suppliers like
+    // this one". Fully ordered ties; reuses the persisted wedge relation.
+    "graph_supplier_overlap" -> ((s, d) => {
+      supplierPairCounts(s, d)
+        .orderBy(col("n_common").desc, col("sup_a"), col("sup_b"))
+        .limit(15)
     })
   )
 
@@ -169,9 +232,33 @@ object Graph {
     sb.toString
   }
 
+  /** Shared oracle CTE: the identical capped wedge relation, in the
+    * equivalent self-join formulation (same algebraic identity as
+    * Mining.basket_part_pairs' oracle).
+    */
+  private val wedgeSql =
+    s"""cs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |kept AS (SELECT cust, sup FROM cs
+       |  WHERE cust IN (SELECT cust FROM cs GROUP BY cust
+       |                 HAVING COUNT(*) BETWEEN 2 AND $WEDGE_CAP)),
+       |pc AS (SELECT a.sup AS sup_a, b.sup AS sup_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.cust = b.cust AND a.sup < b.sup
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsSql,
+    "graph_butterflies" ->
+      s"""WITH $wedgeSql
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(n_common) AS BIGINT) AS n_wedges,
+         |  CAST(SUM(n_common * (n_common - 1) // 2) AS BIGINT) AS n_butterflies
+         |FROM pc""".stripMargin,
+    "graph_supplier_overlap" ->
+      s"""WITH $wedgeSql
+         |SELECT sup_a, sup_b, n_common FROM pc
+         |ORDER BY n_common DESC, sup_a, sup_b LIMIT 15""".stripMargin,
     "graph_degrees" ->
       s"""WITH $edgesSql
          |SELECT substr(src, 1, 1) AS node_type, d AS degree, COUNT(*) AS n_nodes

@@ -78,6 +78,13 @@ def main(sf_dir, out_dir):
     failures, passed, skipped = [], 0, []
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # An oracle whose query never dumped means Verify caught a runtime
+    # error for it (it prints [verify] <name> failed and moves on) — the
+    # driver would record that as a hard failure, so the pre-flight must
+    # too, not silently skip the name.
+    for name in sorted(set(oracle) - set(qdirs)):
+        failures.append((name, "declared oracle but NO dumped result "
+                         "(query threw during Verify — see its stderr)"))
     for name in qdirs:
         if name not in oracle:
             skipped.append(name)
