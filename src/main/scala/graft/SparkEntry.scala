@@ -39,6 +39,7 @@ object SparkEntry {
       operators.TpchRest.queries ++
       operators.Mining.queries ++
       operators.Stats.queries ++
+      operators.Profiling.queries ++
       operators.SqlSurface.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       operators.TpchRest.oracles ++
       operators.Mining.oracles ++
       operators.Stats.oracles ++
+      operators.Profiling.oracles ++
       operators.SqlSurface.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

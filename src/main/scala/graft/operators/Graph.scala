@@ -101,9 +101,17 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
       .distinct()
-    cs.groupBy("cust")
+    // Degree pre-filter BEFORE collect_set: a window count over the same
+    // hash partitioning the groupBy needs (one shuffle total, reused by
+    // EnsureRequirements) drops hub customers before any array is
+    // materialized — so the aggregation buffer is bounded by WEDGE_CAP,
+    // not by the hub's true degree. (A post-collect size filter bounded
+    // the pair EXPANSION but still built the full hub array per row.)
+    import org.apache.spark.sql.expressions.Window
+    cs.withColumn("deg", count(lit(1)).over(Window.partitionBy("cust")))
+      .filter(col("deg").between(2, WEDGE_CAP))
+      .groupBy("cust")
       .agg(sort_array(collect_set(col("sup"))).as("sups"))
-      .filter(size(col("sups")).between(2, WEDGE_CAP))
       .select(explode(flatten(transform(col("sups"), (x, i) =>
         transform(slice(col("sups"), i + lit(2), size(col("sups"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))

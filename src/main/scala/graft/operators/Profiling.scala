@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-profiling, anomaly-screening, and corpus-composition operators —
+  * the monitoring surface run continuously over replicated tables and a
+  * training corpus (reference surface: the per-entity event history the
+  * pipeline materializes, cf. /root/reference/internal/store/store.go;
+  * the corpus-composition ops extend SURVEY.md §2's analytic inventory
+  * with the distribution-health checks a 100 TB ingest needs).
+  *
+  * Determinism policy (repo convention): NO cross-row double sums and NO
+  * libm calls in any result the oracle hashes. Every aggregate here is an
+  * integer (counts, microsecond gaps, epoch-day arithmetic, integer
+  * cross-products for the divergence); doubles appear only in FINAL
+  * per-row expressions over engine-identical operands (division, sqrt —
+  * both IEEE-exact). That is why the concentration screen is Simpson/Gini
+  * (Σp² — pure integer sumsq) and the split check is total-variation
+  * (Σ|aB−bA| — integer cross-multiplication), NOT Shannon entropy / KL,
+  * whose ln() answers differ between engines in the last ulp.
+  *
+  * Scale notes, per query:
+  *  - `profile_histogram` — one hash agg keyed by the bucket id; O(rows)
+  *    map work into O(price range / width) rows. The fixed-width bucket
+  *    id is a pure row-local function, so the agg is map-side partial.
+  *  - `events_interarrival` — one shuffle by user_id serves both the lag
+  *    window and the per-user agg (EnsureRequirements reuses the
+  *    partitioning); per-user state is O(1).
+  *  - `events_anomaly_days` — two hash aggs (day roll-up is O(days)
+  *    rows) + a broadcast of the 1-row moment relation. z-scores derive
+  *    from exact integer (sum, sumsq), so partial-agg order can't move
+  *    the result; a day's count² at 100 TB needs the BIGINT bound
+  *    cnt ≤ 3e9/day — beyond that, pre-bucket by hour first.
+  *  - `window_gap_islands` — the classic gaps-and-islands rewrite: the
+  *    island id (epoch_day − row_number) is constant within a
+  *    consecutive run, turning "find maximal runs" into one more hash
+  *    agg on the SAME user partitioning as the window — one shuffle
+  *    total, no self-join, no iteration.
+  *  - `text_source_gini` / `text_split_divergence` — group sizes roll up
+  *    to O(langs·sources) rows; the final screens are arithmetic over
+  *    that tiny relation (broadcast totals).
+  *  - `text_bigram_commonness` — the bigram posting relation is built
+  *    once (zip_with over the token array: no join to form pairs), the
+  *    df roll-up and the per-doc sum are hash aggs over it. Boilerplate
+  *    detector: a doc whose average bigram document-frequency is high is
+  *    made of corpus-common phrasing (template/spam); hapax-heavy docs
+  *    sit at the other tail. Per-doc score is Σdf (BIGINT) / n — exact.
+  */
+object Profiling {
+
+  private val PRICE_BUCKET = 50000.0 // equi-width histogram bucket size
+
+  /** Deterministic doc→split assignment (the text_train_split salt —
+    * membership is a pure function of doc_id, identical in both engines). */
+  private def splitCol = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4)
+    when(h < "e666", "train").when(h < "f333", "val").otherwise("test")
+  }
+  private val splitSql =
+    """CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+      |     WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Equi-width histogram of order value — the data-profiling primitive
+    // behind every "does the distribution look right today" check.
+    "profile_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / PRICE_BUCKET).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .withColumn("bucket_lo", col("bucket").cast("double") * PRICE_BUCKET)
+    }),
+
+    // Per-user inter-arrival gaps in exact microseconds. Session-health
+    // profile: max gap flags dormancy, the mean flags cadence.
+    "events_interarrival" -> ((s, d) => {
+      // ordering by (us, event_id) ≡ the oracle's (ts, event_id): us is
+      // strictly monotone in ts
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max("gap_us").as("max_gap_us"),
+          sum("gap_us").as("sum_gap_us"))
+        .withColumn("avg_gap_us",
+          col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+    }),
+
+    // Daily-volume anomaly screen: z-score of each day's event count
+    // against the corpus moments, flag |z| > 2. Moments from integer
+    // (Σ, Σ²); the z expression tree is written identically in the
+    // oracle so every double op matches bitwise.
+    "events_anomaly_days" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val mom = daily.agg(count(lit(1)).as("n_days"),
+        sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+      val mean = col("s").cast("double") / col("n_days").cast("double")
+      val variance = col("sq").cast("double") / col("n_days").cast("double") -
+        (col("s").cast("double") / col("n_days").cast("double")) *
+        (col("s").cast("double") / col("n_days").cast("double"))
+      daily.crossJoin(broadcast(mom))
+        .withColumn("zscore",
+          (col("n_events").cast("double") - mean) / sqrt(variance))
+        .withColumn("is_anomaly", abs(col("zscore")) > 2.0)
+        .select("day", "n_events", "zscore", "is_anomaly")
+    }),
+
+    // Gaps-and-islands: maximal runs of consecutive active days per
+    // user. epoch_day − row_number is constant exactly within a run.
+    "window_gap_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") -
+            row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("island_start"),
+          max("day").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }),
+
+    // Source-concentration screen per language: Simpson index (the
+    // probability two random docs of a language share a source) and its
+    // Gini-impurity complement. A language fed by one scrape has
+    // simpson → 1 — the mixture red flag ahead of training.
+    "text_source_gini" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      bySrc.groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"),
+          sum("n").as("n_docs"),
+          sum(col("n") * col("n")).as("sumsq"))
+        .withColumn("simpson_index",
+          col("sumsq").cast("double") /
+            (col("n_docs").cast("double") * col("n_docs").cast("double")))
+        .withColumn("gini_impurity", lit(1.0) - col("simpson_index"))
+        .drop("sumsq")
+    }),
+
+    // Train-vs-test source-mix check: total-variation distance between
+    // the two splits' source distributions, computed EXACTLY —
+    // Σ|a·B − b·A| over BIGINT cross-products, one final division.
+    // TV = 0 ⟺ identical mixtures; a biased split leaks here before it
+    // leaks as an eval gap. ("val" rows are out of scope by design.)
+    "text_split_divergence" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .withColumn("split", splitCol)
+        .filter(col("split").isin("train", "test"))
+        .groupBy("source")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("a"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("b"))
+      val tot = counts.agg(sum("a").as("ta"), sum("b").as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .agg(max("ta").as("n_train"), max("tb").as("n_test"),
+          sum(abs(col("a") * col("tb") - col("b") * col("ta"))).as("cross"))
+        .withColumn("tv_distance",
+          col("cross").cast("double") /
+            (lit(2.0) * col("n_train").cast("double") * col("n_test").cast("double")))
+        .drop("cross")
+    }),
+
+    // Boilerplate screen: average corpus document-frequency of each
+    // doc's bigrams (template text scores high, unique prose low).
+    "text_bigram_commonness" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      // df roll-up + per-doc sum both read the posting relation
+      val posting = graft.CachePool.persist(Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg")))
+      val df = posting.groupBy("bg").agg(count(lit(1)).as("df"))
+      posting.join(df, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("df").as("sum_df"))
+        .withColumn("avg_bigram_df",
+          col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "profile_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS DOUBLE) * 50000.0
+        |    AS bucket_lo
+        |FROM orders GROUP BY 1, 5""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "events_anomaly_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS s,
+        |    CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+        |  FROM daily)
+        |SELECT day, n_events,
+        |  (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / sqrt(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) AS zscore,
+        |  abs((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / sqrt(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))) > 2.0 AS is_anomaly
+        |FROM daily, m""".stripMargin,
+
+    "window_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM r GROUP BY user_id, grp""".stripMargin,
+
+    "text_source_gini" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, COUNT(*) AS n_sources,
+        |    CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n * n) AS BIGINT) AS sumsq
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_sources, n_docs,
+        |  CAST(sumsq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    AS simpson_index,
+        |  1.0 - CAST(sumsq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    AS gini_impurity
+        |FROM a""".stripMargin,
+
+    "text_split_divergence" ->
+      s"""WITH s AS (SELECT source, $splitSql AS split FROM documents),
+         |c AS (SELECT source,
+         |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM s WHERE split IN ('train', 'test') GROUP BY source),
+         |t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM c)
+         |SELECT MAX(ta) AS n_train, MAX(tb) AS n_test,
+         |  CAST(CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS DOUBLE)
+         |    / (2.0 * CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS tv_distance
+         |FROM c, t""".stripMargin,
+
+    "text_bigram_commonness" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+        |  FROM tk),
+        |df AS (SELECT bg, COUNT(*) AS df FROM p GROUP BY bg)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(df) AS BIGINT) AS sum_df,
+        |  CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_bigram_df
+        |FROM p JOIN df USING (bg) GROUP BY doc_id""".stripMargin
+  )
+}

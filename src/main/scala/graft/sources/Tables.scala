@@ -25,10 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as long nanos (legacy conf) and truncate to
-    * microsecond timestamps — the same ns→µs truncation DuckDB applies,
-    * so event-time values agree with the oracle exactly.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (early
+    * corpus generations — Spark's vectorized reader rejects it outright)
+    * and TIMESTAMP(MICROS) (current generations — reads natively). Handle
+    * either: read under the legacy nanos-as-long conf (a no-op for µs
+    * files), then normalize on the INFERRED type — a long column is nanos
+    * and gets the same ns→µs truncation DuckDB applies; a timestamp
+    * column is already µs and passes through. Dispatching on the inferred
+    * schema (not the sfDir) keeps every events consumer agnostic to which
+    * corpus generation it is reading.
     *
     * The legacy conf is needed only during eager schema inference, so it
     * is saved and restored around the read (verified empirically: the
@@ -46,8 +51,18 @@ object Tables {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
     }
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val norm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        // µs files infer as TIMESTAMP_NTZ; cast to TIMESTAMP so consumers
+        // see the SAME type the nanos path (timestamp_micros) produces —
+        // unix_micros() and friends reject NTZ. Verify pins the session
+        // to UTC, so the NTZ→LTZ cast is value-preserving vs the naive
+        // timestamps the DuckDB oracle reads.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    norm.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -47,7 +47,11 @@ class PlanAuditSpec extends AnyFunSuite {
                             // as the balance threshold — bounded
     "agg_hll_mergeable",    // 1-row global exact-distinct aggregate broadcast
                             // next to the union-sketch estimate — bounded
-    "text_pmi_ratio"        // 1-row corpus-token-total aggregate broadcast
+    "text_pmi_ratio",       // 1-row corpus-token-total aggregate broadcast
+    "events_anomaly_days",  // 1-row moment aggregate (n, Σ, Σ²) broadcast
+                            // into the O(days) daily counts — bounded
+    "text_split_divergence" // 1-row split-total aggregate broadcast into
+                            // the O(sources) count relation — bounded
                             // into the pair/unigram join — bounded
   )
 

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profiling
+import graft.sources.Tables
+
+/** Semantic assertions for the profiling/anomaly/composition operators —
+  * each checked against an invariant of the definition or an independent
+  * brute-force formulation, not against the implementation's own plan.
+  */
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("histogram buckets partition the table: counts sum to |orders|, ranges nest in bucket bounds") {
+    val h = Profiling.queries("profile_histogram")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val total = h.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(total === Tables.orders(spark, sfDir).count())
+    val bad = h.filter(col("min_price") < col("bucket_lo") ||
+      col("max_price") >= col("bucket_lo") + 50000.0).count()
+    assert(bad === 0, "every order's price must fall inside its bucket")
+    h.unpersist()
+  }
+
+  test("interarrival: per-user gap count is n_events - 1 and every max >= avg > 0") {
+    val ia = Profiling.queries("events_interarrival")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val joined = ia.join(perUser, "user_id")
+    assert(joined.filter(col("n_gaps") =!= col("n_events") - 1).count() === 0)
+    // users with exactly one event have no gap row at all
+    assert(ia.join(perUser.filter(col("n_events") === 1), "user_id").count() === 0)
+    assert(ia.filter(col("max_gap_us") < col("avg_gap_us")).count() === 0)
+    assert(ia.filter(col("avg_gap_us") <= 0.0).count() === 0,
+      "ts ties aside, consecutive events must advance time")
+    ia.unpersist()
+  }
+
+  test("anomaly z-scores: mean of z over days is ~0 and flag agrees with |z|>2") {
+    val a = Profiling.queries("events_anomaly_days")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val meanZ = a.agg(avg("zscore")).collect()(0).getDouble(0)
+    assert(math.abs(meanZ) < 1e-9, s"z-scores must center at 0, got $meanZ")
+    assert(a.filter(col("is_anomaly") =!= (abs(col("zscore")) > 2.0)).count() === 0)
+    a.unpersist()
+  }
+
+  test("gap islands tile each user's active days: day counts add up and islands don't touch") {
+    val isl = Profiling.queries("window_gap_islands")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val daySum = isl.agg(sum("n_days")).collect()(0).getLong(0)
+    val distinctDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(daySum === distinctDays, "islands must cover every active day exactly once")
+    // within an island, span = n_days - 1; adjacent islands are separated
+    assert(isl.filter(datediff(col("island_end"), col("island_start"))
+      =!= col("n_days") - 1).count() === 0)
+    val touching = isl.as("x").join(isl.as("y"),
+      col("x.user_id") === col("y.user_id") &&
+        (datediff(col("y.island_start"), col("x.island_end")) === 1))
+    assert(touching.count() === 0, "islands separated by <2 days would be one island")
+    isl.unpersist()
+  }
+
+  test("gini concentration: a single-source language scores simpson=1, uniform sources score 1/k") {
+    import spark.implicits._
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "t", "zz", "onlysource")) ++
+      (11 to 22).map(i => (i.toLong, "t", "yy", s"src${i % 4}"))
+    ).toDF("doc_id", "text", "lang", "source")
+    // same aggregation pipeline as the named query, on a controlled corpus
+    val bySrc = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val g = bySrc.groupBy("lang")
+      .agg(sum(col("n") * col("n")).as("sumsq"), sum("n").as("nd"))
+      .withColumn("simpson",
+        col("sumsq").cast("double") / (col("nd") * col("nd")).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g("zz") === 1.0)
+    assert(math.abs(g("yy") - 0.25) < 1e-12) // 4 sources × 3 docs → Σp² = 4·(1/4)²
+  }
+
+  test("split TV distance is 0 for identical mixtures and 1 for disjoint supports") {
+    // exact integer form: Σ|a·B − b·A| / (2AB)
+    def tv(pairs: Seq[(Long, Long)]): Double = {
+      val ta = pairs.map(_._1).sum; val tb = pairs.map(_._2).sum
+      pairs.map { case (a, b) => math.abs(a * tb - b * ta) }.sum.toDouble /
+        (2.0 * ta * tb)
+    }
+    assert(tv(Seq((10L, 20L), (30L, 60L))) === 0.0)
+    assert(tv(Seq((10L, 0L), (0L, 7L))) === 1.0)
+    // the named query emits one row with a TV in [0, 1]
+    val row = Profiling.queries("text_split_divergence")(spark, sfDir).collect()(0)
+    val d = row.getAs[Double]("tv_distance")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(row.getAs[Long]("n_train") > row.getAs[Long]("n_test"),
+      "train share (~90%) must dominate test (~5%)")
+  }
+
+  test("bigram commonness: every doc's avg df is >= 1 and a duplicated doc pushes df up") {
+    val c = Profiling.queries("text_bigram_commonness")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(c.filter(col("avg_bigram_df") < 1.0).count() === 0,
+      "a bigram's df counts at least its own occurrence")
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(c.count() === nDocs, "exactly one score row per scorable doc")
+    c.unpersist()
+  }
+}
