@@ -419,6 +419,39 @@ object Dedup {
       verifyPairs(cand, sh, JACCARD_RELATED)
     }),
 
+    // Triangle census + global transitivity of the near-dup pair graph —
+    // the cluster-cohesion health check: high transitivity means the
+    // pair set closes into tight cliques (true duplicate families), low
+    // transitivity means chains of borderline matches (threshold too
+    // loose, clusters will over-merge). All counts are integers; the
+    // one double op is the final 3T/W division. Scale: the near-dup
+    // graph is SPARSE by construction (that is the whole point of the
+    // candidate pruning), so the edge-edge join is bounded by Σdeg² —
+    // the same wedge budget the transitivity denominator measures; the
+    // canonical doc_a < doc_b orientation means each triangle is
+    // counted exactly once (a<b<c) with no orientation dedup pass.
+    "dedup_pair_triangles" -> ((s, d) => {
+      val pairs = graft.CachePool.persist(
+        queries("dedup_ngram_jaccard")(s, d)
+          .filter(col("jaccard") >= JACCARD_NEAR)
+          .select("doc_a", "doc_b"))
+      val deg = pairs.select(col("doc_a").as("n"))
+        .unionByName(pairs.select(col("doc_b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val edges = pairs.agg(count(lit(1)).as("n_edges"))
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(pairs.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+        .withColumn("transitivity",
+          when(col("n_wedges") === 0L, lit(null).cast("double"))
+            .otherwise(lit(3.0) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double")))
+    }),
+
     // DIRECTED containment |A∩B| / |A| ≥ τ — the near-superset detector
     // jaccard misses: a short doc quoted whole inside a much longer one
     // has tiny jaccard (union is dominated by B) but containment ≈ 1.
@@ -847,6 +880,21 @@ object Dedup {
          |SELECT cluster_id, doc_id AS kept_doc, quality_score
          |FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> oracleNgramJaccard,
+    "dedup_pair_triangles" ->
+      s"""WITH p AS (SELECT doc_a, doc_b FROM (${"\n"}${oracleNgramJaccard}) t
+         |  WHERE jaccard >= $JACCARD_NEAR),
+         |deg AS (SELECT n, COUNT(*) AS deg FROM (
+         |    SELECT doc_a AS n FROM p UNION ALL SELECT doc_b FROM p) u GROUP BY n),
+         |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |e AS (SELECT COUNT(*) AS n_edges FROM p),
+         |t AS (SELECT COUNT(*) AS n_triangles
+         |  FROM p e1 JOIN p e2 ON e1.doc_b = e2.doc_a
+         |  JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN NULL
+         |       ELSE 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         |  END AS transitivity
+         |FROM e, w, t""".stripMargin,
     "dedup_containment" -> oracleContainment,
     "dedup_jaccard_prefix" -> oracleJaccardPrefix,
     "dedup_simhash" -> simhashSqlBase,

@@ -32,7 +32,7 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val N_QUERIES = 10 // vec_id < 10 are the query vectors
+  private[graft] val N_QUERIES = 10 // vec_id < 10 are the query vectors
   private val TOP_K = 5
   private val CENT_STRIDE = 50 // vec_id % 50 == 0 → k-means seed
   // Probe budget: ceil(PROBE_FRAC · cells), floored at PROBE_MIN — a
@@ -329,6 +329,19 @@ object Similarity {
           max("aerr").as("max_abs_err"))
     }),
 
+    // Index-health report for the sign-LSH layout: the occupancy
+    // histogram (bucket size → how many buckets hold that many vectors).
+    // THE skew diagnostic for any hash-partitioned ANN index — a heavy
+    // bucket is a probe-time hotspot and a dead bucket is wasted bits;
+    // at 100 TB this is the report that decides when to add hyperplanes
+    // or rotate them. Two hash aggs, output O(distinct sizes) rows.
+    "ann_bucket_balance" -> ((s, d) => {
+      corpusDf(s, d)
+        .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
+        .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+    }),
+
     "ann_lsh_bucket" -> ((s, d) => {
       val bucketed = corpusDf(s, d)
         .withColumn("bucket", VectorOps.signBucket(col("e"), LSH_DIMS))
@@ -466,6 +479,12 @@ object Similarity {
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_bucket_balance" ->
+      s"""$baseSql,
+         |cb AS (SELECT ${VectorOps.signBucketSql("e", LSH_DIMS)} AS bucket FROM corpus),
+         |sz AS (SELECT bucket, COUNT(*) AS bucket_size FROM cb GROUP BY bucket)
+         |SELECT bucket_size, COUNT(*) AS n_buckets
+         |FROM sz GROUP BY bucket_size""".stripMargin,
     "ann_int8_error" ->
       """WITH ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sc AS (SELECT label, e,

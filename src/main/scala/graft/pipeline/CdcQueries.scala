@@ -204,6 +204,41 @@ object CdcQueries {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    // Snapshot differencing — QUERY-BASED CDC, the fallback every CDC
+    // service ships for sources with no WAL access (the reference's
+    // snapshot path, replicator.go:69-184, is the half of this that
+    // reads one side): diff the materialized state at two fences and
+    // emit the insert/update/delete changelog that replays one into the
+    // other. Both states are tombstone-aware latest-state (the A3
+    // operator); the diff is ONE full-outer join on the key, and a key
+    // appears in the output only if its version actually moved — so the
+    // emitted changelog is minimal. The fence is derived (max LSN div 2)
+    // rather than a literal so the query exercises the same shape at
+    // every SF. At 100 TB both sides shuffle by the key once; the join
+    // carries O(keys) rows, not O(events).
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val fence = e.agg(expr("max(event_id) div 2").as("fence"))
+      def state(src: org.apache.spark.sql.DataFrame) =
+        ChangeLog.latestStateWithTombstones(
+          src.select("user_id", "event_id", "event_type", "value"),
+          Seq("user_id"), "event_id", col("event_type") === "error")
+      val old = state(e.crossJoin(broadcast(fence))
+          .filter(col("event_id") <= col("fence")))
+        .select(col("user_id"), col("event_id").as("old_lsn"),
+          col("value").as("old_value"))
+      val now = state(e)
+        .select(col("user_id"), col("event_id").as("new_lsn"),
+          col("value").as("new_value"))
+      old.join(now, Seq("user_id"), "full_outer")
+        .filter(col("old_lsn").isNull || col("new_lsn").isNull ||
+          col("old_lsn") =!= col("new_lsn"))
+        .withColumn("op",
+          when(col("old_lsn").isNull, "insert")
+            .when(col("new_lsn").isNull, "delete")
+            .otherwise("update"))
+    }),
+
     // SCD Type 2 from the raw change log: every change per key becomes a
     // validity interval [valid_from_lsn, valid_to_lsn) with its payload;
     // the current version has an open (null) upper bound. One window
@@ -263,6 +298,24 @@ object CdcQueries {
       |  FROM events) t WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH f AS (SELECT MAX(event_id) // 2 AS fence FROM events),
+        |os AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events, f WHERE event_id <= fence),
+        |old AS (SELECT user_id, event_id AS old_lsn, value AS old_value
+        |  FROM os WHERE rn = 1 AND event_type <> 'error'),
+        |ns AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |nw AS (SELECT user_id, event_id AS new_lsn, value AS new_value
+        |  FROM ns WHERE rn = 1 AND event_type <> 'error')
+        |SELECT user_id, old_lsn, old_value, new_lsn, new_value,
+        |  CASE WHEN old_lsn IS NULL THEN 'insert'
+        |       WHEN new_lsn IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op
+        |FROM old FULL OUTER JOIN nw USING (user_id)
+        |WHERE old_lsn IS NULL OR new_lsn IS NULL OR old_lsn <> new_lsn""".stripMargin,
     "cdc_scd2_intervals" ->
       s"""SELECT user_id, $opSql AS op, value,
          |  CAST(row_number() OVER w AS INT) AS version,

@@ -157,6 +157,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(collapsed === sources.Tables.events(spark, sfDir).count())
   }
 
+  test("snapshot diff replays the old state into the new state") {
+    // THE defining property of a changelog: old ⊕ diff = new. Apply the
+    // emitted ops to the old materialized state and compare against the
+    // directly-computed new state.
+    val sfDir = "/root/testdata/sf0.001"
+    val e = sources.Tables.events(spark, sfDir)
+    val fenceVal = e.agg(org.apache.spark.sql.functions.expr("max(event_id) div 2"))
+      .head.getLong(0)
+    def state(src: org.apache.spark.sql.DataFrame) =
+      ChangeLog.latestStateWithTombstones(
+        src.select("user_id", "event_id", "event_type", "value"),
+        Seq("user_id"), "event_id", org.apache.spark.sql.functions
+          .col("event_type") === "error")
+        .select($"user_id", $"event_id".as("lsn"), $"value")
+    val oldState = state(e.filter($"event_id" <= fenceVal))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val newState = state(e)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val diff = pipeline.CdcQueries.queries("cdc_snapshot_diff")(spark, sfDir)
+      .collect()
+    assert(diff.nonEmpty, "half the log must produce a nonempty diff")
+    val replayed = diff.foldLeft(oldState) { (st, r) =>
+      r.getAs[String]("op") match {
+        case "delete" => st - r.getLong(0)
+        case _ => st + (r.getLong(0) ->
+          (r.getAs[Long]("new_lsn"), r.getAs[Double]("new_value")))
+      }
+    }
+    assert(replayed === newState, "old state + diff must equal new state")
+    // minimality: no emitted row is a no-op
+    assert(!diff.exists(r => r.getAs[String]("op") == "update" &&
+      r.getAs[Long]("old_lsn") == r.getAs[Long]("new_lsn")))
+  }
+
   test("fenceUnion dedups the snapshot/stream overlap window") {
     val snapshot = changelog.filter($"lsn" <= 4)
     val stream = changelog.filter($"lsn" >= 3) // overlap at 3,4

@@ -50,8 +50,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_pmi_ratio",       // 1-row corpus-token-total aggregate broadcast
     "events_anomaly_days",  // 1-row moment aggregate (n, Σ, Σ²) broadcast
                             // into the O(days) daily counts — bounded
-    "text_split_divergence" // 1-row split-total aggregate broadcast into
+    "text_split_divergence", // 1-row split-total aggregate broadcast into
                             // the O(sources) count relation — bounded
+    "cdc_snapshot_diff",    // 1-row max-LSN fence aggregate broadcast into
+                            // the event scan — bounded
+    "dedup_pair_triangles"  // 1-row edge/wedge/triangle count aggregates
+                            // cross-combined into the single report row
                             // into the pair/unigram join — bounded
   )
 

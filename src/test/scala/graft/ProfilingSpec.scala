@@ -100,6 +100,37 @@ class ProfilingSpec extends AnyFunSuite {
       "train share (~90%) must dominate test (~5%)")
   }
 
+  test("LSH bucket balance conserves the corpus: sizes x counts sum to |embeddings|") {
+    val bal = graft.operators.Similarity.queries("ann_bucket_balance")(spark, sfDir)
+    val mass = bal.agg(sum(col("bucket_size") * col("n_buckets")))
+      .collect()(0).getLong(0)
+    val corpus = Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") >= graft.operators.Similarity.N_QUERIES).count()
+    assert(mass === corpus, "every corpus vector must land in exactly one bucket")
+    assert(bal.filter(col("bucket_size") <= 0).count() === 0)
+  }
+
+  test("near-dup triangle census matches a brute-force count and wedge identity") {
+    val row = graft.operators.Dedup.queries("dedup_pair_triangles")(spark, sfDir)
+      .collect()(0)
+    val pairs = graft.operators.Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getAs[Long]("n_edges") === pairs.length.toLong)
+    // brute force in driver memory (sf0.001: pair set is small)
+    val es = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val tri = (for {
+      (a, b) <- pairs
+      c <- nodes if b < c && es.contains((b, c)) && es.contains((a, c))
+    } yield 1L).sum
+    assert(row.getAs[Long]("n_triangles") === tri)
+    val degs = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).values.map(_.size.toLong)
+    assert(row.getAs[Long]("n_wedges") === degs.map(d => d * (d - 1) / 2).sum)
+  }
+
   test("bigram commonness: every doc's avg df is >= 1 and a duplicated doc pushes df up") {
     val c = Profiling.queries("text_bigram_commonness")(spark, sfDir)
       .transform(df => { df.persist(); df })
