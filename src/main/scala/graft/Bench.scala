@@ -62,6 +62,11 @@ object Bench {
     "dedup_jaccard_prefix", "basket_part_pairs",
     // the directed near-superset detector (rare-shingle posting join)
     "dedup_containment",
+    // round-8 additions with nontrivial cost: the triangle census
+    // (edge-edge join over the near-dup graph) and the snapshot diff
+    // (two latest-states + a full-outer join). The other round-8
+    // queries are O(days)/O(sources) aggs — bench_full.json only.
+    "dedup_pair_triangles", "cdc_snapshot_diff",
     // round-7 late additions with nontrivial cost: the bipartite wedge
     // expansion and the corpus-wide token census
     "graph_butterflies", "text_hapax")

@@ -177,6 +177,53 @@ object Profiling {
         .drop("cross")
     }),
 
+    // CUSUM changepoint screen over daily volume: the cumulative
+    // deviation from the global mean peaks AT the regime change (the
+    // classic Page test statistic). Kept EXACT by scaling through the
+    // day count: cusum_scaled = n·Σ_{j≤i} c_j − i·Σc — pure BIGINT, no
+    // division until never (the argmax of |cusum| is invariant to the
+    // positive n scaling). Both global windows run over O(days) rows —
+    // a planner-sized single partition by design (the events_cum_users
+    // argument), NOT a scale bug: the raw table never enters a window.
+    "events_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = daily.agg(count(lit(1)).as("n_days"), sum("n_events").as("s"))
+      val scored = daily.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("n_events").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("cusum_scaled",
+          col("n_days") * col("cum") - col("i") * col("s"))
+        .select("day", "n_events", "cusum_scaled")
+      scored.withColumn("is_peak",
+        abs(col("cusum_scaled")) ===
+          max(abs(col("cusum_scaled"))).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    }),
+
+    // Per-source repetition ratio: distinct bigrams / total bigrams.
+    // The compressibility proxy without a compressor — a source whose
+    // ratio collapses is template/boilerplate text (few novel
+    // word-pairs per emitted pair); healthy prose stays high. Exact
+    // integer counts, one final division.
+    "text_compress_ratio" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("source"),
+          explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count_distinct(col("bg")).as("n_distinct"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+    }),
+
     // Boilerplate screen: average corpus document-frequency of each
     // doc's bigrams (template text scores high, unique prose low).
     "text_bigram_commonness" -> ((s, d) => {
@@ -272,6 +319,33 @@ object Profiling {
          |  CAST(CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS DOUBLE)
          |    / (2.0 * CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS tv_distance
          |FROM c, t""".stripMargin,
+
+    "events_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS s
+        |  FROM daily),
+        |sc AS (SELECT day, n_events,
+        |    n_days * CAST(SUM(n_events) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * s
+        |      AS cusum_scaled
+        |  FROM daily, t)
+        |SELECT day, n_events, cusum_scaled,
+        |  abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER () AS is_peak
+        |FROM sc""".stripMargin,
+
+    "text_compress_ratio" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT source,
+        |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+        |  FROM tk)
+        |SELECT source, COUNT(*) AS n_bigrams,
+        |  COUNT(DISTINCT bg) AS n_distinct,
+        |  CAST(COUNT(DISTINCT bg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS distinct_ratio
+        |FROM p GROUP BY source""".stripMargin,
 
     "text_bigram_commonness" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

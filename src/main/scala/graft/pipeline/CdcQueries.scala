@@ -204,6 +204,21 @@ object CdcQueries {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    // Daily op-mix monitor — the feed-health dashboard row every CDC
+    // consumer watches: a delete-share spike means an upstream purge is
+    // in flight, an insert collapse means the producer stalled. One
+    // hash aggregation into O(days) rows.
+    "cdc_op_mix" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(opCol === "insert", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(opCol === "update", 1L).otherwise(0L)).as("n_update"),
+          sum(when(opCol === "delete", 1L).otherwise(0L)).as("n_delete"),
+          count(lit(1)).as("n_total"))
+        .withColumn("delete_share",
+          col("n_delete").cast("double") / col("n_total").cast("double"))
+    }),
+
     // Snapshot differencing — QUERY-BASED CDC, the fallback every CDC
     // service ships for sources with no WAL access (the reference's
     // snapshot path, replicator.go:69-184, is the half of this that
@@ -298,6 +313,18 @@ object CdcQueries {
       |  FROM events) t WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_op_mix" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  CAST(SUM(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_insert,
+         |  CAST(SUM(CASE WHEN $opSql = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_update,
+         |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delete,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS delete_share
+         |FROM events GROUP BY 1""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH f AS (SELECT MAX(event_id) // 2 AS fence FROM events),
         |os AS (SELECT user_id, event_id, event_type, value,

@@ -100,6 +100,43 @@ class ProfilingSpec extends AnyFunSuite {
       "train share (~90%) must dominate test (~5%)")
   }
 
+  test("CUSUM telescopes to zero at the last day and flags exactly the |max| rows") {
+    val cp = Profiling.queries("events_changepoint")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    // n·Σ_{j≤n} c_j − n·Σc = 0: the full-range cumulative deviation
+    // telescopes away, so the LAST day's statistic is exactly 0.
+    val last = cp.orderBy(col("day").desc).limit(1)
+      .collect()(0).getAs[Long]("cusum_scaled")
+    assert(last === 0L)
+    val maxAbs = cp.agg(max(abs(col("cusum_scaled")))).collect()(0).getLong(0)
+    assert(cp.filter(col("is_peak") =!=
+      (abs(col("cusum_scaled")) === maxAbs)).count() === 0)
+    assert(cp.filter(col("is_peak")).count() >= 1)
+    cp.unpersist()
+  }
+
+  test("repetition ratio stays in (0,1] and distinct <= total per source") {
+    val cr = Profiling.queries("text_compress_ratio")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(cr.filter(col("n_distinct") > col("n_bigrams")).count() === 0)
+    assert(cr.filter(col("distinct_ratio") <= 0.0 ||
+      col("distinct_ratio") > 1.0).count() === 0)
+    assert(cr.count() === Tables.documents(spark, sfDir)
+      .select("source").distinct().count(),
+      "every source has at least one 2-token doc in the corpus")
+    cr.unpersist()
+  }
+
+  test("op mix partitions each day's events: insert+update+delete = total") {
+    val m = graft.pipeline.CdcQueries.queries("cdc_op_mix")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(m.filter(col("n_insert") + col("n_update") + col("n_delete")
+      =!= col("n_total")).count() === 0)
+    val total = m.agg(sum("n_total")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sfDir).count())
+    m.unpersist()
+  }
+
   test("LSH bucket balance conserves the corpus: sizes x counts sum to |embeddings|") {
     val bal = graft.operators.Similarity.queries("ann_bucket_balance")(spark, sfDir)
     val mass = bal.agg(sum(col("bucket_size") * col("n_buckets")))
