@@ -177,6 +177,28 @@ object Profiling {
         .drop("cross")
     }),
 
+    // ANALYZE-style per-column statistics in ONE scan: nulls, exact
+    // distinct, min/max for every numeric column, unpivoted via stack()
+    // into the (col_name, stats...) relation a catalog stores. The
+    // multi-distinct agg plans as Spark's Expand (one pass, grouped
+    // partials per distinct column) — the standard shape; at 100 TB
+    // swap exact distincts for approx_count_distinct per column, same
+    // plan minus the Expand.
+    "profile_table_stats" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val a = o.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))): _*)
+      val stackArgs = cols
+        .map(c => s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      a.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+    }),
+
     // CUSUM changepoint screen over daily volume: the cumulative
     // deviation from the global mean peaks AT the regime change (the
     // classic Page test statistic). Kept EXACT by scaling through the
@@ -319,6 +341,23 @@ object Profiling {
          |  CAST(CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS DOUBLE)
          |    / (2.0 * CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS tv_distance
          |FROM c, t""".stripMargin,
+
+    "profile_table_stats" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |    COUNT(DISTINCT o_orderkey) AS nd1,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        |    COUNT(DISTINCT o_custkey) AS nd2,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+        |    COUNT(DISTINCT o_totalprice) AS nd3,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS mn3, CAST(MAX(o_totalprice) AS DOUBLE) AS mx3
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls, nd1 AS n_distinct,
+        |  mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3 FROM a""".stripMargin,
 
     "events_changepoint" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events

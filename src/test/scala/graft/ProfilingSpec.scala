@@ -100,6 +100,20 @@ class ProfilingSpec extends AnyFunSuite {
       "train share (~90%) must dominate test (~5%)")
   }
 
+  test("table stats: one row per profiled column, keys are unique and dense") {
+    val st = Profiling.queries("profile_table_stats")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(st.keySet === Set("o_orderkey", "o_custkey", "o_totalprice"))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    st.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nOrders)
+      assert(r.getAs[Long]("n_nulls") === 0L)
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+    // o_orderkey is the primary key: distinct count equals row count
+    assert(st("o_orderkey").getAs[Long]("n_distinct") === nOrders)
+  }
+
   test("CUSUM telescopes to zero at the last day and flags exactly the |max| rows") {
     val cp = Profiling.queries("events_changepoint")(spark, sfDir)
       .transform(df => { df.persist(); df })
