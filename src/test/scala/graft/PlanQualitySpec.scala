@@ -70,6 +70,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort"), s"cdc_replay_dedup must be sort-free:\n$p")
   }
 
+  test("interarrival shuffles ONCE: user partitioning serves lag window AND per-user agg") {
+    val p = plan("events_interarrival")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("gap islands shuffle twice, never more: distinct keys then user partitioning reused by the island agg") {
+    // (user, day) distinct → window by user; the (user, grp) aggregation's
+    // clustering is satisfied by the window's user partitioning
+    val p = plan("window_gap_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected exactly two shuffles:\n$p")
+  }
+
+  test("profile scans prune to exactly the profiled columns") {
+    val hist = plan("profile_histogram")
+    val rs = hist.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("o_totalprice") && !rs.contains("o_orderkey") &&
+      !rs.contains("o_orderdate"), rs)
+    val bg = plan("text_bigram_commonness")
+    val rs2 = bg.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("doc_id") && rs2.contains("text") &&
+      !rs2.contains("lang") && !rs2.contains("source"), rs2)
+  }
+
   test("sequence packing shuffles ONCE: shard partitioning serves window AND agg") {
     // the per-shard prefix-sum window hashes on shard; the (shard, bin)
     // aggregation's required clustering is satisfied by that same
