@@ -17,13 +17,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** One representative per family + every historically-slow query. */
+  // (trimmed r8 to fit the calib_sec field: dropped q5_region_volume /
+  // agg_distinct / topk_orders / cdc_envelope — each family keeps ≥ 2
+  // representatives and none of the four ever exceeded 0.9 s measured)
   private val headline = Seq(
-    "q1_pricing_summary", "q3_topk_revenue", "q5_region_volume",
+    "q1_pricing_summary", "q3_topk_revenue",
     "join_orders_lineitem", "join_broadcast_dims", "join_salted",
-    "agg_distinct", "agg_cube", "agg_percentile",
+    "agg_cube", "agg_percentile",
     "window_rank_orders", "window_sessionize", "topk_per_key_native",
-    "topk_orders", "asof_click_purchase",
-    "cdc_latest_state", "cdc_envelope", "cdc_replay_dedup", "cdc_window_hourly",
+    "asof_click_purchase",
+    "cdc_latest_state", "cdc_replay_dedup", "cdc_window_hourly",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
@@ -134,14 +137,26 @@ object Bench {
     }
     val byName = results.toMap
     val total = results.map(_._2).sum
+    // Load-calibration anchor: a fixed CPU-bound micro-task (pure codegen
+    // range sum, no IO, no shuffle) timed best-of-three AFTER the run.
+    // On a quiet box this is ~30-60 ms; under the sustained co-tenant
+    // load that has inflated recorded rounds up to 3×, it inflates by
+    // the same steal factor — giving the artifact reader a noise
+    // denominator that is independent of the queries themselves.
+    def calibPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = Seq(calibPass(), calibPass(), calibPass()).min
     val qs = headline.filter(byName.contains)
       .map(k => s"\"$k\":${fmt(byName(k))}").mkString("{", ",", "}")
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"sf":"$sfDir","queries":$full}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":${fmt(total)},"calib_sec":${fmt(calib)},"sf":"$sfDir","queries":$full}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
     CachePool.releaseAll()
     spark.stop()
   }

@@ -54,6 +54,23 @@ object Profiling {
 
   private val PRICE_BUCKET = 50000.0 // equi-width histogram bucket size
 
+  /** (doc_id, bg) bigram posting over ≥2-token docs, persisted: the
+    * commonness screen (df roll-up + per-doc sum) and the compressibility
+    * screen (source roll-up via a broadcast doc→source join) both read
+    * it, and within one session the identical analyzed plan hits one
+    * CacheManager entry — one scan+explode pass for the pair, not two.
+    */
+  private def bigramPosting(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    graft.CachePool.persist(Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg")))
+  }
+
   /** Deterministic doc→split assignment (the text_train_split salt —
     * membership is a pure function of doc_id, identical in both engines). */
   private def splitCol = {
@@ -229,16 +246,14 @@ object Profiling {
     // The compressibility proxy without a compressor — a source whose
     // ratio collapses is template/boilerplate text (few novel
     // word-pairs per emitted pair); healthy prose stays high. Exact
-    // integer counts, one final division.
+    // integer counts, one final division. Reads the SHARED persisted
+    // posting (one explode pass serves this and the commonness screen);
+    // the doc→source attribution is a broadcast of the 2-column doc
+    // relation — the posting side never shuffles for the join.
     "text_compress_ratio" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      Tables.documents(s, d)
-        .filter(size(toks) >= 2)
-        .select(col("source"),
-          explode(zip_with(
-            slice(toks, lit(1), size(toks) - 1),
-            slice(toks, lit(2), size(toks) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
+      bigramPosting(s, d)
+        .join(broadcast(Tables.documents(s, d).select("doc_id", "source")),
+          "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_bigrams"),
           count_distinct(col("bg")).as("n_distinct"))
@@ -249,15 +264,7 @@ object Profiling {
     // Boilerplate screen: average corpus document-frequency of each
     // doc's bigrams (template text scores high, unique prose low).
     "text_bigram_commonness" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      // df roll-up + per-doc sum both read the posting relation
-      val posting = graft.CachePool.persist(Tables.documents(s, d)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id"),
-          explode(zip_with(
-            slice(toks, lit(1), size(toks) - 1),
-            slice(toks, lit(2), size(toks) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg")))
+      val posting = bigramPosting(s, d)
       val df = posting.groupBy("bg").agg(count(lit(1)).as("df"))
       posting.join(df, "bg")
         .groupBy("doc_id")
