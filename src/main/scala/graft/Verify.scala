@@ -20,7 +20,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
+    // Name order groups each family's queries contiguously (shared
+    // persisted intermediates get reused while hot), and the family
+    // boundary release bounds the peak cache footprint to one family —
+    // the same policy Bench uses, for the same reason: carrying every
+    // family's MEMORY_AND_DISK blocks to the end raises the late-run
+    // memory floor for no reuse benefit.
+    def family(name: String): String = name.takeWhile(_ != '_')
+    var prevFamily: String = null
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only(kv._1)).foreach { case (name, fn) =>
+      if (prevFamily != null && family(name) != prevFamily) CachePool.releaseAll()
+      prevFamily = family(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
