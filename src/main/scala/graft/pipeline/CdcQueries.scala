@@ -204,6 +204,38 @@ object CdcQueries {
         .select("user_id", "event_id", "event_type", "value")
     }),
 
+    // Incremental view maintenance over a JOIN: the maintained view is
+    // "activity value per market segment" = events ⋈ customer, and a
+    // delta batch updates it WITHOUT rejoining history — ΔQ = Δfacts ⋈
+    // dim (the dim is static here; for a changing dim the symmetric
+    // A⋈ΔB term is added the same way). This query computes the view as
+    // base-at-fence PLUS the delta increment, merged by re-aggregation
+    // (counts add; decimal sums add exactly), while the ORACLE is the
+    // full recompute over all events — so the driver's hash match IS
+    // the proof that the delta algebra loses nothing. At 100 TB the
+    // base term is the materialized O(groups) view (never recomputed;
+    // recomputed here only because a query is stateless), so a batch
+    // costs one broadcast join over the delta + an O(groups) merge.
+    // PipelineSpec proves the multi-batch telescoping fold separately.
+    "cdc_incremental_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val fence = e.agg(expr("max(event_id) div 2").as("fence"))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val withF = e.crossJoin(broadcast(fence))
+      def part(src: DataFrame) =
+        src.join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,6)")).as("v"))
+      val base = part(withF.filter(col("event_id") <= col("fence")))
+      val delta = part(withF.filter(col("event_id") > col("fence")))
+      base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(sum("n").as("n_events"),
+          sum("v").cast("double").as("total_value"))
+    }),
+
     // Daily op-mix monitor — the feed-health dashboard row every CDC
     // consumer watches: a delete-share spike means an upstream purge is
     // in flight, an insert collapse means the producer stalled. One
@@ -313,6 +345,13 @@ object CdcQueries {
       |  FROM events) t WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Deliberately the FULL recompute (no fence, no delta): matching it
+    // proves the Spark side's base+increment decomposition is lossless.
+    "cdc_incremental_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "cdc_op_mix" ->
       s"""SELECT CAST(ts AS DATE) AS day,
          |  CAST(SUM(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END) AS BIGINT)

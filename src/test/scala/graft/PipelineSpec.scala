@@ -157,6 +157,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(collapsed === sources.Tables.events(spark, sfDir).count())
   }
 
+  test("join-IVM telescopes: folding per-batch increments equals the direct join") {
+    // Split the log into 3 LSN epochs, maintain the joined view by
+    // folding one increment per epoch (Δfacts ⋈ dim, merged by
+    // re-aggregation), and compare against the one-shot join+agg.
+    val sfDir = "/root/testdata/sf0.001"
+    val e = sources.Tables.events(spark, sfDir)
+    val dim = sources.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val maxId = e.agg(org.apache.spark.sql.functions.max("event_id")).head.getLong(0)
+    val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId)
+    def inc(lo: Long, hi: Long) =
+      e.filter($"event_id" > lo && $"event_id" <= hi)
+        .join(dim, $"user_id" === $"c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            $"value".cast("decimal(25,6)")).as("v"))
+    val folded = cuts.sliding(2).map { case Seq(lo, hi) => inc(lo, hi) }
+      .reduce(_ unionByName _)
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n_events"),
+        org.apache.spark.sql.functions.sum("v").cast("double").as("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = inc(0L, maxId)
+      .select($"c_mktsegment", $"n".as("n_events"),
+        $"v".cast("double").as("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(folded === direct,
+      "per-epoch increments must telescope to the one-shot join exactly")
+    assert(folded.nonEmpty)
+  }
+
   test("snapshot diff replays the old state into the new state") {
     // THE defining property of a changelog: old ⊕ diff = new. Apply the
     // emitted ops to the old materialized state and compare against the

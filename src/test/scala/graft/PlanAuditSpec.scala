@@ -56,8 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the event scan — bounded
     "dedup_pair_triangles", // 1-row edge/wedge/triangle count aggregates
                             // cross-combined into the single report row
-    "events_changepoint"    // 1-row (n_days, Σ) aggregate broadcast into
+    "events_changepoint",   // 1-row (n_days, Σ) aggregate broadcast into
                             // the O(days) daily counts — bounded
+    "cdc_incremental_join"  // 1-row max-LSN fence aggregate broadcast into
+                            // the event scan — bounded
                             // into the pair/unigram join — bounded
   )
 
