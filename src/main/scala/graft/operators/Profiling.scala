@@ -194,6 +194,75 @@ object Profiling {
         .drop("cross")
     }),
 
+    // Rolling 7-day active users (WAU) + same-day actives (DAU) +
+    // stickiness, SHUFFLE-SAFELY: instead of a date-range self-join
+    // (which plans as a nested-loop band join), each (user, active day)
+    // row is exploded into the 7 report days it contributes to — a
+    // map-side ×7 expansion into one distinct-aggregation by report
+    // day. Standard engagement telemetry over the CDC event stream;
+    // report days past the corpus tail carry the still-draining window
+    // (identical in the oracle).
+    "events_weekly_active" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val contrib = days.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"),
+        col("day"))
+        .select(col("user_id"), expr("date_add(day, i)").as("report_day"))
+      val wau = contrib.groupBy("report_day")
+        .agg(count_distinct(col("user_id")).as("wau"))
+      val dau = days.groupBy(col("day").as("report_day"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      wau.join(dau, Seq("report_day"), "left_outer")
+        .withColumn("dau", coalesce(col("dau"), lit(0L)))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+    }),
+
+    // Daily value percentile bands (the P50/P95 latency-chart staple).
+    // Same exact-interpolation percentile convention agg_percentile
+    // established (Spark percentile == DuckDB quantile_cont bitwise on
+    // identical doubles).
+    "events_value_bands" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("percentile(value, 0.5)").as("p50_value"),
+          expr("percentile(value, 0.95)").as("p95_value"))
+    }),
+
+    // Which scrape is most duplicated: per-source exact-dup rate over
+    // the same normalized fingerprint dedup_exact canonicalizes on.
+    // The curation-budget report — a source with dup_rate 0.4 wastes
+    // 40% of its ingest before near-dedup even starts.
+    "text_dedup_rate_by_source" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(lower(trim(col("text"))))).as("n_unique"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+    }),
+
+    // Novelty curve: the share of each doc's bigrams that FIRST appear
+    // in that doc (by doc_id ingest order). A corpus whose late docs
+    // score near zero has stopped contributing new phrasing — the
+    // diminishing-returns signal for continued scraping of a source.
+    // Third consumer of the shared persisted bigram posting; the
+    // first-seen relation is one more hash agg over it.
+    "text_ngram_novelty" -> ((s, d) => {
+      val posting = bigramPosting(s, d)
+      val firstSeen = posting.groupBy("bg").agg(min("doc_id").as("first_doc"))
+      posting.join(firstSeen, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+    }),
+
     // ANALYZE-style per-column statistics in ONE scan: nulls, exact
     // distinct, min/max for every numeric column, unpivoted via stack()
     // into the (col_name, stats...) relation a catalog stores. The
@@ -348,6 +417,46 @@ object Profiling {
          |  CAST(CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS DOUBLE)
          |    / (2.0 * CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS tv_distance
          |FROM c, t""".stripMargin,
+
+    "events_weekly_active" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |contrib AS (SELECT user_id, day + CAST(i AS INT) AS report_day
+        |  FROM days, (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (SELECT report_day, COUNT(DISTINCT user_id) AS wau
+        |  FROM contrib GROUP BY report_day),
+        |dau AS (SELECT day AS report_day, COUNT(DISTINCT user_id) AS dau
+        |  FROM days GROUP BY day)
+        |SELECT report_day, wau,
+        |  COALESCE(dau, 0) AS dau,
+        |  CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM wau LEFT JOIN dau USING (report_day)""".stripMargin,
+
+    "events_value_bands" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |  quantile_cont(value, 0.5) AS p50_value,
+        |  quantile_cont(value, 0.95) AS p95_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "text_dedup_rate_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
+        |  1.0 - CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+        |  FROM tk),
+        |fs AS (SELECT bg, MIN(doc_id) AS first_doc FROM p GROUP BY bg)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM p JOIN fs USING (bg) GROUP BY doc_id""".stripMargin,
 
     "profile_table_stats" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,

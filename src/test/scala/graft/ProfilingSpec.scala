@@ -100,6 +100,66 @@ class ProfilingSpec extends AnyFunSuite {
       "train share (~90%) must dominate test (~5%)")
   }
 
+  test("weekly actives dominate daily actives and the window drains past the tail") {
+    val wa = Profiling.queries("events_weekly_active")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(wa.filter(col("dau") > col("wau")).count() === 0,
+      "a day's actives are a subset of its trailing week's actives")
+    assert(wa.filter(col("wau") <= 0).count() === 0)
+    val activeDays = Tables.events(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    // report days = active days plus the ≤6 drain days past the tail
+    val n = wa.count()
+    assert(n >= activeDays && n <= activeDays + 6)
+    // drain rows (no same-day activity) have dau = 0 and stickiness 0
+    assert(wa.filter(col("dau") === 0 && col("stickiness") =!= 0.0).count() === 0)
+    wa.unpersist()
+  }
+
+  test("value bands are ordered (p50 <= p95) and day counts partition the table") {
+    val vb = Profiling.queries("events_value_bands")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(vb.filter(col("p50_value") > col("p95_value")).count() === 0)
+    assert(vb.agg(sum("n_events")).collect()(0).getLong(0) ===
+      Tables.events(spark, sfDir).count())
+    vb.unpersist()
+  }
+
+  test("per-source dup rate is consistent with the global exact-dup census") {
+    val dr = Profiling.queries("text_dedup_rate_by_source")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(dr.filter(col("n_unique") > col("n_docs")).count() === 0)
+    assert(dr.filter(col("dup_rate") < 0.0 || col("dup_rate") >= 1.0).count() === 0)
+    assert(dr.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sfDir).count())
+    dr.unpersist()
+  }
+
+  test("novelty: the first doc scores 1.0 and novel counts sum to the distinct-bigram census") {
+    val nv = Profiling.queries("text_ngram_novelty")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val firstDoc = nv.agg(min("doc_id")).collect()(0).getLong(0)
+    assert(nv.filter(col("doc_id") === firstDoc)
+      .collect()(0).getAs[Double]("novelty") === 1.0,
+      "every bigram of the earliest doc is first seen there")
+    // Brute-force recomputation in driver memory (sf0.001): a novel
+    // OCCURRENCE is one whose bigram's global min doc_id is this doc.
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().flatMap { r =>
+        val t = r.getSeq[String](1)
+        t.zip(t.drop(1)).map(p => (r.getLong(0), p._1 + " " + p._2))
+      }
+    val owner = occ.groupBy(_._2).map { case (bg, xs) => bg -> xs.map(_._1).min }
+    val expected = occ.groupBy(_._1).map { case (doc, xs) =>
+      doc -> (xs.size.toLong, xs.count(x => owner(x._2) == doc).toLong)
+    }
+    val got = nv.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    nv.unpersist()
+  }
+
   test("table stats: one row per profiled column, keys are unique and dense") {
     val st = Profiling.queries("profile_table_stats")(spark, sfDir)
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
