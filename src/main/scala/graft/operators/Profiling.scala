@@ -194,6 +194,63 @@ object Profiling {
         .drop("cross")
     }),
 
+    // Revenue-weighted mean discount per return flag — the weighted
+    // aggregate done EXACTLY: both factors are 2-decimal money values,
+    // so the decimal(·,2)×decimal(·,2) product (scale 4) and its sum
+    // are exact integers under the hood, and the decimal→double cast
+    // stays inside the 2^53-portable range (unscaled ≈ 6e13 at sf0.1;
+    // rescale past ~sf10 — the Similarity centroid bound). A plain
+    // double Σ(d·p) would drift with partial-agg order; this cannot.
+    "agg_weighted_avg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_discount").cast("decimal(8,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).as("wsum"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("wtot"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("wsum").cast("double") / col("wtot").cast("double"))
+            .as("wavg_discount"))
+    }),
+
+    // Running-max drawdown per user over the event value series — the
+    // peak-to-trough monitor (payments, quotas, battery, balance...).
+    // One shuffle: the user partitioning serves the running-max window
+    // and the per-user roll-up. Doubles are only compared/subtracted —
+    // both exact.
+    "window_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("dd", max("value").over(w) - col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("dd").as("max_drawdown"))
+    }),
+
+    // Pareto concentration: what share of all events comes from the
+    // top decile of users (ceil division, deterministic ranking with
+    // a user_id tie-break). The abuse/VIP skew report — also exactly
+    // the skew a key-partitioned consumer needs to know about.
+    "events_power_pareto" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val ranked = per.withColumn("rn",
+        row_number().over(Window.orderBy(col("n").desc, col("user_id"))).cast("long"))
+      val tot = per.agg(count(lit(1)).as("n_users"), sum("n").as("total_events"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("k", expr("(n_users + 9) div 10"))
+        .agg(max("n_users").as("n_users"),
+          max("k").as("top_decile_users"),
+          max("total_events").as("total_events"),
+          sum(when(col("rn") <= col("k"), col("n")).otherwise(0L))
+            .as("top_decile_events"))
+        .withColumn("top_decile_share",
+          col("top_decile_events").cast("double") /
+            col("total_events").cast("double"))
+    }),
+
     // Rolling 7-day active users (WAU) + same-day actives (DAU) +
     // stickiness, SHUFFLE-SAFELY: instead of a date-range self-join
     // (which plans as a nested-loop band join), each (user, active day)
@@ -417,6 +474,36 @@ object Profiling {
          |  CAST(CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS DOUBLE)
          |    / (2.0 * CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS tv_distance
          |FROM c, t""".stripMargin,
+
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(8,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS wavg_discount
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "window_drawdown" ->
+      """WITH x AS (SELECT user_id,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value AS dd
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, MAX(dd) AS max_drawdown
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "events_power_pareto" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM per),
+        |t AS (SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS total_events
+        |  FROM per)
+        |SELECT MAX(n_users) AS n_users,
+        |  MAX((n_users + 9) // 10) AS top_decile_users,
+        |  MAX(total_events) AS total_events,
+        |  CAST(SUM(CASE WHEN rn <= (n_users + 9) // 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS top_decile_events,
+        |  CAST(CAST(SUM(CASE WHEN rn <= (n_users + 9) // 10 THEN n ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) / CAST(MAX(total_events) AS DOUBLE) AS top_decile_share
+        |FROM r, t""".stripMargin,
 
     "events_weekly_active" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -58,8 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // cross-combined into the single report row
     "events_changepoint",   // 1-row (n_days, Σ) aggregate broadcast into
                             // the O(days) daily counts — bounded
-    "cdc_incremental_join"  // 1-row max-LSN fence aggregate broadcast into
+    "cdc_incremental_join", // 1-row max-LSN fence aggregate broadcast into
                             // the event scan — bounded
+    "events_power_pareto"   // 1-row (n_users, total) aggregate broadcast
+                            // into the O(users) rank relation — bounded
                             // into the pair/unigram join — bounded
   )
 

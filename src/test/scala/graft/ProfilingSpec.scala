@@ -100,6 +100,49 @@ class ProfilingSpec extends AnyFunSuite {
       "train share (~90%) must dominate test (~5%)")
   }
 
+  test("weighted mean discount lies inside the discount range and differs from the plain mean") {
+    val wa = Profiling.queries("agg_weighted_avg")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val bounds = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(min("l_discount").as("lo"), max("l_discount").as("hi"),
+        avg("l_discount").as("plain"))
+    val j = wa.join(bounds, "l_returnflag").collect()
+    j.foreach { r =>
+      val w = r.getAs[Double]("wavg_discount")
+      assert(w >= r.getAs[Double]("lo") && w <= r.getAs[Double]("hi"))
+    }
+    // weighting by price must move at least one group off the plain mean
+    assert(j.exists(r =>
+      math.abs(r.getAs[Double]("wavg_discount") - r.getAs[Double]("plain")) > 1e-9))
+    wa.unpersist()
+  }
+
+  test("drawdown is nonnegative, zero for monotone users, bounded by the value range") {
+    val dd = Profiling.queries("window_drawdown")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(dd.filter(col("max_drawdown") < 0.0).count() === 0)
+    val range = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg((max("value") - min("value")).as("span"))
+    assert(dd.join(range, "user_id")
+      .filter(col("max_drawdown") > col("span")).count() === 0,
+      "a drawdown cannot exceed the user's total value range")
+    dd.unpersist()
+  }
+
+  test("pareto: top decile share is a proper fraction and beats uniform") {
+    val row = Profiling.queries("events_power_pareto")(spark, sfDir).collect()(0)
+    val share = row.getAs[Double]("top_decile_share")
+    val users = row.getAs[Long]("n_users")
+    val k = row.getAs[Long]("top_decile_users")
+    assert(k === (users + 9) / 10)
+    assert(share > 0.0 && share <= 1.0)
+    // the top-ranked decile is by definition at least its uniform share
+    assert(share >= k.toDouble / users.toDouble - 1e-12)
+    assert(row.getAs[Long]("top_decile_events") <= row.getAs[Long]("total_events"))
+  }
+
   test("weekly actives dominate daily actives and the window drains past the tail") {
     val wa = Profiling.queries("events_weekly_active")(spark, sfDir)
       .transform(df => { df.persist(); df })
