@@ -85,6 +85,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/TestSession: Tables.events normalizes MICROS-
+      // generation corpora via an NTZ→LTZ cast that is only value-
+      // preserving when the session zone is pinned — without this, day-
+      // bucketed queries would time different group cardinalities than
+      // the verified surface on a non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver reads only a ~2000-char output tail,

@@ -17,18 +17,25 @@ import graft.sources.Tables
   *    OPTIMIZE ZORDER. Everything is integer bit arithmetic —
   *    bit-identical across engines and partitionings.
   *  - `layout_range_split` — balanced range-partition boundaries over
-  *    the key's DISTINCT values (ntile over the deduplicated key space):
-  *    the split points a writer would feed to repartitionByRange. The
-  *    distinct-first shape is what makes the single-partition ntile
-  *    window safe: the key space is orders of magnitude smaller than
-  *    the data (at true scale you'd sample the distinct relation; the
-  *    exact form doubles as its own oracle).
+  *    the key space, the way Spark's own RangePartitioner earns them at
+  *    scale: boundary candidates come from a DETERMINISTIC salted-hash
+  *    sample of the distinct keys (membership a pure function of the
+  *    key, so both engines pick the identical sample), split points are
+  *    the sample's SPLITS-quantile ranks, and per-split [lo, hi] + key
+  *    counts are EXACT — one fully-parallel aggregation against the
+  *    broadcast boundary array. Only the boundary PLACEMENT is sampled;
+  *    the distinct-key relation itself never crosses a single-partition
+  *    exchange (a global ntile over billions of distinct keys would
+  *    funnel them all through one sorted task).
   */
 object Layout {
 
   private[graft] val ZBITS = 8 // bits per dimension → 16-bit Morton code
   private val ZBUCKET_SHIFT = 10 // keep top 6 bits → 64 buckets
   private val SPLITS = 32
+  // boundary-sample rate for layout_range_split: md5 3-hex-char prefix
+  // < 0x041 ⇒ 65/4096 ≈ 1.6% of distinct keys feed the quantile pass
+  private val RS_RATE_HEX = "041"
   private val TARGET_CHARS = 100000L // compaction target: chars per output file
 
   /** Interleave the low ZBITS of `a` (odd positions) and `b` (even):
@@ -89,14 +96,44 @@ object Layout {
           expr("(n_docs + n_files - 1) div n_files"))
     }),
 
-    // Balanced range-split boundaries for l_orderkey: distinct keys,
-    // ntile(SPLITS) in key order, then each tile's [lo, hi] + key count.
-    // ntile's fill rule (earlier tiles get the remainder) is shared SQL
-    // semantics, so the tiles match the oracle exactly.
+    // Balanced range-split boundaries for l_orderkey, RangePartitioner-
+    // style (the r8 form ran a global ntile over EVERY distinct key —
+    // one sorted task holding billions of rows at 100 TB):
+    //   1. sample the distinct keys by salted md5 (RS_RATE ≈ 1.6%;
+    //      membership is a pure function of the key — the
+    //      text_train_split convention — so the oracle draws the
+    //      byte-identical sample);
+    //   2. boundaries = the sample's SPLITS-quantile ranks, extracted
+    //      by a broadcast equi-join on row number (the ONLY ordered
+    //      pass, over the O(sample) relation — rate-bounded by
+    //      construction; at a bigger corpus you lower the rate, never
+    //      change the shape);
+    //   3. EXACT per-split [lo, hi] + key counts: broadcast the sorted
+    //      boundary array (≤ SPLITS−1 values) into a fully-parallel
+    //      pass over the distinct keys — split_id = 1 + |{b < key}|,
+    //      keys equal to a boundary land in the lower split.
+    // Tiles stay contiguous, disjoint and exactly counted; only their
+    // SIZES are sample-approximate — which is precisely the contract of
+    // repartitionByRange itself.
     "layout_range_split" -> ((s, d) => {
       val ks = Tables.lineitem(s, d).select("l_orderkey").distinct()
-      val w = Window.orderBy("l_orderkey")
-      ks.withColumn("split_id", ntile(SPLITS).over(w))
+      val samp = ks.filter(
+        substring(md5(concat(lit("rs|"), col("l_orderkey").cast("string"))),
+          1, 3) < RS_RATE_HEX)
+      val m = samp.agg(count(lit(1)).as("m"))
+      val ranked = samp.withColumn("rn",
+        row_number().over(Window.orderBy("l_orderkey")).cast("long"))
+      val ranks = m
+        .withColumn("i", explode(sequence(lit(1L), lit((SPLITS - 1).toLong))))
+        .select(expr(s"(i * m) div $SPLITS").as("rn"))
+        .filter(col("rn") >= 1L).distinct()
+      val bounds = ranked.join(broadcast(ranks), "rn")
+        .select(col("l_orderkey").as("b")).distinct()
+      val barr = bounds.agg(sort_array(collect_list("b")).as("barr"))
+      ks.crossJoin(broadcast(barr))
+        .withColumn("split_id",
+          (lit(1) + size(filter(col("barr"), x => x < col("l_orderkey"))))
+            .cast("int"))
         .groupBy("split_id")
         .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
           count(lit(1)).as("n_keys"))
@@ -129,11 +166,24 @@ object Layout {
          |SELECT source, n_docs, total_chars, n_files,
          |  CAST((n_docs + n_files - 1) // n_files AS BIGINT) AS docs_per_file
          |FROM f""".stripMargin,
+    // Mirrors the sampled-boundary convention exactly: identical salted
+    // md5 sample, identical (i·m) // SPLITS quantile ranks, identical
+    // keys-equal-to-a-boundary-go-left assignment.
     "layout_range_split" ->
-      s"""SELECT split_id, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+      s"""WITH dk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         |samp AS (SELECT l_orderkey FROM dk
+         |  WHERE substr(md5('rs|' || CAST(l_orderkey AS VARCHAR)), 1, 3) < '$RS_RATE_HEX'),
+         |r AS (SELECT l_orderkey, row_number() OVER (ORDER BY l_orderkey) AS rn,
+         |    COUNT(*) OVER () AS m FROM samp),
+         |b AS (SELECT DISTINCT r.l_orderkey AS bnd
+         |  FROM r JOIN (SELECT unnest(range(1, $SPLITS)) AS i) ii
+         |    ON r.rn = (ii.i * r.m) // $SPLITS),
+         |asg AS (SELECT dk.l_orderkey,
+         |    CAST(1 + (SELECT COUNT(*) FROM b WHERE b.bnd < dk.l_orderkey) AS INT)
+         |      AS split_id
+         |  FROM dk)
+         |SELECT split_id, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
          |  COUNT(*) AS n_keys
-         |FROM (SELECT l_orderkey, CAST(ntile($SPLITS) OVER (ORDER BY l_orderkey) AS INT) AS split_id
-         |      FROM (SELECT DISTINCT l_orderkey FROM lineitem) dk) t
-         |GROUP BY split_id""".stripMargin
+         |FROM asg GROUP BY split_id""".stripMargin
   )
 }

@@ -116,7 +116,10 @@ object Profiling {
     // Daily-volume anomaly screen: z-score of each day's event count
     // against the corpus moments, flag |z| > 2. Moments from integer
     // (Σ, Σ²); the z expression tree is written identically in the
-    // oracle so every double op matches bitwise.
+    // oracle so every double op matches bitwise. A zero-variance corpus
+    // (every day identical) yields NULL zscore/is_anomaly — the same
+    // explicit degenerate-input guard dedup_pair_triangles uses for
+    // n_wedges = 0 — never a 0/0 NaN whose rendering is engine-specific.
     "events_anomaly_days" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -130,7 +133,8 @@ object Profiling {
         (col("s").cast("double") / col("n_days").cast("double"))
       daily.crossJoin(broadcast(mom))
         .withColumn("zscore",
-          (col("n_events").cast("double") - mean) / sqrt(variance))
+          when(variance === 0.0, lit(null).cast("double"))
+            .otherwise((col("n_events").cast("double") - mean) / sqrt(variance)))
         .withColumn("is_anomaly", abs(col("zscore")) > 2.0)
         .select("day", "n_events", "zscore", "is_anomaly")
     }),
@@ -230,21 +234,43 @@ object Profiling {
     }),
 
     // Pareto concentration: what share of all events comes from the
-    // top decile of users (ceil division, deterministic ranking with
-    // a user_id tie-break). The abuse/VIP skew report — also exactly
-    // the skew a key-partitioned consumer needs to know about.
+    // top decile of users (k = ⌈n_users/10⌉). The abuse/VIP skew report
+    // — also exactly the skew a key-partitioned consumer needs to know
+    // about. SCALE SHAPE: no per-user ranking anywhere. The O(users)
+    // relation only ever flows through hash aggregations; order
+    // statistics come from the HISTOGRAM of per-user totals (O(distinct
+    // count values) rows — the text_quality_deciles argument: counts
+    // are small integers that collide massively, so the single-
+    // partition cumulative window sees a planner-sized relation, never
+    // users). threshold = k-th largest count = max{n : |{count ≥ n}| ≥
+    // k}; the top-k sum is then Σ_{n>thr} n·c — fully parallel — plus
+    // the tie band's exact contribution (k − |{count > thr}|)·thr:
+    // every tied user contributes the same n, so the row_number tie-
+    // break the ranked form needed resolves to pure arithmetic here.
+    // Identical answer to the global-rank formulation (the oracle still
+    // ranks), zero single-partition pass over an unbounded relation.
     "events_power_pareto" -> ((s, d) => {
-      val per = Tables.events(s, d)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val ranked = per.withColumn("rn",
-        row_number().over(Window.orderBy(col("n").desc, col("user_id"))).cast("long"))
-      val tot = per.agg(count(lit(1)).as("n_users"), sum("n").as("total_events"))
-      ranked.crossJoin(broadcast(tot))
-        .withColumn("k", expr("(n_users + 9) div 10"))
+      val hist = graft.CachePool.persist(
+        Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("c")))
+      val tot = hist.agg(sum("c").as("n_users"),
+        sum(col("n") * col("c")).as("total_events"))
+      val thr = hist
+        .withColumn("cum", sum("c").over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(n_users + 9) div 10"))
+        .agg(max("n").as("thr"))
+      val params = broadcast(tot.crossJoin(thr)
+        .withColumn("k", expr("(n_users + 9) div 10")))
+      hist.crossJoin(params)
         .agg(max("n_users").as("n_users"),
           max("k").as("top_decile_users"),
           max("total_events").as("total_events"),
-          sum(when(col("rn") <= col("k"), col("n")).otherwise(0L))
+          (sum(when(col("n") > col("thr"), col("n") * col("c")).otherwise(0L)) +
+            max("thr") * (max("k") -
+              sum(when(col("n") > col("thr"), col("c")).otherwise(0L))))
             .as("top_decile_events"))
         .withColumn("top_decile_share",
           col("top_decile_events").cast("double") /
@@ -427,17 +453,20 @@ object Profiling {
         |  FROM events GROUP BY 1),
         |m AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS s,
         |    CAST(SUM(n_events * n_events) AS BIGINT) AS sq
-        |  FROM daily)
+        |  FROM daily),
+        |mm AS (SELECT n_days, s,
+        |    CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vr
+        |  FROM m)
         |SELECT day, n_events,
-        |  (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |    / sqrt(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
-        |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) AS zscore,
-        |  abs((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |    / sqrt(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
-        |      - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |        * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))) > 2.0 AS is_anomaly
-        |FROM daily, m""".stripMargin,
+        |  CASE WHEN vr = 0 THEN NULL ELSE
+        |    (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / sqrt(vr) END AS zscore,
+        |  abs(CASE WHEN vr = 0 THEN NULL ELSE
+        |    (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / sqrt(vr) END) > 2.0 AS is_anomaly
+        |FROM daily, mm""".stripMargin,
 
     "window_gap_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -60,14 +60,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("range splits are contiguous, disjoint, balanced") {
+  test("range splits tile the key space: disjoint, contiguous, exactly counted") {
     val t = q("layout_range_split").orderBy("split_id").collect()
-    assert(t.length === 32)
-    t.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getLong(2) < b.getLong(1), "tiles must not overlap")
+    // sampled boundaries: split COUNT is data-dependent (≤ SPLITS) but
+    // the tiling itself is exact — disjoint ranges, no key lost
+    assert(t.length >= 5 && t.length <= 32, s"got ${t.length} splits")
+    t.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1), "tiles must not overlap")
+      case _ => ()
     }
-    val counts = t.map(_.getLong(3))
-    assert(counts.max - counts.min <= 1, "ntile balance is ±1 by contract")
+    t.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "lo must not exceed hi")
+      assert(r.getLong(3) >= 1L, "every emitted split holds at least one key")
+    }
+    val distinctKeys = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().count()
+    assert(t.map(_.getLong(3)).sum === distinctKeys,
+      "split counts must partition the distinct key space exactly")
   }
 
   test("pagerank iterations read the persisted edges, not the base tables") {

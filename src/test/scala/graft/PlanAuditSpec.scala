@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_hll_mergeable",    // 1-row global exact-distinct aggregate broadcast
                             // next to the union-sketch estimate — bounded
     "text_pmi_ratio",       // 1-row corpus-token-total aggregate broadcast
+                            // into the pair/unigram join — bounded
     "events_anomaly_days",  // 1-row moment aggregate (n, Σ, Σ²) broadcast
                             // into the O(days) daily counts — bounded
     "text_split_divergence", // 1-row split-total aggregate broadcast into
@@ -60,9 +61,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the O(days) daily counts — bounded
     "cdc_incremental_join", // 1-row max-LSN fence aggregate broadcast into
                             // the event scan — bounded
-    "events_power_pareto"   // 1-row (n_users, total) aggregate broadcast
-                            // into the O(users) rank relation — bounded
-                            // into the pair/unigram join — bounded
+    "events_power_pareto",  // 1-row (n_users, total, threshold) aggregates
+                            // broadcast into the O(distinct per-user
+                            // counts) histogram — bounded
+    "layout_range_split"    // 1-row sorted-boundary-array aggregate
+                            // (≤ SPLITS−1 values) broadcast into the
+                            // distinct-key pass — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -146,6 +146,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(2) HashAggregate") || p.contains("*(1) HashAggregate"), p)
   }
 
+  test("pareto: no single-partition exchange ever carries the per-user relation") {
+    // the r8 form ranked ALL users through one global row_number window;
+    // the rewrite must confine every Exchange SinglePartition (the
+    // cumulative histogram window + 1-row aggregates) to relations that
+    // have already collapsed the user dimension away
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // EnsureRequirements only inserts the exchanges into executedPlan,
+    // and under AQE that is an untraversable AdaptiveSparkPlanExec leaf
+    // — flip AQE off for the shape check
+    val c = spark.conf
+    val saved = c.get("spark.sql.adaptive.enabled")
+    try {
+      c.set("spark.sql.adaptive.enabled", "false")
+      val ep = SparkEntry.queries("events_power_pareto")(spark, sfDir)
+        .queryExecution.executedPlan
+      val singles = ep.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.nonEmpty, "expected the bounded histogram/1-row exchanges")
+      singles.foreach { e =>
+        assert(!e.child.output.exists(_.name == "user_id"),
+          s"single-partition exchange carries the O(users) relation:\n$e")
+      }
+    } finally c.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At 100 TB a selective dim filter should cut fact-scan rows BEFORE
     // the shuffle: Spark's runtime row-level filter builds a bloom
