@@ -21,14 +21,23 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
 case class ThumbFeatures(doc_id: Long, out_w: Int, out_h: Int,
     scale_x: Double, thumb_md5: String)
 
+/** Decoded audio features for one asset: header metadata + two signal
+  * statistics (RMS level, clipping rate) every ingest QC pass wants.
+  */
+case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+    duration_sec: Double, rms: Double, clip_rate: Double)
+
 /** Multimodal-column plumbing: image/audio/video as `binary` columns.
   *
   * The Spark-side structure is real — schema, column pruning, batched
   * per-partition decode (the JVM analog of `mapInPandas` batches), and
-  * feature extraction — while the actual codec is a STUB: this container
-  * has no image/audio libraries, so `decodeBatch` computes deterministic
-  * fake features from the bytes. Swapping in a real decoder changes one
-  * function.
+  * feature extraction. So are two codec paths, both pure-JDK: PNG/BMP
+  * images through javax.imageio and WAV/PCM audio through
+  * javax.sound.sampled. Only compressed-video (and compressed-audio)
+  * decode remains a declared STUB — this container ships no such codec
+  * libraries — with `decodeBatch` computing deterministic fake features
+  * from the bytes on that branch; swapping in ffmpeg-style bindings
+  * changes one function.
   */
 object Multimodal {
 
@@ -82,6 +91,104 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic WAV per document (16-bit mono PCM @ 8 kHz):
+    * a ±amp square wave whose length, amplitude, and full-scale-sample
+    * pattern are pure functions of doc_id — the audio analog of
+    * `imageAssets`. The oracle PREDICTS every feature arithmetically
+    * (square wave ⇒ Σx² = nc·32767² + (n−nc)·amp², all integer) while
+    * the engine must actually parse the RIFF/WAVE container and the PCM
+    * frames to recover them. docs with doc_id % 5 == 0 drive every 4th
+    * sample to full scale (32767) to make the clipping detector
+    * non-vacuous. Bytes are synthesized executor-side; never collected.
+    */
+  private[multimodal] val AUDIO_RATE = 8000
+  private[multimodal] val CLIP_LEVEL = 32000 // |sample| ≥ this ⇒ clipped
+
+  def audioAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 480 + 32).toInt
+        val amp = ((id * 37) % 28000 + 1000).toInt
+        val clip4 = id % 5 == 0
+        val data = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val v: Int =
+            if (clip4 && i % 4 == 0) 32767
+            else if (i % 2 == 0) amp
+            else -amp
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          AUDIO_RATE.toFloat, 16, 1, true, false) // signed little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        MediaAsset(id, "audio", bytes.length.toLong,
+          md.map("%02x".format(_)).mkString, bytes)
+      }
+    }
+  }
+
+  /** REAL audio decode through javax.sound.sampled (ships with the JDK
+    * — no codec dependency): container + format come from the parsed
+    * WAV header, the signal stats from the PCM frames. Determinism the
+    * repo's usual way: Σx² accumulates as LONG (≤ n·2^30, exact), so
+    * partial order can't move a bit; rms/duration/clip_rate are then
+    * single IEEE ops over engine-identical operands. Non-PCM16-mono or
+    * unparseable payloads are skipped (flatMap None), mirroring the
+    * image decoder's poison-asset contract: a bad asset must never kill
+    * the task.
+    */
+  def decodeAudioBatch(batch: Seq[MediaAsset]): Seq[AudioFeatures] =
+    batch.flatMap { a =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian || f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val raw = in.readAllBytes()
+            val n = raw.length / 2
+            if (n == 0) None
+            else {
+              var sumsq = 0L
+              var nClip = 0L
+              var i = 0
+              while (i < n) {
+                val v = ((raw(2 * i) & 0xff) |
+                  (raw(2 * i + 1).toInt << 8)).toShort.toInt
+                sumsq += v.toLong * v
+                if (math.abs(v) >= CLIP_LEVEL) nClip += 1
+                i += 1
+              }
+              val rate = f.getSampleRate.toInt
+              Some(AudioFeatures(a.doc_id, rate, n.toLong,
+                n.toDouble / rate.toDouble,
+                math.sqrt(sumsq.toDouble / n.toDouble) / 32768.0,
+                nClip.toDouble / n.toDouble))
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+  def decodeAudioFeatures(assets: Dataset[MediaAsset],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(batchSize).flatMap(decodeAudioBatch))
+  }
+
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
   private def isBmp(b: Array[Byte]): Boolean =
@@ -90,10 +197,12 @@ object Multimodal {
   // ===================== DECODER (real + stub) ====================
   // PNG/BMP payloads take a REAL decode through javax.imageio (ships
   // with the JDK — no new deps): width/height/channels come from the
-  // decoded raster and the histogram from actual pixel values. Other
-  // media types (audio/video — no codec libs in this container) keep the
-  // deterministic fake, clearly stubbed; swapping in ffmpeg-style
-  // bindings changes only that branch. The signature — a BATCH of assets
+  // decoded raster and the histogram from actual pixel values. WAV/PCM
+  // audio takes a real decode too (decodeAudioBatch below, via
+  // javax.sound.sampled). Remaining media types (compressed video/audio
+  // — no codec libs in this container) keep the deterministic fake,
+  // clearly stubbed; swapping in ffmpeg-style bindings changes only
+  // that branch. The signature — a BATCH of assets
   // in, features out — is the contract that matters for Spark:
   // batch-at-a-time amortizes codec init per partition.
   // ==============================================================
@@ -212,6 +321,16 @@ object Multimodal {
       resizeFeatures(mediaAssets(s, d).as[MediaAsset]).toDF()
     }),
 
+    // REAL audio codec round trip: synthesize a deterministic square-
+    // wave WAV per doc, parse the RIFF header + PCM frames back with
+    // javax.sound.sampled, report rate/length/duration/RMS/clip-rate.
+    // The oracle derives every value arithmetically from doc_id — the
+    // engine can only match by actually decoding the container.
+    "multimodal_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      decodeAudioFeatures(audioAssets(s, d)).toDF()
+    }),
+
     // Frame sampling: one row per fixed-size window with fingerprint.
     "multimodal_frames" -> ((s, d) => {
       val nFrames =
@@ -245,6 +364,24 @@ object Multimodal {
         |  3 AS channels,
         |  CAST((doc_id % 256) // 32 + 1 AS BIGINT) AS solid_bucket
         |FROM documents""".stripMargin,
+    // Square wave ⇒ Σx² = nc·32767² + (n−nc)·amp² exactly; the BIGINT
+    // sum crosses to DOUBLE in one cast, then the identical three IEEE
+    // ops (÷n, sqrt, ÷32768) the engine applies — bitwise match.
+    "multimodal_audio_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 480 + 32 AS BIGINT) AS n,
+        |    CAST((doc_id * 37) % 28000 + 1000 AS BIGINT) AS amp,
+        |    CAST(CASE WHEN doc_id % 5 = 0
+        |      THEN (doc_id % 480 + 32 + 3) // 4 ELSE 0 END AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  8000 AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(n AS DOUBLE) / 8000.0 AS duration_sec,
+        |  sqrt(CAST(nc * 32767 * 32767 + (n - nc) * amp * amp AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / 32768.0 AS rms,
+        |  CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS clip_rate
+        |FROM p""".stripMargin,
     "multimodal_resize" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    octet_length(encode(text)) % 64 + 1 AS w,

@@ -61,6 +61,22 @@ object Similarity {
   /** codegen'd native kernel (identical numerics to VectorOps.cosine). */
   private def cos(a: Column, b: Column): Column = GraftFunctions.cosineSim(a, b)
 
+  /** ann_covariance exactness gate: every per-(i,j) partial sum on the
+    * 2^40 product grid is bounded by n·2^40 in magnitude (|x| ≤ 1), so
+    * the LONG accumulation is exact iff n·2^40 < 2^63 ⇔ n ≤ 2^23 − 1 =
+    * 8,388,607 rows. A bigger corpus must fail FAST and LOUD here — a
+    * silent wrap would corrupt every covariance cell while still
+    * producing plausible-looking numbers. The scale path past the bound
+    * keeps the same grid and the same answer: shard rows, accumulate
+    * per-shard LONG (n, Σx_i, Σx_j, Σx_i·x_j), merge shards exactly.
+    */
+  private[graft] val COV_MAX_ROWS: Long = (1L << 23) - 1
+  private[graft] def covarianceRowBound(n: Long): Unit =
+    require(n <= COV_MAX_ROWS,
+      s"ann_covariance integer-grid bound exceeded: $n rows > $COV_MAX_ROWS " +
+        "(n·2^40 would overflow LONG; shard-and-merge the moment sums or " +
+        "drop to a coarser grid)")
+
   /** Shared float→double projection, persisted: every ANN query derives
     * both its query side and corpus side from this one relation, and
     * Spark's CacheManager matches the identical analyzed plan across the
@@ -391,10 +407,13 @@ object Similarity {
     // change a bit; cov = E[xy] − E[x]E[y] is then three exact
     // conversions and three IEEE ops over engine-identical doubles.
     // Overflow bound: n·2^40 < 2^63 holds to ~8.4M rows for |x| ≤ 1
-    // (shard-and-merge or drop to a 2^35 grid beyond that).
+    // (shard-and-merge or drop to a 2^35 grid beyond that) — ENFORCED:
+    // a corpus past the bound fails loudly at construction instead of
+    // silently wrapping the LONG grid (see covarianceRowBound).
     "ann_covariance" -> ((s, d) => {
       val Q = 1073741824.0    // 2^30
       val Q2 = 1099511627776.0 // 2^40
+      covarianceRowBound(Tables.embeddings(s, d).count())
       Tables.embeddings(s, d)
         .select(VectorOps.asDouble(col("embedding")).as("e"))
         .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))

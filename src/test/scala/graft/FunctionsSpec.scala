@@ -118,6 +118,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(3).width === (12 % 64) + 1) // throwing decoder → stub, no crash
   }
 
+  test("audio decode: WAV round trip recovers rate/length/RMS/clip exactly; poison skipped") {
+    // hand-build a known signal: 8 samples, ±1000 square wave with two
+    // full-scale samples → rms/clip predictable to the bit
+    val n = 8
+    val data = new Array[Byte](2 * n)
+    val vals = Array(32767, -1000, 1000, -1000, 32767, -1000, 1000, -1000)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val out = Multimodal.decodeAudioBatch(Seq(
+      MediaAsset(7L, "audio", wav.length.toLong, "c", wav),
+      // RIFF magic but truncated body: parser throws → skipped, no crash
+      MediaAsset(8L, "audio", 8L, "c", "RIFFxxxx".getBytes("ISO-8859-1")),
+      // valid container, unsupported shape for the PCM16-mono stats path
+      MediaAsset(9L, "audio", 4L, "c", Array[Byte](1, 2, 3, 4))))
+    assert(out.map(_.doc_id) === Seq(7L))
+    val f = out.head
+    assert(f.sample_rate === 8000 && f.n_samples === 8L)
+    assert(f.duration_sec === 8.0 / 8000.0)
+    val sumsq = vals.map(v => v.toLong * v).sum
+    assert(f.rms === math.sqrt(sumsq.toDouble / n.toDouble) / 32768.0)
+    assert(f.clip_rate === 2.0 / 8.0)
+  }
+
   test("multimodal decodeBatch is deterministic and batch-invariant") {
     val assets = (1L to 130L).map { i =>
       val bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8")

@@ -175,6 +175,21 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("covariance row bound: loud fail-fast at the LONG-grid overflow edge") {
+    import graft.operators.Similarity
+    // bound is inclusive at 2^23 − 1 (n·2^40 = 2^63 − 2^40 still fits)
+    Similarity.covarianceRowBound(Similarity.COV_MAX_ROWS)
+    Similarity.covarianceRowBound(1L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.covarianceRowBound(Similarity.COV_MAX_ROWS + 1)
+    }
+    assert(e.getMessage.contains("integer-grid bound"),
+      "overflow must name the bound, not wrap silently")
+    // and the gated query still constructs + runs under the bound
+    assert(graft.operators.Similarity.queries("ann_covariance")(spark, sfDir)
+      .count() > 0)
+  }
+
   test("containment: sound (true containment >= threshold) and complete vs the indexed candidate set") {
     val got = graft.operators.Dedup.queries("dedup_containment")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

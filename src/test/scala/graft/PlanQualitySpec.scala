@@ -173,6 +173,49 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally c.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("repo-wide sweep: partitionless windows only over documented bounded relations") {
+    // a Window with no partitionBy funnels its whole input through one
+    // task — acceptable ONLY when that input is provably planner-sized.
+    // Mirror of the no-SortAggregate sweep: every query either has zero
+    // partitionless windows, or appears here with the reason its
+    // windowed relation is bounded. Additions should hurt a little.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val bounded = Map(
+      "events_cum_users" -> "O(days): first-activity day roll-up",
+      "events_changepoint" -> "O(days): daily counts (cusum + argmax pass)",
+      "text_quality_deciles" -> "O(distinct scores): small-integer score histogram",
+      "events_power_pareto" -> "O(distinct per-user counts): count histogram",
+      "layout_range_split" -> "O(sample): rate-bounded boundary-rank pass",
+      "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch")
+    val c = spark.conf
+    val saved = c.get("spark.sql.adaptive.enabled")
+    try {
+      c.set("spark.sql.adaptive.enabled", "false")
+      val skip = Set("agg_cms_heavy_hitters", "dedup_keep_canonical")
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(skip).filterNot(_.endsWith("_clusters"))
+      val offenders = names.filterNot(bounded.contains).filter { name =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+      }
+      assert(offenders.isEmpty,
+        s"undocumented partitionless window (single-task funnel) in: $offenders")
+      // keep the whitelist honest: an entry whose query no longer plans
+      // a partitionless window must be deleted, not left to rot
+      val stale = bounded.keys.toSeq.sorted.filter { name =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+          }.isEmpty
+      }
+      assert(stale.isEmpty, s"whitelist entries with no partitionless window: $stale")
+    } finally c.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At 100 TB a selective dim filter should cut fact-scan rows BEFORE
     // the shuffle: Spark's runtime row-level filter builds a bloom
