@@ -315,6 +315,74 @@ object Profiling {
           expr("percentile(value, 0.95)").as("p95_value"))
     }),
 
+    // Day-cohorted funnel RATES: first view < first click < first
+    // purchase per user (events_funnel's conditional-min convention,
+    // here on unix micros), rolled up by first-view day into the
+    // conversion-rate series a growth dashboard actually plots — the
+    // per-user funnel's O(days) companion view. One hash aggregation
+    // per user, then an O(days) roll-up; zero-click cohorts yield NULL
+    // purchase rate (0/0 guard).
+    "events_funnel_daily" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("mv"),
+          min(when(col("event_type") === "click", col("us"))).as("mc"),
+          min(when(col("event_type") === "purchase", col("us"))).as("mp"))
+      per.filter(col("mv").isNotNull)
+        .groupBy(to_date(timestamp_micros(col("mv"))).as("cohort_day"))
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("mc") > col("mv"), 1L).otherwise(0L))
+            .as("n_clicked"),
+          sum(when(col("mc") > col("mv") && col("mp") > col("mc"), 1L)
+            .otherwise(0L)).as("n_purchased"))
+        .withColumn("view_click_rate",
+          col("n_clicked").cast("double") / col("n_viewers").cast("double"))
+        .withColumn("click_purchase_rate",
+          when(col("n_clicked") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_purchased").cast("double") /
+              col("n_clicked").cast("double")))
+    }),
+
+    // Per-source document-length bands — events_value_bands' exact-
+    // interpolation percentile convention applied to the curation axis
+    // every mixture decision reads first (a source whose p95 collapses
+    // is shipping fragments; one whose p50 explodes is shipping
+    // concatenation bugs).
+    "text_length_bands" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.95)").as("p95_chars"))
+    }),
+
+    // Generation-loop screen: longest run of consecutive identical
+    // tokens per document. Degenerate model output (and template spam)
+    // shows up as long single-token runs long before perplexity-style
+    // scores can see it. Gaps-and-islands over the token sequence: a
+    // run boundary is tok ≠ lag(tok), the running boundary count is the
+    // island id, and both windows + the two aggregations share ONE
+    // doc_id-clustered exchange. All-integer island arithmetic — both
+    // engines agree bitwise.
+    "text_repeat_run" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val cum = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "tok")))
+        .withColumn("brk",
+          when(lag(col("tok"), 1).over(w).isNull ||
+            lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(cum))
+        .groupBy(col("doc_id"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"), max("run_len").as("max_run"))
+    }),
+
     // Which scrape is most duplicated: per-source exact-dup rate over
     // the same normalized fingerprint dedup_exact canonicalizes on.
     // The curation-budget report — a source with dup_rate 0.4 wastes
@@ -552,6 +620,49 @@ object Profiling {
         |  quantile_cont(value, 0.5) AS p50_value,
         |  quantile_cont(value, 0.95) AS p95_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_funnel_daily" ->
+      """WITH per AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS mv,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS mc,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS mp
+        |  FROM events GROUP BY user_id),
+        |coh AS (SELECT CAST(make_timestamp(mv) AS DATE) AS cohort_day,
+        |    COUNT(*) AS n_viewers,
+        |    CAST(SUM(CASE WHEN mc > mv THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |    CAST(SUM(CASE WHEN mc > mv AND mp > mc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchased
+        |  FROM per WHERE mv IS NOT NULL GROUP BY 1)
+        |SELECT cohort_day, n_viewers, n_clicked, n_purchased,
+        |  CAST(n_clicked AS DOUBLE) / CAST(n_viewers AS DOUBLE) AS view_click_rate,
+        |  CASE WHEN n_clicked = 0 THEN NULL
+        |    ELSE CAST(n_purchased AS DOUBLE) / CAST(n_clicked AS DOUBLE) END
+        |    AS click_purchase_rate
+        |FROM coh""".stripMargin,
+
+    "text_length_bands" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.95) AS p95_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "text_repeat_run" ->
+      """WITH u AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(a, 1) AS pos, a FROM u),
+        |s AS (SELECT doc_id, pos, a[pos] AS tok FROM t),
+        |r AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) <> tok
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM s),
+        |g AS (SELECT doc_id, pos,
+        |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_id
+        |  FROM r),
+        |runs AS (SELECT doc_id, run_id, COUNT(*) AS run_len FROM g GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_runs, CAST(MAX(run_len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY doc_id""".stripMargin,
 
     "text_dedup_rate_by_source" ->
       """SELECT source, COUNT(*) AS n_docs,

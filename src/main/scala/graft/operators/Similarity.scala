@@ -77,6 +77,20 @@ object Similarity {
         "(n·2^40 would overflow LONG; shard-and-merge the moment sums or " +
         "drop to a coarser grid)")
 
+  /** Sharded variant's bound: each shard (vec_id % COV_SHARDS, dense ids
+    * ⇒ near-uniform) accumulates its own LONG sums, and shard totals
+    * merge through DECIMAL(38,0) — exact at any count — so the corpus
+    * cap multiplies by the shard count. The conservative uniform-shard
+    * assumption is stated rather than measured; a pathological id
+    * distribution should raise COV_SHARDS, not trust luck.
+    */
+  private[graft] val COV_SHARDS = 32
+  private[graft] def covarianceShardBound(n: Long): Unit =
+    require(n <= COV_MAX_ROWS * COV_SHARDS,
+      s"ann_covariance_sharded bound exceeded: $n rows > " +
+        s"${COV_MAX_ROWS * COV_SHARDS} (raise COV_SHARDS; the decimal " +
+        "merge itself never overflows)")
+
   /** Shared float→double projection, persisted: every ANN query derives
     * both its query side and corpus side from this one relation, and
     * Spark's CacheManager matches the identical analyzed plan across the
@@ -431,6 +445,45 @@ object Similarity {
             .cast("double") / Q2 / count(lit(1)).cast("double")).as("mp"))
         .select(col("dim_i"), col("dim_j"), col("n_rows"),
           (col("mp") - col("mi") * col("mj")).as("cov"))
+    }),
+
+    // The SCALE PATH past ann_covariance's ~8.4M-row LONG-grid bound:
+    // shard rows by vec_id, accumulate each shard's grid sums as LONG
+    // (per-shard bound: ns·2^40 < 2^63), merge shard totals through
+    // DECIMAL(38,0) — exact at any corpus size. The merge is a pure
+    // re-association of the SAME integer sums, and both the LONG→double
+    // and scale-0-decimal→double conversions are single correctly-
+    // rounded casts of the same integer, so the output is BIT-IDENTICAL
+    // to the flat form (asserted in MiningSpec) and shares its oracle.
+    // Cost shape is unchanged — the extra shard key adds one partial-agg
+    // level (COV_SHARDS·d²/2 groups), the corpus still never shuffles.
+    "ann_covariance_sharded" -> ((s, d) => {
+      val Q = 1073741824.0    // 2^30
+      val Q2 = 1099511627776.0 // 2^40
+      covarianceShardBound(Tables.embeddings(s, d).count())
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % COV_SHARDS).as("shard"),
+          VectorOps.asDouble(col("embedding")).as("e"))
+        .select(col("shard"), col("e"), posexplode(col("e")).as(Seq("i", "vi")))
+        .select(col("shard"), col("i"), col("vi"),
+          explode(transform(sequence(col("i"), size(col("e")) - 1),
+            j => struct(j.as("j"), col("e")(j).as("vj")))).as("p"))
+        .groupBy(col("shard"), col("i").cast("long").as("dim_i"),
+          col("p.j").cast("long").as("dim_j"))
+        .agg(count(lit(1)).as("ns"),
+          sum(floor(col("vi") * Q + 0.5).cast("long")).as("sx"),
+          sum(floor(col("p.vj") * Q + 0.5).cast("long")).as("sy"),
+          sum(floor(col("vi") * col("p.vj") * Q2 + 0.5).cast("long")).as("sxy"))
+        .groupBy("dim_i", "dim_j")
+        .agg(sum("ns").as("n_rows"),
+          sum(col("sx").cast("decimal(38,0)")).as("gx"),
+          sum(col("sy").cast("decimal(38,0)")).as("gy"),
+          sum(col("sxy").cast("decimal(38,0)")).as("gxy"))
+        .select(col("dim_i"), col("dim_j"), col("n_rows"),
+          ((col("gxy").cast("double") / Q2 / col("n_rows").cast("double")) -
+            (col("gx").cast("double") / Q / col("n_rows").cast("double")) *
+            (col("gy").cast("double") / Q / col("n_rows").cast("double")))
+            .as("cov"))
     })
   )
 
@@ -585,7 +638,13 @@ object Similarity {
     // Upper-triangle pair expansion via nested unnests (1-based
     // subscripts shifted to Spark's 0-based dims); identical grid
     // constants and division order as the Spark side.
-    "ann_covariance" ->
+    "ann_covariance" -> covarianceSql,
+    // Shard-and-merge is a pure re-association of the SAME integer sums
+    // — the oracle is the flat formulation, byte-identical output.
+    "ann_covariance_sharded" -> covarianceSql
+  )
+
+  private lazy val covarianceSql =
       """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |ui AS (SELECT e, generate_subscripts(e, 1) AS ip FROM ev),
         |up AS (SELECT e, ip, unnest(generate_series(ip, len(e))) AS jp FROM ui),
@@ -601,5 +660,4 @@ object Similarity {
         |      / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS mp
         |  FROM p GROUP BY 1, 2)
         |SELECT dim_i, dim_j, n_rows, mp - mi * mj AS cov FROM a""".stripMargin
-  )
 }

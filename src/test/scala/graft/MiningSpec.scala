@@ -188,6 +188,30 @@ class MiningSpec extends AnyFunSuite {
     // and the gated query still constructs + runs under the bound
     assert(graft.operators.Similarity.queries("ann_covariance")(spark, sfDir)
       .count() > 0)
+    // sharded bound sits COV_SHARDS× higher and trips the same way
+    Similarity.covarianceShardBound(
+      Similarity.COV_MAX_ROWS * Similarity.COV_SHARDS)
+    intercept[IllegalArgumentException] {
+      Similarity.covarianceShardBound(
+        Similarity.COV_MAX_ROWS * Similarity.COV_SHARDS + 1)
+    }
+  }
+
+  test("sharded covariance merge is BIT-identical to the flat grid form") {
+    // shard-and-merge re-associates the same integer sums; both cast
+    // paths (LONG→double, scale-0 decimal→double) are single correctly-
+    // rounded casts — so every cov cell must match to the last bit
+    def canon(n: String) = graft.operators.Similarity.queries(n)(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val flat = canon("ann_covariance")
+    val sharded = canon("ann_covariance_sharded")
+    assert(flat.keySet === sharded.keySet)
+    assert(flat.nonEmpty)
+    flat.foreach { case (k, v) =>
+      assert(sharded(k) === v, s"cell $k diverged")
+    }
   }
 
   test("containment: sound (true containment >= threshold) and complete vs the indexed candidate set") {

@@ -295,6 +295,59 @@ class ProfilingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_wedges") === degs.map(d => d * (d - 1) / 2).sum)
   }
 
+  test("daily funnel: stage counts nest and cohorts cover every viewing user") {
+    val f = Profiling.queries("events_funnel_daily")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    // monotone stages: purchased ⊆ clicked ⊆ viewers, per cohort
+    assert(f.filter(col("n_purchased") > col("n_clicked") ||
+      col("n_clicked") > col("n_viewers")).count() === 0)
+    // every user with a view lands in exactly one cohort
+    val viewers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(f.agg(sum("n_viewers")).collect()(0).getLong(0) === viewers)
+    // rate fields agree with their integer numerators
+    assert(f.filter(col("view_click_rate") =!=
+      col("n_clicked").cast("double") / col("n_viewers").cast("double"))
+      .count() === 0)
+    f.unpersist()
+  }
+
+  test("length bands: p50 <= p95, inside [min,max], docs partition by source") {
+    val b = Profiling.queries("text_length_bands")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    assert(b.filter(col("p50_chars") > col("p95_chars")).count() === 0)
+    val mm = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    assert(b.join(mm, "source")
+      .filter(col("p50_chars") < col("mn") || col("p95_chars") > col("mx"))
+      .count() === 0)
+    assert(b.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sfDir).count())
+    b.unpersist()
+  }
+
+  test("repeat runs match a brute-force scan of every document") {
+    val got = Profiling.queries("text_repeat_run")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      var runs = 0L
+      var maxRun = 0L
+      var cur = 0L
+      var prev: String = null
+      toks.foreach { t =>
+        if (prev == null || t != prev) { runs += 1; cur = 1 } else cur += 1
+        if (cur > maxRun) maxRun = cur
+        prev = t
+      }
+      assert(got(id) === ((runs, maxRun)), s"doc $id")
+    }
+  }
+
   test("bigram commonness: every doc's avg df is >= 1 and a duplicated doc pushes df up") {
     val c = Profiling.queries("text_bigram_commonness")(spark, sfDir)
       .transform(df => { df.persist(); df })
