@@ -17,7 +17,90 @@ import graft.sources.Tables
   */
 object RelationalExt {
 
+  /** Mergeable quantile sketch (DataSketches KLL) as a typed Aggregator:
+    * the quantile analog of the HLL rollup — per-group sketches are
+    * FIXED BYTES that re-aggregate by merging, so a second-level
+    * percentile touches O(groups) sketches instead of rescanning rows
+    * (Spark's built-in approx_percentile yields final numbers, which
+    * cannot be re-merged). The buffer stays a live heap sketch object
+    * (kryo only on spill/exchange); update/merge are the sketch's own
+    * O(1)-amortized ops. k=400 ⇒ one-sided normalized rank error well
+    * under 1%, so the ±2.5% exact-rank bracket asserted by the query is
+    * a many-sigma contract, robust to KLL's internal (unseeded) random
+    * compaction bits — which is also why the ESTIMATE never appears in
+    * the output, only the bound verdict (the CMS/HLL convention).
+    */
+  private class KllAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Double, org.apache.datasketches.kll.KllDoublesSketch, Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(400)
+    def reduce(b: KllDoublesSketch, x: Double): KllDoublesSketch = {
+      b.update(x); b
+    }
+    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+      a.merge(b); a
+    }
+    def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[KllDoublesSketch]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Merge-only second level: unions serialized group sketches. */
+  private class KllMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], org.apache.datasketches.kll.KllDoublesSketch, Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(400)
+    def reduce(b: KllDoublesSketch, x: Array[Byte]): KllDoublesSketch = {
+      b.merge(KllDoublesSketch.heapify(Memory.wrap(x))); b
+    }
+    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+      a.merge(b); a
+    }
+    def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[KllDoublesSketch]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private lazy val kllP50 = udf((b: Array[Byte]) =>
+    org.apache.datasketches.kll.KllDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b))
+      .getQuantile(0.5))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Mergeable-quantile rollup: per-returnflag KLL sketches of
+    // extendedprice, re-aggregated by UNION into the global median —
+    // second level touches O(groups) sketches, not O(rows). The oracle
+    // checks the contract (estimate's exact rank within 0.5 ± 0.025,
+    // i.e. bracketed by the exact p47.5/p52.5) plus the exact medians;
+    // the sketch estimate itself is excluded from the output because
+    // KLL compaction is internally randomized.
+    "agg_kll_quantile_rollup" -> ((s, d) => {
+      val kll = udaf(new KllAgg, org.apache.spark.sql.Encoders.scalaDouble)
+      val kllMerge = udaf(new KllMergeAgg,
+        org.apache.spark.sql.Encoders.BINARY)
+      val li = Tables.lineitem(s, d)
+      val perFlag = li.groupBy("l_returnflag")
+        .agg(kll(col("l_extendedprice")).as("sk"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.475)").as("lo"),
+          expr("percentile(l_extendedprice, 0.525)").as("hi"))
+        .transform(graft.CachePool.persist)
+      val groups = perFlag.select(col("l_returnflag"), col("exact_p50"),
+        (kllP50(col("sk")) >= col("lo") &&
+          kllP50(col("sk")) <= col("hi")).as("bound_ok"))
+      val globalExact = li.agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.475)").as("lo"),
+        expr("percentile(l_extendedprice, 0.525)").as("hi"))
+      val union = perFlag.agg(kllMerge(col("sk")).as("sk"))
+        .crossJoin(broadcast(globalExact))
+        .select(lit("ALL").as("l_returnflag"), col("exact_p50"),
+          (kllP50(col("sk")) >= col("lo") &&
+            kllP50(col("sk")) <= col("hi")).as("bound_ok"))
+      groups.unionByName(union)
+    }),
 
     // AS-OF JOIN: for each purchase, the latest strictly-earlier click
     // of the same user. event_id is the total order (LSN analog), so
@@ -447,6 +530,15 @@ object RelationalExt {
         |FROM lineitem GROUP BY l_returnflag
         |UNION ALL
         |SELECT 'ALL' AS l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS bound_ok
+        |FROM lineitem""".stripMargin,
+    "agg_kll_quantile_rollup" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  TRUE AS bound_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL' AS l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
         |  TRUE AS bound_ok
         |FROM lineitem""".stripMargin,
     "agg_cms_heavy_hitters" ->

@@ -47,6 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // as the balance threshold — bounded
     "agg_hll_mergeable",    // 1-row global exact-distinct aggregate broadcast
                             // next to the union-sketch estimate — bounded
+    "agg_kll_quantile_rollup", // 1-row global exact-percentile aggregate
+                            // broadcast next to the merged sketch — bounded
     "text_pmi_ratio",       // 1-row corpus-token-total aggregate broadcast
                             // into the pair/unigram join — bounded
     "events_anomaly_days",  // 1-row moment aggregate (n, Σ, Σ²) broadcast
