@@ -38,6 +38,12 @@ object Curation {
   private val GRID = 1L << 30 // integer grid for order-independent sums
   private val SEED = "shuf42:"
 
+  /** text_domain_cap per-source document ceiling (bites at every test
+    * SF: sources carry 25–250 docs; the rule is the point, not the
+    * constant).
+    */
+  private val DOMAIN_CAP = 15
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_redact_ids" -> ((s, d) => {
@@ -88,6 +94,41 @@ object Curation {
         .withColumn("shard", substring(col("sort_key"), 1, 1))
         .orderBy("sort_key")
         .limit(50)
+    }),
+
+    // Per-source document cap (RefinedWeb-style domain capping): no
+    // source keeps more than DOMAIN_CAP documents, the kept set chosen
+    // by seeded-hash priority — a uniform random subset that is a pure
+    // function of doc_id, reproducible under replay and shard order.
+    // Scale shape: totals are one hash agg; the kept side is a per-
+    // source top-k by hash — RankLimitRewrite turns the rn ≤ CAP filter
+    // into TopKPerKey (per-partition CAP-row heaps prune before the
+    // exchange), so a 10⁹-doc source ships CAP rows, never its full
+    // sorted id list. The two aggregates join on source (O(sources)
+    // rows, broadcast). Contrast with text_source_sample (rate-based
+    // thinning) and text_source_temperature (weight curve): the cap is
+    // the hard-ceiling variant every web-crawl pipeline also needs.
+    "text_domain_cap" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      import org.apache.spark.sql.expressions.Window
+      val hv = conv(substring(
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), hv.as("hv"))
+      val totals = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+      val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+      val kept = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("kept_chars"))
+      totals.join(broadcast(kept), "source")
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          col("total_chars"), col("kept_chars"))
     })
   )
 
@@ -123,6 +164,21 @@ object Curation {
          |  md5('$SEED' || CAST(doc_id AS VARCHAR)) AS sort_key,
          |  substr(md5('$SEED' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
          |FROM documents
-         |ORDER BY sort_key LIMIT 50""".stripMargin
+         |ORDER BY sort_key LIMIT 50""".stripMargin,
+    "text_domain_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |    ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      AS hv
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY hv, doc_id) AS rn FROM d),
+         |t AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM d GROUP BY source),
+         |k AS (SELECT source, COUNT(*) AS n_kept,
+         |    CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |  FROM r WHERE rn <= $DOMAIN_CAP GROUP BY source)
+         |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+         |  total_chars, kept_chars
+         |FROM t JOIN k USING (source)""".stripMargin
   )
 }

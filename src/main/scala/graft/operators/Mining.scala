@@ -48,6 +48,10 @@ object Mining {
   /** events_burst_days anomaly threshold, in self-baseline std units. */
   private val BURST_Z = 2.0
 
+  /** events_top_paths: opening-sequence length and report size. */
+  private val PATH_LEN = 5
+  private val PATH_TOP = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Markov transition matrix: count (event_type → next event_type)
@@ -212,6 +216,38 @@ object Mining {
         .withColumn("conv_rate",
           col("n_converted").cast("double") /
             col("n_click_sessions").cast("double"))
+    }),
+
+    // Top user journeys: the most common PATH_LEN-step opening event
+    // sequence (the funnel-discovery complement of the transition
+    // matrix, which only sees single steps). Scale shape: the first-k
+    // prefix is a per-user top-k by event_id — RankLimitRewrite turns
+    // the rn ≤ k filter into the two-phase TopKPerKey operator (per-
+    // partition k-row heaps prune BEFORE the exchange), so a user with
+    // a million events ships k rows, never a full sorted history. The
+    // path assembly reuses the same user_id exchange (groupBy on the
+    // window's own partition key), path aggregation shuffles ≤
+    // |event_types|^k ≈ 5^5 path rows, and the final top-20 is a
+    // TakeOrderedAndProject (per-partition heaps + a driver merge of
+    // 20-row slices, never a global sort). sort_array on (event_id,
+    // event_type) structs makes assembly order canonical under any
+    // shard order — same trick as basket_part_pairs.
+    "events_top_paths" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val prefix = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PATH_LEN)
+      prefix.groupBy("user_id")
+        .agg(concat_ws(">",
+          transform(
+            sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+            p => p("event_type"))).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(PATH_TOP)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -228,6 +264,17 @@ object Mining {
         |    CAST(SUM(n_transitions) OVER (PARTITION BY from_event) AS DOUBLE)
         |    AS prob
         |FROM m""".stripMargin,
+
+    "events_top_paths" ->
+      s"""WITH r AS (SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         |  FROM events),
+         |p AS (SELECT user_id,
+         |    string_agg(event_type, '>' ORDER BY event_id) AS path
+         |  FROM r WHERE rn <= $PATH_LEN GROUP BY user_id)
+         |SELECT path, COUNT(*) AS n_users
+         |FROM p GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT $PATH_TOP""".stripMargin,
 
     // Self-join formulation — the algebraic identity of the basket
     // expansion above: pairs(sorted array) ≡ {(a,b) : same order, a<b}.

@@ -31,6 +31,14 @@ object RelationalExt2 {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** join_bloom_prune filter design point: k hash functions, bits
+    * per BUILD key (m = BITS_PER_KEY·|build| slots total). With k=3
+    * and 16 bits/key the fill is 1−e^(−3/16) ≈ 17% ⇒ FPR ≈ 0.17³ ≈
+    * 0.5%, independent of scale because m tracks the build count.
+    */
+  private val BLOOM_K = 3
+  private val BLOOM_BITS_PER_KEY = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Blocked fuzzy entity matching (the edit-distance tier of entity
@@ -234,6 +242,69 @@ object RelationalExt2 {
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_custkey").isNotNull.as("has_customer"),
           coalesce(col("cnt"), lit(0L)).as("n_orders"))
+    }),
+
+    // Bloom-filter join pruning — the runtime-filter pattern (Spark's
+    // own InjectRuntimeFilter / DPP shape, built explicitly so the
+    // filter itself is verifiable): the selective build side (one
+    // market segment's customers) condenses to a bit-set of
+    // BLOOM_K hash positions per key over m = BLOOM_BITS_PER_KEY·|build|
+    // slots, and the probe side tests membership map-side against the
+    // broadcast bit-set BEFORE any shuffle toward the exact join — at
+    // 100 TB the probe relation crosses the wire at (true matches +
+    // measured false positives), not in full. No false negatives BY
+    // CONSTRUCTION (a member's positions are all set), so the exact
+    // verify join only ever RECEIVES bloom survivors; the query reports
+    // the measured FP rate next to the filter's design point
+    // (k=3, 16 bits/key ⇒ ~0.5% on uniform keys). m scales WITH the
+    // build side — a fixed m saturates to fp→1 at 100× (measured:
+    // m=8192 is 66% full at sf0.1 already) — and both engines derive it
+    // from the same COUNT so the filters are identical bit-for-bit.
+    // Contract: the build side is the SELECTIVE side (runtime-filter
+    // regime); the bits relation is O(m) = O(16·|build|) rows and is
+    // broadcast — for a build side too big for that, shard the filter
+    // by key range (same math per shard) instead of giving up pruning.
+    // fp_rate is one IEEE division of two exact longs; NULL when there
+    // are no non-members to measure on.
+    "join_bloom_prune" -> ((s, d) => {
+      def pos(i: Int, key: org.apache.spark.sql.Column,
+          m: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"bf$i|"), key.cast("string"))),
+          1, 8), 16, 10).cast("long") % m
+      val hashes = 1 to BLOOM_K
+      val build = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k")).distinct()
+        .transform(graft.CachePool.persist) // bits + m + exact verify
+      val mDf = build.agg((count(lit(1)) * BLOOM_BITS_PER_KEY).as("m"))
+        .withColumn("__j", lit(1))
+      val bits = build.withColumn("__j", lit(1)).join(broadcast(mDf), "__j")
+        .select(explode(array(hashes.map(i =>
+          pos(i, col("k"), col("m"))): _*)).as("pos"))
+        .distinct()
+      val probe = Tables.orders(s, d)
+        .select(col("o_custkey").as("k")).distinct()
+        .transform(graft.CachePool.persist)
+      val pass = probe.withColumn("__j", lit(1)).join(broadcast(mDf), "__j")
+        .select(col("k"), explode(array(hashes.map(i =>
+          pos(i, col("k"), col("m"))): _*)).as("pos"))
+        .join(broadcast(bits), "pos")
+        .groupBy("k").agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === BLOOM_K)
+      val passTag = pass.join(build.withColumn("is_member", lit(1L)),
+          Seq("k"), "left")
+        .agg(count(lit(1)).as("n_pass"),
+          coalesce(sum(coalesce(col("is_member"), lit(0L))), lit(0L))
+            .as("n_true_members"))
+        .withColumn("__j", lit(1))
+      probe.agg(count(lit(1)).as("n_probe")).withColumn("__j", lit(1))
+        .join(broadcast(passTag), "__j")
+        .select(col("n_probe"), col("n_pass"), col("n_true_members"),
+          (col("n_pass") - col("n_true_members")).as("n_false_pos"),
+          when(col("n_probe") === col("n_true_members"), lit(null))
+            .otherwise((col("n_pass") - col("n_true_members")).cast("double") /
+              (col("n_probe") - col("n_true_members")).cast("double"))
+            .as("fp_rate"))
     }),
 
     // Exact portable statistics: corr and sample stddev from decimal
@@ -566,6 +637,38 @@ object RelationalExt2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // Identical hash family ('0x'-prefixed md5 slice ≡ Spark's
+    // conv(...,16,10)) and the same data-derived m, so the oracle's
+    // filter is the SAME filter — false positives and all.
+    "join_bloom_prune" -> {
+      def posSql(i: Int, key: String) =
+        s"('0x' || substr(md5('bf$i|' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % (SELECT m FROM m)"
+      val buildArms = (1 to BLOOM_K)
+        .map(i => s"SELECT ${posSql(i, "k")} AS pos FROM build")
+        .mkString("\n  UNION ALL ")
+      val probeArms = (1 to BLOOM_K)
+        .map(i => s"SELECT k, ${posSql(i, "k")} AS pos FROM probe")
+        .mkString("\n  UNION ALL ")
+      s"""WITH build AS (SELECT DISTINCT c_custkey AS k FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |m AS (SELECT $BLOOM_BITS_PER_KEY * COUNT(*) AS m FROM build),
+         |bits AS (SELECT DISTINCT pos FROM ($buildArms)),
+         |probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         |pp AS ($probeArms),
+         |pass AS (SELECT k FROM pp JOIN bits USING (pos)
+         |  GROUP BY k HAVING COUNT(*) = $BLOOM_K),
+         |agg AS (SELECT
+         |    (SELECT COUNT(*) FROM probe) AS n_probe,
+         |    (SELECT COUNT(*) FROM pass) AS n_pass,
+         |    (SELECT COUNT(*) FROM pass WHERE k IN (SELECT k FROM build))
+         |      AS n_true_members)
+         |SELECT n_probe, n_pass, n_true_members,
+         |  n_pass - n_true_members AS n_false_pos,
+         |  CASE WHEN n_probe = n_true_members THEN NULL
+         |    ELSE CAST(n_pass - n_true_members AS DOUBLE) /
+         |      CAST(n_probe - n_true_members AS DOUBLE) END AS fp_rate
+         |FROM agg""".stripMargin
+    },
     "join_fuzzy_block" -> {
       val arms = (1 to 9).map { i =>
         s"SELECT c_name, '$i:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}) AS blk FROM c"

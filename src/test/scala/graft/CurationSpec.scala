@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Semantic checks for the curation operators beyond the DuckDB oracle:
+  * the cap rule's invariants against an independent computation.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("text_domain_cap: every source keeps exactly min(n_docs, cap), kept set is hash-determined") {
+    val rows = Curation.queries("text_domain_cap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === totals.keySet,
+      "every source must appear in the cap report")
+    for (r <- rows) {
+      val (src, nDocs, nKept, nDropped) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDocs === totals(src))
+      assert(nKept === math.min(nDocs, 15L), s"source $src cap rule")
+      assert(nDropped === nDocs - nKept)
+      assert(r.getLong(5) <= r.getLong(4), s"source $src kept_chars > total_chars")
+    }
+    // Determinism: the kept set is a pure function of doc_id, so a
+    // second evaluation (fresh plan) must produce byte-identical rows.
+    val again = Curation.queries("text_domain_cap")(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+}

@@ -327,4 +327,25 @@ class MiningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events_top_paths equals the brute-force prefix formulation") {
+    // Independent formulation: collect EVERY user's full ordered event
+    // sequence (no window, no TopKPerKey), slice the first 5 in Scala,
+    // count paths, take the same deterministically-ordered top 20.
+    val brute = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).take(5).map(_.getString(2)).mkString(">")
+      }
+      .groupBy(identity).map { case (p, ps) => (p, ps.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Mining.queries("events_top_paths")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // prefix rule: no reported path exceeds 5 steps
+    assert(got.forall(_._1.split('>').length <= 5))
+  }
 }

@@ -66,9 +66,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_power_pareto",  // 1-row (n_users, total, threshold) aggregates
                             // broadcast into the O(distinct per-user
                             // counts) histogram — bounded
-    "layout_range_split"    // 1-row sorted-boundary-array aggregate
+    "layout_range_split",   // 1-row sorted-boundary-array aggregate
                             // (≤ SPLITS−1 values) broadcast into the
                             // distinct-key pass — bounded
+    "join_bloom_prune"      // 1-row filter-size (m) aggregate broadcast
+                            // into build/probe hashing, and the final
+                            // 1-row × 1-row summary combine — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -48,4 +48,27 @@ class SkewSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     }
   }
+
+  test("join_bloom_prune: no false negatives, counts reconcile exactly") {
+    import graft.sources.Tables
+    val sfDir = "/root/testdata/sf0.001"
+    val row = graft.operators.RelationalExt2.queries("join_bloom_prune")(
+      spark, sfDir).collect().head
+    val (nProbe, nPass, nTrue, nFalse) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // Ground truth membership, computed with a plain exact semi-join.
+    val build = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+    val probe = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k")).distinct()
+    val exactMembers = probe.join(build, Seq("k"), "left_semi").count()
+    assert(nProbe === probe.count())
+    // A Bloom filter NEVER loses a member: every true member passes.
+    assert(nTrue === exactMembers,
+      s"false negative: $nTrue passed members vs $exactMembers true members")
+    assert(nFalse === nPass - nTrue)
+    assert(nPass >= nTrue)
+    assert(nPass <= nProbe)
+  }
 }
