@@ -188,6 +188,57 @@ object Similarity {
   private def nprobe(s: SparkSession, d: String): Int =
     math.max(PROBE_MIN, math.ceil(PROBE_FRAC * centroidSeq(s, d).size).toInt)
 
+  /** ann_semdedup near-dup bar — the same threshold the dedup family's
+    * brute-force query (Dedup.COSINE_NEAR) uses, so recall is measured
+    * against the identical pair definition.
+    */
+  private val SEMDEDUP_T = 0.45
+
+  /** Multi-probe width: each vector joins its SEMDEDUP_PROBES nearest
+    * clusters for the pair search (primary assignment still owns it
+    * for the per-cluster report). Single-probe misses every pair whose
+    * argmax centroids differ — on this near-uniform corpus that is
+    * MOST of them (measured recall 0.25–0.57 at P=1); P=4 measures
+    * 1.0 / 1.0 / 0.87 at sf0.001/0.01/0.1 for ~P² the candidate
+    * volume — the same uniform-data price, and the same measured-
+    * fraction reasoning, as [[PROBE_FRAC]].
+    */
+  private val SEMDEDUP_PROBES = 4
+
+  /** Every vector (queries included — they are just vectors here) →
+    * its SEMDEDUP_PROBES nearest Lloyd-refined centroids, with probe
+    * rank. One broadcast join + a P-row TopKPerKey per vector;
+    * persisted because the pair join consumes it twice plus the
+    * primary-membership pass.
+    */
+  private def semdedupAssign(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopK.installedWithRewrite(s)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    emb(s, d)
+      .join(broadcast(centroidsDf(s, d)))
+      .withColumn("ccos", cos(col("e"), col("ce")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= SEMDEDUP_PROBES)
+      .select(col("vec_id"), col("e"), col("cent_id"), col("arn"))
+      .transform(graft.CachePool.persist)
+  }
+
+  /** Qualifying pairs (vec_a < vec_b, cosine ≥ T) that share at least
+    * one probed cluster — an equi-join on cent_id, deduped to one row
+    * per pair with the smallest shared cluster as its attribution.
+    * Pair work is bounded by Σ(probed cluster size)² ≈ P²·n·(n/k).
+    */
+  private def semdedupPairs(s: SparkSession, d: String): DataFrame = {
+    val sd = semdedupAssign(s, d)
+    val a = sd.select(col("cent_id"), col("vec_id").as("vec_a"), col("e").as("e_a"))
+    val b = sd.select(col("cent_id"), col("vec_id").as("vec_b"), col("e").as("e_b"))
+    a.join(b, Seq("cent_id")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cos(col("e_a"), col("e_b")))
+      .filter(col("cosine") >= SEMDEDUP_T)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("cent_id")).as("cent_id"))
+  }
+
   private def topK(scored: DataFrame): DataFrame = {
     // written as the window formulation; RankLimitRewrite turns it into
     // the two-phase TopKPerKey operator (map-side k-heaps prune before
@@ -256,6 +307,79 @@ object Similarity {
       val scored = probe.join(assign, "cent_id")
         .withColumn("cosine", cos(col("qe"), col("e")))
       topK(scored) // not persisted — see ann_cosine_topk's note
+    }),
+
+    // SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023): the
+    // scale path for embedding near-dup removal. Brute-force pairwise
+    // cosine is O(n²) (dedup_embedding_cosine — correct, unrunnable at
+    // 10⁹ docs); SemDeDup first k-means-clusters the corpus, then looks
+    // for near-dups ONLY within a cluster: pair work drops to
+    // Σ|cluster|² ≈ n·(n/k), and k grows with the corpus to hold
+    // cluster sizes — and therefore per-cluster pair cost — constant.
+    // Reuses the IVF family's Lloyd-refined centroids (memoized, one
+    // broadcast assignment pass — the corpus never shuffles for the
+    // clustering); the pair search is an equi-join on cent_id, a
+    // hash-partitionable key at any scale, widened to the vector's
+    // SEMDEDUP_PROBES nearest clusters (multi-probe — see the constant
+    // for the measured recall-vs-cost tradeoff). Kept set =
+    // keep-earliest: a vector is dropped iff a SMALLER-id probe-mate
+    // sits within the threshold — the same greedy rule the dedup
+    // family's keep-first convention uses, pure function of the data.
+    // The report is per PRIMARY cluster (each vector counted once,
+    // where it lives; a pair found in several shared clusters is
+    // attributed to the smallest). What multi-probe still trades away
+    // is pairs sharing NO probed cluster; that loss is a MEASURED
+    // number (ann_semdedup_recall), not a hope.
+    "ann_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val sd = semdedupAssign(s, d)
+      val primary = sd.filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val sizes = primary.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+      val pairs = semdedupPairs(s, d)
+        .transform(graft.CachePool.persist) // pair count + drop count
+      val pairCounts = pairs.groupBy("cent_id")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+      // dropped vectors are counted in their PRIMARY cluster
+      val dropCounts = pairs.select(col("vec_b")).distinct()
+        .join(primary.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+        .groupBy("cent_id").agg(count(lit(1)).as("n_dropped"))
+      // per-centroid report: every side of the join is O(centroids)
+      val base = centroidSeq(s, d).map(_._1).toDF("cent_id")
+      base.join(broadcast(sizes), Seq("cent_id"), "left")
+        .join(broadcast(pairCounts), Seq("cent_id"), "left")
+        .join(broadcast(dropCounts), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (coalesce(col("n_vectors"), lit(0L)) -
+            coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+    }),
+
+    // Measure, don't guess (the ann_ivf_recall convention): what
+    // fraction of the TRUE near-dup pairs does cluster-scoped search
+    // keep? Captured ⊆ true by construction (same kernel, same
+    // threshold, strictly fewer candidate pairs), so this is exactly
+    // the blocking recall of the clustering. The brute side is the
+    // O(n²) ground truth — affordable at test SF, which is the point
+    // of measuring recall HERE before trusting the blocked variant at
+    // a scale where brute force is impossible. NULL recall when the
+    // corpus has no near-dup pairs at all.
+    "ann_semdedup_recall" -> ((s, d) => {
+      val all = emb(s, d)
+      val a = all.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
+      val b = all.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
+      val nTrue = a.join(b, col("vec_a") < col("vec_b"))
+        .filter(cos(col("e_a"), col("e_b")) >= SEMDEDUP_T)
+        .agg(count(lit(1)).as("n_true_pairs")).withColumn("__j", lit(1))
+      val nCap = semdedupPairs(s, d)
+        .agg(count(lit(1)).as("n_captured")).withColumn("__j", lit(1))
+      nTrue.join(broadcast(nCap), "__j")
+        .select(col("n_true_pairs"), col("n_captured"),
+          when(col("n_true_pairs") === 0, lit(null))
+            .otherwise(col("n_captured").cast("double") /
+              col("n_true_pairs").cast("double")).as("recall"))
     }),
 
     // k-NN label vote: classify each query by the majority label of its
@@ -550,7 +674,55 @@ object Similarity {
          |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
+  /** SemDeDup oracle chain: the IDENTICAL refined centroids, then a
+    * final assignment over ALL vectors (queries included) and the
+    * within-cluster pair join — same kernel, same threshold, same
+    * keep-earliest drop rule as the Spark side.
+    */
+  private lazy val semdedupSqlChain =
+    s"""$baseSql,
+       |$centsSqlChain,
+       |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
+       |sdranked AS (SELECT ev.vec_id, ev.e, cent_id,
+       |    row_number() OVER (PARTITION BY ev.vec_id
+       |      ORDER BY ${VectorOps.cosineSql("ev.e", "ce", DIM)} DESC, cent_id) AS arn
+       |  FROM ev, cents),
+       |sdassign AS (SELECT vec_id, e, cent_id FROM sdranked
+       |  WHERE arn <= $SEMDEDUP_PROBES),
+       |sdprimary AS (SELECT vec_id, cent_id FROM sdranked WHERE arn = 1),
+       |sdpairs AS (SELECT vec_a, vec_b, MIN(cent_id) AS cent_id FROM (
+       |  SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sdassign a JOIN sdassign b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${VectorOps.cosineSql("a.e", "b.e", DIM)} >= $SEMDEDUP_T) c
+       |  GROUP BY vec_a, vec_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_semdedup" ->
+      s"""$semdedupSqlChain,
+         |sz AS (SELECT cent_id, COUNT(*) AS n_vectors FROM sdprimary GROUP BY cent_id),
+         |pc AS (SELECT cent_id, COUNT(*) AS n_dup_pairs FROM sdpairs GROUP BY cent_id),
+         |dc AS (SELECT p.cent_id, COUNT(*) AS n_dropped
+         |  FROM (SELECT DISTINCT vec_b FROM sdpairs) dv
+         |  JOIN sdprimary p ON p.vec_id = dv.vec_b GROUP BY p.cent_id)
+         |SELECT c.cent_id,
+         |  COALESCE(n_vectors, 0) AS n_vectors,
+         |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+         |  COALESCE(n_dropped, 0) AS n_dropped,
+         |  COALESCE(n_vectors, 0) - COALESCE(n_dropped, 0) AS n_kept
+         |FROM cents c LEFT JOIN sz USING (cent_id)
+         |  LEFT JOIN pc USING (cent_id) LEFT JOIN dc USING (cent_id)""".stripMargin,
+    "ann_semdedup_recall" ->
+      s"""$semdedupSqlChain,
+         |bt AS (SELECT COUNT(*) AS n_true_pairs FROM ev a JOIN ev b
+         |  ON a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.cosineSql("a.e", "b.e", DIM)} >= $SEMDEDUP_T),
+         |cp AS (SELECT COUNT(*) AS n_captured FROM sdpairs)
+         |SELECT n_true_pairs, n_captured,
+         |  CASE WHEN n_true_pairs = 0 THEN NULL
+         |    ELSE CAST(n_captured AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+         |  END AS recall
+         |FROM bt, cp""".stripMargin,
     "ann_bucket_balance" ->
       s"""$baseSql,
          |cb AS (SELECT ${VectorOps.signBucketSql("e", LSH_DIMS)} AS bucket FROM corpus),

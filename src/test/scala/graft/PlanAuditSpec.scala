@@ -19,6 +19,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivf_recall",       // composes the two above
     "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
+    "ann_semdedup",         // broadcast centroids × corpus (assignment —
+                            // the ann_ivf_topk shape); pair search itself
+                            // is a cent_id equi-join
+    "ann_semdedup_recall",  // composes ann_semdedup's assignment plus the
+                            // documented brute-force ground-truth scan
     "dedup_embedding_cosine", // documented brute-force baseline
     "dedup_simhash_pairs",  // all-pairs hamming scan (banded is the scale path)
     "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, VectorOps}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Semantic checks for the SemDeDup family: the clustered pair search
+  * against the brute-force ground truth (subset property — clustering
+  * may only LOSE pairs, never invent them) and the internal consistency
+  * of the per-cluster report.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def brutePairs = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    val a = e.select(col("vec_id").as("va"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("e").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .filter(GraftFunctions.cosineSim(col("ea"), col("eb")) >= 0.45)
+      .select("va", "vb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("ann_semdedup report is internally consistent and matches the recall query") {
+    val report = Similarity.queries("ann_semdedup")(spark, sfDir).collect()
+    assert(report.nonEmpty)
+    val nVectors = report.map(_.getLong(1)).sum
+    assert(nVectors === Tables.embeddings(spark, sfDir).count(),
+      "primary assignment must partition the corpus (each vector once)")
+    for (r <- report) {
+      assert(r.getLong(3) <= r.getLong(1), "dropped ≤ cluster size")
+      assert(r.getLong(4) === r.getLong(1) - r.getLong(3), "kept = size − dropped")
+    }
+    val recall = Similarity.queries("ann_semdedup_recall")(spark, sfDir)
+      .collect().head
+    val (nTrue, nCaptured) = (recall.getLong(0), recall.getLong(1))
+    // captured ⊆ true: the blocked search can only LOSE pairs
+    assert(nCaptured <= nTrue)
+    assert(nTrue === brutePairs.size)
+    // the distinct-pair count in the report reconciles with the recall row
+    assert(report.map(_.getLong(2)).sum === nCaptured,
+      "per-cluster pair counts must sum to the distinct captured pairs")
+    // multi-probe is the recall lever — at this SF it measures 1.0;
+    // assert the design floor rather than the exact value so a corpus
+    // regeneration cannot break the test without a real recall loss
+    assert(nCaptured.toDouble / nTrue >= 0.8, s"recall $nCaptured/$nTrue")
+  }
+}
