@@ -107,6 +107,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"global prefix sum would coalesce the corpus to one partition:\n$p")
   }
 
+  test("top paths: per-user prefix planned as TopKPerKey heaps, not a full window sort") {
+    // the rn ≤ PATH_LEN filter must take the two-phase TopKPerKey
+    // rewrite (per-partition k-row heaps prune BEFORE the exchange);
+    // a WindowExec here would sort every user's complete history
+    val p = plan("events_top_paths")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"),
+      s"prefix must plan as two-phase TopKPerKey:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-20 must be a TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("domain cap: kept set planned as TopKPerKey heaps, not a full window sort") {
+    val p = plan("text_domain_cap")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"),
+      s"cap must plan as two-phase TopKPerKey:\n$p")
+  }
+
+  test("bloom prune: probe side tests membership without shuffling toward the build") {
+    // probe rows meet the filter through BROADCAST joins only (the m
+    // scalar and the bit-set); the only hash exchanges are the two
+    // distinct() key dedups and the per-key hit count — never a
+    // probe×build shuffle join
+    val p = plan("join_bloom_prune")
+    assert(!p.contains("SortMergeJoin"),
+      s"bloom pruning must not shuffle probe against build:\n$p")
+  }
+
   test("kafka wire round trip keeps the pruned top-k latest-state shape") {
     // consuming from the (key, value) wire relation must not degrade the
     // latest-state plan: partial top-k prunes map-side before the
