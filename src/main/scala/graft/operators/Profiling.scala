@@ -82,7 +82,67 @@ object Profiling {
       |     WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
       |     ELSE 'test' END""".stripMargin
 
+  /** events_rfm boundary-sample rate: md5 2-hex-char prefix < 0x40 ⇒
+    * 64/256 = 25% of users feed each metric's quintile-boundary pass —
+    * the layout_range_split convention (only boundary PLACEMENT is
+    * sampled; segment counts are exact against the broadcast bounds).
+    */
+  private val RFM_RATE_HEX = "40"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RFM segmentation (recency / frequency / monetary quintiles — the
+    // classic behavioral-cohort cube): each user gets three quintile
+    // indices (0–4, ascending metric order) and the report counts users
+    // per (r,f,m) cell. Scale design: per-user metrics are ONE hash
+    // aggregation; quintile boundaries come from a deterministic
+    // salted-hash sample of users (membership a pure function of
+    // user_id — both engines pick the identical sample), ranked
+    // per-metric over the RATE-BOUNDED sample only, never the full
+    // user relation (a global ntile over 10⁹ users is the exact
+    // single-task funnel events_power_pareto was rewritten to avoid).
+    // Assignment is an exact comparison against the ≤4-element
+    // broadcast boundary arrays; the output is ≤ 125 cells. Monetary
+    // stays exact decimal end-to-end; only the quintile INDICES (pure
+    // integers) reach the output.
+    "events_rfm" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(18,2)")).as("m"))
+      val g = per.agg(max("last_day").as("gday")).withColumn("__k", lit(1))
+      val base = per.withColumn("__k", lit(1)).join(broadcast(g), "__k")
+        .select(col("user_id"),
+          datediff(col("gday"), col("last_day")).cast("long").as("r"),
+          col("f"), col("m"))
+        .transform(graft.CachePool.persist) // 3 boundary passes + assignment
+      val samp = base.filter(substring(
+        md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
+        < RFM_RATE_HEX)
+        .transform(graft.CachePool.persist)
+      def bounds(metric: String) = {
+        val w = Window.orderBy(col(metric), col("user_id"))
+        val ranked = samp.withColumn("rn", row_number().over(w).cast("long"))
+        val ranks = samp.agg(count(lit(1)).as("mm"))
+          .withColumn("i", explode(sequence(lit(1L), lit(4L))))
+          .select(expr("(i * mm) div 5").as("rn"))
+          .filter(col("rn") >= 1L).distinct()
+        ranked.join(broadcast(ranks), "rn")
+          .agg(sort_array(collect_list(col(metric))).as(s"${metric}_b"))
+          .withColumn("__k", lit(1))
+      }
+      base.withColumn("__k", lit(1))
+        .join(broadcast(bounds("r")), "__k")
+        .join(broadcast(bounds("f")), "__k")
+        .join(broadcast(bounds("m")), "__k")
+        .select(
+          size(filter(col("r_b"), x => x < col("r"))).as("r_q"),
+          size(filter(col("f_b"), x => x < col("f"))).as("f_q"),
+          size(filter(col("m_b"), x => x < col("m"))).as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"))
+    }),
 
     // Equi-width histogram of order value — the data-profiling primitive
     // behind every "does the distribution look right today" check.
@@ -495,6 +555,38 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Identical salted-hash sample, identical rank arithmetic, identical
+    // strict-< boundary rule; COALESCE guards the empty-sample corner
+    // (Spark's collect_list gives [], DuckDB's array_agg gives NULL).
+    "events_rfm" -> {
+      def boundsSql(metric: String) =
+        s"""(SELECT COALESCE(list_sort(array_agg($metric)), []) AS bl FROM (
+           |    SELECT $metric, row_number() OVER (ORDER BY $metric, user_id)
+           |      AS rn FROM samp) rk
+           |  JOIN (SELECT DISTINCT (i * mm) // 5 AS rn
+           |    FROM (SELECT unnest(generate_series(1, 4)) AS i) si, mc
+           |    WHERE (i * mm) // 5 >= 1) rs USING (rn))""".stripMargin
+      s"""WITH per AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+         |    COUNT(*) AS f, SUM(CAST(value AS DECIMAL(18,2))) AS m
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT MAX(last_day) AS gday FROM per),
+         |base AS (SELECT user_id,
+         |    CAST(date_diff('day', last_day, (SELECT gday FROM g)) AS BIGINT)
+         |      AS r, f, m
+         |  FROM per),
+         |samp AS (SELECT * FROM base
+         |  WHERE substr(md5('rfm|' || CAST(user_id AS VARCHAR)), 1, 2)
+         |    < '$RFM_RATE_HEX'),
+         |mc AS (SELECT COUNT(*) AS mm FROM samp),
+         |q AS (SELECT
+         |    CAST(len(list_filter(${boundsSql("r")}, x -> x < r)) AS INT) AS r_q,
+         |    CAST(len(list_filter(${boundsSql("f")}, x -> x < f)) AS INT) AS f_q,
+         |    CAST(len(list_filter(${boundsSql("m")}, x -> x < m)) AS INT) AS m_q
+         |  FROM base)
+         |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+         |FROM q GROUP BY r_q, f_q, m_q""".stripMargin
+    },
 
     "profile_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,

@@ -67,6 +67,35 @@ object RelationalExt {
       .heapify(org.apache.datasketches.memory.Memory.wrap(b))
       .getQuantile(0.5))
 
+  /** Theta sketch nominal entries: k=256 puts every test SF except the
+    * smallest into ESTIMATION mode (13k-key sets vs k=256 retained), so
+    * the asserted bound exercises the sketch theorem, not exact-mode
+    * trivia. RSE ≈ 1/√k = 6.25%; the asserted tolerance is 25% of the
+    * exact union (4σ) — deterministic given the library's fixed default
+    * seed, so bound_ok is a stable engine-checkable verdict.
+    */
+  private val THETA_NOM = 256
+
+  /** Mergeable distinct-count SET ALGEBRA (DataSketches theta): unlike
+    * HLL (union-only), theta sketches support intersection and
+    * difference — at 100 TB, |A∩B| of two billion-key sets costs two
+    * sketch scans plus O(k) driver math, replacing a distinct
+    * shuffle-join. The buffer is a live heap Union (kryo only on
+    * spill/exchange), the finished group sketch is fixed bytes.
+    */
+  private class ThetaAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, org.apache.datasketches.theta.Union, Array[Byte]] {
+    import org.apache.datasketches.theta.{SetOperation, Union}
+    def zero: Union =
+      SetOperation.builder().setNominalEntries(THETA_NOM).buildUnion()
+    def reduce(b: Union, x: Long): Union = { b.update(x); b }
+    def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+    def finish(b: Union): Array[Byte] = b.getResult.toByteArray
+    def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[org.apache.datasketches.theta.Union]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Mergeable-quantile rollup: per-returnflag KLL sketches of
@@ -100,6 +129,59 @@ object RelationalExt {
           (kllP50(col("sk")) >= col("lo") &&
             kllP50(col("sk")) <= col("hi")).as("bound_ok"))
       groups.unionByName(union)
+    }),
+
+    // Theta-sketch set algebra over two customer cohorts (URGENT vs
+    // HIGH priority orderers): estimate |A∪B|, |A∩B|, |A\B| from two
+    // fixed-size sketches — the set operations HLL cannot do. The
+    // oracle-checked contract is the bound verdict (estimate within
+    // 4σ = 25% of the exact union), not the estimate (CMS/HLL/KLL
+    // convention). Exact counts come from ONE per-key flag aggregation
+    // (no distinct self-joins); the two sketches are built in one
+    // grouped pass over the same scan, and the set algebra itself is
+    // O(k) on two collected ~2KB blobs — the whole point: at 10⁹ keys
+    // per cohort the exact flag pass is the expensive thing this
+    // replaces, and the sketches stay mergeable for rollups across
+    // partitions/days.
+    "agg_theta_set_ops" -> ((s, d) => {
+      import org.apache.datasketches.theta.{SetOperation, Sketches}
+      import org.apache.datasketches.memory.Memory
+      val theta = udaf(new ThetaAgg, org.apache.spark.sql.Encoders.scalaLong)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"),
+          (col("o_orderpriority") === "1-URGENT").as("is_a"))
+        .transform(graft.CachePool.persist) // sketch pass + exact pass
+      val sk = o.groupBy("is_a").agg(theta(col("o_custkey")).as("sk"))
+        .collect().map(r => r.getBoolean(0) ->
+          Sketches.wrapSketch(Memory.wrap(r.getAs[Array[Byte]](1)))).toMap
+      val (a, b) = (sk(true), sk(false))
+      val bld = SetOperation.builder().setNominalEntries(THETA_NOM)
+      val u = bld.buildUnion()
+      u.union(a); u.union(b)
+      val estU = u.getResult.getEstimate
+      val ix = bld.buildIntersection()
+      ix.intersect(a); ix.intersect(b)
+      val estI = ix.getResult.getEstimate
+      val estD = bld.buildANotB().aNotB(a, b).getEstimate
+      val exact = o.groupBy("o_custkey")
+        .agg(max(when(col("is_a"), 1L).otherwise(0L)).as("fa"),
+          max(when(!col("is_a"), 1L).otherwise(0L)).as("fb"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("fa") === 1L && col("fb") === 1L, 1L).otherwise(0L))
+            .as("n_intersect"),
+          sum(when(col("fa") === 1L && col("fb") === 0L, 1L).otherwise(0L))
+            .as("n_a_not_b"))
+      exact.select(col("n_union").as("tol_base"), expr(
+          "stack(3, 'union', n_union, 'intersect', n_intersect, " +
+            "'a_not_b', n_a_not_b) as (set_op, n_exact)"))
+        .withColumn("est",
+          when(col("set_op") === "union", lit(estU))
+            .when(col("set_op") === "intersect", lit(estI))
+            .otherwise(lit(estD)))
+        .select(col("set_op"), col("n_exact"),
+          (abs(col("est") - col("n_exact").cast("double")) <=
+            lit(0.25) * col("tol_base").cast("double")).as("bound_ok"))
     }),
 
     // AS-OF JOIN: for each purchase, the latest strictly-earlier click
@@ -545,6 +627,21 @@ object RelationalExt {
       """SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS bound_ok
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY n_exact DESC, l_suppkey LIMIT 10""".stripMargin,
+    "agg_theta_set_ops" ->
+      """WITH f AS (SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS fa,
+        |    MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS fb
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY o_custkey)
+        |SELECT 'union' AS set_op, COUNT(*) AS n_exact, TRUE AS bound_ok FROM f
+        |UNION ALL
+        |SELECT 'intersect' AS set_op,
+        |  CAST(SUM(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  TRUE FROM f
+        |UNION ALL
+        |SELECT 'a_not_b' AS set_op,
+        |  CAST(SUM(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  TRUE FROM f""".stripMargin,
     "asof_click_purchase" ->
       """SELECT event_id AS purchase_id, user_id, last_click FROM (
         |  SELECT event_id, user_id, event_type,

@@ -74,9 +74,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "layout_range_split",   // 1-row sorted-boundary-array aggregate
                             // (≤ SPLITS−1 values) broadcast into the
                             // distinct-key pass — bounded
-    "join_bloom_prune"      // 1-row filter-size (m) aggregate broadcast
+    "join_bloom_prune",     // 1-row filter-size (m) aggregate broadcast
                             // into build/probe hashing, and the final
                             // 1-row × 1-row summary combine — bounded
+    "events_rfm"            // 1-row global-max-day and ≤4-element
+                            // boundary-array aggregates broadcast into
+                            // the per-user assignment — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

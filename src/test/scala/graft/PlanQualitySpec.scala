@@ -213,6 +213,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_quality_deciles" -> "O(distinct scores): small-integer score histogram",
       "events_power_pareto" -> "O(distinct per-user counts): count histogram",
       "layout_range_split" -> "O(sample): rate-bounded boundary-rank pass",
+      "events_rfm" -> "O(sample): rate-bounded quintile-boundary passes",
       "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")

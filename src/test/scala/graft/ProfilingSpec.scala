@@ -358,4 +358,40 @@ class ProfilingSpec extends AnyFunSuite {
     assert(c.count() === nDocs, "exactly one score row per scorable doc")
     c.unpersist()
   }
+
+  test("rfm: cells partition the users, quintile indices stay in 0..4") {
+    val cells = Profiling.queries("events_rfm")(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(cells.map(_.getLong(3)).sum === nUsers,
+      "every user lands in exactly one (r,f,m) cell")
+    for (c <- cells; i <- 0 to 2)
+      assert(c.getInt(i) >= 0 && c.getInt(i) <= 4,
+        s"quintile index out of range: $c")
+    // boundaries are a pure function of the data: re-evaluation agrees
+    val again = Profiling.queries("events_rfm")(spark, sfDir).collect()
+    assert(cells.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("theta set algebra: exact counts reconcile with direct distinct queries") {
+    import graft.operators.RelationalExt
+    val rows = RelationalExt.queries("agg_theta_set_ops")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    val b = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select("o_custkey").distinct()
+    val inter = a.join(b, Seq("o_custkey"), "left_semi").count()
+    assert(rows("union")._1 === a.unionByName(b).distinct().count())
+    assert(rows("intersect")._1 === inter)
+    assert(rows("a_not_b")._1 === a.count() - inter)
+    // k=256 sketches with the fixed library seed: the 4-sigma bound is
+    // a deterministic verdict and must hold
+    assert(rows.values.forall(_._2), s"sketch bound violated: $rows")
+  }
 }
