@@ -89,6 +89,17 @@ object Profiling {
     */
   private val RFM_RATE_HEX = "40"
 
+  /** Benford expected first-digit shares, log10(1+1/d) as full-precision
+    * literals: BOTH engines parse the identical decimal text to the
+    * identical double, so no runtime log10 (libm) is ever evaluated.
+    */
+  private val BENFORD: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RFM segmentation (recency / frequency / monetary quintiles — the
@@ -142,6 +153,34 @@ object Profiling {
           size(filter(col("m_b"), x => x < col("m"))).as("m_q"))
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Benford first-digit screen over order values — the classic
+    // fabricated-data / broken-ETL detector: naturally-occurring
+    // multiplicative amounts follow P(d) = log10(1+1/d); a feed whose
+    // leading digits drift uniform (or spike on one digit) was
+    // generated, truncated, or double-converted somewhere. One hash agg
+    // keyed by the digit (≤ 9 groups) + a 1-row total broadcast; the
+    // digit comes from the integer part's decimal string — exact and
+    // engine-identical, no log10 (libm) anywhere. Expected shares are
+    // shared full-precision literals, so both engines carry bitwise-
+    // identical constants; share is one IEEE division of exact longs.
+    "profile_benford" -> ((s, d) => {
+      val iv = floor(col("o_totalprice").cast("decimal(18,2)")).cast("long")
+      val digits = Tables.orders(s, d)
+        .select(iv.as("iv")).filter(col("iv") >= 1L)
+        .select(substring(col("iv").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = digits.agg(sum("n_orders").as("total")).withColumn("__k", lit(1))
+      val expected = BENFORD.foldLeft(lit(null).cast("double")) {
+        case (acc, (dg, p)) => when(col("digit") === dg, lit(p)).otherwise(acc)
+      }
+      digits.withColumn("__k", lit(1)).join(broadcast(tot), "__k")
+        .select(col("digit"), col("n_orders"),
+          (col("n_orders").cast("double") / col("total").cast("double"))
+            .as("share"),
+          expected.as("expected_share"))
     }),
 
     // Equi-width histogram of order value — the data-profiling primitive
@@ -586,6 +625,28 @@ object Profiling {
          |  FROM base)
          |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
          |FROM q GROUP BY r_q, f_q, m_q""".stripMargin
+    },
+
+    // Expected-share CASE is generated from the SAME constant table as
+    // the Spark side — identical literal text, identical doubles.
+    "profile_benford" -> {
+      // the e0 suffix makes DuckDB parse a DOUBLE literal (strtod,
+      // correctly rounded — same double Scala parses); a plain decimal
+      // literal would take the DECIMAL(18,17)→DOUBLE route, whose
+      // int64 conversion double-rounds one ulp off for digit 3
+      val caseArms = BENFORD
+        .map { case (dg, p) => s"WHEN digit = $dg THEN ${p}e0" }
+        .mkString(" ")
+      s"""WITH iv AS (SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))
+         |      AS BIGINT) AS iv FROM orders),
+         |dg AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM iv WHERE iv >= 1),
+         |c AS (SELECT digit, COUNT(*) AS n_orders FROM dg GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c)
+         |SELECT digit, n_orders,
+         |  CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |  CAST(CASE $caseArms ELSE NULL END AS DOUBLE) AS expected_share
+         |FROM c, t""".stripMargin
     },
 
     "profile_histogram" ->

@@ -154,9 +154,13 @@ object RelationalExt {
         .transform(graft.CachePool.persist) // sketch pass + exact pass
       val sk = o.groupBy("is_a").agg(theta(col("o_custkey")).as("sk"))
         .collect().map(r => r.getBoolean(0) ->
-          Sketches.wrapSketch(Memory.wrap(r.getAs[Array[Byte]](1)))).toMap
-      val (a, b) = (sk(true), sk(false))
+          (Sketches.wrapSketch(Memory.wrap(r.getAs[Array[Byte]](1)))
+            : org.apache.datasketches.theta.Sketch)).toMap
       val bld = SetOperation.builder().setNominalEntries(THETA_NOM)
+      // an absent cohort (empty/truncated input) is an EMPTY set, not
+      // an error — the same zero an empty sketch estimates
+      def skOf(flag: Boolean) = sk.getOrElse(flag, bld.buildUnion().getResult)
+      val (a, b) = (skOf(true), skOf(false))
       val u = bld.buildUnion()
       u.union(a); u.union(b)
       val estU = u.getResult.getEstimate

@@ -77,9 +77,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_bloom_prune",     // 1-row filter-size (m) aggregate broadcast
                             // into build/probe hashing, and the final
                             // 1-row × 1-row summary combine — bounded
-    "events_rfm"            // 1-row global-max-day and ≤4-element
+    "events_rfm",           // 1-row global-max-day and ≤4-element
                             // boundary-array aggregates broadcast into
                             // the per-user assignment — bounded
+    "profile_benford"       // 1-row digit-total aggregate broadcast into
+                            // the ≤9-row digit counts — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
