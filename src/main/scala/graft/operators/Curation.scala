@@ -25,6 +25,15 @@ import graft.sources.Tables
   *  - `text_length_histogram` — document-length histogram + cumulative
   *    shares: the packing-efficiency / truncation-loss planning input
   *    for a fixed sequence-length trainer. All integer bucket math.
+  *  - `text_cross_source_dups` — the scrape-overlap radar: which pairs
+  *    of sources carry the same content. Key is the leading-8-token
+  *    fingerprint (the cheap near-dup proxy — exact-dup overlap is
+  *    `text_dedup_rate_by_source`'s fingerprint; this one bites at
+  *    every SF). One distinct (fingerprint, source) projection, then a
+  *    co-partitioned self-equi-join on the fingerprint; candidates are
+  *    bounded by |sources|² per fingerprint, and |sources| is a
+  *    catalog-sized constant, so the join output is O(distinct
+  *    fingerprints) — never quadratic in documents.
   *  - `text_export_shuffle` — deterministic pseudorandom export order:
   *    sort key = md5 of a seeded id, shard = first hex nibble. The same
   *    hash on any engine, any partitioning, any day — reproducible
@@ -58,6 +67,18 @@ object Curation {
           sum((length(col("c_name")) - length(col("redacted"))).cast("long"))
             .as("n_chars_masked"),
           countDistinct(col("redacted")).as("n_distinct_redacted"))
+    }),
+
+    "text_cross_source_dups" -> ((s, d) => {
+      val fps = Tables.documents(s, d)
+        .select(
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"),
+          col("source"))
+        .distinct()
+      fps.as("a").join(fps.as("b"), Seq("fp"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
     }),
 
     "text_source_temperature" -> ((s, d) => {
@@ -143,6 +164,15 @@ object Curation {
         |  CAST(SUM(length(c_name) - length(redacted)) AS BIGINT) AS n_chars_masked,
         |  COUNT(DISTINCT redacted) AS n_distinct_redacted
         |FROM m GROUP BY c_mktsegment""".stripMargin,
+    "text_cross_source_dups" ->
+      """WITH fps AS (SELECT DISTINCT
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "text_source_temperature" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
          |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $GRID) AS BIGINT) AS q

@@ -194,6 +194,24 @@ object Profiling {
         .withColumn("bucket_lo", col("bucket").cast("double") * PRICE_BUCKET)
     }),
 
+    // 2-D equi-width histogram (quantity band × discount percent) — the
+    // joint-distribution heatmap behind correlation eyeballing and
+    // pricing-rule audits. One hash aggregation into an O(bands ×
+    // percents) grid; revenue stays exact decimal until the final cast.
+    // Both grid keys are exact integers on both engines: quantity is
+    // integral (floor of an exact double ratio), discount is a
+    // 2-decimal money value (decimal ×100 → int is exact).
+    "profile_histogram2d" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(
+          floor(col("l_quantity") / 10.0).cast("int").as("q_band"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("int")
+            .as("disc_pct"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
+
     // Per-user inter-arrival gaps in exact microseconds. Session-health
     // profile: max gap flags dormancy, the mean flags cadence.
     "events_interarrival" -> ((s, d) => {
@@ -656,6 +674,14 @@ object Profiling {
         |  CAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS DOUBLE) * 50000.0
         |    AS bucket_lo
         |FROM orders GROUP BY 1, 5""".stripMargin,
+
+    "profile_histogram2d" ->
+      """SELECT CAST(FLOOR(l_quantity / 10.0) AS INT) AS q_band,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INT) AS disc_pct,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "events_interarrival" ->
       """WITH g AS (SELECT user_id,

@@ -40,6 +40,51 @@ import graft.sources.Tables
   *    health signal (a scrape of boilerplate has few hapaxes; OCR noise
   *    has too many). One token explode + two hash aggregations; the
   *    final agg is over O(vocab) rows and emits one row.
+  *  - `agg_bitmap_distinct` — EXACT distinct counting that merges like a
+  *    sketch: pack user ids into 64-bit bucket bitmaps (`bucket = id div
+  *    64`, `bit = id mod 64`), `bit_or` the words per (group, bucket),
+  *    then sum popcounts. Both aggregations combine map-side, the words
+  *    are mergeable across shards/days with plain `bit_or` (the
+  *    ClickHouse/Doris bitmap-index pattern), and the shuffle carries at
+  *    most distinct/64 rows per group instead of every raw fact row —
+  *    the scalable alternative when HLL's error bars are not acceptable.
+  *  - `agg_regr_slope` — grouped OLS fit (slope/intercept/R²) from the
+  *    same exact-decimal power sums as `agg_corr_stats`: one hash
+  *    aggregation, no second pass over the facts, bitwise-identical
+  *    doubles on both engines.
+  *  - `agg_skewness` — exact 3rd/4th standardized moments (skewness,
+  *    excess kurtosis) per group from scale-0 integer-cent power sums
+  *    (the `profile_outliers` conversion convention — correctly-rounded
+  *    decimal→double at any magnitude). Normalization uses only
+  *    mul/div/sqrt (all IEEE correctly-rounded), never `pow`, whose
+  *    libm implementations differ across engines by ulps. Overflow
+  *    bound: cents ≤ 5100 ⇒ c⁴ ≤ 6.8e14 ⇒ Σc⁴ < 1e38 up to ~1.5e23
+  *    rows — unreachable.
+  *  - `events_lifecycle` — weekly growth accounting (new / retained /
+  *    resurrected / churned), the decomposition behind every honest
+  *    growth chart. One distinct (user, week) aggregation, one
+  *    user-partitioned lag+lead window (per-partition size is O(weeks
+  *    per user), bounded), churn attributed to the week after last
+  *    activity; final roll-up is O(weeks).
+  *  - `events_hour_of_day` — hour-of-day seasonality (events, distinct
+  *    users, exact-decimal mean value). One hash aggregation into 24
+  *    groups; the distinct-user count shuffles (hr, user) pairs once.
+  *  - `events_stickiness` — DAU / MAU28 stickiness, the engagement
+  *    ratio. Rolling 28-day distinct users via the map-side ×28
+  *    window-end expansion (the `events_weekly_active` convention):
+  *    each (user, active-day) contributes to the 28 window ends it is
+  *    visible from, then one distinct + one count — never a band
+  *    self-join. At 100 TB the expansion is 28·|user-days| rows through
+  *    one exchange; if that dominates, the mergeable-exact alternative
+  *    is a per-day bitmap roll-up (`agg_bitmap_distinct`'s words OR-ed
+  *    across a 28-day window of O(days) aggregates).
+  *  - `events_out_of_order` — per-user event-time disorder: how often a
+  *    row's event time regresses below the running max of its
+  *    commit-order predecessors (`event_id` is the arrival/LSN order).
+  *    THE diagnostic for sizing a streaming watermark — late_share tells
+  *    you what fraction of rows a too-tight watermark would drop. The
+  *    running max is a user-partitioned window (bounded per user), never
+  *    a global sort.
   */
 object Stats {
 
@@ -115,6 +160,144 @@ object Stats {
           sum("n").as("n_tokens"))
         .withColumn("hapax_share",
           col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+    }),
+
+    // Exact mergeable distinct via 64-bit bucket bitmaps.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("user_id div 64").as("bucket"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))")
+          .as("word"))
+      words.groupBy("event_type")
+        .agg(sum(expr("cast(bit_count(word) as bigint)")).as("n_users"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
+    // Grouped OLS: l_extendedprice ~ l_quantity per return flag.
+    "agg_regr_slope" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def d2(c: org.apache.spark.sql.Column, scale: Int) = {
+        val p = math.pow(10, scale)
+        (c * lit(p.toLong)).cast("decimal(38,0)").cast("double") / lit(p)
+      }
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          d2(sum(x), 2).as("sx"), d2(sum(y), 2).as("sy"),
+          d2(sum(x * x), 4).as("sxx"), d2(sum(y * y), 4).as("syy"),
+          d2(sum(x * y), 4).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          (((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("r2"))
+    }),
+
+    // Exact skewness / excess kurtosis of quantity per return flag from
+    // integer-cent power sums (no pow(); see the scaladoc note).
+    "agg_skewness" -> ((s, d) => {
+      val c = (col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long")
+      def pd(e: org.apache.spark.sql.Column) =
+        sum(e.cast("decimal(38,0)")).cast("double")
+      val stats = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), c.as("c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          pd(col("c")).as("s1"),
+          pd(col("c") * col("c")).as("s2"),
+          pd(col("c") * col("c") * col("c")).as("s3"),
+          pd(col("c") * col("c") * col("c") * col("c")).as("s4"))
+      val m = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - m * m
+      val m3 = col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
+        lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+      stats.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
+    }),
+
+    // Weekly growth accounting: new / retained / resurrected / churned.
+    "events_lifecycle" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val runs = wk
+        .withColumn("prev_wk", lag("wk", 1).over(w))
+        .withColumn("next_wk", lead("wk", 1).over(w))
+      val active = runs.select(col("wk"),
+        when(col("prev_wk").isNull, lit("new"))
+          .when(datediff(col("wk"), col("prev_wk")) === 7, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+      val churned = runs
+        .filter(col("next_wk").isNull ||
+          datediff(col("next_wk"), col("wk")) > 7)
+        .select(date_add(col("wk"), 7).as("wk"), lit("churned").as("status"))
+      active.unionByName(churned)
+        .groupBy("wk")
+        .agg(
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when(col("status") === "churned", 1L).otherwise(0L))
+            .as("n_churned"))
+        .withColumn("n_active",
+          col("n_new") + col("n_retained") + col("n_resurrected"))
+    }),
+
+    // Hour-of-day seasonality profile.
+    "events_hour_of_day" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("hr"), col("n_events"), col("n_users"),
+          (col("sv").cast("double") / col("n_events")).as("avg_value"))
+    }),
+
+    // DAU / rolling-28-day MAU / stickiness per day.
+    "events_stickiness" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = days
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("mau28"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau28"),
+          (col("dau").cast("double") / col("mau28").cast("double"))
+            .as("stickiness"))
+    }),
+
+    // Event-time disorder vs commit order, per user.
+    "events_out_of_order" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("prior_max", max("ts").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts") < col("prior_max"), 1L).otherwise(0L))
+            .as("n_late"))
+        .withColumn("late_share",
+          col("n_late").cast("double") / col("n_events").cast("double"))
     })
   )
 
@@ -173,6 +356,112 @@ object Stats {
         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS hapax_share
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT user_id // 64) AS n_buckets
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_regr_slope" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(x) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS sx,
+        |    CAST(CAST(SUM(y) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS sy,
+        |    CAST(CAST(SUM(x * x) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS sxx,
+        |    CAST(CAST(SUM(y * y) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS syy,
+        |    CAST(CAST(SUM(x * y) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000 AS sxy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |FROM s""".stripMargin,
+
+    "agg_skewness" ->
+      """WITH s AS (
+        |  -- int128→double via the exact decimal STRING (the
+        |  -- profile_outliers convention): correctly rounded at any
+        |  -- magnitude, matching Spark's BigDecimal→double exactly.
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(c * c) AS VARCHAR) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(c * c * c) AS VARCHAR) AS DOUBLE) AS s3,
+        |    CAST(CAST(SUM(c * c * c * c) AS VARCHAR) AS DOUBLE) AS s4
+        |  FROM (SELECT l_returnflag,
+        |          CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+        |    AS skewness,
+        |  (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |    - 3.0 AS excess_kurtosis
+        |FROM s""".stripMargin,
+
+    "events_lifecycle" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+        |r AS (SELECT user_id, wk,
+        |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM wk),
+        |st AS (
+        |  SELECT wk, CASE WHEN prev_wk IS NULL THEN 'new'
+        |      WHEN DATEDIFF('day', prev_wk, wk) = 7 THEN 'retained'
+        |      ELSE 'resurrected' END AS status
+        |  FROM r
+        |  UNION ALL
+        |  SELECT wk + 7 AS wk, 'churned' AS status FROM r
+        |  WHERE next_wk IS NULL OR DATEDIFF('day', wk, next_wk) > 7)
+        |SELECT wk,
+        |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN status IN ('new', 'retained', 'resurrected')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        |FROM st GROUP BY wk""".stripMargin,
+
+    "events_hour_of_day" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM days GROUP BY day),
+        |ex AS (SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(day, day + 27, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM days),
+        |mau AS (SELECT day, COUNT(*) AS mau28 FROM ex GROUP BY day)
+        |SELECT day, dau, mau28,
+        |  CAST(dau AS DOUBLE) / CAST(mau28 AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau USING (day)""".stripMargin,
+
+    "events_out_of_order" ->
+      """WITH m AS (SELECT user_id, ts,
+        |    MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS late_share
+        |FROM m GROUP BY user_id""".stripMargin
   )
 }

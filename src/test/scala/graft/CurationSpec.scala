@@ -34,4 +34,27 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.queries("text_domain_cap")(spark, sfDir).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("cross-source dups: pairs are ordered, shared counts bounded by per-source fingerprints, nonempty at every SF") {
+    val dups = Curation.queries("text_cross_source_dups")(spark, sfDir)
+      .persist()
+    // the prefix-8 key is chosen precisely because it bites at sf0.001
+    assert(dups.count() > 0, "the overlap radar must fire on this corpus")
+    assert(dups.filter(col("source_a") >= col("source_b")).count() === 0,
+      "pairs must be canonically ordered, each counted once")
+    // n_shared(a,b) cannot exceed either side's distinct fingerprints
+    val perSource = Tables.documents(spark, sfDir)
+      .select(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+        .as("fp"), col("source"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_fp"))
+    val aBad = dups
+      .join(perSource.withColumnRenamed("source", "source_a"), "source_a")
+      .filter(col("n_shared") > col("n_fp")).count()
+    val bBad = dups
+      .join(perSource.withColumnRenamed("source", "source_b"), "source_b")
+      .filter(col("n_shared") > col("n_fp")).count()
+    assert(aBad === 0 && bBad === 0)
+    dups.unpersist()
+  }
 }

@@ -25,6 +25,22 @@ class ProfilingSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("2-D histogram partitions lineitem: counts and revenue reconcile with direct totals") {
+    val h = Profiling.queries("profile_histogram2d")(spark, sfDir)
+      .transform(df => { df.persist(); df })
+    val li = Tables.lineitem(spark, sfDir)
+    assert(h.agg(sum("n_items")).collect()(0).getLong(0) === li.count())
+    val wantRev = li
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val gotRev = h.agg(sum("revenue")).collect()(0).getDouble(0)
+    assert(math.abs(gotRev - wantRev) <= 1e-6 * wantRev)
+    // grid keys live in their domains: quantity 1..50, discount 0..10%
+    assert(h.filter(col("q_band") < 0 || col("q_band") > 5).count() === 0)
+    assert(h.filter(col("disc_pct") < 0 || col("disc_pct") > 100).count() === 0)
+    h.unpersist()
+  }
+
   test("interarrival: per-user gap count is n_events - 1 and every max >= avg > 0") {
     val ia = Profiling.queries("events_interarrival")(spark, sfDir)
       .transform(df => { df.persist(); df })

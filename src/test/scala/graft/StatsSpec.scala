@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+import graft.sources.Tables
+
+/** Semantic assertions for the distribution-statistics and growth-
+  * accounting operators — each checked against an independent
+  * formulation (Spark's own builtin aggregates, or a definitional
+  * invariant), never against the implementation's plan.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bitmap distinct equals the engine's exact countDistinct per group") {
+    val got = Stats.queries("agg_bitmap_distinct")(spark, sfDir)
+    val want = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("want_users"))
+    val joined = got.join(want, "event_type").persist()
+    assert(joined.filter(col("n_users") =!= col("want_users")).count() === 0,
+      "bitmap popcount sum must be EXACT, not approximate")
+    // buckets can't outnumber members, and 64 buckets can't undercount
+    assert(joined.filter(col("n_buckets") > col("n_users")).count() === 0)
+    assert(joined
+      .filter(col("n_users") > col("n_buckets") * 64).count() === 0)
+    joined.unpersist()
+  }
+
+  test("OLS slope/intercept match Spark's builtin regr_* aggregates") {
+    val got = Stats.queries("agg_regr_slope")(spark, sfDir)
+    val want = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("w_slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("w_icpt"))
+    val rows = got.join(want, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, ws) = (r.getAs[Double]("slope"), r.getAs[Double]("w_slope"))
+      val (i, wi) = (r.getAs[Double]("intercept"), r.getAs[Double]("w_icpt"))
+      // builtin uses a different (streaming) update order — tolerance,
+      // not equality; the decimal-power-sum route is the exact one
+      assert(math.abs(s - ws) <= 1e-6 * math.max(1.0, math.abs(ws)),
+        s"slope $s vs builtin $ws")
+      assert(math.abs(i - wi) <= 1e-6 * math.max(1.0, math.abs(wi)),
+        s"intercept $i vs builtin $wi")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    }
+  }
+
+  test("skewness/kurtosis match Spark's builtin aggregates") {
+    val got = Stats.queries("agg_skewness")(spark, sfDir)
+    val want = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("w_skew"),
+        kurtosis(col("l_quantity")).as("w_kurt"))
+    val rows = got.join(want, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, ws) = (r.getAs[Double]("skewness"), r.getAs[Double]("w_skew"))
+      val (k, wk) =
+        (r.getAs[Double]("excess_kurtosis"), r.getAs[Double]("w_kurt"))
+      assert(math.abs(s - ws) <= 1e-6 * math.max(1.0, math.abs(ws)),
+        s"skewness $s vs builtin $ws")
+      // Spark's kurtosis() is already the EXCESS form
+      assert(math.abs(k - wk) <= 1e-6 * math.max(1.0, math.abs(wk)),
+        s"kurtosis $k vs builtin $wk")
+    }
+  }
+
+  test("lifecycle: news total distinct users; churn = resurrections + users; actives match weekly census") {
+    val lc = Stats.queries("events_lifecycle")(spark, sfDir).persist()
+    val ev = Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    val totals = lc.agg(
+      sum("n_new").as("tn"), sum("n_retained").as("tr"),
+      sum("n_resurrected").as("ts"), sum("n_churned").as("tc")).collect()(0)
+    // every user is born exactly once
+    assert(totals.getAs[Long]("tn") === nUsers)
+    // every resurrection was preceded by a churn, and every user's final
+    // week emits exactly one more churn: churned = resurrected + users
+    assert(totals.getAs[Long]("tc") === totals.getAs[Long]("ts") + nUsers)
+    // n_active(wk) is exactly that week's distinct-user census
+    val census = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct().groupBy("wk").agg(count(lit(1)).as("want_active"))
+    assert(lc.join(census, "wk")
+      .filter(col("n_active") =!= col("want_active")).count() === 0)
+    // churn-only weeks (beyond the last active week) carry zero actives
+    assert(lc.join(census, Seq("wk"), "left_anti")
+      .filter(col("n_active") =!= 0).count() === 0)
+    lc.unpersist()
+  }
+
+  test("hour-of-day: 24 buckets at most, events total the table") {
+    val h = Stats.queries("events_hour_of_day")(spark, sfDir).persist()
+    assert(h.count() <= 24)
+    assert(h.filter(col("hr") < 0 || col("hr") > 23).count() === 0)
+    assert(h.agg(sum("n_events")).collect()(0).getLong(0) ===
+      Tables.events(spark, sfDir).count())
+    assert(h.filter(col("n_users") > col("n_events")).count() === 0)
+    h.unpersist()
+  }
+
+  test("stickiness: dau <= mau28, ratio in (0,1], brute-force window check") {
+    val st = Stats.queries("events_stickiness")(spark, sfDir).persist()
+    assert(st.filter(col("dau") > col("mau28")).count() === 0)
+    assert(st.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0)
+      .count() === 0)
+    // brute force one day: mau28 = distinct users in [day-27, day]
+    val probe = st.orderBy(col("day").desc).limit(1).collect()(0)
+    val day = probe.getAs[java.sql.Date]("day")
+    val brute = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .filter(col("d") <= lit(day) && col("d") >= date_sub(lit(day), 27))
+      .select("user_id").distinct().count()
+    assert(probe.getAs[Long]("mau28") === brute,
+      s"mau28 for $day: brute-force $brute")
+    st.unpersist()
+  }
+
+  test("out-of-order: first event is never late, shares bounded, census matches") {
+    val oo = Stats.queries("events_out_of_order")(spark, sfDir).persist()
+    // n_late <= n_events - 1 (the first arrival has no predecessor)
+    assert(oo.filter(col("n_late") > col("n_events") - 1).count() === 0)
+    assert(oo.filter(col("late_share") < 0.0 || col("late_share") >= 1.0)
+      .count() === 0)
+    // per-user event counts must match the raw census
+    val census = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("want_n"))
+    assert(oo.join(census, "user_id")
+      .filter(col("n_events") =!= col("want_n")).count() === 0)
+    // independent brute force on one user: count rows whose ts is below
+    // the running max in event_id order
+    val one = oo.orderBy(col("n_events").desc, col("user_id")).limit(1)
+      .collect()(0)
+    val uid = one.getAs[Long]("user_id")
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .select(col("event_id"), unix_micros(col("ts")).as("s"))
+      .orderBy("event_id").collect()
+    var mx = Long.MinValue; var late = 0L
+    rows.foreach { r =>
+      val t = r.getAs[Long]("s")
+      if (t < mx) late += 1
+      if (t > mx) mx = t
+    }
+    assert(one.getAs[Long]("n_late") === late,
+      s"user $uid: brute-force late count $late")
+    oo.unpersist()
+  }
+}
