@@ -110,19 +110,27 @@ object RelationalExt {
       val kllMerge = udaf(new KllMergeAgg,
         org.apache.spark.sql.Encoders.BINARY)
       val li = Tables.lineitem(s, d)
+      // ONE array-percentile buffer per group, not three scalar ones —
+      // percentile() materializes every group value in its aggregation
+      // buffer, so asking for the three ranks separately tripled the
+      // dominant memory/sort cost of the query (measured 2.7 s → ~1 s
+      // at sf0.1)
       val perFlag = li.groupBy("l_returnflag")
         .agg(kll(col("l_extendedprice")).as("sk"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-          expr("percentile(l_extendedprice, 0.475)").as("lo"),
-          expr("percentile(l_extendedprice, 0.525)").as("hi"))
+          expr("percentile(l_extendedprice, array(0.475D, 0.5D, 0.525D))")
+            .as("ps"))
+        .select(col("l_returnflag"), col("sk"),
+          col("ps").getItem(1).as("exact_p50"),
+          col("ps").getItem(0).as("lo"), col("ps").getItem(2).as("hi"))
         .transform(graft.CachePool.persist)
       val groups = perFlag.select(col("l_returnflag"), col("exact_p50"),
         (kllP50(col("sk")) >= col("lo") &&
           kllP50(col("sk")) <= col("hi")).as("bound_ok"))
-      val globalExact = li.agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.475)").as("lo"),
-        expr("percentile(l_extendedprice, 0.525)").as("hi"))
+      val globalExact = li
+        .agg(expr("percentile(l_extendedprice, array(0.475D, 0.5D, 0.525D))")
+          .as("ps"))
+        .select(col("ps").getItem(1).as("exact_p50"),
+          col("ps").getItem(0).as("lo"), col("ps").getItem(2).as("hi"))
       val union = perFlag.agg(kllMerge(col("sk")).as("sk"))
         .crossJoin(broadcast(globalExact))
         .select(lit("ALL").as("l_returnflag"), col("exact_p50"),

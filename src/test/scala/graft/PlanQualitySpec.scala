@@ -200,6 +200,48 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally c.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("bitmap distinct: exactly two hash shuffles, both carrying word-compressed rows") {
+    // (group, bucket) bit_or then (group) popcount-sum — the whole point
+    // is that raw fact rows never shuffle; both exchanges move ≤ 1/64th
+    // of the distinct keys per group
+    val p = plan("agg_bitmap_distinct")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected exactly two shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
+
+  test("out-of-order shuffles ONCE: user partitioning serves running-max window AND per-user agg") {
+    val p = plan("events_out_of_order")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("moment statistics plan one hash-agg pass each, scans pruned to the aggregated columns") {
+    for (name <- Seq("agg_skewness", "profile_histogram2d")) {
+      val p = plan(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+        s"$name: expected exactly one shuffle:\n$p")
+      assert(!p.contains("SortAggregate"), s"$name:\n$p")
+    }
+    val rs = plan("agg_skewness").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && rs.contains("l_returnflag") &&
+      !rs.contains("l_extendedprice") && !rs.contains("l_orderkey"), rs)
+  }
+
+  test("growth-accounting family: no single-partition exchange, windows all user-partitioned") {
+    for (name <- Seq("events_lifecycle", "events_stickiness",
+      "events_hour_of_day", "text_cross_source_dups", "agg_regr_slope")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name funnels a relation through one task:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.
