@@ -27,6 +27,14 @@ case class ThumbFeatures(doc_id: Long, out_w: Int, out_h: Int,
 case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
     duration_sec: Double, rms: Double, clip_rate: Double)
 
+/** Perceptual average-hash of one image: the 64-bit aHash split into two
+  * unsigned-32 halves so every engine's integer arithmetic stays inside
+  * BIGINT (one signed 64-bit word would need bit-63 two's-complement
+  * gymnastics in the oracle).
+  */
+case class PhashFeatures(doc_id: Long, width: Int, height: Int,
+    hash_hi: Long, hash_lo: Long)
+
 /** Multimodal-column plumbing: image/audio/video as `binary` columns.
   *
   * The Spark-side structure is real — schema, column pruning, batched
@@ -87,6 +95,89 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
         MediaAsset(id, "image", bytes.length.toLong,
           md.map("%02x".format(_)).mkString, bytes)
+      }
+    }
+  }
+
+  /** Gradient-pattern PNG per document for the perceptual-hash path:
+    * gray value v(x,y) = (x·a + y·b) mod 256 with slopes (a, b) drawn
+    * from SMALL moduli of doc_id, so distinct documents intentionally
+    * COLLIDE onto identical patterns — the duplicate structure the
+    * perceptual hash must recover from pixels alone. Dimensions are
+    * multiples of 8, making every 8×8 average-pool cell an exact integer
+    * box; the oracle predicts the full 64-bit aHash arithmetically while
+    * the engine must decode the PNG and pool the actual pixels.
+    */
+  def patternAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = ((id % 5) + 2).toInt * 8
+        val h = (((id * 3) % 4) + 2).toInt * 8
+        val a = (id % 7).toInt
+        val b = ((id * 5) % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (x * a + y * b) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        MediaAsset(id, "image", bytes.length.toLong,
+          md.map("%02x".format(_)).mkString, bytes)
+      }
+    }
+  }
+
+  /** REAL decode + 8×8 average-pool → 64-bit aHash. All-integer: the
+    * bit test cellSum·64 ≥ totalSum is the exact form of
+    * cellMean ≥ globalMean (cell area = w·h/64), so the hash is
+    * bit-identical on any engine that decodes the same pixels.
+    */
+  def phashFeatures(assets: Dataset[MediaAsset]): Dataset[PhashFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val cw = w / 8
+        val ch = h / 8
+        val cells = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xff).toLong // gray: any channel
+            cells((y / ch) * 8 + (x / cw)) += v
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (cells(i) * 64 >= total) {
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          i += 1
+        }
+        PhashFeatures(m.doc_id, w, h, hi, lo)
       }
     }
   }
@@ -313,6 +404,72 @@ object Multimodal {
           array_position(col("histogram"), 1.0).as("solid_bucket"))
     }),
 
+    // REAL perceptual-hash dedup: decode gradient-pattern PNGs, 8×8
+    // integer average-pool into the 64-bit aHash, then group identical
+    // hashes — near-dup image detection from pixels alone. The oracle
+    // re-derives every hash bit arithmetically (cellSum·64 ≥ totalSum
+    // per cell) and must agree on all 64 bits of every image AND on the
+    // collision-group sizes. The group join is co-partitioned on the
+    // hash (the groupBy partitioning serves it); at 100 TB the hash
+    // relation is 16 bytes/image and the pool pass is scan-local.
+    "multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      val ph = phashFeatures(patternAssets(s, d)).toDF()
+        .transform(graft.CachePool.persist) // decode once: hash pass + group pass
+      val groups = ph.groupBy("hash_hi", "hash_lo")
+        .agg(count(lit(1)).as("n_same_hash"))
+      ph.join(groups, Seq("hash_hi", "hash_lo"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("hash_hi"), col("hash_lo"), col("n_same_hash"))
+    }),
+
+    // Near-duplicate IMAGE detection at scale: 4×16-bit band blocking
+    // over the distinct aHash relation (the Manku multi-index the
+    // simhash family uses) — every pair at hamming ≤ 3 shares at least
+    // one untouched band by pigeonhole, so recall is 1.0 BY
+    // CONSTRUCTION while candidates stay O(band collisions), never the
+    // quadratic distinct-hash cross product the brute oracle runs. The
+    // report is the O(3)-row dedup-volume census by distance: how many
+    // hash pairs, and how many underlying image pairs, a near-dup merge
+    // at each radius would fuse.
+    "multimodal_phash_neardup" -> ((s, d) => {
+      val hashes = phashFeatures(patternAssets(s, d)).toDF()
+        .groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("n_docs"))
+        .transform(graft.CachePool.persist)
+      val banded = hashes.select(col("hash_hi"), col("hash_lo"),
+        explode(array(
+          struct(lit(0).as("band_id"),
+            expr("hash_lo % 65536").as("band_val")),
+          struct(lit(1).as("band_id"),
+            expr("(hash_lo div 65536) % 65536").as("band_val")),
+          struct(lit(2).as("band_id"),
+            expr("hash_hi % 65536").as("band_val")),
+          struct(lit(3).as("band_id"),
+            expr("(hash_hi div 65536) % 65536").as("band_val")))).as("b"))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val pairs = a.join(b, col("a.b") === col("b.b"))
+        .filter(col("a.hash_hi") < col("b.hash_hi") ||
+          (col("a.hash_hi") === col("b.hash_hi") &&
+            col("a.hash_lo") < col("b.hash_lo")))
+        .select(col("a.hash_hi").as("ha"), col("a.hash_lo").as("la"),
+          col("b.hash_hi").as("hb"), col("b.hash_lo").as("lb"))
+        .distinct() // a pair can collide in several bands
+        .withColumn("hamming",
+          expr("cast(bit_count(ha ^ hb) + bit_count(la ^ lb) as int)"))
+        .filter(col("hamming") <= 3)
+      pairs
+        .join(hashes.withColumnRenamed("hash_hi", "ha")
+          .withColumnRenamed("hash_lo", "la")
+          .withColumnRenamed("n_docs", "na"), Seq("ha", "la"))
+        .join(hashes.withColumnRenamed("hash_hi", "hb")
+          .withColumnRenamed("hash_lo", "lb")
+          .withColumnRenamed("n_docs", "nb"), Seq("hb", "lb"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_hash_pairs"),
+          sum(col("na") * col("nb")).as("n_doc_pairs"))
+    }),
+
     // Resize/thumbnail: batched decode→transform chain; the stub's
     // features are SQL-expressible so the result is fully oracle-checked
     // (thumb hash = md5 of the boxed byte window).
@@ -348,6 +505,38 @@ object Multimodal {
     })
   )
 
+  /** Shared closed-form aHash derivation (DuckDB): rebuilds every
+    * gradient image pixel-by-pixel from its doc_id formula and pools the
+    * same integer 8×8 cells the engine pools from DECODED pixels. Ends
+    * with CTE `hashes`(doc_id, width, height, hash_hi, hash_lo).
+    */
+  private val PHASH_HASHES_CTE: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(doc_id % 5 + 2 AS BIGINT) * 8 AS w,
+      |    CAST((doc_id * 3) % 4 + 2 AS BIGINT) * 8 AS h,
+      |    CAST(doc_id % 7 AS BIGINT) AS a,
+      |    CAST((doc_id * 5) % 11 AS BIGINT) AS b
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    (x // (w // 8)) AS cx, (y // (h // 8)) AS cy,
+      |    (x * a + y * b) % 256 AS v
+      |  FROM p, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)),
+      |cells AS (SELECT doc_id, w, h, cy * 8 + cx AS idx, SUM(v) AS cellsum
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |tot AS (SELECT doc_id, SUM(cellsum) AS total FROM cells GROUP BY 1),
+      |bits AS (SELECT c.doc_id, c.w, c.h, c.idx,
+      |    CASE WHEN c.cellsum * 64 >= t.total THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (doc_id)),
+      |hashes AS (SELECT doc_id,
+      |    CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+      |    CAST(SUM(CASE WHEN idx >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+      |      AS BIGINT) AS hash_hi,
+      |    CAST(SUM(CASE WHEN idx < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+      |      AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "multimodal_decode" ->
       """SELECT doc_id,
@@ -382,6 +571,29 @@ object Multimodal {
         |    / CAST(n AS DOUBLE)) / 32768.0 AS rms,
         |  CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS clip_rate
         |FROM p""".stripMargin,
+    // Brute-force pixel reconstruction: the oracle rebuilds every image
+    // from its closed form, pools the same 8×8 integer cells, and packs
+    // the same two unsigned-32 hash halves — bit-for-bit.
+    "multimodal_phash" ->
+      s"""$PHASH_HASHES_CTE
+         |SELECT doc_id, width, height, hash_hi, hash_lo,
+         |  COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS n_same_hash
+         |FROM hashes""".stripMargin,
+    // The oracle runs the O(distinct²) brute cross product the banded
+    // engine plan exists to avoid — exactly the recall check.
+    "multimodal_phash_neardup" ->
+      s"""$PHASH_HASHES_CTE,
+         |hs AS (SELECT hash_hi, hash_lo, COUNT(*) AS n_docs
+         |  FROM hashes GROUP BY 1, 2),
+         |pairs AS (SELECT
+         |    CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+         |      + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming,
+         |    a.n_docs * b.n_docs AS dp
+         |  FROM hs a JOIN hs b
+         |    ON (a.hash_hi, a.hash_lo) < (b.hash_hi, b.hash_lo))
+         |SELECT hamming, COUNT(*) AS n_hash_pairs,
+         |  CAST(SUM(dp) AS BIGINT) AS n_doc_pairs
+         |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
     "multimodal_resize" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    octet_length(encode(text)) % 64 + 1 AS w,

@@ -78,6 +78,12 @@ import graft.sources.Tables
   *    one exchange; if that dominates, the mergeable-exact alternative
   *    is a per-day bitmap roll-up (`agg_bitmap_distinct`'s words OR-ed
   *    across a 28-day window of O(days) aggregates).
+  *  - `events_cohort_ltv` — cumulative lifetime value per signup
+  *    cohort: revenue cells (cohort week × week offset) with a running
+  *    per-user LTV curve — `events_retention`'s matrix weighted by
+  *    money. Two hash aggregations + one co-partitioned user join; the
+  *    cumulative window is partitioned per cohort over O(offsets) rows;
+  *    money stays exact decimal until the final d2-route double cast.
   *  - `events_out_of_order` — per-user event-time disorder: how often a
   *    row's event time regresses below the running max of its
   *    commit-order predecessors (`event_id` is the arrival/LSN order).
@@ -85,6 +91,18 @@ import graft.sources.Tables
   *    you what fraction of rows a too-tight watermark would drop. The
   *    running max is a user-partitioned window (bounded per user), never
   *    a global sort.
+  *  - `events_watermark_policy` — the decision table out_of_order
+  *    motivates: for each candidate watermark delay (0 s … 24 h),
+  *    exactly what fraction of rows a `withWatermark(delay)` pipeline
+  *    would RETAIN, from the exact per-row lateness distribution. The
+  *    lateness pass is the same user-partitioned running max; the
+  *    6-candidate evaluation is a map-side ×6 expansion into one hash
+  *    aggregation (the weekly_active convention).
+  *  - `events_forecast_naive` — seasonal-naïve backtest: predict each
+  *    day's event count by the same weekday one week earlier, report
+  *    MAE and signed bias per day-of-week. The standard forecast
+  *    BASELINE every fancier model must beat; all integer arithmetic on
+  *    an O(days) relation.
   */
 object Stats {
 
@@ -286,6 +304,32 @@ object Stats {
             .as("stickiness"))
     }),
 
+    // Cohort-week LTV curves: cumulative revenue per user by offset.
+    "events_cohort_ltv" -> ((s, d) => {
+      def d2(c: org.apache.spark.sql.Column) =
+        (c * lit(100L)).cast("decimal(38,0)").cast("double") / lit(100.0)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      val sized = cohort.groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_cohort_users"))
+      val cells = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+        .agg(sum("v").as("rev_dec"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.withColumn("cum_dec", sum("rev_dec").over(w))
+        .join(broadcast(sized), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"),
+          col("n_cohort_users"),
+          d2(col("rev_dec")).as("revenue"),
+          (d2(col("cum_dec")) / col("n_cohort_users"))
+            .as("cum_ltv_per_user"))
+    }),
+
     // Event-time disorder vs commit order, per user.
     "events_out_of_order" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -298,6 +342,40 @@ object Stats {
             .as("n_late"))
         .withColumn("late_share",
           col("n_late").cast("double") / col("n_events").cast("double"))
+    }),
+
+    // Retention-vs-delay decision table for streaming watermark sizing.
+    "events_watermark_policy" -> ((s, d) => {
+      val delays = Array(0L, 60L * 1000000L, 300L * 1000000L,
+        3600L * 1000000L, 21600L * 1000000L, 86400L * 1000000L)
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("lateness_us",
+          greatest(lit(0L), coalesce(max("us").over(w) - col("us"), lit(0L))))
+        .select(col("lateness_us"), explode(lit(delays)).as("delay_us"))
+        .groupBy("delay_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("lateness_us") <= col("delay_us"), 1L).otherwise(0L))
+            .as("n_retained"))
+        .withColumn("retain_share",
+          col("n_retained").cast("double") / col("n_events").cast("double"))
+    }),
+
+    // Seasonal-naive forecast backtest per day-of-week.
+    "events_forecast_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val pred = daily.select(date_add(col("day"), 7).as("day"),
+        col("n").as("pred"))
+      daily.join(pred, "day")
+        .groupBy(dayofweek(col("day")).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("pred"))).as("abs_err_total"),
+          sum(col("n") - col("pred")).as("bias_total"))
+        .withColumn("mae",
+          col("abs_err_total").cast("double") / col("n_days"))
     })
   )
 
@@ -452,6 +530,26 @@ object Stats {
         |  CAST(dau AS DOUBLE) / CAST(mau28 AS DOUBLE) AS stickiness
         |FROM dau JOIN mau USING (day)""".stripMargin,
 
+    "events_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_week, COUNT(*) AS n_cohort_users FROM c GROUP BY 1),
+        |cells AS (SELECT cohort_week,
+        |    DATEDIFF('day', cohort_week, wk) // 7 AS week_offset,
+        |    SUM(v) AS rev_dec
+        |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, week_offset, rev_dec,
+        |    SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+        |  FROM cells)
+        |SELECT cohort_week, week_offset, n_cohort_users,
+        |  CAST(CAST(rev_dec * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS revenue,
+        |  CAST(CAST(cum_dec * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100
+        |    / n_cohort_users AS cum_ltv_per_user
+        |FROM cum JOIN sz USING (cohort_week)""".stripMargin,
+
     "events_out_of_order" ->
       """WITH m AS (SELECT user_id, ts,
         |    MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
@@ -462,6 +560,32 @@ object Stats {
         |    AS n_late,
         |  CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS late_share
-        |FROM m GROUP BY user_id""".stripMargin
+        |FROM m GROUP BY user_id""".stripMargin,
+
+    "events_watermark_policy" ->
+      """WITH m AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events),
+        |l AS (SELECT GREATEST(0, COALESCE(pm - us, 0)) AS lateness_us FROM m),
+        |d AS (SELECT CAST(unnest([0, 60000000, 300000000, 3600000000,
+        |    21600000000, 86400000000]) AS BIGINT) AS delay_us)
+        |SELECT delay_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN lateness_us <= delay_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN lateness_us <= delay_us THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retain_share
+        |FROM l, d GROUP BY delay_us""".stripMargin,
+
+    "events_forecast_naive" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT d.day, d.n, p.n AS pred
+        |  FROM daily d JOIN daily p ON d.day = p.day + 7)
+        |SELECT CAST(dayofweek(day) + 1 AS INT) AS dow, COUNT(*) AS n_days,
+        |  CAST(SUM(abs(n - pred)) AS BIGINT) AS abs_err_total,
+        |  CAST(SUM(n - pred) AS BIGINT) AS bias_total,
+        |  CAST(SUM(abs(n - pred)) AS DOUBLE) / COUNT(*) AS mae
+        |FROM j GROUP BY 1""".stripMargin
   )
 }

@@ -166,4 +166,72 @@ class FunctionsSpec extends AnyFunSuite {
       assert(math.abs(x.histogram.sum - 1.0) < 1e-9)
     }
   }
+
+  test("phash: decoded-pixel aHash matches the closed-form prediction for every document") {
+    // brute-force reference computed WITHOUT any codec: rebuild the
+    // gradient from its formula, pool, compare to the engine's
+    // decode-the-actual-PNG path
+    def sim(id: Long): (Int, Int, Long, Long) = {
+      val w = ((id % 5) + 2).toInt * 8
+      val h = (((id * 3) % 4) + 2).toInt * 8
+      val a = (id % 7).toInt
+      val b = ((id * 5) % 11).toInt
+      val cells = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * a + y * b) % 256
+        cells((y / (h / 8)) * 8 + (x / (w / 8))) += v
+        total += v
+      }
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64; if cells(i) * 64 >= total)
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      (w, h, hi, lo)
+    }
+    val got = Multimodal
+      .phashFeatures(Multimodal.patternAssets(spark, "/root/testdata/sf0.001"))
+      .collect().sortBy(_.doc_id)
+    assert(got.length === 500)
+    got.foreach { p =>
+      val (w, h, hi, lo) = sim(p.doc_id)
+      assert((p.width, p.height, p.hash_hi, p.hash_lo) === ((w, h, hi, lo)),
+        s"doc ${p.doc_id}")
+    }
+    // the collision structure is the point: identical pattern params ⇒
+    // identical hashes, and the corpus must contain real collisions
+    val groups = got.groupBy(p => (p.hash_hi, p.hash_lo))
+    assert(groups.values.exists(_.length > 1), "expected hash collisions")
+    got.groupBy(p =>
+        (p.doc_id % 5, (p.doc_id * 3) % 4, p.doc_id % 7, (p.doc_id * 5) % 11))
+      .values.foreach { same =>
+        assert(same.map(p => (p.hash_hi, p.hash_lo)).distinct.length === 1,
+          "identical patterns must collide")
+      }
+  }
+
+  test("phash near-dup banding finds EVERY hamming<=3 pair the brute cross product finds") {
+    // recall-1.0-by-pigeonhole claim, checked against an in-test brute
+    // force over the collected distinct hashes
+    val hashes = Multimodal
+      .phashFeatures(Multimodal.patternAssets(spark, "/root/testdata/sf0.001"))
+      .collect().groupBy(p => (p.hash_hi, p.hash_lo))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSeq
+    var brute = Map.empty[Int, (Long, Long)] // d -> (hashPairs, docPairs)
+    for (i <- hashes.indices; j <- (i + 1) until hashes.length) {
+      val (h1, l1, n1) = hashes(i); val (h2, l2, n2) = hashes(j)
+      val d = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+      if (d <= 3) {
+        val (hp, dp) = brute.getOrElse(d, (0L, 0L))
+        brute += d -> (hp + 1, dp + n1 * n2)
+      }
+    }
+    val got = multimodal.Multimodal
+      .queries("multimodal_phash_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Int]("hamming") ->
+        ((r.getAs[Long]("n_hash_pairs"), r.getAs[Long]("n_doc_pairs"))))
+      .toMap
+    assert(got === brute, s"banded: $got vs brute: $brute")
+    assert(brute.nonEmpty, "the corpus must contain near-dup hash pairs")
+  }
 }

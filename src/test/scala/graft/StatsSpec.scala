@@ -123,6 +123,64 @@ class StatsSpec extends AnyFunSuite {
     st.unpersist()
   }
 
+  test("cohort LTV: cells reconcile with total revenue, cum telescopes, offset 0 everywhere") {
+    val ltv = Stats.queries("events_cohort_ltv")(spark, sfDir).persist()
+    // revenue cells partition the event value total exactly
+    val want = Tables.events(spark, sfDir)
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val got = ltv.agg(sum("revenue")).collect()(0).getDouble(0)
+    assert(math.abs(got - want) <= 1e-6 * math.abs(want))
+    // every cohort starts at offset 0 (its members are active that week)
+    val cohorts = ltv.select("cohort_week").distinct().count()
+    assert(ltv.filter(col("week_offset") === 0).count() === cohorts)
+    // cum at the max offset equals the cohort's total revenue / size
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cohort_week")
+    val last = ltv
+      .withColumn("mx", max("week_offset").over(w))
+      .filter(col("week_offset") === col("mx"))
+    val bad = last
+      .join(ltv.groupBy("cohort_week")
+        .agg(sum("revenue").as("tot"), max("n_cohort_users").as("n")),
+        "cohort_week")
+      .filter(abs(col("cum_ltv_per_user") - col("tot") / col("n")) > 1e-6)
+    assert(bad.count() === 0, "cumulative sum must telescope to the total")
+    ltv.unpersist()
+  }
+
+  test("watermark policy: retention monotone in delay, zero-delay row ties out to the disorder census") {
+    val wp = Stats.queries("events_watermark_policy")(spark, sfDir).persist()
+    assert(wp.count() === 6)
+    val rows = wp.orderBy("delay_us").collect()
+    // bigger delay can only retain more
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_retained") <= b.getAs[Long]("n_retained"))
+    }
+    // delay 0 retains exactly the rows out_of_order does NOT flag late
+    val oo = Stats.queries("events_out_of_order")(spark, sfDir)
+      .agg(sum("n_events").as("n"), sum("n_late").as("late")).collect()(0)
+    val zero = rows.head
+    assert(zero.getAs[Long]("delay_us") === 0L)
+    assert(zero.getAs[Long]("n_events") === oo.getAs[Long]("n"))
+    assert(zero.getAs[Long]("n_retained") ===
+      oo.getAs[Long]("n") - oo.getAs[Long]("late"))
+    wp.unpersist()
+  }
+
+  test("naive forecast: bias bounded by absolute error, evaluated days cover the overlap") {
+    val fc = Stats.queries("events_forecast_naive")(spark, sfDir).persist()
+    assert(fc.filter(abs(col("bias_total")) > col("abs_err_total")).count() === 0)
+    assert(fc.filter(col("dow") < 1 || col("dow") > 7).count() === 0)
+    // each evaluated day needs BOTH itself and day-7 present
+    val days = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day")).distinct().persist()
+    val overlap = days.as("a")
+      .join(days.as("b"), col("a.day") === date_add(col("b.day"), 7)).count()
+    assert(fc.agg(sum("n_days")).collect()(0).getLong(0) === overlap)
+    days.unpersist(); fc.unpersist()
+  }
+
   test("out-of-order: first event is never late, shares bounded, census matches") {
     val oo = Stats.queries("events_out_of_order")(spark, sfDir).persist()
     // n_late <= n_events - 1 (the first arrival has no predecessor)
