@@ -16,6 +16,11 @@ import graft.sources.Tables
   *    multi-dimensionally, the mechanism behind Delta/Iceberg
   *    OPTIMIZE ZORDER. Everything is integer bit arithmetic —
   *    bit-identical across engines and partitionings.
+  *  - `layout_skipping_gain` — the zone-map ROI report: the same 2-D
+  *    box predicate evaluated against a linear (one-key) layout and the
+  *    z-ordered layout, counting buckets/rows that survive min/max
+  *    pruning under each. Read amplification quantifies what the
+  *    OPTIMIZE ZORDER rewrite buys; the verdict pass is O(buckets).
   *  - `layout_range_split` — balanced range-partition boundaries over
   *    the key space, the way Spark's own RangePartitioner earns them at
   *    scale: boundary candidates come from a DETERMINISTIC salted-hash
@@ -75,6 +80,60 @@ object Layout {
         .agg(count(lit(1)).as("n_rows"),
           min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+    }),
+
+    // Zone-map skipping ROI: the proof that z-ordering EARNS its
+    // rewrite. Bucket the fact 64 ways twice — linearly by one key, and
+    // by the Morton code of both — compute each bucket's min/max "zone
+    // map" for both keys, and evaluate the same mid-range 2-D box
+    // predicate against both layouts: how many buckets (and rows) must
+    // be read, vs how many rows actually match. The z-layout prunes on
+    // BOTH dimensions at once; the linear layout can only prune its
+    // sort key, so its second-dimension ranges stay full-width and its
+    // read amplification is the cost of the wrong layout. Two hash
+    // aggregations over one scan + O(buckets) verdicts — all integer.
+    "layout_skipping_gain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val m = li.agg((max("l_partkey") + 1L).as("mp"),
+        (max("l_suppkey") + 1L).as("ms"))
+      val coords = li.crossJoin(broadcast(m))
+        .withColumn("cp", expr(s"(l_partkey * ${1L << ZBITS}) div mp"))
+        .withColumn("cs", expr(s"(l_suppkey * ${1L << ZBITS}) div ms"))
+        .withColumn("z_bucket",
+          shiftright(morton(col("cp"), col("cs")), ZBUCKET_SHIFT))
+        .withColumn("lin_bucket", expr("(l_partkey * 64) div mp"))
+        .withColumn("p_lo", expr("mp div 4"))
+        .withColumn("p_hi", expr("mp div 2 - 1"))
+        .withColumn("s_lo", expr("ms div 4"))
+        .withColumn("s_hi", expr("ms div 2 - 1"))
+        .transform(graft.CachePool.persist) // two layout passes, one scan
+      val inBox = col("l_partkey") >= col("p_lo") &&
+        col("l_partkey") <= col("p_hi") &&
+        col("l_suppkey") >= col("s_lo") && col("l_suppkey") <= col("s_hi")
+      def stats(bucket: Column, name: String) = coords
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(inBox, 1L).otherwise(0L)).as("n_match"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"),
+          max("p_lo").as("p_lo"), max("p_hi").as("p_hi"),
+          max("s_lo").as("s_lo"), max("s_hi").as("s_hi"))
+        .withColumn("read",
+          !(col("max_pk") < col("p_lo") || col("min_pk") > col("p_hi") ||
+            col("max_sk") < col("s_lo") || col("min_sk") > col("s_hi")))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("read"), 1L).otherwise(0L)).as("n_buckets_read"),
+          sum(when(col("read"), col("n_rows")).otherwise(0L))
+            .as("n_rows_read"),
+          sum("n_match").as("n_rows_matched"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("n_buckets_read"), col("n_rows_read"), col("n_rows_matched"),
+          when(col("n_rows_matched") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_rows_read").cast("double") /
+              col("n_rows_matched").cast("double"))
+            .as("read_amplification"))
+      stats(col("z_bucket"), "zorder")
+        .unionByName(stats(col("lin_bucket"), "linear"))
     }),
 
     // Small-file compaction plan: per source partition of the document
@@ -152,6 +211,54 @@ object Layout {
          |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
          |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
          |FROM c GROUP BY 1""".stripMargin,
+    // Same coords derivation as layout_zorder, evaluated under BOTH
+    // bucketings; HUGEINT sums cast back to BIGINT as usual.
+    "layout_skipping_gain" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
+         |c AS (SELECT l_partkey, l_suppkey,
+         |    (l_partkey * ${1L << ZBITS}) // mp AS cp,
+         |    (l_suppkey * ${1L << ZBITS}) // ms AS cs,
+         |    (l_partkey * 64) // mp AS lin_bucket,
+         |    mp // 4 AS p_lo, mp // 2 - 1 AS p_hi,
+         |    ms // 4 AS s_lo, ms // 2 - 1 AS s_hi
+         |  FROM lineitem, m),
+         |c2 AS (SELECT *,
+         |    (${mortonSql("cp", "cs")}) >> $ZBUCKET_SHIFT AS z_bucket,
+         |    CASE WHEN l_partkey >= p_lo AND l_partkey <= p_hi
+         |      AND l_suppkey >= s_lo AND l_suppkey <= s_hi
+         |      THEN 1 ELSE 0 END AS in_box
+         |  FROM c),
+         |zb AS (SELECT z_bucket, COUNT(*) AS n_rows, SUM(in_box) AS n_match,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+         |    MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+         |    MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+         |  FROM c2 GROUP BY 1),
+         |lb AS (SELECT lin_bucket, COUNT(*) AS n_rows, SUM(in_box) AS n_match,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+         |    MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+         |    MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+         |  FROM c2 GROUP BY 1),
+         |v AS (
+         |  SELECT 'zorder' AS layout, n_rows, n_match,
+         |    CASE WHEN max_pk < p_lo OR min_pk > p_hi
+         |      OR max_sk < s_lo OR min_sk > s_hi THEN 0 ELSE 1 END AS rd
+         |  FROM zb
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, n_rows, n_match,
+         |    CASE WHEN max_pk < p_lo OR min_pk > p_hi
+         |      OR max_sk < s_lo OR min_sk > s_hi THEN 0 ELSE 1 END AS rd
+         |  FROM lb)
+         |SELECT layout, COUNT(*) AS n_buckets,
+         |  CAST(SUM(rd) AS BIGINT) AS n_buckets_read,
+         |  CAST(SUM(rd * n_rows) AS BIGINT) AS n_rows_read,
+         |  CAST(SUM(n_match) AS BIGINT) AS n_rows_matched,
+         |  CASE WHEN SUM(n_match) = 0 THEN NULL
+         |    ELSE CAST(CAST(SUM(rd * n_rows) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(SUM(n_match) AS BIGINT) AS DOUBLE) END
+         |    AS read_amplification
+         |FROM v GROUP BY layout""".stripMargin,
     // DuckDB's SUM over BIGINT widens to HUGEINT, and greatest/'//'
     // propagate it — cast every derived column back to BIGINT so the
     // driver's type-sensitive value hash matches Spark's LongType

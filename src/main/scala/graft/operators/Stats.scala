@@ -91,6 +91,14 @@ import graft.sources.Tables
   *    you what fraction of rows a too-tight watermark would drop. The
   *    running max is a user-partitioned window (bounded per user), never
   *    a global sort.
+  *  - `agg_winsorized_mean` — robust mean with tails clamped to the
+  *    exact p05/p95 (the outlier-resistant summary a corrupt load
+  *    cannot drag). Engine-exact despite the double bounds: the mean is
+  *    assembled ANALYTICALLY as (n_below·lo + n_above·hi + Σ_mid cents)
+  *    / n — each term a single exact product or an integer sum, added
+  *    in one fixed order — never a data-ordered Σ of clamped doubles
+  *    (which no two engines sum identically). Two passes with a
+  *    broadcast O(groups) bounds relation between them.
   *  - `events_watermark_policy` — the decision table out_of_order
   *    motivates: for each candidate watermark delay (0 s … 24 h),
   *    exactly what fraction of rows a `withWatermark(delay)` pipeline
@@ -344,6 +352,32 @@ object Stats {
           col("n_late").cast("double") / col("n_events").cast("double"))
     }),
 
+    // Robust mean: tails clamped to exact p05/p95, assembled
+    // analytically (see scaladoc) so the double math is order-free.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").cast("long")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority"), cents.as("c"))
+        .transform(graft.CachePool.persist) // bounds pass + clamp pass
+      val bounds = base.groupBy("o_orderpriority")
+        .agg(expr("percentile(c, array(0.05D, 0.95D))").as("ps"))
+        .select(col("o_orderpriority"),
+          col("ps").getItem(0).as("lo"), col("ps").getItem(1).as("hi"))
+      base.join(broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("c") >= col("lo") && col("c") <= col("hi"), col("c"))
+            .otherwise(0L).cast("decimal(38,0)")).cast("double").as("mid"),
+          max("lo").as("lo"), max("hi").as("hi"))
+        .select(col("o_orderpriority"), col("n"), col("n_below"),
+          col("n_above"),
+          ((col("n_below") * col("lo") + col("n_above") * col("hi") +
+            col("mid")) / col("n") / lit(100.0)).as("winsorized_mean"))
+    }),
+
     // Retention-vs-delay decision table for streaming watermark sizing.
     "events_watermark_policy" -> ((s, d) => {
       val delays = Array(0L, 60L * 1000000L, 300L * 1000000L,
@@ -561,6 +595,27 @@ object Stats {
         |  CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS late_share
         |FROM m GROUP BY user_id""".stripMargin,
+
+    "agg_winsorized_mean" ->
+      """WITH base AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (SELECT o_orderpriority, quantile_cont(c, [0.05, 0.95]) AS ps
+        |  FROM base GROUP BY 1),
+        |b2 AS (SELECT o_orderpriority, ps[1] AS lo, ps[2] AS hi FROM b),
+        |g AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    -- hugeint→double via the exact decimal STRING (the
+        |    -- profile_outliers convention)
+        |    CAST(CAST(SUM(CASE WHEN c >= lo AND c <= hi THEN c ELSE 0 END)
+        |      AS VARCHAR) AS DOUBLE) AS mid,
+        |    MAX(lo) AS lo, MAX(hi) AS hi
+        |  FROM base JOIN b2 USING (o_orderpriority)
+        |  GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, n_below, n_above,
+        |  (n_below * lo + n_above * hi + mid) / n / 100.0 AS winsorized_mean
+        |FROM g""".stripMargin,
 
     "events_watermark_policy" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) AS us,

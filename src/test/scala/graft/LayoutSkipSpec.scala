@@ -91,4 +91,22 @@ class LayoutSkipSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(boxRows(s"$base/zorder") === boxRows(s"$base/plain"))
   }
+
+  test("skipping-gain report: both layouts cover every match, z-order never amplifies more than linear") {
+    val rows = graft.operators.Layout
+      .queries("layout_skipping_gain")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet === Set("zorder", "linear"))
+    val matched = rows.values.map(_.getAs[Long]("n_rows_matched")).toSet
+    assert(matched.size === 1, "the predicate's answer is layout-independent")
+    assert(matched.head > 0, "the box predicate must select something")
+    rows.values.foreach { r =>
+      // zone-map pruning is conservative: reads must cover the answer
+      assert(r.getAs[Long]("n_rows_read") >= r.getAs[Long]("n_rows_matched"))
+      assert(r.getAs[Long]("n_buckets_read") <= r.getAs[Long]("n_buckets"))
+    }
+    assert(rows("zorder").getAs[Double]("read_amplification") <=
+      rows("linear").getAs[Double]("read_amplification"),
+      "the whole point: z-order reads no more than the linear layout")
+  }
 }

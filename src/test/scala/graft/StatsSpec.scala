@@ -149,6 +149,29 @@ class StatsSpec extends AnyFunSuite {
     ltv.unpersist()
   }
 
+  test("winsorized mean: clamp counts near 5% per tail, value inside the clamp bounds and the raw range") {
+    val wm = Stats.queries("agg_winsorized_mean")(spark, sfDir).persist()
+    val raw = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+        avg("o_totalprice").as("plain_mean"))
+    val j = wm.join(raw, "o_orderpriority").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // at most ~5% strictly outside each interpolated bound
+      assert(r.getAs[Long]("n_below") <= 0.06 * n + 1)
+      assert(r.getAs[Long]("n_above") <= 0.06 * n + 1)
+      val m = r.getAs[Double]("winsorized_mean")
+      assert(m >= r.getAs[Double]("mn") && m <= r.getAs[Double]("mx"))
+      // robust and plain means agree to within the tail mass they differ by
+      val pm = r.getAs[Double]("plain_mean")
+      assert(math.abs(m - pm) <= 0.25 * pm,
+        s"winsorized $m vs plain $pm diverge implausibly")
+    }
+    wm.unpersist()
+  }
+
   test("watermark policy: retention monotone in delay, zero-delay row ties out to the disorder census") {
     val wp = Stats.queries("events_watermark_policy")(spark, sfDir).persist()
     assert(wp.count() === 6)
