@@ -34,6 +34,18 @@ import graft.sources.Tables
   *    bounded by |sources|² per fingerprint, and |sources| is a
   *    catalog-sized constant, so the join output is O(distinct
   *    fingerprints) — never quadratic in documents.
+  *  - `text_source_modularity` — Newman modularity of the SOURCE
+  *    partition over the content-overlap graph: do near-dup documents
+  *    stay within their source (high Q — sources are self-contained) or
+  *    bridge sources (low Q — scrapes copying each other, the leakage
+  *    smell `text_cross_source_dups` itemizes pair-by-pair)? The
+  *    leading-8-token fingerprint PARTITIONS documents into clique
+  *    groups, so every modularity ingredient reduces to group×source
+  *    counting — in_c = Σ_g C(n_gc,2), deg_c = Σ_g n_gc·(n_g−1),
+  *    m = Σ_g C(n_g,2) — and the per-source contribution
+  *    (4m·in_c − deg_c²)/(4m²) is a ratio of EXACT integers: community
+  *    detection arithmetic with zero floating-point accumulation and
+  *    zero iteration. Two hash aggregations + a broadcast 1-row total.
   *  - `text_export_shuffle` — deterministic pseudorandom export order:
   *    sort key = md5 of a seeded id, shard = first hex nibble. The same
   *    hash on any engine, any partitioning, any day — reproducible
@@ -79,6 +91,35 @@ object Curation {
         .filter(col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Exact integer numerators throughout: safe while 4·m² < 2⁶³, i.e.
+    // m ≲ 1.5e9 overlap edges — beyond that, shard the group census and
+    // widen to decimal(38,0) (the ann_covariance_sharded convention).
+    "text_source_modularity" -> ((s, d) => {
+      val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+      val gs = Tables.documents(s, d)
+        .select(fp.as("fp"), col("source"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("n_gc"))
+        .transform(graft.CachePool.persist) // group-total pass + per-source pass
+      val gTot = gs.groupBy("fp").agg(sum("n_gc").as("n_g"))
+      val perSource = gs.join(gTot, "fp") // co-partitioned on fp
+        .groupBy("source")
+        .agg(sum("n_gc").as("n_docs"),
+          sum(expr("n_gc * (n_gc - 1) div 2")).as("in_edges"),
+          sum(expr("n_gc * (n_g - 1)")).as("deg_sum"))
+      val m = gTot
+        .agg(sum(expr("n_g * (n_g - 1) div 2")).as("m_edges"))
+        .withColumn("__k", lit(1))
+      perSource.withColumn("__k", lit(1)).join(broadcast(m), "__k")
+        .select(col("source"), col("n_docs"), col("in_edges"),
+          col("deg_sum"), col("m_edges"),
+          when(col("m_edges") === 0L, lit(null).cast("double"))
+            .otherwise(
+              (lit(4L) * col("m_edges") * col("in_edges") -
+                col("deg_sum") * col("deg_sum")).cast("double") /
+                (lit(4L) * col("m_edges") * col("m_edges")).cast("double"))
+            .as("q_contrib"))
     }),
 
     "text_source_temperature" -> ((s, d) => {
@@ -173,6 +214,24 @@ object Curation {
         |  COUNT(*) AS n_shared
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "text_source_modularity" ->
+      """WITH fps AS (SELECT
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |    source
+        |  FROM documents),
+        |gs AS (SELECT fp, source, COUNT(*) AS n_gc FROM fps GROUP BY 1, 2),
+        |gt AS (SELECT fp, CAST(SUM(n_gc) AS BIGINT) AS n_g FROM gs GROUP BY 1),
+        |ps AS (SELECT source, CAST(SUM(n_gc) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_gc * (n_gc - 1) // 2) AS BIGINT) AS in_edges,
+        |    CAST(SUM(n_gc * (n_g - 1)) AS BIGINT) AS deg_sum
+        |  FROM gs JOIN gt USING (fp) GROUP BY 1),
+        |m AS (SELECT CAST(SUM(n_g * (n_g - 1) // 2) AS BIGINT) AS m_edges
+        |  FROM gt)
+        |SELECT source, n_docs, in_edges, deg_sum, m_edges,
+        |  CASE WHEN m_edges = 0 THEN NULL
+        |    ELSE CAST(4 * m_edges * in_edges - deg_sum * deg_sum AS DOUBLE)
+        |      / CAST(4 * m_edges * m_edges AS DOUBLE) END AS q_contrib
+        |FROM ps, m""".stripMargin,
     "text_source_temperature" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
          |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $GRID) AS BIGINT) AS q

@@ -25,6 +25,7 @@ object TextAnalysis {
   private val CHUNK_W = 64    // tokens per training chunk
   private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
   private val PMI_MIN_PAIR = 5 // collocation floor: drop hapax pairs
+  private val TFIDF_DF_CAP = 50 // max df for a cosine-join term (skew guard)
 
   // char-bigram profiles per language (top bigrams of each language's
   // typical text; literal so the oracle is the identical algorithm)
@@ -186,6 +187,49 @@ object TextAnalysis {
     // libm log isn't bitwise-portable across engines) — ranking is
     // order-isomorphic to the log form for fixed N. Two aggregations +
     // one window; all shuffle keys are term or doc_id.
+    // Weighted sparse similarity join: top document pairs by TF-IDF
+    // cosine — the WEIGHTED complement to the jaccard family (set
+    // overlap treats "the" and a rare entity alike; idf weighting makes
+    // shared rare terms dominate). Engine-exact throughout: weights are
+    // INTEGER w = tf·(N div df) (the integer-grid idf), so pair dot
+    // products and per-doc norms are exact BIGINT sums; the final
+    // cosine divides identical exact operands through sqrt — identical
+    // doubles, safely comparable for the global top-20 TakeOrdered.
+    // Scale: join terms are capped at df ≤ TFIDF_DF_CAP (the standard
+    // stop-term island guard — candidates cost Σ df², bounded), and the
+    // norm relation is O(docs), co-partitioned on doc_id.
+    "text_tfidf_cosine_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDf = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(graft.CachePool.persist) // df pass + weight pass
+      val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val weighted = terms
+        .join(broadcast(dfreq.filter(col("df") <= TFIDF_DF_CAP)), "term")
+        .withColumn("__k", lit(1)).join(broadcast(nDf), "__k")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * expr("n_docs div df")).as("w"))
+        .transform(graft.CachePool.persist) // norms + self-join
+      val norms = weighted.groupBy("doc_id")
+        .agg(sum(col("w") * col("w")).as("sumsq"))
+      val pairs = weighted.as("a")
+        .join(weighted.as("b"), Seq("term"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      pairs
+        .join(norms.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sumsq", "sa"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sumsq", "sb"), "doc_b")
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))))
+        .select("doc_a", "doc_b", "dot", "cosine")
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.TopK.installedWithRewrite(s)
@@ -761,6 +805,27 @@ object TextAnalysis {
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin
     },
+    "text_tfidf_cosine_pairs" ->
+      s"""WITH terms AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY 1),
+         |w AS (SELECT doc_id, t.term,
+         |    CAST(tf * ((SELECT COUNT(*) FROM documents) // df) AS BIGINT) AS w
+         |  FROM terms t JOIN dfreq USING (term) WHERE df <= $TFIDF_DF_CAP),
+         |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS sumsq
+         |  FROM w GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.sumsq AS DOUBLE))
+         |    * sqrt(CAST(nb.sumsq AS DOUBLE))) AS cosine
+         |FROM pairs
+         |JOIN norms na ON pairs.doc_a = na.doc_id
+         |JOIN norms nb ON pairs.doc_b = nb.doc_id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),

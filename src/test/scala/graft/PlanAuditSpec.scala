@@ -80,8 +80,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_rfm",           // 1-row global-max-day and ≤4-element
                             // boundary-array aggregates broadcast into
                             // the per-user assignment — bounded
-    "profile_benford"       // 1-row digit-total aggregate broadcast into
+    "profile_benford",      // 1-row digit-total aggregate broadcast into
                             // the ≤9-row digit counts — bounded
+    "text_tfidf_cosine_pairs", // 1-row COUNT(*) aggregate broadcast as the
+                            // integer-idf numerator — bounded
+    "layout_skipping_gain", // 1-row max-key aggregate broadcast for range
+                            // normalization (the layout_zorder shape)
+    "text_source_modularity" // 1-row total-edge aggregate broadcast into
+                            // the O(sources) census — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -242,6 +242,38 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf cosine pairs: global top-20 is a TakeOrdered, no cartesian, no sort-merge of raw docs") {
+    val p = plan("text_tfidf_cosine_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort the pair relation:\n$p")
+    // (the 1-row n_docs broadcast constant-folds to a one-row BNLJ —
+    // the whitelisted scalar-subquery shape; a cartesian of REAL
+    // relations would be a bug)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source modularity: pure hash aggregation, no single-partition exchange of the group census") {
+    val p = plan("text_source_modularity")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    // the only SinglePartition exchanges allowed are the 1-row m
+    // aggregate and the broadcast — never the O(fingerprints) census
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val c = spark.conf
+    val saved = c.get("spark.sql.adaptive.enabled")
+    try {
+      c.set("spark.sql.adaptive.enabled", "false")
+      val ep = SparkEntry.queries("text_source_modularity")(spark, sfDir)
+        .queryExecution.executedPlan
+      ep.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }.foreach { e =>
+        assert(!e.child.output.exists(_.name == "fp"),
+          s"single-partition exchange carries the fingerprint census:\n$e")
+      }
+    } finally c.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantic checks for the weighted-similarity and graph-partition
+  * operators over the document corpus — brute-force recomputation on
+  * the small SF, never the implementation's own plan.
+  */
+class TextPairsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("tfidf cosine pairs: Cauchy-Schwarz bound holds, top pair verified by brute force") {
+    val top = operators.TextAnalysis
+      .queries("text_tfidf_cosine_pairs")(spark, sfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    assert(top.forall(r => r.getAs[Double]("cosine") > 0.0 &&
+      r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+    // descending order with deterministic tie-break
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("cosine") >= b.getAs[Double]("cosine"))
+    }
+    // brute-force the #1 pair's dot product from raw tokens
+    val r = top.head
+    val (da, db) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+    val w = tf.join(df, "t")
+      .select(col("doc_id"), col("t"), (col("tf") * (lit(n) / col("df")).cast("long")).as("w"))
+    val wa = w.filter(col("doc_id") === da).collect()
+      .map(x => x.getAs[String]("t") -> x.getAs[Long]("w")).toMap
+    val wb = w.filter(col("doc_id") === db).collect()
+      .map(x => x.getAs[String]("t") -> x.getAs[Long]("w")).toMap
+    val dot = wa.keysIterator.map(k => wa(k) * wb.getOrElse(k, 0L)).sum
+    assert(r.getAs[Long]("dot") === dot, s"pair ($da,$db) dot")
+  }
+
+  test("source modularity: contributions sum to a valid Q, degree identity 2m holds") {
+    val q = operators.Curation
+      .queries("text_source_modularity")(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    val m = q.head.getAs[Long]("m_edges")
+    assert(q.forall(_.getAs[Long]("m_edges") === m), "m is global")
+    assert(m > 0, "the prefix-8 groups must produce overlap edges")
+    // handshake: sum of community degree sums is exactly 2m
+    assert(q.map(_.getAs[Long]("deg_sum")).sum === 2 * m)
+    // internal edges can't exceed the total
+    assert(q.map(_.getAs[Long]("in_edges")).sum <= m)
+    val Q = q.map(_.getAs[Double]("q_contrib")).sum
+    assert(Q >= -1.0 && Q <= 1.0, s"modularity $Q out of range")
+    // brute force: enumerate the clique edges and recompute Q directly
+    val fps = Tables.documents(spark, sfDir)
+      .select(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+        .as("fp"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = fps.groupBy(_._1).values.flatMap { g =>
+      for (i <- g.indices; j <- (i + 1) until g.length)
+        yield (g(i)._2, g(j)._2)
+    }.toSeq
+    val mB = bySrc.size.toLong
+    val inB = bySrc.groupBy(identity).collect {
+      case ((a, b), es) if a == b => (a, es.size.toLong)
+    }
+    val degB = bySrc.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(mB === m, "brute-force edge count")
+    // .toSeq first: mapping over the key SET would dedupe sources whose
+    // contributions happen to be numerically equal
+    val QB = degB.keys.toSeq.map { s =>
+      val in = inB.toMap.getOrElse(s, 0L)
+      (4L * mB * in - degB(s) * degB(s)).toDouble / (4L * mB * mB).toDouble
+    }.sum
+    assert(math.abs(Q - QB) < 1e-9, s"Q $Q vs brute $QB")
+  }
+}
