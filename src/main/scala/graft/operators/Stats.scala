@@ -99,6 +99,12 @@ import graft.sources.Tables
   *    in one fixed order — never a data-ordered Σ of clamped doubles
   *    (which no two engines sum identically). Two passes with a
   *    broadcast O(groups) bounds relation between them.
+  *  - `events_ab_readout` — experiment readout: per-variant user
+  *    counts, conversion rates, and the χ² sample-ratio-mismatch
+  *    component against the 50/50 design (the guardrail that catches a
+  *    broken bucketing pipeline before anyone reads the lift). Variant
+  *    assignment is a pure function of user_id; one per-user
+  *    aggregation + an O(variants) roll-up.
   *  - `events_watermark_policy` — the decision table out_of_order
   *    motivates: for each candidate watermark delay (0 s … 24 h),
   *    exactly what fraction of rows a `withWatermark(delay)` pipeline
@@ -378,6 +384,28 @@ object Stats {
             col("mid")) / col("n") / lit(100.0)).as("winsorized_mean"))
     }),
 
+    // A/B experiment readout with a sample-ratio-mismatch component.
+    "events_ab_readout" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      val v = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+        .withColumn("conv_rate",
+          col("n_converted").cast("double") / col("n_users").cast("double"))
+      val tot = v.agg(sum("n_users").as("total_users"))
+        .withColumn("__k", lit(1))
+      v.withColumn("__k", lit(1)).join(broadcast(tot), "__k")
+        .select(col("variant"), col("n_users"), col("n_converted"),
+          col("conv_rate"),
+          // χ² term against the 50/50 design: (obs − total/2)²/(total/2)
+          (((col("n_users").cast("double") -
+            col("total_users").cast("double") / 2.0) *
+            (col("n_users").cast("double") -
+              col("total_users").cast("double") / 2.0)) /
+            (col("total_users").cast("double") / 2.0)).as("srm_component"))
+    }),
+
     // Retention-vs-delay decision table for streaming watermark sizing.
     "events_watermark_policy" -> ((s, d) => {
       val delays = Array(0L, 60L * 1000000L, 300L * 1000000L,
@@ -616,6 +644,22 @@ object Stats {
         |SELECT o_orderpriority, n, n_below, n_above,
         |  (n_below * lo + n_above * hi + mid) / n / 100.0 AS winsorized_mean
         |FROM g""".stripMargin,
+
+    "events_ab_readout" ->
+      """WITH per AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted
+        |  FROM per GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total_users FROM v)
+        |SELECT variant, n_users, n_converted,
+        |  CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+        |  ((CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE) / 2.0)
+        |    * (CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE) / 2.0))
+        |    / (CAST(total_users AS DOUBLE) / 2.0) AS srm_component
+        |FROM v, t""".stripMargin,
 
     "events_watermark_policy" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) AS us,

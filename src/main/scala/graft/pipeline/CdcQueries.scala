@@ -328,6 +328,33 @@ object CdcQueries {
           col("n_collapsed"))
     }),
 
+    // Kafka-style compaction with delete retention (log.cleanup.policy=
+    // compact + delete.retention.ms): the compacted head keeps the
+    // latest record per key; a key whose head is a DELETE keeps its
+    // tombstone only while it is younger than the retention horizon
+    // (fence − fence/4 in LSN space — consumers that lag further than
+    // that must resnapshot anyway), and is purged entirely after. The
+    // per-key head is one user-partitioned window; the fence is a 1-row
+    // broadcast. This is the GC policy that stops a delete-heavy
+    // changelog from growing tombstones forever at 100 TB.
+    "cdc_tombstone_gc" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s) // rn=1 → per-key 1-row heaps
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("event_id").desc)
+      val latest = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), opCol.as("op"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val fence = Tables.events(s, d)
+        .agg(max("event_id").as("fence")).withColumn("__k", lit(1))
+      latest.withColumn("__k", lit(1)).join(broadcast(fence), "__k")
+        .select(col("user_id"), col("event_id").as("last_lsn"),
+          col("op").as("last_op"),
+          when(col("op") =!= "delete", "live")
+            .when(col("event_id") > col("fence") - expr("fence div 4"),
+              "tombstone_retained")
+            .otherwise("purged").as("outcome"))
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -364,6 +391,17 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS delete_share
          |FROM events GROUP BY 1""".stripMargin,
+    "cdc_tombstone_gc" ->
+      s"""WITH latest AS (SELECT user_id, event_id, $opSql AS op
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn FROM events) t
+         |  WHERE rn = 1),
+         |f AS (SELECT MAX(event_id) AS fence FROM events)
+         |SELECT user_id, event_id AS last_lsn, op AS last_op,
+         |  CASE WHEN op <> 'delete' THEN 'live'
+         |    WHEN event_id > fence - fence // 4 THEN 'tombstone_retained'
+         |    ELSE 'purged' END AS outcome
+         |FROM latest, f""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH f AS (SELECT MAX(event_id) // 2 AS fence FROM events),
         |os AS (SELECT user_id, event_id, event_type, value,

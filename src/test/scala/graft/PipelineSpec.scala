@@ -233,4 +233,29 @@ class PipelineSpec extends AnyFunSuite {
     val direct = ChangeLog.latestState(changelog, Seq("key"), "lsn").collect().toSet
     assert(latest === direct)
   }
+
+  test("tombstone GC: outcomes partition the key space; live keys are exactly the latest-state keys") {
+    val sfDir = "/root/testdata/sf0.001"
+    val gc = graft.pipeline.CdcQueries
+      .queries("cdc_tombstone_gc")(spark, sfDir).persist()
+    val nUsers = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(gc.count() === nUsers, "one verdict per key, no key dropped")
+    assert(gc.filter(!col("outcome")
+      .isin("live", "tombstone_retained", "purged")).count() === 0)
+    // 'live' ⟺ last op is not a delete; deletes split by the horizon
+    assert(gc.filter(col("outcome") === "live")
+      .filter(col("last_op") === "delete").count() === 0)
+    assert(gc.filter(col("outcome") =!= "live")
+      .filter(col("last_op") =!= "delete").count() === 0)
+    // the GC never retains a tombstone older than one it purges
+    val agg = gc.agg(
+      min(when(col("outcome") === "tombstone_retained", col("last_lsn")))
+        .as("min_kept"),
+      max(when(col("outcome") === "purged", col("last_lsn"))).as("max_purged"))
+      .collect()(0)
+    if (!agg.isNullAt(0) && !agg.isNullAt(1))
+      assert(agg.getLong(0) > agg.getLong(1))
+    gc.unpersist()
+  }
 }

@@ -86,8 +86,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // integer-idf numerator — bounded
     "layout_skipping_gain", // 1-row max-key aggregate broadcast for range
                             // normalization (the layout_zorder shape)
-    "text_source_modularity" // 1-row total-edge aggregate broadcast into
+    "text_source_modularity", // 1-row total-edge aggregate broadcast into
                             // the O(sources) census — bounded
+    "cdc_tombstone_gc",     // 1-row max-LSN fence aggregate broadcast
+                            // into the per-key heads — bounded
+    "events_ab_readout"     // 1-row total-users aggregate broadcast into
+                            // the O(variants) readout — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

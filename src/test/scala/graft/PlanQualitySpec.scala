@@ -274,6 +274,12 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally c.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("tombstone GC: per-key head planned as TopKPerKey heaps, not a full window sort") {
+    val p = plan("cdc_tombstone_gc")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"),
+      s"head selection must take the two-phase TopKPerKey rewrite:\n$p")
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.

@@ -172,6 +172,26 @@ class StatsSpec extends AnyFunSuite {
     wm.unpersist()
   }
 
+  test("ab readout: variants partition users, srm components agree, conversion census ties out") {
+    val ab = Stats.queries("events_ab_readout")(spark, sfDir).persist()
+    assert(ab.count() <= 2)
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(ab.agg(sum("n_users")).collect()(0).getLong(0) === nUsers)
+    // each variant's (obs − total/2) is the negation of the other's, so
+    // the two χ² components are identical by symmetry
+    val comps = ab.select("srm_component").collect().map(_.getDouble(0))
+    if (comps.length == 2) assert(comps(0) === comps(1))
+    // converted count per variant ties out against a direct census
+    val want = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("pmod(user_id, 2)").as("variant"), col("user_id"))
+      .distinct().groupBy("variant").agg(count(lit(1)).as("want_conv"))
+    assert(ab.join(want, "variant")
+      .filter(col("n_converted") =!= col("want_conv")).count() === 0)
+    ab.unpersist()
+  }
+
   test("watermark policy: retention monotone in delay, zero-delay row ties out to the disorder census") {
     val wp = Stats.queries("events_watermark_policy")(spark, sfDir).persist()
     assert(wp.count() === 6)
