@@ -93,6 +93,29 @@ object Curation {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // Dedup ROI in BYTES: per source, how many characters a keep-first
+    // near-dup pass (leading-8-token fingerprint groups, keeper = min
+    // doc_id) would delete — the line item that justifies the dedup
+    // compute budget. Two hash aggregations, keeper join co-partitioned
+    // on the fingerprint.
+    "text_dedup_savings" -> ((s, d) => {
+      val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+      val keeper = docs.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      docs.join(keeper, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_redundant"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+            .otherwise(0L)).as("redundant_chars"))
+        .withColumn("savings_share",
+          col("redundant_chars").cast("double") /
+            col("total_chars").cast("double"))
+    }),
+
     // Exact integer numerators throughout: safe while 4·m² < 2⁶³, i.e.
     // m ≲ 1.5e9 overlap edges — beyond that, shard the group census and
     // widen to decimal(38,0) (the ann_covariance_sharded convention).
@@ -214,6 +237,20 @@ object Curation {
         |  COUNT(*) AS n_shared
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "text_dedup_savings" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, MIN(doc_id) AS keep_id FROM docs GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_redundant,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS redundant_chars,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE) AS savings_share
+        |FROM docs JOIN k USING (fp) GROUP BY source""".stripMargin,
     "text_source_modularity" ->
       """WITH fps AS (SELECT
         |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,

@@ -212,6 +212,34 @@ object Profiling {
             .as("revenue"))
     }),
 
+    // Robust daily-volume anomaly screen: MAD-based flags next to
+    // events_anomaly_days' moment-based z-scores. The median/MAD pair
+    // survives the very outliers it hunts (one 100× day drags a mean
+    // and explodes a stddev but barely moves a median), which is why
+    // monitoring systems prefer it for volume alerts. Two exact
+    // percentile passes over the O(days) relation with 1-row broadcasts
+    // between them; the 1.4826 consistency constant makes the threshold
+    // comparable to the 3σ rule. Zero-MAD corpora (every day identical)
+    // yield NULL verdicts, not a division artifact.
+    "events_anomaly_mad" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        .transform(graft.CachePool.persist) // median pass + flag pass
+      val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
+        .withColumn("__k", lit(1))
+      val withDev = daily.withColumn("__k", lit(1))
+        .join(broadcast(med), "__k")
+        .withColumn("adev", abs(col("n").cast("double") - col("med")))
+        .transform(graft.CachePool.persist) // mad pass + verdict pass
+      val mad = withDev.agg(expr("percentile(adev, 0.5)").as("mad"))
+        .withColumn("__k2", lit(1))
+      withDev.withColumn("__k2", lit(1)).join(broadcast(mad), "__k2")
+        .select(col("day"), col("n"), col("med"), col("mad"),
+          when(col("mad") === 0.0, lit(null).cast("boolean"))
+            .otherwise(col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+            .as("is_anomaly"))
+    }),
+
     // Per-user inter-arrival gaps in exact microseconds. Session-health
     // profile: max gap flags dormancy, the mean flags cadence.
     "events_interarrival" -> ((s, d) => {
@@ -682,6 +710,18 @@ object Profiling {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+        |dev AS (SELECT day, n, med,
+        |    abs(CAST(n AS DOUBLE) - med) AS adev FROM daily, med),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT day, n, med, mad,
+        |  CASE WHEN mad = 0.0 THEN NULL
+        |    ELSE adev > 3.0 * 1.4826 * mad END AS is_anomaly
+        |FROM dev, mad""".stripMargin,
 
     "events_interarrival" ->
       """WITH g AS (SELECT user_id,

@@ -26,6 +26,10 @@ object TextAnalysis {
   private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
   private val PMI_MIN_PAIR = 5 // collocation floor: drop hapax pairs
   private val TFIDF_DF_CAP = 50 // max df for a cosine-join term (skew guard)
+  // keyword-search query: one rare discriminating token + two common
+  // ones, so the integer idf actually ranks (all three occur at every SF)
+  private val SEARCH_TOKS = Seq("dup", "spark", "table")
+  private val SEARCH_PHRASE = "table scan"
 
   // char-bigram profiles per language (top bigrams of each language's
   // typical text; literal so the oracle is the identical algorithm)
@@ -187,6 +191,47 @@ object TextAnalysis {
     // libm log isn't bitwise-portable across engines) — ranking is
     // order-isomorphic to the log form for fixed N. Two aggregations +
     // one window; all shuffle keys are term or doc_id.
+    // Relevance search top-k — the query side of the reference's
+    // Elasticsearch materialization: rank documents for a keyword query
+    // by Σ tf·idf with the INTEGER idf grid (n_docs div df), so scores
+    // are exact BIGINTs and the global top-10 is a deterministic
+    // TakeOrdered (score desc, doc_id). The scan prunes to rows
+    // containing query terms BEFORE any aggregation; df for the ≤|q|
+    // query terms is a broadcast, as is the 1-row corpus count. At
+    // 100 TB this is the standing-inverted-index probe pattern: only
+    // postings for the query terms move, never the corpus.
+    "search_keyword_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term").isin(SEARCH_TOKS: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(graft.CachePool.persist) // df pass + scoring pass
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("__k", lit(1)).join(broadcast(n), "__k")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * expr("n_docs div df")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
+    // Phrase search census per source: exact substring match count and
+    // total occurrences via the length/replace identity — no regex, no
+    // tokenizer, identical on every engine.
+    "search_phrase_match" -> ((s, d) => {
+      val occ = expr(s"(length(text) - length(replace(text, '$SEARCH_PHRASE', '')))" +
+        s" div ${SEARCH_PHRASE.length}")
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").contains(SEARCH_PHRASE), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(occ).as("n_occurrences"))
+        .withColumn("match_share",
+          col("n_match").cast("double") / col("n_docs").cast("double"))
+    }),
+
     // Weighted sparse similarity join: top document pairs by TF-IDF
     // cosine — the WEIGHTED complement to the jaccard family (set
     // overlap treats "the" and a rare entity alike; idf weighting makes
@@ -805,6 +850,31 @@ object TextAnalysis {
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin
     },
+    "search_keyword_topk" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) t
+         |  WHERE term IN (${SEARCH_TOKS.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id,
+         |  CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS score,
+         |  COUNT(*) AS n_terms_hit
+         |FROM tf JOIN dfreq USING (term), n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_phrase_match" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN contains(text, '$SEARCH_PHRASE') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  CAST(SUM((length(text) - length(replace(text, '$SEARCH_PHRASE', '')))
+         |    // ${SEARCH_PHRASE.length}) AS BIGINT) AS n_occurrences,
+         |  CAST(SUM(CASE WHEN contains(text, '$SEARCH_PHRASE') THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS match_share
+         |FROM documents GROUP BY source""".stripMargin,
+
     "text_tfidf_cosine_pairs" ->
       s"""WITH terms AS (SELECT doc_id, term, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

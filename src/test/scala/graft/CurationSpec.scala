@@ -35,6 +35,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("dedup savings: redundant strictly less than total, shares in [0,1), global docs conserved") {
+    val sv = Curation.queries("text_dedup_savings")(spark, sfDir).persist()
+    assert(sv.filter(col("redundant_chars") > col("total_chars")).count() === 0)
+    assert(sv.filter(col("n_redundant") > col("n_docs")).count() === 0)
+    assert(sv.filter(col("savings_share") < 0.0 || col("savings_share") > 1.0)
+      .count() === 0)
+    val docs = Tables.documents(spark, sfDir)
+    assert(sv.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    assert(sv.agg(sum("total_chars")).collect()(0).getLong(0) ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // global redundant docs = docs − distinct fingerprints
+    val nFp = docs
+      .select(md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+      .distinct().count()
+    assert(sv.agg(sum("n_redundant")).collect()(0).getLong(0) ===
+      docs.count() - nFp)
+    sv.unpersist()
+  }
+
   test("cross-source dups: pairs are ordered, shared counts bounded by per-source fingerprints, nonempty at every SF") {
     val dups = Curation.queries("text_cross_source_dups")(spark, sfDir)
       .persist()

@@ -90,8 +90,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the O(sources) census — bounded
     "cdc_tombstone_gc",     // 1-row max-LSN fence aggregate broadcast
                             // into the per-key heads — bounded
-    "events_ab_readout"     // 1-row total-users aggregate broadcast into
+    "events_ab_readout",    // 1-row total-users aggregate broadcast into
                             // the O(variants) readout — bounded
+    "search_keyword_topk"   // 1-row corpus-count aggregate broadcast as
+                            // the integer-idf numerator — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

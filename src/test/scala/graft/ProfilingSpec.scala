@@ -41,6 +41,29 @@ class ProfilingSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("MAD anomaly screen: flags agree with a collected recomputation, zero-MAD guard honored") {
+    val m = Profiling.queries("events_anomaly_mad")(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    val med = m.head.getAs[Double]("med")
+    val mad = m.head.getAs[Double]("mad")
+    assert(m.forall(r => r.getAs[Double]("med") == med &&
+      r.getAs[Double]("mad") == mad), "median/MAD are global")
+    m.foreach { r =>
+      val expect =
+        if (mad == 0.0) null
+        else java.lang.Boolean.valueOf(
+          math.abs(r.getAs[Long]("n").toDouble - med) > 3.0 * 1.4826 * mad)
+      assert(r.getAs[java.lang.Boolean]("is_anomaly") === expect,
+        s"day ${r.getAs[java.sql.Date]("day")}")
+    }
+    // MAD must be no larger than the moment-based spread it robustifies
+    val counts = m.map(_.getAs[Long]("n").toDouble)
+    val mean = counts.sum / counts.length
+    val sd = math.sqrt(counts.map(c => (c - mean) * (c - mean)).sum /
+      counts.length)
+    assert(mad <= sd + 1e-9, s"MAD $mad vs stddev $sd")
+  }
+
   test("interarrival: per-user gap count is n_events - 1 and every max >= avg > 0") {
     val ia = Profiling.queries("events_interarrival")(spark, sfDir)
       .transform(df => { df.persist(); df })

@@ -42,6 +42,45 @@ class TextPairsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dot") === dot, s"pair ($da,$db) dot")
   }
 
+  test("keyword search: scores rank correctly and the top hit survives a brute recount") {
+    val top = operators.TextAnalysis
+      .queries("search_keyword_topk")(spark, sfDir).collect()
+    assert(top.length === 10)
+    top.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    assert(top.forall(r => r.getAs[Long]("n_terms_hit") >= 1 &&
+      r.getAs[Long]("n_terms_hit") <= 3))
+    // recount the champion's score from raw text
+    val champ = top.head.getAs[Long]("doc_id")
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === champ).collect()(0).getAs[String]("text")
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val score = Seq("dup", "spark", "table").map { t =>
+      val tfC = text.split(" ").count(_ == t).toLong
+      if (tfC == 0) 0L
+      else {
+        val dfC = docs
+          .filter(array_contains(split(col("text"), " "), t)).count()
+        tfC * (n / dfC)
+      }
+    }.sum
+    assert(top.head.getAs[Long]("score") === score)
+  }
+
+  test("phrase search: matches bounded by docs, occurrences bounded below by matches") {
+    val pm = operators.TextAnalysis
+      .queries("search_phrase_match")(spark, sfDir).persist()
+    assert(pm.filter(col("n_match") > col("n_docs")).count() === 0)
+    assert(pm.filter(col("n_occurrences") < col("n_match")).count() === 0)
+    assert(pm.agg(sum("n_match")).collect()(0).getLong(0) > 0,
+      "the phrase must occur at every SF")
+    pm.unpersist()
+  }
+
   test("source modularity: contributions sum to a valid Q, degree identity 2m holds") {
     val q = operators.Curation
       .queries("text_source_modularity")(spark, sfDir).collect()
