@@ -430,6 +430,32 @@ object Profiling {
     // day. Standard engagement telemetry over the CDC event stream;
     // report days past the corpus tail carry the still-draining window
     // (identical in the oracle).
+    // The MERGEABLE form of rolling distinct: per-(day, bucket) 64-bit
+    // user bitmaps (the agg_bitmap_distinct words — the daily aggregate
+    // a 100 TB pipeline persists ONCE), window-end-expanded ×7 and
+    // re-merged with plain bit_or, then popcounted. EXACT WAU with no
+    // distinct over raw rows and no band self-join: the expansion moves
+    // 7·|day-buckets| WORD rows (≤ 7·users/64 per day), not 7·|user-day|
+    // rows — a 64× shuffle reduction over events_weekly_active's
+    // expansion, and the same words answer any window length.
+    "events_weekly_active_bitmap" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"), expr("user_id div 64").as("bucket"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))")
+          .as("word"))
+      words
+        .select(col("bucket"), col("word"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("bucket"), col("word"),
+          expr("date_add(day, i)").as("report_day"))
+        .groupBy("report_day", "bucket")
+        .agg(expr("bit_or(word)").as("word"))
+        .groupBy("report_day")
+        .agg(sum(expr("cast(bit_count(word) as bigint)")).as("wau"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
     "events_weekly_active" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -820,6 +846,15 @@ object Profiling {
         |  CAST(CAST(SUM(CASE WHEN rn <= (n_users + 9) // 10 THEN n ELSE 0 END) AS BIGINT)
         |      AS DOUBLE) / CAST(MAX(total_events) AS DOUBLE) AS top_decile_share
         |FROM r, t""".stripMargin,
+
+    "events_weekly_active_bitmap" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS report_day
+        |  FROM days, unnest(range(0, 7)) AS t(i))
+        |SELECT report_day, COUNT(DISTINCT user_id) AS wau,
+        |  COUNT(DISTINCT user_id // 64) AS n_buckets
+        |FROM c GROUP BY 1""".stripMargin,
 
     "events_weekly_active" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

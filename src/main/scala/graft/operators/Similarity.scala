@@ -429,6 +429,37 @@ object Similarity {
     // exact 64-bit integer arithmetic — associative, engine-independent.
     // Bounds: |sum| ≤ n·2^30, so the exact-long→double window (2^53)
     // holds to n ≈ 8e6 rows per (label,dim) cell; rescale past that.
+    // Embedding-drift monitor: per label, the L2 distance between the
+    // centroids of two deterministic cohorts (even vs odd vec_id — in
+    // production, yesterday's batch vs today's). The drift alarm every
+    // embedding pipeline needs when a model or preprocessing change
+    // silently shifts the vector space. Means use the 2^30 integer grid
+    // (order-independent exact sums); the squared-difference total is
+    // RE-quantized onto the same grid before summing so no data-ordered
+    // double accumulation ever enters the result. Cost: one grouped
+    // pass over (label, cohort, dim) — the corpus never self-joins.
+    "ann_centroid_drift" -> ((s, d) => {
+      val Q = 1073741824.0 // 2^30
+      val means = Tables.embeddings(s, d)
+        .select(col("label"), (pmod(col("vec_id"), lit(2)) === 0).as("is_a"),
+          graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+        .select(col("label"), col("is_a"),
+          posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("label", "is_a", "dim")
+        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+          count(lit(1)).cast("double")).as("m"),
+          count(lit(1)).as("n"))
+      val a = means.filter(col("is_a"))
+        .select(col("label"), col("dim"), col("m").as("ma"), col("n").as("na"))
+      val b = means.filter(!col("is_a"))
+        .select(col("label"), col("dim"), col("m").as("mb"), col("n").as("nb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          sqrt(sum(floor((col("ma") - col("mb")) * (col("ma") - col("mb")) *
+            Q + 0.5)).cast("double") / Q).as("drift_l2"))
+    }),
+
     "ann_label_centroids" -> ((s, d) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -744,6 +775,23 @@ object Similarity {
         |    / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS mean_sq_err,
         |  MAX(aerr) AS max_abs_err
         |FROM er GROUP BY label""".stripMargin,
+    "ann_centroid_drift" ->
+      s"""WITH ev AS (SELECT label, vec_id % 2 = 0 AS is_a,
+         |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |m AS (SELECT label, is_a, dim,
+         |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS m,
+         |    COUNT(*) AS n
+         |  FROM (SELECT label, is_a, generate_subscripts(e, 1) AS dim,
+         |        unnest(e) AS val FROM ev) u
+         |  GROUP BY 1, 2, 3)
+         |SELECT label, MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+         |  sqrt(CAST(SUM(CAST(FLOOR((a.m - b.m) * (a.m - b.m)
+         |      * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1073741824.0) AS drift_l2
+         |FROM (SELECT * FROM m WHERE is_a) a
+         |JOIN (SELECT * FROM m WHERE NOT is_a) b USING (label, dim)
+         |GROUP BY label""".stripMargin,
     "ann_label_centroids" ->
       s"""WITH ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |m AS (SELECT label, dim,

@@ -280,6 +280,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"head selection must take the two-phase TopKPerKey rewrite:\n$p")
   }
 
+  test("bitmap WAU: three hash shuffles, all carrying word-compressed rows, never a single partition") {
+    // words agg, window-end re-merge, per-day popcount — and every
+    // exchange moves (day, bucket, word) rows, never raw (user, day)s
+    val p = plan("events_weekly_active_bitmap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 3,
+      s"expected exactly three shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("centroid drift: hash aggregation end to end, no nested-loop join of the dim relations") {
+    val p = plan("ann_centroid_drift")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.

@@ -41,6 +41,19 @@ class ProfilingSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("bitmap WAU is bit-for-bit the distinct-expansion WAU on every report day") {
+    val bm = Profiling.queries("events_weekly_active_bitmap")(spark, sfDir)
+      .select(col("report_day"), col("wau"))
+    val ex = Profiling.queries("events_weekly_active")(spark, sfDir)
+      .select(col("report_day"), col("wau").as("want"))
+    val j = bm.join(ex, Seq("report_day"), "full_outer").persist()
+    assert(j.filter(col("wau").isNull || col("want").isNull).count() === 0,
+      "both formulations must cover identical report days")
+    assert(j.filter(col("wau") =!= col("want")).count() === 0,
+      "popcounted bitmap union must be EXACT, not approximate")
+    j.unpersist()
+  }
+
   test("MAD anomaly screen: flags agree with a collected recomputation, zero-MAD guard honored") {
     val m = Profiling.queries("events_anomaly_mad")(spark, sfDir).collect()
     assert(m.nonEmpty)

@@ -52,4 +52,36 @@ class SimilaritySpec extends AnyFunSuite {
     // regeneration cannot break the test without a real recall loss
     assert(nCaptured.toDouble / nTrue >= 0.8, s"recall $nCaptured/$nTrue")
   }
+
+  test("centroid drift: cohorts partition each label, drift matches a brute-force recomputation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val drift = Similarity.queries("ann_centroid_drift")(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(drift.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sfDir)
+      .groupBy("label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n")).toMap
+    drift.foreach { case (l, r) =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === perLabel(l))
+      assert(r.getAs[Double]("drift_l2") >= 0.0)
+    }
+    // brute-force one label end to end on the same 2^30 grid
+    val l0 = drift.keys.min
+    val rows = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === l0)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
+    val Q = 1073741824.0
+    def centroid(vs: Seq[Seq[Double]]): Seq[Double] =
+      vs.transpose.map(c =>
+        c.map(v => math.floor(v * Q + 0.5)).sum / Q / c.length)
+    val (ea, eb) = rows.partition(_._1 % 2 == 0)
+    val (ca, cb) = (centroid(ea.map(_._2).toSeq), centroid(eb.map(_._2).toSeq))
+    val want = math.sqrt(ca.zip(cb)
+      .map { case (x, y) => math.floor((x - y) * (x - y) * Q + 0.5) }
+      .sum / Q)
+    assert(math.abs(drift(l0).getAs[Double]("drift_l2") - want) < 1e-12,
+      s"label $l0 drift")
+  }
 }
