@@ -169,6 +169,36 @@ object Graph {
     // Degree histogram per node class ('c' customers / 's' suppliers):
     // the standard first look at any graph's skew (a power-law tail here
     // means the pagerank message aggregation needs salting at scale).
+    // Degree assortativity: the Pearson correlation of endpoint degrees
+    // across edges — does the hub-customer shop from hub-suppliers
+    // (r > 0) or from the long tail (r < 0)? The mixing-pattern summary
+    // that predicts how the graph fragments under node loss. One join
+    // of the cached edge relation against the O(nodes) degree table on
+    // the destination endpoint, then a single global aggregation of
+    // integer power sums (the agg_corr_stats construction; DuckDB side
+    // converts via the exact decimal string) — no iteration, and the
+    // edge relation is the one edgesWithDeg already pinned.
+    "graph_assortativity" -> ((s, d) => {
+      val e = edgesWithDeg(s, d)
+      val deg = e.select(col("src"), col("d")).distinct()
+      val both = e.select(col("dst"), col("d").as("dx"))
+        .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("d", "dy"),
+          "dst")
+      def pd(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)")).cast("double")
+      both
+        .agg(count(lit(1)).cast("double").as("n"),
+          pd(col("dx")).as("sx"), pd(col("dy")).as("sy"),
+          pd(col("dx") * col("dy")).as("sxy"),
+          pd(col("dx") * col("dx")).as("sxx"),
+          pd(col("dy") * col("dy")).as("syy"))
+        .select(col("n").cast("long").as("n_edges"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("assortativity"))
+    }),
+
     "graph_degrees" -> ((s, d) => {
       edgesWithDeg(s, d)
         .select(col("src"), col("d")).distinct()
@@ -267,6 +297,22 @@ object Graph {
       s"""WITH $wedgeSql
          |SELECT sup_a, sup_b, n_common FROM pc
          |ORDER BY n_common DESC, sup_a, sup_b LIMIT 15""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $edgesSql,
+         |b AS (SELECT ed.d AS dx, dg2.d AS dy
+         |  FROM ed JOIN deg dg2 ON ed.dst = dg2.src),
+         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(CAST(SUM(dx) AS VARCHAR) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(dy) AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(dy * dy) AS VARCHAR) AS DOUBLE) AS syy
+         |  FROM b)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         |  (n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |    AS assortativity
+         |FROM s""".stripMargin,
     "graph_degrees" ->
       s"""WITH $edgesSql
          |SELECT substr(src, 1, 1) AS node_type, d AS degree, COUNT(*) AS n_nodes

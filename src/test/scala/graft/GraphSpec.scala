@@ -176,4 +176,31 @@ class GraphSpec extends AnyFunSuite {
       .filter(col("at0") =!= col("n")).count() === 0,
       "every user is active in their own cohort week by definition")
   }
+
+  test("assortativity is a valid correlation and matches the builtin corr over edge degree pairs") {
+    val r = graft.operators.Graph
+      .queries("graph_assortativity")(spark, sfDir).collect()(0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"assortativity $a")
+    // independent formulation: Spark's builtin corr over the same
+    // directed edge degree pairs (tolerance — different update order)
+    val pairs = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c_node"),
+        concat(lit("s"), col("l_suppkey")).as("s_node"))
+      .distinct()
+    val e = pairs.select(col("c_node").as("src"), col("s_node").as("dst"))
+      .union(pairs.select(col("s_node").as("src"), col("c_node").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val both = e.join(deg, "src").withColumnRenamed("d", "dx")
+      .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("d", "dy"),
+        "dst")
+    val want = both.agg(corr(col("dx").cast("double"),
+      col("dy").cast("double"))).collect()(0).getDouble(0)
+    assert(math.abs(a - want) < 1e-9, s"power-sum $a vs builtin $want")
+    assert(r.getAs[Long]("n_edges") === both.count())
+  }
 }

@@ -92,8 +92,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // into the per-key heads — bounded
     "events_ab_readout",    // 1-row total-users aggregate broadcast into
                             // the O(variants) readout — bounded
-    "search_keyword_topk"   // 1-row corpus-count aggregate broadcast as
+    "search_keyword_topk",  // 1-row corpus-count aggregate broadcast as
                             // the integer-idf numerator — bounded
+    "events_anomaly_mad"    // two 1-row percentile aggregates (median,
+                            // MAD) broadcast into the O(days) series
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
