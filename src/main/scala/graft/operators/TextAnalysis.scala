@@ -191,6 +191,35 @@ object TextAnalysis {
     // libm log isn't bitwise-portable across engines) — ranking is
     // order-isomorphic to the log form for fixed N. Two aggregations +
     // one window; all shuffle keys are term or doc_id.
+    // Length-bias audit of the quality signal: per source, the Pearson
+    // correlation between document length and quality score. A strongly
+    // positive r means the "quality" filter is really a length filter —
+    // the curation bias check run BEFORE a score threshold reshapes the
+    // corpus. Scores are quantized onto the 2^30 grid (identical
+    // doubles → identical grid ints on both engines), so the power sums
+    // are exact decimals and the correlation divides identical
+    // operands. Zero-variance sources (all-equal length or score) yield
+    // NULL, not a division artifact. One hash aggregation.
+    "text_quality_length_bias" -> ((s, d) => {
+      val y = floor(qualityScore * 1073741824.0 + 0.5).cast("long")
+      def pd(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      docsPar(s, d)
+        .select(col("source"), col("n_chars").as("x"), y.as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n"),
+          pd(col("x")).as("sx"), pd(col("y")).as("sy"),
+          pd(col("x") * col("y")).as("sxy"),
+          pd(col("x") * col("x")).as("sxx"),
+          pd(col("y") * col("y")).as("syy"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(vx) * sqrt(vy)))
+            .as("corr_len_quality"))
+    }),
+
     // Relevance search top-k — the query side of the reference's
     // Elasticsearch materialization: rank documents for a keyword query
     // by Σ tf·idf with the INTEGER idf grid (n_docs div df), so scores
@@ -850,6 +879,25 @@ object TextAnalysis {
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM h GROUP BY 1, 2""".stripMargin
     },
+    "text_quality_length_bias" ->
+      s"""WITH g AS (SELECT source, n_chars AS x,
+         |    CAST(FLOOR(($qualityScoreSql) * 1073741824.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+         |  FROM g GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CASE WHEN n * sxx - sx * sx = 0.0 OR n * syy - sy * sy = 0.0
+         |    THEN NULL
+         |    ELSE (n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
+         |    AS corr_len_quality
+         |FROM s""".stripMargin,
+
     "search_keyword_topk" ->
       s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -81,6 +81,37 @@ class TextPairsSpec extends AnyFunSuite {
     pm.unpersist()
   }
 
+  test("length bias: correlation valid and within tolerance of the builtin corr on the same grid") {
+    import graft.operators.TextAnalysis
+    val lb = TextAnalysis.queries("text_quality_length_bias")(spark, sfDir)
+      .collect()
+    assert(lb.nonEmpty)
+    lb.foreach { r =>
+      val c = r.getAs[java.lang.Double]("corr_len_quality")
+      if (c != null)
+        assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"${r.getString(0)}: $c")
+    }
+    // independent check on one source via the builtin corr over the
+    // identical quantized pairs
+    val src = lb.head.getAs[String]("source")
+    // the score formula restated from its spec, not imported
+    val toks = split(col("text"), " ")
+    val score =
+      least(lit(1.0), size(toks).cast("double") / 50.0) *
+        (lit(0.5) + lit(0.5) *
+          (size(array_distinct(toks)).cast("double") / size(toks))) -
+        lit(0.1) * (size(filter(toks,
+          t => t.isin("a", "the", "of", "and"))).cast("double") / size(toks))
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("source") === src)
+      .select(col("n_chars").cast("double").as("x"),
+        floor(score * 1073741824.0 + 0.5).cast("double").as("y"))
+      .agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    val got = lb.find(_.getAs[String]("source") == src).get
+      .getAs[Double]("corr_len_quality")
+    assert(math.abs(got - want) < 1e-9, s"$src: power-sum $got vs builtin $want")
+  }
+
   test("source modularity: contributions sum to a valid Q, degree identity 2m holds") {
     val q = operators.Curation
       .queries("text_source_modularity")(spark, sfDir).collect()
