@@ -298,6 +298,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("search: keyword top-10 is a TakeOrdered and the scan reads only the searched columns") {
+    val p = plan("search_keyword_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-10 must not sort the scored relation:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text") &&
+      !rs.contains("source") && !rs.contains("lang"), rs)
+    val rs2 = plan("search_phrase_match").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("source") && rs2.contains("text") &&
+      !rs2.contains("doc_id") && !rs2.contains("n_chars"), rs2)
+  }
+
+  test("growth scans prune to exactly the aggregated columns") {
+    val rs = plan("events_stickiness").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("user_id") && rs.contains("ts") &&
+      !rs.contains("value") && !rs.contains("props") &&
+      !rs.contains("event_type"), rs)
+    val rs2 = plan("events_cohort_ltv").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("value") && !rs2.contains("props") &&
+      !rs2.contains("event_type"), rs2)
+    val rs3 = plan("agg_winsorized_mean").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs3.contains("o_totalprice") && rs3.contains("o_orderpriority") &&
+      !rs3.contains("o_orderdate") && !rs3.contains("o_custkey"), rs3)
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.
