@@ -328,6 +328,30 @@ object CdcQueries {
           col("n_collapsed"))
     }),
 
+    // Consumer low-watermark: per consumer group (event_type is the
+    // sandbox's consumer proxy), the highest LSN it has processed and
+    // its lag behind the head; the MINIMUM of those positions is the
+    // only LSN the whole fleet has passed — the safe truncation /
+    // replay fence a multi-consumer changelog must respect (Kafka's
+    // low-watermark, Postgres' restart_lsn across slots). Two tiny
+    // aggregations + 1-row broadcasts; the verdict marks the laggard
+    // that pins the log.
+    "cdc_low_watermark" -> ((s, d) => {
+      val pos = Tables.events(s, d)
+        .groupBy(col("event_type").as("consumer"))
+        .agg(max("event_id").as("acked_lsn"), count(lit(1)).as("n_events"))
+      val head = Tables.events(s, d)
+        .agg(max("event_id").as("head_lsn")).withColumn("__k", lit(1))
+      val low = pos.agg(min("acked_lsn").as("low_watermark"))
+        .withColumn("__k", lit(1))
+      pos.withColumn("__k", lit(1))
+        .join(broadcast(head), "__k").join(broadcast(low), "__k")
+        .select(col("consumer"), col("n_events"), col("acked_lsn"),
+          (col("head_lsn") - col("acked_lsn")).as("lag"),
+          col("low_watermark"),
+          (col("acked_lsn") === col("low_watermark")).as("is_laggard"))
+    }),
+
     // Kafka-style compaction with delete retention (log.cleanup.policy=
     // compact + delete.retention.ms): the compacted head keeps the
     // latest record per key; a key whose head is a DELETE keeps its
@@ -391,6 +415,16 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS delete_share
          |FROM events GROUP BY 1""".stripMargin,
+    "cdc_low_watermark" ->
+      """WITH pos AS (SELECT event_type AS consumer,
+        |    MAX(event_id) AS acked_lsn, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT MAX(event_id) AS head_lsn FROM events),
+        |lw AS (SELECT MIN(acked_lsn) AS low_watermark FROM pos)
+        |SELECT consumer, n_events, acked_lsn,
+        |  head_lsn - acked_lsn AS lag, low_watermark,
+        |  acked_lsn = low_watermark AS is_laggard
+        |FROM pos, h, lw""".stripMargin,
     "cdc_tombstone_gc" ->
       s"""WITH latest AS (SELECT user_id, event_id, $opSql AS op
          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -234,6 +234,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(latest === direct)
   }
 
+  test("low watermark: exactly one global minimum, lag zero only at the head, laggard flagged") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lw = graft.pipeline.CdcQueries
+      .queries("cdc_low_watermark")(spark, sfDir).collect()
+    assert(lw.nonEmpty)
+    val low = lw.map(_.getAs[Long]("acked_lsn")).min
+    assert(lw.forall(_.getAs[Long]("low_watermark") === low))
+    assert(lw.filter(_.getAs[Boolean]("is_laggard"))
+      .forall(_.getAs[Long]("acked_lsn") === low))
+    assert(lw.count(_.getAs[Boolean]("is_laggard")) >= 1)
+    val head = lw.map(_.getAs[Long]("acked_lsn")).max
+    lw.foreach { r =>
+      assert(r.getAs[Long]("lag") >= 0)
+      assert(r.getAs[Long]("acked_lsn") + r.getAs[Long]("lag") >= head)
+    }
+  }
+
   test("tombstone GC: outcomes partition the key space; live keys are exactly the latest-state keys") {
     val sfDir = "/root/testdata/sf0.001"
     val gc = graft.pipeline.CdcQueries

@@ -94,8 +94,11 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the O(variants) readout — bounded
     "search_keyword_topk",  // 1-row corpus-count aggregate broadcast as
                             // the integer-idf numerator — bounded
-    "events_anomaly_mad"    // two 1-row percentile aggregates (median,
+    "events_anomaly_mad",   // two 1-row percentile aggregates (median,
                             // MAD) broadcast into the O(days) series
+    "cdc_low_watermark"     // 1-row head-LSN and low-watermark
+                            // aggregates broadcast into the O(consumers)
+                            // progress table — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
