@@ -488,6 +488,30 @@ object Multimodal {
       decodeAudioFeatures(audioAssets(s, d)).toDF()
     }),
 
+    // Repeated-frame detection across the corpus: group the sampled
+    // frame fingerprints, keep those appearing more than once, report
+    // the top repeats — intros/outros/test-cards in video terms,
+    // boilerplate panels in document terms. One hash aggregation over
+    // the frame relation + a bounded TakeOrdered; at scale the frame
+    // fingerprints are the persisted intermediate and the dupe census
+    // is a reusable roll-up.
+    "multimodal_frame_dupes" -> ((s, d) => {
+      val nFrames =
+        expr(s"CAST((length(text) + ${FRAME_CHARS - 1}) DIV $FRAME_CHARS AS INT)")
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), nFrames - 1),
+            k => md5(col("text").substr(k * FRAME_CHARS + 1, lit(FRAME_CHARS)))))
+            .as("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_frames") > 1)
+        .orderBy(col("n_frames").desc, col("frame_md5"))
+        .limit(20)
+    }),
+
     // Frame sampling: one row per fixed-size window with fingerprint.
     "multimodal_frames" -> ((s, d) => {
       val nFrames =
@@ -605,6 +629,17 @@ object Multimodal {
          |  CAST(w AS DOUBLE) / LEAST(w, $THUMB_BOX) AS scale_x,
          |  md5(substr(text, 1, LEAST(w, $THUMB_BOX) * LEAST(h, $THUMB_BOX))) AS thumb_md5
          |FROM t""".stripMargin,
+    "multimodal_frame_dupes" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5
+         |  FROM (SELECT doc_id, text,
+         |    unnest(range(0, (length(text) + ${FRAME_CHARS - 1}) // $FRAME_CHARS)) AS k
+         |    FROM documents WHERE length(text) > 0) t)
+         |SELECT frame_md5, COUNT(*) AS n_frames,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM f GROUP BY frame_md5
+         |HAVING COUNT(*) > 1
+         |ORDER BY n_frames DESC, frame_md5 LIMIT 20""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id, CAST(k AS INT) AS frame_id,
          |  md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5

@@ -425,6 +425,31 @@ object Stats {
           col("n_retained").cast("double") / col("n_events").cast("double"))
     }),
 
+    // The lateness DISTRIBUTION behind the watermark policy table:
+    // exact p50/p95/p99/max of per-row event-time lateness, per event
+    // type — the percentile view that picks the delay candidates the
+    // policy table then evaluates. Same user-partitioned running max;
+    // the percentile aggregation sees (type, lateness) rows only.
+    "events_lag_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("lateness_us",
+          greatest(lit(0L), coalesce(max("us").over(w) - col("us"), lit(0L))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr("percentile(lateness_us, array(0.5D, 0.95D, 0.99D))")
+            .as("ps"),
+          max("lateness_us").as("max_lateness_us"))
+        .select(col("event_type"), col("n_events"),
+          col("ps").getItem(0).as("p50_us"),
+          col("ps").getItem(1).as("p95_us"),
+          col("ps").getItem(2).as("p99_us"),
+          col("max_lateness_us"))
+    }),
+
     // Seasonal-naive forecast backtest per day-of-week.
     "events_forecast_naive" -> ((s, d) => {
       val daily = Tables.events(s, d)
@@ -675,6 +700,20 @@ object Stats {
         |  CAST(SUM(CASE WHEN lateness_us <= delay_us THEN 1 ELSE 0 END)
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retain_share
         |FROM l, d GROUP BY delay_us""".stripMargin,
+
+    "events_lag_percentiles" ->
+      """WITH m AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |    GREATEST(0, COALESCE(pm - us, 0)) AS lateness_us FROM m)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  quantile_cont(lateness_us, 0.5) AS p50_us,
+        |  quantile_cont(lateness_us, 0.95) AS p95_us,
+        |  quantile_cont(lateness_us, 0.99) AS p99_us,
+        |  MAX(lateness_us) AS max_lateness_us
+        |FROM l GROUP BY event_type""".stripMargin,
 
     "events_forecast_naive" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n

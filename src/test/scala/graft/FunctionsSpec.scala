@@ -209,6 +209,24 @@ class FunctionsSpec extends AnyFunSuite {
       }
   }
 
+  test("frame dupes: every reported fingerprint really repeats, counts bounded by the frame census") {
+    val fd = Multimodal
+      .queries("multimodal_frame_dupes")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(fd.nonEmpty && fd.length <= 20,
+      "the synthetic corpus carries repeated frames at every SF")
+    fd.foreach { r =>
+      assert(r.getAs[Long]("n_frames") > 1)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_frames"))
+    }
+    // descending with deterministic tie-break
+    fd.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n_frames"), b.getAs[Long]("n_frames"))
+      assert(na > nb || (na == nb &&
+        a.getAs[String]("frame_md5") < b.getAs[String]("frame_md5")))
+    }
+  }
+
   test("phash near-dup banding finds EVERY hamming<=3 pair the brute cross product finds") {
     // recall-1.0-by-pigeonhole claim, checked against an in-test brute
     // force over the collected distinct hashes

@@ -211,6 +211,17 @@ class StatsSpec extends AnyFunSuite {
     wp.unpersist()
   }
 
+  test("lag percentiles: ordered p50<=p95<=p99<=max, census ties out") {
+    val lp = Stats.queries("events_lag_percentiles")(spark, sfDir).persist()
+    assert(lp.filter(col("p50_us") > col("p95_us") ||
+      col("p95_us") > col("p99_us") ||
+      col("p99_us") > col("max_lateness_us").cast("double")).count() === 0)
+    assert(lp.filter(col("p50_us") < 0.0).count() === 0)
+    assert(lp.agg(sum("n_events")).collect()(0).getLong(0) ===
+      Tables.events(spark, sfDir).count())
+    lp.unpersist()
+  }
+
   test("naive forecast: bias bounded by absolute error, evaluated days cover the overlap") {
     val fc = Stats.queries("events_forecast_naive")(spark, sfDir).persist()
     assert(fc.filter(abs(col("bias_total")) > col("abs_err_total")).count() === 0)
