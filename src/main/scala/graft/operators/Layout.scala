@@ -39,8 +39,10 @@ object Layout {
   private val ZBUCKET_SHIFT = 10 // keep top 6 bits → 64 buckets
   private val SPLITS = 32
   // boundary-sample rate for layout_range_split: md5 3-hex-char prefix
-  // < 0x041 ⇒ 65/4096 ≈ 1.6% of distinct keys feed the quantile pass
-  private val RS_RATE_HEX = "041"
+  // < 0x041 ⇒ 65/4096 ≈ 1.6% of distinct keys feed the quantile pass.
+  // Registered in graft.SampleRates; PlanQualitySpec asserts the 1/32
+  // ceiling over every registered rate.
+  private val RS_RATE_HEX = graft.SampleRates.rates("layout_range_split")
   private val TARGET_CHARS = 100000L // compaction target: chars per output file
 
   /** Interleave the low ZBITS of `a` (odd positions) and `b` (even):

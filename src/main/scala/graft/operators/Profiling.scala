@@ -82,12 +82,13 @@ object Profiling {
       |     WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
       |     ELSE 'test' END""".stripMargin
 
-  /** events_rfm boundary-sample rate: md5 2-hex-char prefix < 0x40 ⇒
-    * 64/256 = 25% of users feed each metric's quintile-boundary pass —
-    * the layout_range_split convention (only boundary PLACEMENT is
-    * sampled; segment counts are exact against the broadcast bounds).
+  /** events_rfm MONETARY boundary-sample rate: md5 2-hex-char prefix
+    * < 0x05 ⇒ 5/256 ≈ 2% of users feed the monetary quintile-boundary
+    * pass (recency/frequency boundaries are EXACT — value histograms).
+    * Registered in [[graft.SampleRates]]; PlanQualitySpec asserts every
+    * registered rate stays under the 1/32 ceiling.
     */
-  private val RFM_RATE_HEX = "40"
+  private val RFM_RATE_HEX = graft.SampleRates.rates("events_rfm_monetary")
 
   /** Benford expected first-digit shares, log10(1+1/d) as full-precision
     * literals: BOTH engines parse the identical decimal text to the
@@ -106,12 +107,18 @@ object Profiling {
     // classic behavioral-cohort cube): each user gets three quintile
     // indices (0–4, ascending metric order) and the report counts users
     // per (r,f,m) cell. Scale design: per-user metrics are ONE hash
-    // aggregation; quintile boundaries come from a deterministic
-    // salted-hash sample of users (membership a pure function of
-    // user_id — both engines pick the identical sample), ranked
-    // per-metric over the RATE-BOUNDED sample only, never the full
-    // user relation (a global ntile over 10⁹ users is the exact
-    // single-task funnel events_power_pareto was rewritten to avoid).
+    // aggregation; no per-user ranking anywhere. Recency and frequency
+    // are small-integer domains that collide massively (days-since-last
+    // and event counts), so their quintile boundaries are EXACT, from
+    // value HISTOGRAMS — the events_power_pareto construction: the only
+    // ordered pass is a cumulative count over DISTINCT values, a
+    // planner-sized relation, and boundary_k = min{v : cum(v) ≥ rank_k},
+    // identical to the rank-k value of a full sort. Monetary sums don't
+    // collide (distinct per-user decimals ≈ users), so its boundary
+    // placement samples ≈2% of users by salted md5 (membership a pure
+    // function of user_id — both engines pick the identical sample; the
+    // rate lives in graft.SampleRates under the asserted 1/32 ceiling)
+    // and runs the SAME histogram construction over the sample.
     // Assignment is an exact comparison against the ≤4-element
     // broadcast boundary arrays; the output is ≤ 125 cells. Monetary
     // stays exact decimal end-to-end; only the quintile INDICES (pure
@@ -128,25 +135,30 @@ object Profiling {
           datediff(col("gday"), col("last_day")).cast("long").as("r"),
           col("f"), col("m"))
         .transform(graft.CachePool.persist) // 3 boundary passes + assignment
-      val samp = base.filter(substring(
-        md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
-        < RFM_RATE_HEX)
-        .transform(graft.CachePool.persist)
-      def bounds(metric: String) = {
-        val w = Window.orderBy(col(metric), col("user_id"))
-        val ranked = samp.withColumn("rn", row_number().over(w).cast("long"))
-        val ranks = samp.agg(count(lit(1)).as("mm"))
+      // quintile boundaries from the value histogram of `src(metric)`:
+      // cum-count over distinct values; boundary = first value whose
+      // cumulative count reaches rank (i·n) div 5, i = 1..4
+      def bounds(src: DataFrame, metric: String) = {
+        val hist = src.groupBy(metric).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum("c").over(
+          Window.orderBy(col(metric))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val ranks = hist.agg(sum("c").as("nn"))
           .withColumn("i", explode(sequence(lit(1L), lit(4L))))
-          .select(expr("(i * mm) div 5").as("rn"))
-          .filter(col("rn") >= 1L).distinct()
-        ranked.join(broadcast(ranks), "rn")
-          .agg(sort_array(collect_list(col(metric))).as(s"${metric}_b"))
+          .select(expr("(i * nn) div 5").as("rk"))
+          .filter(col("rk") >= 1L).distinct()
+        cum.join(broadcast(ranks), col("cum") >= col("rk"))
+          .groupBy("rk").agg(min(col(metric)).as("bv"))
+          .agg(sort_array(collect_list(col("bv"))).as(s"${metric}_b"))
           .withColumn("__k", lit(1))
       }
+      val msamp = base.filter(substring(
+        md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
+        < RFM_RATE_HEX)
       base.withColumn("__k", lit(1))
-        .join(broadcast(bounds("r")), "__k")
-        .join(broadcast(bounds("f")), "__k")
-        .join(broadcast(bounds("m")), "__k")
+        .join(broadcast(bounds(base, "r")), "__k")
+        .join(broadcast(bounds(base, "f")), "__k")
+        .join(broadcast(bounds(msamp, "m")), "__k")
         .select(
           size(filter(col("r_b"), x => x < col("r"))).as("r_q"),
           size(filter(col("f_b"), x => x < col("f"))).as("f_q"),
@@ -441,7 +453,10 @@ object Profiling {
     "events_weekly_active_bitmap" -> ((s, d) => {
       val words = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id"))
-        .groupBy(col("day"), expr("user_id div 64").as("bucket"))
+        // shiftright = FLOOR division, consistent with pmod's floored
+        // remainder (and DuckDB's //) for negative ids — see
+        // agg_bitmap_distinct
+        .groupBy(col("day"), expr("shiftright(user_id, 6)").as("bucket"))
         .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))")
           .as("word"))
       words
@@ -667,17 +682,22 @@ object Profiling {
 
   val oracles: Map[String, String] = Map(
 
-    // Identical salted-hash sample, identical rank arithmetic, identical
-    // strict-< boundary rule; COALESCE guards the empty-sample corner
-    // (Spark's collect_list gives [], DuckDB's array_agg gives NULL).
+    // The rank-k value of a full ascending sort (tie-break irrelevant:
+    // tied rows share the value) equals the Spark side's histogram
+    // boundary min{v : cum(v) ≥ k}, so the oracle ranks directly —
+    // EXACTLY over base for r/f, over the identical ≈2% salted-md5
+    // sample for m; identical rank arithmetic, identical strict-<
+    // assignment rule. COALESCE guards the empty-source corner (Spark's
+    // collect_list gives [], DuckDB's array_agg gives NULL).
     "events_rfm" -> {
-      def boundsSql(metric: String) =
+      def boundsSql(src: String, metric: String) =
         s"""(SELECT COALESCE(list_sort(array_agg($metric)), []) AS bl FROM (
-           |    SELECT $metric, row_number() OVER (ORDER BY $metric, user_id)
-           |      AS rn FROM samp) rk
-           |  JOIN (SELECT DISTINCT (i * mm) // 5 AS rn
-           |    FROM (SELECT unnest(generate_series(1, 4)) AS i) si, mc
-           |    WHERE (i * mm) // 5 >= 1) rs USING (rn))""".stripMargin
+           |    SELECT $metric, row_number() OVER (ORDER BY $metric)
+           |      AS rn FROM $src) rk
+           |  JOIN (SELECT DISTINCT (i * nn) // 5 AS rn
+           |    FROM (SELECT unnest(generate_series(1, 4)) AS i) si,
+           |         (SELECT COUNT(*) AS nn FROM $src) nc
+           |    WHERE (i * nn) // 5 >= 1) rs USING (rn))""".stripMargin
       s"""WITH per AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
          |    COUNT(*) AS f, SUM(CAST(value AS DECIMAL(18,2))) AS m
          |  FROM events GROUP BY user_id),
@@ -686,14 +706,13 @@ object Profiling {
          |    CAST(date_diff('day', last_day, (SELECT gday FROM g)) AS BIGINT)
          |      AS r, f, m
          |  FROM per),
-         |samp AS (SELECT * FROM base
+         |msamp AS (SELECT * FROM base
          |  WHERE substr(md5('rfm|' || CAST(user_id AS VARCHAR)), 1, 2)
          |    < '$RFM_RATE_HEX'),
-         |mc AS (SELECT COUNT(*) AS mm FROM samp),
          |q AS (SELECT
-         |    CAST(len(list_filter(${boundsSql("r")}, x -> x < r)) AS INT) AS r_q,
-         |    CAST(len(list_filter(${boundsSql("f")}, x -> x < f)) AS INT) AS f_q,
-         |    CAST(len(list_filter(${boundsSql("m")}, x -> x < m)) AS INT) AS m_q
+         |    CAST(len(list_filter(${boundsSql("base", "r")}, x -> x < r)) AS INT) AS r_q,
+         |    CAST(len(list_filter(${boundsSql("base", "f")}, x -> x < f)) AS INT) AS f_q,
+         |    CAST(len(list_filter(${boundsSql("msamp", "m")}, x -> x < m)) AS INT) AS m_q
          |  FROM base)
          |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
          |FROM q GROUP BY r_q, f_q, m_q""".stripMargin

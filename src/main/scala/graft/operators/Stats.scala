@@ -194,10 +194,14 @@ object Stats {
           col("n_hapax").cast("double") / col("n_vocab").cast("double"))
     }),
 
-    // Exact mergeable distinct via 64-bit bucket bitmaps.
+    // Exact mergeable distinct via 64-bit bucket bitmaps. The bucket is
+    // shiftright(id, 6) — FLOOR division, the same rounding family as
+    // pmod's floored remainder — so bucket*64 + bit == id for negative
+    // ids too, matching DuckDB's flooring `//` (a truncating `div`
+    // would disagree with pmod below zero).
     "agg_bitmap_distinct" -> ((s, d) => {
       val words = Tables.events(s, d)
-        .groupBy(col("event_type"), expr("user_id div 64").as("bucket"))
+        .groupBy(col("event_type"), expr("shiftright(user_id, 6)").as("bucket"))
         .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))")
           .as("word"))
       words.groupBy("event_type")
@@ -213,8 +217,14 @@ object Stats {
         val p = math.pow(10, scale)
         (c * lit(p.toLong)).cast("decimal(38,0)").cast("double") / lit(p)
       }
-      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx"))
+      // degenerate-group guard (the text_quality_length_bias convention):
+      // constant x ⇒ no fit (slope/intercept/r2 NULL); constant y ⇒ r2
+      // NULL. Without it Spark's non-ANSI /0 gives NULL while DuckDB's
+      // IEEE float division gives Inf/NaN — a silent oracle divergence.
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val slope = when(dx === 0.0, lit(null)).otherwise(num / dx)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
@@ -224,12 +234,11 @@ object Stats {
           d2(sum(x * y), 4).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           slope.as("slope"),
-          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
-          (((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy"))) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))))
-            .as("r2"))
+          when(dx === 0.0, lit(null))
+            .otherwise((col("sy") - slope * col("sx")) / col("n"))
+            .as("intercept"),
+          when(dx === 0.0 || dy === 0.0, lit(null))
+            .otherwise((num * num) / (dx * dy)).as("r2"))
     }),
 
     // Exact skewness / excess kurtosis of quantity per return flag from
@@ -253,9 +262,13 @@ object Stats {
         lit(2.0) * m * m * m
       val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
         lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+      // m2 = 0 (constant group) guard: NULL rather than Spark-NULL-vs-
+      // DuckDB-NaN divergence — same convention as agg_regr_slope.
       stats.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-        (m3 / (m2 * sqrt(m2))).as("skewness"),
-        (m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
+        when(m2 === 0.0, lit(null))
+          .otherwise(m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(m2 === 0.0, lit(null))
+          .otherwise(m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
     }),
 
     // Weekly growth accounting: new / retained / resurrected / churned.
@@ -543,10 +556,14 @@ object Stats {
         |        FROM lineitem) t
         |  GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |      ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
         |FROM s""".stripMargin,
 
     "agg_skewness" ->
@@ -564,14 +581,16 @@ object Stats {
         |        FROM lineitem) t
         |  GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CASE WHEN s2 / n - (s1 / n) * (s1 / n) = 0 THEN NULL ELSE
         |  (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n)))
-        |    AS skewness,
+        |    END AS skewness,
+        |  CASE WHEN s2 / n - (s1 / n) * (s1 / n) = 0 THEN NULL ELSE
         |  (s4 / n - 4.0 * (s1 / n) * (s3 / n)
         |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
         |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
-        |    - 3.0 AS excess_kurtosis
+        |    - 3.0 END AS excess_kurtosis
         |FROM s""".stripMargin,
 
     "events_lifecycle" ->

@@ -265,8 +265,15 @@ object TextAnalysis {
     // cosine — the WEIGHTED complement to the jaccard family (set
     // overlap treats "the" and a rare entity alike; idf weighting makes
     // shared rare terms dominate). Engine-exact throughout: weights are
-    // INTEGER w = tf·(N div df) (the integer-grid idf), so pair dot
-    // products and per-doc norms are exact BIGINT sums; the final
+    // INTEGER w = tf·(N div df) (the integer-grid idf), and the dot /
+    // norm sums accumulate in DECIMAL(38,0) — NOT long: with df ≤ 50,
+    // w grows ~ tf·N/50, so Σ w² would pass 2^63 around N ≈ 10⁸ docs
+    // at tf ≈ 20 (Spark sum(long) wraps silently; DuckDB widens to
+    // HUGEINT — a silent cross-engine divergence). Decimal(38,0) is
+    // exact to 10³⁸: at 2.5×10¹⁰ docs (≈100 TB of 4 KB text) and
+    // tf ≤ 10⁴, Σ w² ≤ 10⁶·(10⁴·5×10⁸)² = 2.5×10³¹ — five orders of
+    // headroom. w ITSELF stays long: overflow needs tf·N > 9.2×10¹⁸,
+    // i.e. one term repeated >3×10⁸ times in one document. The final
     // cosine divides identical exact operands through sqrt — identical
     // doubles, safely comparable for the global top-20 TakeOrdered.
     // Scale: join terms are capped at df ≤ TFIDF_DF_CAP (the standard
@@ -286,12 +293,12 @@ object TextAnalysis {
           (col("tf") * expr("n_docs div df")).as("w"))
         .transform(graft.CachePool.persist) // norms + self-join
       val norms = weighted.groupBy("doc_id")
-        .agg(sum(col("w") * col("w")).as("sumsq"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("sumsq"))
       val pairs = weighted.as("a")
         .join(weighted.as("b"), Seq("term"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
       pairs
         .join(norms.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("sumsq", "sa"), "doc_a")
@@ -931,10 +938,11 @@ object TextAnalysis {
          |w AS (SELECT doc_id, t.term,
          |    CAST(tf * ((SELECT COUNT(*) FROM documents) // df) AS BIGINT) AS w
          |  FROM terms t JOIN dfreq USING (term) WHERE df <= $TFIDF_DF_CAP),
-         |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS sumsq
+         |norms AS (SELECT doc_id,
+         |    CAST(SUM(CAST(w AS HUGEINT) * w) AS DECIMAL(38,0)) AS sumsq
          |  FROM w GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |    CAST(SUM(CAST(a.w AS HUGEINT) * b.w) AS DECIMAL(38,0)) AS dot
          |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, dot,

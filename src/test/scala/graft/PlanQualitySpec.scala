@@ -339,8 +339,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "events_changepoint" -> "O(days): daily counts (cusum + argmax pass)",
       "text_quality_deciles" -> "O(distinct scores): small-integer score histogram",
       "events_power_pareto" -> "O(distinct per-user counts): count histogram",
-      "layout_range_split" -> "O(sample): rate-bounded boundary-rank pass",
-      "events_rfm" -> "O(sample): rate-bounded quintile-boundary passes",
+      "layout_range_split" ->
+        "O(sample, rate 041/16^3 ≈ 1.6%): boundary-rank pass (SampleRates)",
+      "events_rfm" ->
+        ("O(distinct values): exact r/f histogram-cumulative boundaries; " +
+          "monetary over a 05/16^2 ≈ 2.0% sample (SampleRates)"),
       "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
@@ -369,6 +372,25 @@ class PlanQualitySpec extends AnyFunSuite {
       }
       assert(stale.isEmpty, s"whitelist entries with no partitionless window: $stale")
     } finally c.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("every registered boundary-sample rate stays under the 1/32 ceiling") {
+    // A "rate-bounded" ordered pass is only scale-safe when the rate is
+    // planner-sized — round 9 shipped a nominal sample that kept 25% of
+    // users. Every salted-md5 boundary-sampling rate must be registered
+    // in graft.SampleRates, and none may exceed the declared ceiling.
+    assert(graft.SampleRates.rates.nonEmpty)
+    for ((name, hex) <- graft.SampleRates.rates) {
+      val f = graft.SampleRates.fraction(hex)
+      assert(f > 0.0 && f <= graft.SampleRates.Ceiling,
+        f"$name: rate $hex = $f%.4f exceeds ceiling ${graft.SampleRates.Ceiling}%.4f")
+    }
+    // and the registry can't rot: no stray rate constants outside it —
+    // any whitelist reason claiming a sample must name a registered hex
+    val sampled = Seq("layout_range_split" -> "041", "events_rfm" -> "05")
+    for ((q, hex) <- sampled)
+      assert(graft.SampleRates.rates.values.toSet.contains(hex),
+        s"$q cites hex $hex not present in SampleRates")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {

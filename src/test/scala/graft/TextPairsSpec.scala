@@ -39,7 +39,9 @@ class TextPairsSpec extends AnyFunSuite {
     val wb = w.filter(col("doc_id") === db).collect()
       .map(x => x.getAs[String]("t") -> x.getAs[Long]("w")).toMap
     val dot = wa.keysIterator.map(k => wa(k) * wb.getOrElse(k, 0L)).sum
-    assert(r.getAs[Long]("dot") === dot, s"pair ($da,$db) dot")
+    // dot accumulates in decimal(38,0) (long Σw² wraps ~10⁸ docs)
+    assert(r.getAs[java.math.BigDecimal]("dot").longValueExact === dot,
+      s"pair ($da,$db) dot")
   }
 
   test("keyword search: scores rank correctly and the top hit survives a brute recount") {
