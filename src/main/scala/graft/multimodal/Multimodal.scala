@@ -27,6 +27,13 @@ case class ThumbFeatures(doc_id: Long, out_w: Int, out_h: Int,
 case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
     duration_sec: Double, rms: Double, clip_rate: Double)
 
+/** One decoded frame of a multi-frame (animated GIF) asset: header dims
+  * + the solid gray value and the full red-channel pixel sum (the sum
+  * forces the engine to decode EVERY pixel, not just the header).
+  */
+case class GifFrame(doc_id: Long, frame_id: Int, width: Int, height: Int,
+    gray: Int, red_sum: Long)
+
 /** Perceptual average-hash of one image: the 64-bit aHash split into two
   * unsigned-32 halves so every engine's integer arithmetic stays inside
   * BIGINT (one signed 64-bit word would need bit-63 two's-complement
@@ -39,13 +46,12 @@ case class PhashFeatures(doc_id: Long, width: Int, height: Int,
   *
   * The Spark-side structure is real — schema, column pruning, batched
   * per-partition decode (the JVM analog of `mapInPandas` batches), and
-  * feature extraction. So are two codec paths, both pure-JDK: PNG/BMP
-  * images through javax.imageio and WAV/PCM audio through
-  * javax.sound.sampled. Only compressed-video (and compressed-audio)
-  * decode remains a declared STUB — this container ships no such codec
-  * libraries — with `decodeBatch` computing deterministic fake features
-  * from the bytes on that branch; swapping in ffmpeg-style bindings
-  * changes one function.
+  * feature extraction. So are three codec paths, all pure-JDK: PNG/BMP
+  * images and MULTI-FRAME animated GIF through javax.imageio, and
+  * WAV/PCM audio through javax.sound.sampled. Only modern compressed
+  * codecs (H.264/MP3-class — no such libraries in this container) keep
+  * a deterministic fake branch in `decodeBatch` for non-image payloads;
+  * swapping in ffmpeg-style bindings changes one function.
   */
 object Multimodal {
 
@@ -280,6 +286,104 @@ object Multimodal {
     assets.mapPartitions(_.grouped(batchSize).flatMap(decodeAudioBatch))
   }
 
+  /** Deterministic synthetic ANIMATED GIF per document — the multi-
+    * frame (video-like) analog of `imageAssets`: frame count, dims and
+    * each frame's solid gray fill are pure functions of doc_id, so the
+    * oracle PREDICTS per-frame stats arithmetically while the engine
+    * must parse the GIF container and decode every frame's pixels.
+    * Dims/gray use SMALL moduli so frames intentionally COLLIDE across
+    * documents — the repeated-frame structure `multimodal_frame_dupes`
+    * must recover from pixels alone. Gray values are multiples of 8
+    * (exact palette entries — GIF round-trips ≤256 colors losslessly).
+    * Bytes are synthesized executor-side; never collected.
+    */
+  def gifAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val nf = (id % 4 + 2).toInt
+        val w = ((id % 3) + 1).toInt * 8
+        val h = ((id / 3 % 3) + 1).toInt * 8
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val v = (((id + f.toLong * 5) % 32) * 8).toInt
+            val rgb = (v << 16) | (v << 8) | v
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        val bytes = bos.toByteArray
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        MediaAsset(id, "video", bytes.length.toLong,
+          md.map("%02x".format(_)).mkString, bytes)
+      }
+    }
+  }
+
+  /** REAL multi-frame decode through javax.imageio's GIF ImageReader
+    * (pure JDK): `getNumImages` walks the container, `read(i)` decodes
+    * each frame's palette-indexed raster. One row per frame; gray is
+    * pixel (0,0)'s red channel and red_sum the whole-raster red sum
+    * (proving all pixels were decoded, not just the header). Poison
+    * assets skip (flatMap empty) — same contract as the image decoder.
+    */
+  def gifFrames(assets: Dataset[MediaAsset]): Dataset[GifFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Seq.empty[GifFrame] }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n).map { i =>
+                val img = reader.read(i)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    sum += (img.getRGB(x, y) >> 16) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                GifFrame(a.doc_id, i, w, h,
+                  (img.getRGB(0, 0) >> 16) & 0xff, sum)
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case _: Exception => Seq.empty[GifFrame] }
+      }
+    }
+  }
+
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
   private def isBmp(b: Array[Byte]): Boolean =
@@ -372,12 +476,6 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.grouped(batchSize).flatMap(resizeBatch))
   }
-
-  /** Frame sampling analog: fixed-width windows of the payload as
-    * "frames", each fingerprinted — video keyframe extraction shape
-    * (explode stays lazy; no driver materialization).
-    */
-  val FRAME_CHARS = 100
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -488,22 +586,21 @@ object Multimodal {
       decodeAudioFeatures(audioAssets(s, d)).toDF()
     }),
 
-    // Repeated-frame detection across the corpus: group the sampled
-    // frame fingerprints, keep those appearing more than once, report
-    // the top repeats — intros/outros/test-cards in video terms,
-    // boilerplate panels in document terms. One hash aggregation over
-    // the frame relation + a bounded TakeOrdered; at scale the frame
-    // fingerprints are the persisted intermediate and the dupe census
-    // is a reusable roll-up.
+    // Repeated-frame detection across the corpus on REAL decoded GIF
+    // frames: fingerprint each frame by its decoded (dims, gray),
+    // group, keep those appearing more than once, report the top
+    // repeats — intros/outros/test-cards in video terms. The engine
+    // must decode every frame's pixels to fingerprint it; the oracle
+    // re-derives the fingerprints arithmetically from the synthesis
+    // formulas. One hash aggregation over the frame relation + a
+    // bounded TakeOrdered; at scale the frame fingerprints (a few
+    // bytes/frame) are the persisted intermediate and the dupe census
+    // a reusable roll-up — payload bytes never cross a shuffle.
     "multimodal_frame_dupes" -> ((s, d) => {
-      val nFrames =
-        expr(s"CAST((length(text) + ${FRAME_CHARS - 1}) DIV $FRAME_CHARS AS INT)")
-      Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), nFrames - 1),
-            k => md5(col("text").substr(k * FRAME_CHARS + 1, lit(FRAME_CHARS)))))
-            .as("frame_md5"))
+      import s.implicits._
+      gifFrames(gifAssets(s, d)).toDF()
+        .select(col("doc_id"), md5(concat_ws("|",
+          col("width"), col("height"), col("gray"))).as("frame_md5"))
         .groupBy("frame_md5")
         .agg(count(lit(1)).as("n_frames"),
           countDistinct(col("doc_id")).as("n_docs"))
@@ -512,20 +609,18 @@ object Multimodal {
         .limit(20)
     }),
 
-    // Frame sampling: one row per fixed-size window with fingerprint.
+    // REAL multi-frame codec round trip: synthesize a deterministic
+    // animated GIF per doc (frame count, dims, per-frame solid gray all
+    // functions of doc_id), decode EVERY frame with javax.imageio's
+    // ImageReader, report per-frame stats. The oracle predicts frame
+    // counts, dims, gray values AND the full red-channel pixel sum
+    // arithmetically — the engine can only match by actually walking
+    // the container and decoding each frame's raster.
     "multimodal_frames" -> ((s, d) => {
-      val nFrames =
-        expr(s"CAST((length(text) + ${FRAME_CHARS - 1}) DIV $FRAME_CHARS AS INT)")
-      Tables.documents(s, d)
-        // guard empty docs: sequence(0, -1) would generate a DESCENDING
-        // [0, -1] in Spark while the oracle's range(0, 0) is empty
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), nFrames - 1),
-            k => struct(k.cast("int").as("frame_id"),
-              md5(col("text").substr(k * FRAME_CHARS + 1, lit(FRAME_CHARS)))
-                .as("frame_md5")))).as("f"))
-        .select(col("doc_id"), col("f.frame_id"), col("f.frame_md5"))
+      import s.implicits._
+      gifFrames(gifAssets(s, d)).toDF()
+        .select(col("doc_id"), col("frame_id"), col("width"),
+          col("height"), col("gray"), col("red_sum"))
     })
   )
 
@@ -629,22 +724,37 @@ object Multimodal {
          |  CAST(w AS DOUBLE) / LEAST(w, $THUMB_BOX) AS scale_x,
          |  md5(substr(text, 1, LEAST(w, $THUMB_BOX) * LEAST(h, $THUMB_BOX))) AS thumb_md5
          |FROM t""".stripMargin,
+    // Closed-form reconstruction of every GIF frame the engine decodes:
+    // the fingerprint md5 runs over the IDENTICAL "w|h|gray" text both
+    // engines render from integers.
     "multimodal_frame_dupes" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5
-         |  FROM (SELECT doc_id, text,
-         |    unnest(range(0, (length(text) + ${FRAME_CHARS - 1}) // $FRAME_CHARS)) AS k
-         |    FROM documents WHERE length(text) > 0) t)
-         |SELECT frame_md5, COUNT(*) AS n_frames,
-         |  COUNT(DISTINCT doc_id) AS n_docs
-         |FROM f GROUP BY frame_md5
-         |HAVING COUNT(*) > 1
-         |ORDER BY n_frames DESC, frame_md5 LIMIT 20""".stripMargin,
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 4 + 2 AS BIGINT) AS nf,
+        |    CAST((doc_id % 3 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id // 3 % 3 + 1) * 8 AS INT) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    md5(CAST(w AS VARCHAR) || '|' || CAST(h AS VARCHAR) || '|' ||
+        |      CAST(CAST(((doc_id + fi * 5) % 32) * 8 AS INT) AS VARCHAR))
+        |      AS frame_md5
+        |  FROM p, unnest(range(0, nf)) AS t(fi))
+        |SELECT frame_md5, COUNT(*) AS n_frames,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM f GROUP BY frame_md5
+        |HAVING COUNT(*) > 1
+        |ORDER BY n_frames DESC, frame_md5 LIMIT 20""".stripMargin,
+    // Per-frame stats predicted arithmetically: solid fill ⇒
+    // red_sum = gray·w·h exactly.
     "multimodal_frames" ->
-      s"""SELECT doc_id, CAST(k AS INT) AS frame_id,
-         |  md5(substr(text, k * $FRAME_CHARS + 1, $FRAME_CHARS)) AS frame_md5
-         |FROM (SELECT doc_id, text,
-         |  unnest(range(0, (length(text) + ${FRAME_CHARS - 1}) // $FRAME_CHARS)) AS k
-         |  FROM documents WHERE length(text) > 0) t""".stripMargin
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 4 + 2 AS BIGINT) AS nf,
+        |    CAST((doc_id % 3 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id // 3 % 3 + 1) * 8 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_id, w AS width,
+        |  h AS height,
+        |  CAST(((doc_id + fi * 5) % 32) * 8 AS INT) AS gray,
+        |  CAST(((doc_id + fi * 5) % 32) * 8 AS BIGINT) * w * h AS red_sum
+        |FROM p, unnest(range(0, nf)) AS t(fi)""".stripMargin
   )
 }

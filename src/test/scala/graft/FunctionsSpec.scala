@@ -227,6 +227,30 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("gif frames: every synthesized frame decodes back to its closed form") {
+    // real container walk + per-frame pixel decode vs the synthesis
+    // formulas — frame count, dims, solid gray, full red-channel sum
+    val got = Multimodal.gifFrames(
+        Multimodal.gifAssets(spark, "/root/testdata/sf0.001"))
+      .collect().groupBy(_.doc_id)
+    assert(got.nonEmpty)
+    val nDocs =
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(got.size === nDocs, "one decoded frame set per document")
+    got.foreach { case (id, frames) =>
+      val nf = (id % 4 + 2).toInt
+      val w = ((id % 3) + 1).toInt * 8
+      val h = ((id / 3 % 3) + 1).toInt * 8
+      assert(frames.length === nf, s"doc $id frame count")
+      frames.sortBy(_.frame_id).zipWithIndex.foreach { case (f, i) =>
+        val v = (((id + i.toLong * 5) % 32) * 8).toInt
+        assert(f.frame_id === i)
+        assert((f.width, f.height, f.gray) === ((w, h, v)), s"doc $id frame $i")
+        assert(f.red_sum === v.toLong * w * h, s"doc $id frame $i red_sum")
+      }
+    }
+  }
+
   test("phash near-dup banding finds EVERY hamming<=3 pair the brute cross product finds") {
     // recall-1.0-by-pigeonhole claim, checked against an in-test brute
     // force over the collected distinct hashes
