@@ -374,7 +374,7 @@ object CdcQueries {
         .select(col("user_id"), col("event_id").as("last_lsn"),
           col("op").as("last_op"),
           when(col("op") =!= "delete", "live")
-            .when(col("event_id") > col("fence") - expr("fence div 4"),
+            .when(ChangeLog.tombstoneRetained(col("event_id"), col("fence")),
               "tombstone_retained")
             .otherwise("purged").as("outcome"))
     }),

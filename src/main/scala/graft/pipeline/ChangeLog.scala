@@ -38,6 +38,23 @@ object ChangeLog {
       .drop("__is_delete")
   }
 
+  /** Kafka-style compact+delete retention policy (log.cleanup.policy=
+    * compact + delete.retention.ms, in LSN space): a tombstone is
+    * retained only while it is younger than `fence − fence/4` —
+    * consumers lagging further than a quarter of the log must
+    * resnapshot anyway, so the tombstone no longer protects anyone.
+    * SHARED by the batch report (`cdc_tombstone_gc`) and the streaming
+    * sink ([[graft.streaming.ChangeLogStream.retentionUpsertBatch]]) so
+    * the two can never drift. LSNs are non-negative, so the shift IS
+    * integer division by 4 (matches the oracle's `fence // 4`).
+    */
+  def tombstoneHorizon(fence: Column): Column =
+    fence - shiftright(fence, 2)
+
+  /** True while a tombstone at `lsn` must still be served. */
+  def tombstoneRetained(lsn: Column, fence: Column): Column =
+    lsn > tombstoneHorizon(fence)
+
   /** Snapshot-seed ∪ change-stream with an LSN fence + keyed dedup.
     *
     * The reference reads the fence AFTER the snapshot (replicator.go:167-183)

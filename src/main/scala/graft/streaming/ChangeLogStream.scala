@@ -307,7 +307,55 @@ object ChangeLogStream {
     * keeps this repo dependency-free.)
     */
   def upsertBatch(tableDir: String, keyCols: Seq[String], versionCol: String,
+      numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit =
+    upsertBatchImpl(tableDir, keyCols, versionCol, numBuckets,
+      compact = None)(batch, batchId)
+
+  /** [[upsertBatch]] with the compact+delete tombstone-retention policy
+    * wired into the merge (reference K2's ES store never GCs deletes;
+    * Kafka's log cleaner is the model — SURVEY.md §2.6). The policy is
+    * [[graft.pipeline.ChangeLog.tombstoneHorizon]] — the SAME code the
+    * batch report `cdc_tombstone_gc` classifies with, so sink and
+    * report can never drift.
+    *
+    * Mechanics: the store's head LSN persists monotonically at
+    * `tableDir + "__head"` ([[graft.pipeline.LsnCheckpoint]]'s atomic
+    * replace); each batch advances it and drops, FROM THE MERGED
+    * TOUCHED BUCKETS, every row whose op is a delete and whose version
+    * is at-or-below the horizon. Purge rides the rewrite the merge
+    * already does (zero extra IO — the Kafka cleaner's
+    * compact-on-rewrite); tombstones in untouched buckets persist until
+    * their bucket is next touched, exactly like segments the cleaner
+    * hasn't visited. Head is written BEFORE the publish: a crash
+    * between the two replays the batch against the same (monotonic)
+    * horizon — idempotent.
+    *
+    * Contract (Kafka's): a replay of history OLDER than the horizon can
+    * resurrect a purged key — that is precisely why consumers lagging
+    * past the horizon must resnapshot, and why the horizon trails the
+    * head by a quarter of the log rather than hugging it.
+    */
+  def retentionUpsertBatch(tableDir: String, keyCols: Seq[String],
+      versionCol: String, isDelete: org.apache.spark.sql.Column,
       numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val headPath = tableDir + "__head"
+    val oldHead = graft.pipeline.LsnCheckpoint.read(spark, headPath)
+    val row = batch.agg(max(col(versionCol).cast("long"))).head()
+    val head = math.max(oldHead, if (row.isNullAt(0)) -1L else row.getLong(0))
+    if (head > oldHead)
+      graft.pipeline.LsnCheckpoint.write(spark, headPath, head)
+    val compact: DataFrame => DataFrame = merged =>
+      merged.filter(!isDelete ||
+        graft.pipeline.ChangeLog.tombstoneRetained(
+          col(versionCol).cast("long"), lit(head)))
+    upsertBatchImpl(tableDir, keyCols, versionCol, numBuckets,
+      Some(compact))(batch, batchId)
+  }
+
+  private def upsertBatchImpl(tableDir: String, keyCols: Seq[String],
+      versionCol: String, numBuckets: Int,
+      compact: Option[DataFrame => DataFrame])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val target = new Path(tableDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -346,9 +394,10 @@ object ChangeLogStream {
           spark.read.option("mergeSchema", "true").parquet(tableDir)
             .filter(col(BucketCol).isin(touched.map(Int.box): _*))
         else batchLatest.limit(0)
-      val merged = ChangeLog.latestState(
+      val latest = ChangeLog.latestState(
         existingTouched.unionByName(batchLatest, allowMissingColumns = true),
         keyCols, versionCol)
+      val merged = compact.fold(latest)(f => f(latest))
       val stagingRoot = new Path(tableDir + s"__staging_$batchId")
       // repartition on the bucket id so each bucket's rows land in one
       // task → one file per bucket (not tasks × buckets tiny files)
@@ -378,9 +427,20 @@ object ChangeLogStream {
               val staged = new Path(stagingRoot, name)
               val live = new Path(target, name)
               val aside = new Path(backupRoot, name)
-              // a touched bucket has ≥ 1 key ⇒ latest-state has ≥ 1 row
-              if (!fs.exists(staged)) throw new IllegalStateException(
-                s"staging missing touched bucket $name under $stagingRoot")
+              // WITHOUT compaction a touched bucket has ≥ 1 key ⇒
+              // latest-state has ≥ 1 row, so a missing staged dir is an
+              // invariant violation. WITH compaction the bucket can
+              // legitimately empty out (its only keys were expired
+              // tombstones): publishing an empty bucket = deleting the
+              // live copy (replay-safe — re-merging re-compacts to the
+              // same empty result).
+              if (!fs.exists(staged)) {
+                if (compact.isEmpty) throw new IllegalStateException(
+                  s"staging missing touched bucket $name under $stagingRoot")
+                if (fs.exists(aside)) fs.delete(aside, true)
+                if (fs.exists(live)) fs.delete(live, true)
+                return
+              }
               if (fs.exists(aside)) fs.delete(aside, true)
               if (fs.exists(live) && !fs.rename(live, aside))
                 throw new java.io.IOException(s"failed to move $live aside to $aside")

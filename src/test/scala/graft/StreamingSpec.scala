@@ -319,6 +319,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retention sink: tombstone inside horizon retained, outside purged, re-insert after purge") {
+    // the compact+delete policy (ChangeLog.tombstoneHorizon) wired into
+    // the bucketed upsert: head=100 ⇒ horizon 75; a tombstone at 40 is
+    // purged on the rewrite, one at 90 survives, and a later re-insert
+    // of the purged key materializes normally.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_retention").toString + "/state"
+    val sink = ChangeLogStream.retentionUpsertBatch(
+      dir, Seq("user_id"), "event_id",
+      org.apache.spark.sql.functions.col("event_type") === "delete", 4) _
+    def state(): Map[Long, (Long, String)] =
+      ChangeLogStream.readState(spark, dir)
+        .select($"user_id", $"event_id", $"event_type")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    sink(Seq(ev(10, 1, 1, "signup"), ev(20, 2, 2, "signup"),
+      ev(30, 3, 3, "signup")).toDF(), 0L)
+    assert(state().keySet === Set(1L, 2L, 3L))
+    // deletes at LSN 40 (key 1) and 90 (key 2); head row advances to 100
+    sink(Seq(ev(40, 4, 1, "delete"), ev(90, 5, 2, "delete"),
+      ev(95, 6, 3, "click"), ev(100, 7, 4, "signup")).toDF(), 1L)
+    val s1 = state()
+    assert(!s1.contains(1L), "tombstone at 40 <= horizon 75 must purge")
+    assert(s1(2L) === ((90L, "delete")),
+      "tombstone at 90 > horizon 75 must be retained")
+    assert(s1(3L) === ((95L, "click")) && s1(4L) === ((100L, "signup")))
+    // re-insert of the purged key at a fresh LSN materializes normally
+    sink(Seq(ev(105, 8, 1, "signup")).toDF(), 2L)
+    assert(state()(1L) === ((105L, "signup")))
+    // advance head to 200 (horizon 150) AND touch key 2's bucket with a
+    // stale replay (LSN 15 < its tombstone): the rewrite re-compacts
+    // and now purges the 90-tombstone — the key vanishes entirely
+    sink(Seq(ev(200, 9, 6, "signup"), ev(15, 10, 2, "signup")).toDF(), 3L)
+    val s3 = state()
+    assert(!s3.contains(2L),
+      "tombstone at 90 <= horizon 150 must purge when its bucket rewrites")
+    assert(s3(6L) === ((200L, "signup")))
+  }
+
   test("AvailableNow file ingest resumes from checkpoint, not from zero") {
     // A2 analog done right: the reference checkpoints its LSN every ~10 s
     // (lossy); Structured Streaming's checkpointLocation records exact
