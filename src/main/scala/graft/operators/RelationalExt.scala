@@ -30,7 +30,7 @@ object RelationalExt {
     * compaction bits — which is also why the ESTIMATE never appears in
     * the output, only the bound verdict (the CMS/HLL convention).
     */
-  private class KllAgg extends org.apache.spark.sql.expressions.Aggregator[
+  private[graft] class KllAgg extends org.apache.spark.sql.expressions.Aggregator[
       Double, org.apache.datasketches.kll.KllDoublesSketch, Array[Byte]] {
     import org.apache.datasketches.kll.KllDoublesSketch
     def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(400)
@@ -46,7 +46,7 @@ object RelationalExt {
   }
 
   /** Merge-only second level: unions serialized group sketches. */
-  private class KllMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
+  private[graft] class KllMergeAgg extends org.apache.spark.sql.expressions.Aggregator[
       Array[Byte], org.apache.datasketches.kll.KllDoublesSketch, Array[Byte]] {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
@@ -74,7 +74,7 @@ object RelationalExt {
     * exact union (4σ) — deterministic given the library's fixed default
     * seed, so bound_ok is a stable engine-checkable verdict.
     */
-  private val THETA_NOM = 256
+  private[graft] val THETA_NOM = 256
 
   /** Mergeable distinct-count SET ALGEBRA (DataSketches theta): unlike
     * HLL (union-only), theta sketches support intersection and
@@ -83,7 +83,7 @@ object RelationalExt {
     * shuffle-join. The buffer is a live heap Union (kryo only on
     * spill/exchange), the finished group sketch is fixed bytes.
     */
-  private class ThetaAgg extends org.apache.spark.sql.expressions.Aggregator[
+  private[graft] class ThetaAgg extends org.apache.spark.sql.expressions.Aggregator[
       Long, org.apache.datasketches.theta.Union, Array[Byte]] {
     import org.apache.datasketches.theta.{SetOperation, Union}
     def zero: Union =
