@@ -23,6 +23,12 @@ object CdcQueries {
   private val opSql =
     "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END"
 
+  /** The pipeline's default watermark delay (ChangeLogStream
+    * .windowedCounts' "10 minutes") in event-time µs — the candidate
+    * the freshness dashboard scores p95 lateness against.
+    */
+  private val WATERMARK_US = 600000000L
+
   /** Exact sum of a double column: decimal accumulate, double result. */
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(25,6)")).cast("double")
@@ -379,6 +385,50 @@ object CdcQueries {
             .otherwise("purged").as("outcome"))
     }),
 
+    // Per-consumer freshness / watermark-headroom dashboard — the ops
+    // view the reference's Kibana dashboards approximated
+    // (/root/reference/README.md:189-194), combining cdc_low_watermark's
+    // LSN-space position with events_lag_percentiles' event-time
+    // disorder, per consumer: how far behind the head each consumer is
+    // (lag, LSN), how stale its newest event is (staleness, event-time
+    // µs vs the head), and whether the pipeline's default 10-minute
+    // watermark (ChangeLogStream.windowedCounts) clears the consumer's
+    // p95 observed lateness — the go/no-go a watermark-sizing review
+    // asks per consumer. One user-partitioned running-max pass for
+    // lateness (the events_lag_percentiles shape) + one per-consumer
+    // hash agg + two 1-row broadcasts; all exact, the verdict compares
+    // identical doubles in both engines.
+    "cdc_consumer_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("consumer"), col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .transform(graft.CachePool.persist) // position pass + lateness pass
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val late = ev
+        .withColumn("lateness_us",
+          greatest(lit(0L), coalesce(max("us").over(w) - col("us"), lit(0L))))
+        .groupBy("consumer")
+        .agg(expr("percentile(lateness_us, 0.95D)").as("p95_lateness_us"))
+      val pos = ev.groupBy("consumer")
+        .agg(max("event_id").as("acked_lsn"),
+          max("us").as("last_event_us"), count(lit(1)).as("n_events"))
+      val head = ev.agg(max("event_id").as("head_lsn"),
+        max("us").as("head_us")).withColumn("__k", lit(1))
+      val low = pos.agg(min("acked_lsn").as("low_watermark"))
+        .withColumn("__k", lit(1))
+      pos.join(late, Seq("consumer")).withColumn("__k", lit(1))
+        .join(broadcast(head), "__k").join(broadcast(low), "__k")
+        .select(col("consumer"), col("n_events"), col("acked_lsn"),
+          (col("head_lsn") - col("acked_lsn")).as("lag"),
+          (col("head_us") - col("last_event_us")).as("staleness_us"),
+          col("p95_lateness_us"),
+          (col("p95_lateness_us") <= lit(WATERMARK_US.toDouble))
+            .as("watermark_headroom_ok"),
+          (col("acked_lsn") === col("low_watermark")).as("is_laggard"))
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -425,6 +475,28 @@ object CdcQueries {
         |  head_lsn - acked_lsn AS lag, low_watermark,
         |  acked_lsn = low_watermark AS is_laggard
         |FROM pos, h, lw""".stripMargin,
+    "cdc_consumer_freshness" ->
+      s"""WITH m AS (SELECT event_type AS consumer, user_id, event_id,
+         |    epoch_us(ts) AS us,
+         |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM events),
+         |late AS (SELECT consumer,
+         |    quantile_cont(GREATEST(0, COALESCE(pm - us, 0)), 0.95)
+         |      AS p95_lateness_us
+         |  FROM m GROUP BY 1),
+         |pos AS (SELECT consumer, MAX(event_id) AS acked_lsn,
+         |    MAX(us) AS last_event_us, COUNT(*) AS n_events
+         |  FROM m GROUP BY 1),
+         |h AS (SELECT MAX(event_id) AS head_lsn, MAX(us) AS head_us FROM m),
+         |lw AS (SELECT MIN(acked_lsn) AS low_watermark FROM pos)
+         |SELECT consumer, n_events, acked_lsn,
+         |  head_lsn - acked_lsn AS lag,
+         |  head_us - last_event_us AS staleness_us,
+         |  p95_lateness_us,
+         |  p95_lateness_us <= ${WATERMARK_US}e0 AS watermark_headroom_ok,
+         |  acked_lsn = low_watermark AS is_laggard
+         |FROM pos JOIN late USING (consumer), h, lw""".stripMargin,
     "cdc_tombstone_gc" ->
       s"""WITH latest AS (SELECT user_id, event_id, $opSql AS op
          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -96,9 +96,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the integer-idf numerator — bounded
     "events_anomaly_mad",   // two 1-row percentile aggregates (median,
                             // MAD) broadcast into the O(days) series
-    "cdc_low_watermark"     // 1-row head-LSN and low-watermark
+    "cdc_low_watermark",    // 1-row head-LSN and low-watermark
                             // aggregates broadcast into the O(consumers)
                             // progress table — bounded
+    "cdc_consumer_freshness" // 1-row head (LSN, µs) and low-watermark
+                            // aggregates broadcast into the O(consumers)
+                            // freshness dashboard — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
