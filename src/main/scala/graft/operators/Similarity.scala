@@ -639,6 +639,25 @@ object Similarity {
             (col("gx").cast("double") / Q / col("n_rows").cast("double")) *
             (col("gy").cast("double") / Q / col("n_rows").cast("double")))
             .as("cov"))
+    }),
+
+    // Embedding-health similarity SPECTRUM: histogram of corpus-vs-
+    // probe cosine similarities in 0.1-wide bands — the collapsed-
+    // embedding / anisotropy screen (healthy high-dim embeddings
+    // concentrate near 0 against random probes; a collapsed or
+    // poorly-whitened space piles mass in the top bands, and that shift
+    // shows up here before any ANN recall number degrades). Probe set =
+    // the N_QUERIES query vectors, broadcast — pair count is
+    // corpus × |probes|, LINEAR in the corpus, never a pair self-join;
+    // the output is ≤ 21 band rows. Banding floors 10·cosine on the
+    // bitwise-identical doubles both engines already rank with, so the
+    // histogram is engine-exact.
+    "ann_similarity_histogram" -> ((s, d) => {
+      corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .groupBy(floor(col("cosine") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("vec_id")).as("n_vectors"))
     })
   )
 
@@ -819,6 +838,12 @@ object Similarity {
          |FROM pred JOIN embeddings tl ON pred.q_id = tl.vec_id""".stripMargin,
     "ann_cosine_topk" -> annBruteSql,
     "ann_ivf_topk" -> annIvfSql,
+    // identical cosine doubles ⇒ identical FLOOR banding
+    "ann_similarity_histogram" ->
+      s"""$baseSql
+         |SELECT CAST(FLOOR(($cosQC) * 10) AS INT) AS band,
+         |  COUNT(*) AS n_pairs, COUNT(DISTINCT vec_id) AS n_vectors
+         |FROM q, corpus GROUP BY 1""".stripMargin,
     "ann_ivf_recall" ->
       s"""WITH exact AS ($annBruteSql),
          |approx AS ($annIvfSql)

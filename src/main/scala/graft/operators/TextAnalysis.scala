@@ -26,6 +26,7 @@ object TextAnalysis {
   private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
   private val PMI_MIN_PAIR = 5 // collocation floor: drop hapax pairs
   private val TFIDF_DF_CAP = 50 // max df for a cosine-join term (skew guard)
+  private val VOCAB_COVER_TOP = 10 // top-V vocab for the coverage screen
   // keyword-search query: one rare discriminating token + two common
   // ones, so the integer idf actually ranks (all three occur at every SF)
   private val SEARCH_TOKS = Seq("dup", "spark", "table")
@@ -351,6 +352,30 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(50)
+    }),
+
+    // Tokenizer-vocabulary COVERAGE per source: what share of each
+    // source's token OCCURRENCES the top-V corpus vocabulary covers —
+    // the screen a tokenizer-training pass runs to size V and to spot
+    // sources whose text a fixed vocab would shatter into UNKs/bytes.
+    // V = 10 against this corpus's 31-word vocabulary (real runs use
+    // 30k-100k; the SHAPE is what scales): one persisted explode pass
+    // feeds the global top-V census (a bounded TakeOrdered over the
+    // |vocab|-sized counts) and the per-source coverage join — the
+    // top-V relation broadcasts, so the postings never reshuffle.
+    "text_vocab_coverage" -> ((s, d) => {
+      val posting = Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("term"))
+        .transform(graft.CachePool.persist) // vocab census + coverage pass
+      val top = posting.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(VOCAB_COVER_TOP)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      posting.join(broadcast(top), Seq("term"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+        .withColumn("coverage",
+          col("n_covered").cast("double") / col("n_tokens").cast("double"))
     }),
 
     // BPE merge step 1: global adjacent-token-pair frequencies, the
@@ -966,6 +991,18 @@ object TextAnalysis {
       """SELECT term, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "text_vocab_coverage" ->
+      s"""WITH posting AS (SELECT source,
+         |    unnest(string_split(text, ' ')) AS term FROM documents),
+         |top AS (SELECT term FROM (SELECT term, COUNT(*) AS n FROM posting
+         |    GROUP BY term ORDER BY n DESC, term LIMIT $VOCAB_COVER_TOP) t)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN top.term IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_covered,
+         |  CAST(SUM(CASE WHEN top.term IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+         |FROM posting LEFT JOIN top ON posting.term = top.term
+         |GROUP BY source""".stripMargin,
     "text_bpe_pairs" ->
       """SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS n
         |FROM (SELECT string_split(text, ' ') AS w,

@@ -15,6 +15,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** intentional cross/pair scans (each has a blocked scale path). */
   private val intentionallyUnbounded = Set(
     "ann_cosine_topk",      // broadcast query set × corpus scan
+    "ann_similarity_histogram", // broadcast probe set × corpus scan —
+                            // LINEAR in the corpus by construction
     "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
     "ann_ivf_recall",       // composes the two above
     "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
