@@ -345,17 +345,60 @@ object ChangeLogStream {
     val head = math.max(oldHead, if (row.isNullAt(0)) -1L else row.getLong(0))
     if (head > oldHead)
       graft.pipeline.LsnCheckpoint.write(spark, headPath, head)
-    val compact: DataFrame => DataFrame = merged =>
-      merged.filter(!isDelete ||
-        graft.pipeline.ChangeLog.tombstoneRetained(
-          col(versionCol).cast("long"), lit(head)))
     upsertBatchImpl(tableDir, keyCols, versionCol, numBuckets,
-      Some(compact))(batch, batchId)
+      Some(retentionCompact(versionCol, isDelete, head)))(batch, batchId)
+  }
+
+  /** The shared retention filter: drop tombstones at-or-below the
+    * horizon derived from `head`. Used by the per-batch sink and the
+    * standalone cleaner so the policy cannot fork.
+    */
+  private def retentionCompact(versionCol: String,
+      isDelete: org.apache.spark.sql.Column,
+      head: Long): DataFrame => DataFrame =
+    merged => merged.filter(!isDelete ||
+      graft.pipeline.ChangeLog.tombstoneRetained(
+        col(versionCol).cast("long"), lit(head)))
+
+  /** Standalone log-cleaner pass — the Kafka cleaner visits COLD
+    * segments too: [[retentionUpsertBatch]] compacts only buckets its
+    * batch touches, so a tombstone in a bucket no batch revisits would
+    * otherwise outlive its horizon forever. This sweep reads the
+    * store's own persisted head (no batch required), finds the buckets
+    * actually holding expired tombstones with ONE pruned scan
+    * (bucket/op/version columns only — payload never reads), and
+    * rewrites ONLY those through the identical staging+publish protocol
+    * (an all-expired bucket publishes as a deletion). Returns the
+    * number of buckets rewritten; 0 = store already clean, nothing
+    * written. Idempotent and crash-safe for the same reasons the batch
+    * path is: re-running re-merges to the same result, and a crash
+    * between renames is restored by the recovery sweep.
+    */
+  def compactTombstones(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, keyCols: Seq[String], versionCol: String,
+      isDelete: org.apache.spark.sql.Column, numBuckets: Int = 16): Int = {
+    val head = graft.pipeline.LsnCheckpoint.read(spark, tableDir + "__head")
+    val target = new Path(tableDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (head < 0 || !fs.exists(target) ||
+        !fs.listStatus(target).exists(_.isDirectory)) return 0
+    val store = spark.read.option("mergeSchema", "true").parquet(tableDir)
+    val expired = store
+      .filter(isDelete && !graft.pipeline.ChangeLog.tombstoneRetained(
+        col(versionCol).cast("long"), lit(head)))
+      .select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
+    if (expired.isEmpty) return 0
+    upsertBatchImpl(tableDir, keyCols, versionCol, numBuckets,
+      Some(retentionCompact(versionCol, isDelete, head)),
+      touchedOverride = expired)(store.drop(BucketCol).limit(0), -1L)
+    expired.length
   }
 
   private def upsertBatchImpl(tableDir: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int,
-      compact: Option[DataFrame => DataFrame])(batch: DataFrame, batchId: Long): Unit = {
+      compact: Option[DataFrame => DataFrame],
+      touchedOverride: Array[Int] = Array.empty)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val target = new Path(tableDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -380,8 +423,8 @@ object ChangeLogStream {
       .persist()
     try {
       // ≤ nb values — O(buckets) on the driver by construction, not O(data)
-      val touched = batchLatest.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = (batchLatest.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)) ++ touchedOverride).distinct.sorted
       if (touched.isEmpty) return
       // mergeSchema + allowMissingColumns: an upstream ALTER TABLE ADD
       // COLUMN (CDC tables drift over a pipeline's lifetime) must not

@@ -34,6 +34,45 @@ class SinkSpec extends AnyFunSuite {
     assert(back.count() === expected && expected > 0)
   }
 
+  test("standalone cleaner purges expired tombstones from buckets no batch touches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cleaner").toString + "/state"
+    val nb = 4
+    val isDel = col("op") === "delete"
+    val sink = streaming.ChangeLogStream.retentionUpsertBatch(
+      dir, Seq("key"), "lsn", isDel, nb) _
+    // pick two keys that land in DIFFERENT buckets (xxhash64 layout)
+    val buckets = (1L to 20L).map(k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(nb)).cast("int")).head().getInt(0)).toMap
+    val kTomb = 1L
+    val kOther = (2L to 20L).find(buckets(_) != buckets(kTomb)).get
+    // tombstone for kTomb at LSN 40 (head 50 ⇒ horizon 38: retained)
+    sink(Seq((kTomb, 10L, "insert"), (kOther, 20L, "insert"),
+      (kTomb, 40L, "delete"), (kOther, 50L, "update"))
+      .toDF("key", "lsn", "op"), 0L)
+    def keys(): Set[Long] = streaming.ChangeLogStream.readState(spark, dir)
+      .select($"key").as[Long].collect().toSet
+    assert(keys() === Set(kTomb, kOther), "tombstone inside horizon retained")
+    // advance head to 200 (horizon 150) touching ONLY kOther's bucket:
+    // the expired tombstone survives in its cold bucket
+    sink(Seq((kOther, 200L, "update")).toDF("key", "lsn", "op"), 1L)
+    assert(keys() === Set(kTomb, kOther),
+      "per-batch compaction must not reach an untouched bucket")
+    // the cleaner visits cold segments: exactly one bucket rewrites
+    val swept = streaming.ChangeLogStream.compactTombstones(
+      spark, dir, Seq("key"), "lsn", isDel, nb)
+    assert(swept === 1, s"one bucket held an expired tombstone, got $swept")
+    assert(keys() === Set(kOther), "expired tombstone purged by the sweep")
+    // idempotent: a clean store sweeps nothing and writes nothing
+    assert(streaming.ChangeLogStream.compactTombstones(
+      spark, dir, Seq("key"), "lsn", isDel, nb) === 0)
+    // re-insert after the purge materializes normally
+    sink(Seq((kTomb, 300L, "insert")).toDF("key", "lsn", "op"), 2L)
+    assert(keys() === Set(kTomb, kOther))
+  }
+
   test("bucketed upsert rewrites ONLY buckets containing batch keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bupsert").toString + "/state"
