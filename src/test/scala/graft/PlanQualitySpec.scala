@@ -327,6 +327,21 @@ class PlanQualitySpec extends AnyFunSuite {
       !rs3.contains("o_orderdate") && !rs3.contains("o_custkey"), rs3)
   }
 
+  test("r10 screens prune their scans: vocab coverage and similarity spectrum") {
+    // text_vocab_coverage explodes tokens per source — the documents
+    // scan must carry ONLY (source, text)
+    val rs = plan("text_vocab_coverage").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("source") && rs.contains("text") &&
+      !rs.contains("doc_id") && !rs.contains("lang"), rs)
+    // ann_similarity_histogram reads vectors only — the label column
+    // must never leave the parquet footer
+    val rs2 = plan("ann_similarity_histogram").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("embedding") && rs2.contains("vec_id") &&
+      !rs2.contains("label"), rs2)
+  }
+
   test("repo-wide sweep: partitionless windows only over documented bounded relations") {
     // a Window with no partitionBy funnels its whole input through one
     // task — acceptable ONLY when that input is provably planner-sized.
