@@ -728,6 +728,41 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally maintained history must equal the batch SCD2 table")
   }
 
+  test("retention sink runs end-to-end under a streaming query") {
+    // the directive-4 wiring proven through the actual writeStream →
+    // foreachBatch path, not direct sink calls: microbatch boundaries
+    // decide head advancement, so this also pins the cross-batch
+    // monotonic-head behavior under Structured Streaming's delivery.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ret_e2e").toString + "/state"
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch(ChangeLogStream.retentionUpsertBatch(
+        dir, Seq("user_id"), "event_id",
+        org.apache.spark.sql.functions.col("event_type") === "error", 4) _)
+      .outputMode(OutputMode.Append).start()
+    def state(): Map[Long, String] =
+      ChangeLogStream.readState(spark, dir)
+        .select($"user_id", $"event_type").as[(Long, String)]
+        .collect().toMap
+    try {
+      in.addData(ev(10, 1, 1, "signup", 1), ev(20, 2, 2, "signup", 1))
+      q.processAllAvailable()
+      assert(state().keySet === Set(1L, 2L))
+      // delete key 1 at LSN 40, head moves to 100 ⇒ horizon 75: purged
+      in.addData(ev(40, 3, 1, "error", 0), ev(100, 4, 3, "signup", 1))
+      q.processAllAvailable()
+      val s = state()
+      assert(!s.contains(1L), "expired tombstone purged in-stream")
+      assert(s(2L) === "signup" && s(3L) === "signup")
+      // delete key 2 at LSN 90 (> horizon 75): tombstone retained
+      in.addData(ev(90, 5, 2, "error", 0))
+      q.processAllAvailable()
+      assert(state()(2L) === "error", "young tombstone survives as a row")
+    } finally q.stop()
+  }
+
   test("truncate event clears relation state and fences stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString + "/state"
