@@ -93,6 +93,36 @@ object Curation {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // Split LEAKAGE screen — the decontamination check for the corpus's
+    // OWN splits (dedup_contamination covers external benchmarks): an
+    // eval document that shares a near-dup fingerprint with ANY train
+    // document leaks training signal into the metric. Same split
+    // assignment as text_train_split (pure function of doc_id) and the
+    // same leading-8-token fingerprint as the overlap radar; report =
+    // per eval split, how many docs are leaked and the rate. The train
+    // fingerprint set is distinct-on-fp (one shuffle) and the leak join
+    // is fp-co-partitioned — hash-partitionable at any corpus size;
+    // output is 2 rows.
+    "text_split_leakage" -> ((s, d) => {
+      val h = substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string"))), 1, 4)
+      val sp = when(h < "e666", "train").when(h < "f333", "val")
+        .otherwise("test")
+      val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+      val docs = Tables.documents(s, d)
+        .select(fp.as("fp"), sp.as("split"))
+        .transform(graft.CachePool.persist) // train-fp pass + leak pass
+      val trainFp = docs.filter(col("split") === "train")
+        .select("fp").distinct().withColumn("leak", lit(1L))
+      docs.filter(col("split") =!= "train")
+        .join(trainFp, Seq("fp"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
+        .withColumn("leak_rate",
+          col("n_leaked").cast("double") / col("n_docs").cast("double"))
+    }),
+
     // Dedup ROI in BYTES: per source, how many characters a keep-first
     // near-dup pass (leading-8-token fingerprint groups, keeper = min
     // doc_id) would delete — the line item that justifies the dedup
@@ -237,6 +267,23 @@ object Curation {
         |  COUNT(*) AS n_shared
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "text_split_leakage" ->
+      """WITH docs AS (SELECT
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |           < 'e666' THEN 'train'
+        |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |           < 'f333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tf AS (SELECT DISTINCT fp FROM docs WHERE split = 'train')
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked,
+        |  CAST(SUM(CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS leak_rate
+        |FROM docs LEFT JOIN tf ON docs.fp = tf.fp
+        |WHERE split <> 'train' GROUP BY split""".stripMargin,
     "text_dedup_savings" ->
       """WITH docs AS (SELECT doc_id, source, n_chars,
         |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp

@@ -13,6 +13,29 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("split leakage: exactly the eval docs sharing a train fingerprint, recomputed independently") {
+    val got = Curation.queries("text_split_leakage")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set("val", "test"))
+    // independent recompute from raw text + the split formula
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4)
+    val docs = Tables.documents(spark, sfDir).select(
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"),
+      when(h < "e666", "train").when(h < "f333", "val").otherwise("test").as("sp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val trainFps = docs.collect { case (fp, "train") => fp }.toSet
+    for (s <- Seq("val", "test")) {
+      val mine = docs.filter(_._2 == s)
+      val leaked = mine.count(d => trainFps.contains(d._1))
+      assert(got(s)._1 === mine.length.toLong, s"$s n_docs")
+      assert(got(s)._2 === leaked.toLong, s"$s n_leaked")
+      assert(math.abs(got(s)._3 - leaked.toDouble / mine.length) < 1e-15)
+    }
+    // the screen must be non-vacuous on this corpus: some leakage exists
+    assert(got.values.exists(_._2 > 0), "expected nonzero leakage to screen")
+  }
+
   test("text_domain_cap: every source keeps exactly min(n_docs, cap), kept set is hash-determined") {
     val rows = Curation.queries("text_domain_cap")(spark, sfDir).collect()
     assert(rows.nonEmpty)
