@@ -747,6 +747,59 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Duplicated-substring token coverage — the headline number of
+    // suffix-array corpus dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better": ~13.6% of C4's
+    // tokens sit inside substrings repeated elsewhere): per source, the
+    // fraction of tokens covered by at least one stride-1 8-gram that
+    // occurs MORE THAN ONCE corpus-wide. hotspots ranks the worst
+    // offenders; this prices the total memorization exposure and is the
+    // before/after metric an ExactSubstr-style dedup pass would move.
+    // Shape: the posting carries only (doc_id, source, start, 16-byte
+    // md5 fp) — document text never shuffles; the dup-fp set comes from
+    // one fp-hash count and rejoins the posting fp-co-partitioned;
+    // interval union is the equal-width special case of gaps-and-
+    // islands (covered = Σ min(next_start − start, 8), + 8 for the last
+    // dup position) — ONE doc_id-partitioned window pass, all integer
+    // arithmetic. At 100 TB the persisted posting would be a parquet
+    // materialization instead of a cache; every pass over it is
+    // hash-partitioned on fp or doc_id, never a global sort.
+    "text_dup_ngram_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val NG = 8
+      val starts = sequence(lit(0), size(col("t")) - NG, lit(1))
+      val base = docsPar(s, d).select(col("doc_id"), col("source"), toks.as("t"))
+      val tot = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("n_tokens"))
+      val pos = base
+        .filter(size(col("t")) >= NG)
+        .select(col("doc_id"), col("source"), explode(starts).as("st"),
+          col("t"))
+        .select(col("doc_id"), col("source"), col("st"),
+          md5(concat_ws(" ", slice(col("t"), col("st") + 1, lit(NG))))
+            .as("fp"))
+        .transform(graft.CachePool.persist) // occurrence count + dup join
+      val dupFp = pos.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select("fp")
+      val w = Window.partitionBy("doc_id").orderBy("st")
+      val cov = pos.join(dupFp, Seq("fp"))
+        .select(col("doc_id"), col("source"), col("st"),
+          lead("st", 1).over(w).as("nxt"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(when(col("nxt").isNull, lit(NG.toLong))
+          .otherwise(least(col("nxt") - col("st"), lit(NG)).cast("long")))
+          .as("covered"))
+      cov.groupBy("source").agg(
+        sum("covered").as("cov_sum"), count(lit(1)).as("dup_docs"))
+        .join(tot, Seq("source"), "right")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          coalesce(col("cov_sum"), lit(0L)).as("covered_tokens"),
+          coalesce(col("dup_docs"), lit(0L)).as("n_dup_docs"),
+          (coalesce(col("cov_sum"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("coverage"))
+    }),
+
     // Document fingerprinting: exact md5 + min-hash over 4-gram word
     // windows (rolling-window content fingerprint, shift-robust).
     "text_fingerprint" -> ((s, d) => {
@@ -770,6 +823,35 @@ object TextAnalysis {
         |SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
         |FROM ng GROUP BY ngram HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "text_dup_ngram_coverage" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tot AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+        |  FROM tk GROUP BY source),
+        |st AS (SELECT doc_id, source, t,
+        |    unnest(generate_series(0, len(t) - 8, 1)) AS s
+        |  FROM tk WHERE len(t) >= 8),
+        |ng AS (SELECT doc_id, source, s,
+        |    md5(array_to_string(t[s + 1 : s + 8], ' ')) AS fp
+        |  FROM st),
+        |dup AS (SELECT fp FROM ng GROUP BY fp HAVING COUNT(*) > 1),
+        |pos AS (SELECT doc_id, source, s,
+        |    LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |  FROM ng JOIN dup USING (fp)),
+        |cov AS (SELECT doc_id, source,
+        |    CAST(SUM(CASE WHEN nxt IS NULL THEN 8
+        |                  ELSE LEAST(nxt - s, 8) END) AS BIGINT) AS covered
+        |  FROM pos GROUP BY doc_id, source),
+        |agg AS (SELECT source, CAST(SUM(covered) AS BIGINT) AS cov_sum,
+        |    COUNT(*) AS dup_docs
+        |  FROM cov GROUP BY source)
+        |SELECT tot.source, n_docs, n_tokens,
+        |  COALESCE(cov_sum, 0) AS covered_tokens,
+        |  COALESCE(dup_docs, 0) AS n_dup_docs,
+        |  CAST(COALESCE(cov_sum, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS coverage
+        |FROM tot LEFT JOIN agg ON tot.source = agg.source""".stripMargin,
     "text_chunk_windows" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |st AS (SELECT doc_id, t,

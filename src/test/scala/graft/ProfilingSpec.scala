@@ -14,6 +14,39 @@ class ProfilingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("dup-ngram coverage equals a brute-force per-token covered-set recompute") {
+    val got = operators.TextAnalysis.queries("text_dup_ngram_coverage")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // brute force: mark every token index under a corpus-duplicated 8-gram
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, _, t) <- docs; i <- 0 to t.length - 8)
+      occ.updateWith(t.slice(i, i + 8).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val bySource = docs.groupBy(_._2)
+    for ((src, ds) <- bySource) {
+      var tokens = 0L; var covered = 0L; var dupDocs = 0L
+      for ((_, _, t) <- ds) {
+        tokens += t.length
+        val mask = Array.fill(t.length)(false)
+        for (i <- 0 to t.length - 8; if occ(t.slice(i, i + 8).mkString(" ")) > 1;
+             j <- i until i + 8) mask(j) = true
+        val c = mask.count(identity)
+        covered += c; if (c > 0) dupDocs += 1
+      }
+      val (nD, nT, cov, dd, rate) = got(src)
+      assert(nD === ds.length.toLong, s"$src n_docs")
+      assert(nT === tokens, s"$src n_tokens")
+      assert(cov === covered, s"$src covered_tokens")
+      assert(dd === dupDocs, s"$src n_dup_docs")
+      assert(math.abs(rate - covered.toDouble / tokens) < 1e-15, s"$src coverage")
+    }
+    // non-vacuous: the corpus has real duplicated-substring exposure
+    assert(got.values.exists(_._3 > 0))
+  }
+
   test("histogram buckets partition the table: counts sum to |orders|, ranges nest in bucket bounds") {
     val h = Profiling.queries("profile_histogram")(spark, sfDir)
       .transform(df => { df.persist(); df })
