@@ -28,6 +28,19 @@ case class Scd2Out(user_id: Long, version: Int, event_type: String,
     value: Double, valid_from_lsn: Long, valid_to_lsn: Option[Long],
     is_current: Boolean)
 
+/** Open-session accumulator for [[ChangeLogStream.sessionizePerUser]]:
+  * per-user session counter plus the open session's min/max event time,
+  * the ts of the latest event in LSN order (the batch gap rule compares
+  * against THAT, not the max — they differ when commit order and event
+  * time disagree), and the event count. All times in micros. */
+case class SessionAcc(sessionId: Long, minTs: Long, maxTs: Long,
+    lastEvTs: Long, n: Long)
+
+/** One CLOSED session emitted by [[ChangeLogStream.sessionizePerUser]] —
+  * same shape as a batch `window_sessionize` row. */
+case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
 /** Structured Streaming re-expression of the reference pipeline
   * (SURVEY.md §3): WAL stream → keyed events → idempotent latest-state
   * materialization.
@@ -255,6 +268,74 @@ object ChangeLogStream {
             if (ordered.nonEmpty) {
               val maxTs = ordered.map(_.ts.getTime).max
               state.setTimeoutTimestamp(maxTs + ttlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming sessionization — the stateful form of the batch
+    * `window_sessionize` query (same gap rule: a new session opens after
+    * a silence longer than `gapMinutes`, events ordered by event_id =
+    * LSN commit order). Per user the state is ONE open session (id,
+    * start, last, count) — O(active users), hash-partitioned by key like
+    * every stateful op here. A session is emitted exactly once, when it
+    * CLOSES: either a later event opens the next session (gap observed
+    * in-data) or the event-time watermark passes last_ts + gap and the
+    * EventTimeTimeout fires (the open tail of an inactive user — the
+    * case a pure batch job can only resolve by re-scanning). Session ids
+    * count gaps from 0 per user, matching the batch numbering, so the
+    * closed-session stream converges to the batch table row-for-row.
+    */
+  def sessionizePerUser(events: Dataset[RawEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    // full µs fidelity: Timestamp.getTime truncates to millis, the
+    // sub-millisecond fraction lives in getNanos
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def stamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(((us - Math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+      t
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[RawEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the session's last activity + gap: no
+            // in-order event can extend it any more — close and clear.
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.sessionId, s.n, stamp(s.minTs),
+              stamp(s.maxTs)))
+          } else {
+            val ordered = batch.toSeq.sortBy(_.event_id)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            ordered.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastEvTs > gapMicros =>
+                  out += SessionOut(uid, s.sessionId, s.n, stamp(s.minTs),
+                    stamp(s.maxTs))
+                  cur = Some(SessionAcc(s.sessionId + 1, t, t, t, 1L))
+                case Some(s) =>
+                  cur = Some(s.copy(minTs = math.min(s.minTs, t),
+                    maxTs = math.max(s.maxTs, t), lastEvTs = t, n = s.n + 1))
+                case None =>
+                  cur = Some(SessionAcc(0L, t, t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // +1: the ms-truncation must round UP so the timeout never
+              // lands strictly inside the gap window
+              state.setTimeoutTimestamp(
+                s.maxTs / 1000L + 1L + gapMinutes * 60L * 1000L)
             }
             out.iterator
           }

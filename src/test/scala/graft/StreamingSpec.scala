@@ -204,6 +204,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer converges to the batch window_sessionize table on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    // real corpus slice: every event of a handful of users, LSN order
+    val users = (1L to 8L).toSet
+    val real = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isin(users.toSeq: _*))
+      .as[RawEvent].collect().sortBy(_.event_id)
+    assert(real.nonEmpty)
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.sessionizePerUser(in.toDS(), 30, "10 minutes")
+      .writeStream.format("memory").queryName("sessionize_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(real.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel far past every session + gap: advances the watermark...
+      val far = new Timestamp(real.map(_.ts.getTime).max + 86400000L)
+      in.addData(RawEvent(real.map(_.event_id).max + 1, far, 999999L, "click", 0, "{}"))
+      q.processAllAvailable()
+      // ...and a second trigger fires the EventTimeTimeouts it armed
+      in.addData(RawEvent(real.map(_.event_id).max + 2, far, 999999L, "click", 0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("sessionize_out")
+        .filter(col("user_id") =!= 999999L)
+        .select($"user_id", $"session_id", $"n_events", $"session_start", $"session_end")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+      val want = graft.operators.RelationalExt.queries("window_sessionize")(spark, sfDir)
+        .filter(col("user_id").isin(users.toSeq: _*))
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(got === want,
+        s"stream-closed sessions must equal batch rows; missing=${want -- got} extra=${got -- want}")
+      // non-vacuous: the slice must contain a multi-session user
+      assert(want.exists(_._2 > 0), "expected a user with >1 session in the slice")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchase pairs with clicks at most 1h older") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
