@@ -56,6 +56,15 @@ object TextAnalysis {
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** Corpus term-frequency table (tok → total occurrences), persisted
+    * through CachePool so the lexical-statistics queries that all need
+    * it (zipf spectrum, unigram surprise) build it once per session.
+    */
+  private def termCounts(s: SparkSession, d: String): DataFrame =
+    graft.CachePool.persist(
+      docsPar(s, d).select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n")))
+
   /** Quality-score formula, shared by text_quality and
     * text_quality_sample (and mirrored once in qualityScoreSql) so the
     * four call sites cannot drift apart.
@@ -747,6 +756,58 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Zipf rank-frequency spectrum in OCTAVE bands — the corpus-
+    // naturalness screen: natural language obeys Zipf's law, so the
+    // number of word types with frequency in [2^k, 2^{k+1}) should
+    // decay geometrically in k; template spam, synthetic text, or a
+    // truncated crawl bend the curve. The band is length(bin(n)) =
+    // floor(log2 n)+1 — an INTEGER log both engines compute identically
+    // (no libm, no float log2 whose ulp could flip a floor at 2^k).
+    // Shape: one token explode → mergeable per-term hash count →
+    // O(vocab) rows into ≤64 band groups; the share denominator is a
+    // broadcast 1-row aggregate, never a partitionless window.
+    "text_zipf_spectrum" -> ((s, d) => {
+      val tc = termCounts(s, d)
+      val tot = tc.agg(sum("n").cast("long").as("tot"))
+      tc.withColumn("band", length(bin(col("n"))).cast("int"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_types"), sum("n").as("n_occurrences"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_types"), col("n_occurrences"),
+          (col("n_occurrences").cast("double") / col("tot").cast("double"))
+            .as("occ_share"))
+    }),
+
+    // Unigram-LM surprise (perplexity-proxy quality screen): the CCNet/
+    // RedPajama-style LM quality filter, with the log kept EXACT by
+    // working in integer octaves — surprise(tok) ≈ −log2 p(tok) =
+    // log2(N/n(tok)), approximated as bitlen(N) − bitlen(n(tok))
+    // (within ±1 bit; granularity documented, determinism bought).
+    // Per source: exact Σ surprise over token occurrences and the
+    // bits-per-token mean — sources full of rare/garbled tokens score
+    // high, boilerplate-heavy sources score low. Shape: the posting
+    // pre-aggregates to (source, tok, count) before the vocab join, so
+    // the join input is |source × vocab|, not token occurrences; the
+    // corpus-size bit length is a broadcast 1-row aggregate.
+    "text_unigram_surprise" -> ((s, d) => {
+      val tc = termCounts(s, d)
+      val nb = tc.agg(sum("n").cast("long").as("tot"))
+        .select(length(bin(col("tot"))).cast("int").as("corpus_bits"))
+      docsPar(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+        .join(tc, Seq("tok"))
+        .crossJoin(broadcast(nb))
+        .groupBy("source")
+        .agg(sum("n_st").as("n_tokens"),
+          sum(col("n_st") *
+            (col("corpus_bits") - length(bin(col("n"))).cast("int")))
+            .as("sum_bits"))
+        .select(col("source"), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("bits_per_token"))
+    }),
+
     // Duplicated-substring token coverage — the headline number of
     // suffix-array corpus dedup (Lee et al. 2021, "Deduplicating
     // Training Data Makes Language Models Better": ~13.6% of C4's
@@ -823,6 +884,32 @@ object TextAnalysis {
         |SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
         |FROM ng GROUP BY ngram HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "text_zipf_spectrum" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |b AS (SELECT CAST(length(bin(n)) AS INT) AS band,
+        |    COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_occurrences
+        |  FROM c GROUP BY 1)
+        |SELECT band, n_types, n_occurrences,
+        |  CAST(n_occurrences AS DOUBLE) /
+        |    CAST((SELECT CAST(SUM(n) AS BIGINT) FROM c) AS DOUBLE)
+        |    AS occ_share
+        |FROM b""".stripMargin,
+    "text_unigram_surprise" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |nb AS (SELECT CAST(length(bin(CAST(SUM(n) AS BIGINT))) AS INT)
+        |    AS corpus_bits FROM c),
+        |st AS (SELECT source, tok, COUNT(*) AS n_st FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_st * (corpus_bits - CAST(length(bin(c.n)) AS INT)))
+        |    AS BIGINT) AS sum_bits,
+        |  CAST(SUM(n_st * (corpus_bits - CAST(length(bin(c.n)) AS INT)))
+        |    AS DOUBLE) / CAST(SUM(n_st) AS DOUBLE) AS bits_per_token
+        |FROM st JOIN c USING (tok) CROSS JOIN nb
+        |GROUP BY source""".stripMargin,
     "text_dup_ngram_coverage" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
         |  FROM documents),

@@ -14,6 +14,43 @@ class ProfilingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("zipf spectrum: bands partition the vocabulary and counts land inside their octave") {
+    val rows = operators.TextAnalysis.queries("text_zipf_spectrum")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute-force term counts
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sfDir).select("text").collect()
+      .foreach(_.getString(0).split(" ", -1).foreach(t =>
+        occ.updateWith(t)(c => Some(c.getOrElse(0L) + 1))))
+    val wantBands = occ.values.groupBy(n => 64 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, ns) => (b.toInt, ns.size.toLong, ns.sum) }
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet === wantBands.toSet)
+    assert(rows.map(_._2).sum === occ.size.toLong, "bands partition the vocab")
+    val tot = occ.values.sum
+    assert(rows.map(_._3).sum === tot)
+    rows.foreach { case (_, _, _, s) => assert(s > 0.0 && s <= 1.0) }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "occ shares sum to 1")
+  }
+
+  test("unigram surprise equals the brute-force octave cross-entropy per source") {
+    val got = operators.TextAnalysis.queries("text_unigram_surprise")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(t => occ.updateWith(t)(c => Some(c.getOrElse(0L) + 1))))
+    def bitlen(n: Long) = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val corpusBits = bitlen(occ.values.sum)
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val toks = ds.flatMap(_._2)
+      val sumBits = toks.map(t => (corpusBits - bitlen(occ(t))).toLong).sum
+      val (nT, sB, bpt) = got(src)
+      assert(nT === toks.length.toLong, s"$src n_tokens")
+      assert(sB === sumBits, s"$src sum_bits")
+      assert(math.abs(bpt - sumBits.toDouble / toks.length) < 1e-15)
+    }
+  }
+
   test("dup-ngram coverage equals a brute-force per-token covered-set recompute") {
     val got = operators.TextAnalysis.queries("text_dup_ngram_coverage")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
