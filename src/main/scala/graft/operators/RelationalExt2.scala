@@ -39,6 +39,16 @@ object RelationalExt2 {
   private val BLOOM_K = 3
   private val BLOOM_BITS_PER_KEY = 16
 
+  /** join_size_estimate sketch design point: depth (independent hash
+    * rows, min taken across them) × width (counters per row). The CMS
+    * inner-product estimator's one-sided error is ≤ e/W·|A|·|B| per row
+    * with probability 1−1/e; min over D=5 rows drives the failure odds
+    * to e^−5 ≈ 0.7% per (data, seed) draw — and the md5 hash family is
+    * FIXED, so for given data the verdict is deterministic.
+    */
+  private val CMS_D = 5
+  private val CMS_W = 8192
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Blocked fuzzy entity matching (the edit-distance tier of entity
@@ -305,6 +315,53 @@ object RelationalExt2 {
             .otherwise((col("n_pass") - col("n_true_members")).cast("double") /
               (col("n_probe") - col("n_true_members")).cast("double"))
             .as("fp_rate"))
+    }),
+
+    // Join-cardinality estimation from count-min-sketch INNER PRODUCTS —
+    // the query-planner primitive: |A ⋈ B| on a key is Σ_k cA(k)·cB(k),
+    // and the CMS estimate Σ_j A[d][j]·B[d][j] (min over depth rows)
+    // brackets it from above, so two KB-size sketches size a join
+    // BEFORE either 100 TB side is shuffled. Both sketches build as one
+    // hash agg over per-key counts (O(distinct) rows, never the raw
+    // relations), the inner product joins two O(D·W) bounded relations,
+    // and the exact check is a key-co-partitioned join of the same
+    // per-key counts. est ≥ exact ALWAYS (counters only over-merge);
+    // est ≤ exact + e/W·|A|·|B| is the CM theorem, checked as
+    // 3·|A|·|B|/W (3 > e) — deterministic here because the md5 hash
+    // family is fixed. Σ cA·cB fits a LONG through ~10⁹ shared pairs
+    // per key-square; past that, re-run the sums in decimal(38,0).
+    "join_size_estimate" -> ((s, d) => {
+      def keyCounts(tp: String) = Tables.events(s, d)
+        .filter(col("event_type") === tp)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .transform(graft.CachePool.persist) // sketch build + exact check
+      def sketch(kc: DataFrame) = kc
+        .select(col("user_id"), col("n"),
+          explode(array((0 until CMS_D).map(lit(_)): _*)).as("dd"))
+        .select(col("dd"), col("n"),
+          (conv(substring(md5(concat(lit("cms"), col("dd").cast("string"),
+            lit("|"), col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % CMS_W).as("j"))
+        .groupBy("dd", "j").agg(sum("n").as("c"))
+      val a = keyCounts("click")
+      val b = keyCounts("purchase")
+      val tots = a.agg(sum("n").cast("long").as("n_left")).crossJoin(
+        b.agg(sum("n").cast("long").as("n_right")))
+      val exact = a.select(col("user_id"), col("n").as("na"))
+        .join(b.select(col("user_id"), col("n").as("nb")), "user_id")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_size"))
+      val est = sketch(a).withColumnRenamed("c", "ca")
+        .join(sketch(b).withColumnRenamed("c", "cb"), Seq("dd", "j"))
+        .groupBy("dd").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min("ip").cast("long").as("est_size"))
+      tots.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+        .select(col("n_left"), col("n_right"), col("exact_size"),
+          col("est_size"),
+          (col("est_size") >= col("exact_size")).as("overestimate_ok"),
+          ((col("est_size") - col("exact_size")).cast("double") <=
+            lit(3.0) * col("n_left") * col("n_right") / lit(CMS_W))
+            .as("bound_ok"))
     }),
 
     // Exact portable statistics: corr and sample stddev from decimal
@@ -669,6 +726,37 @@ object RelationalExt2 {
          |      CAST(n_probe - n_true_members AS DOUBLE) END AS fp_rate
          |FROM agg""".stripMargin
     },
+    // Same fixed md5 hash family as the Spark side, so the sketches —
+    // and therefore the estimate and both verdicts — are identical.
+    "join_size_estimate" ->
+      s"""WITH a AS (SELECT user_id, COUNT(*) AS n FROM events
+         |    WHERE event_type = 'click' GROUP BY user_id),
+         |b AS (SELECT user_id, COUNT(*) AS n FROM events
+         |    WHERE event_type = 'purchase' GROUP BY user_id),
+         |dd AS (SELECT unnest(generate_series(0, ${CMS_D - 1})) AS dd),
+         |sa AS (SELECT dd,
+         |    ('0x' || substr(md5('cms' || CAST(dd AS VARCHAR) || '|' ||
+         |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $CMS_W AS j,
+         |    CAST(SUM(n) AS BIGINT) AS c
+         |  FROM a CROSS JOIN dd GROUP BY 1, 2),
+         |sb AS (SELECT dd,
+         |    ('0x' || substr(md5('cms' || CAST(dd AS VARCHAR) || '|' ||
+         |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $CMS_W AS j,
+         |    CAST(SUM(n) AS BIGINT) AS c
+         |  FROM b CROSS JOIN dd GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM (
+         |    SELECT sa.dd, SUM(sa.c * sb.c) AS ip
+         |    FROM sa JOIN sb ON sa.dd = sb.dd AND sa.j = sb.j
+         |    GROUP BY sa.dd)),
+         |ex AS (SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT)
+         |    AS exact_size FROM a JOIN b USING (user_id)),
+         |tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM a) AS n_left,
+         |    (SELECT CAST(SUM(n) AS BIGINT) FROM b) AS n_right)
+         |SELECT n_left, n_right, exact_size, est_size,
+         |  est_size >= exact_size AS overestimate_ok,
+         |  CAST(est_size - exact_size AS DOUBLE) <=
+         |    3.0 * n_left * n_right / $CMS_W AS bound_ok
+         |FROM tot, ex, est""".stripMargin,
     "join_fuzzy_block" -> {
       val arms = (1 to 9).map { i =>
         s"SELECT c_name, '$i:' || substr(sfx, 1, ${i - 1}) || substr(sfx, ${i + 1}) AS blk FROM c"

@@ -71,4 +71,26 @@ class SkewSpec extends AnyFunSuite {
     assert(nPass >= nTrue)
     assert(nPass <= nProbe)
   }
+
+  test("join_size_estimate: exact size matches brute force, sketch estimate brackets it") {
+    import graft.sources.Tables
+    val sfDir = "/root/testdata/sf0.001"
+    val row = graft.operators.RelationalExt2.queries("join_size_estimate")(
+      spark, sfDir).collect().head
+    val (nL, nR, exact, est) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // brute force: count the actual join output
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clicks = ev.filter(_._2 == "click").map(_._1)
+    val buys = ev.filter(_._2 == "purchase").map(_._1)
+    val buyCount = buys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val trueSize = clicks.map(k => buyCount.getOrElse(k, 0L)).sum
+    assert(nL === clicks.length.toLong)
+    assert(nR === buys.length.toLong)
+    assert(exact === trueSize, "exact_size must equal the real join cardinality")
+    assert(est >= exact, "CMS inner product can only over-count")
+    assert(row.getBoolean(4) && row.getBoolean(5), "both verdicts must hold")
+    assert(trueSize > 0, "slice must be non-vacuous")
+  }
 }
