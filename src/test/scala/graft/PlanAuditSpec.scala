@@ -101,9 +101,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_low_watermark",    // 1-row head-LSN and low-watermark
                             // aggregates broadcast into the O(consumers)
                             // progress table — bounded
-    "cdc_consumer_freshness" // 1-row head (LSN, µs) and low-watermark
+    "cdc_consumer_freshness", // 1-row head (LSN, µs) and low-watermark
                             // aggregates broadcast into the O(consumers)
                             // freshness dashboard — bounded
+    "text_zipf_spectrum",   // 1-row total-occurrence aggregate broadcast
+                            // into the ≤64-row octave bands — bounded
+    "text_unigram_surprise", // 1-row corpus-bit-length aggregate broadcast
+                            // into the source×vocab join — bounded
+    "join_size_estimate"    // three 1-row aggregates (|A|, |B|, exact,
+                            // estimate) cross-combined into the single
+                            // report row — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
