@@ -419,6 +419,98 @@ object Stats {
             (col("total_users").cast("double") / 2.0)).as("srm_component"))
     }),
 
+    // Continuous-metric experiment readout: Welch's unequal-variance
+    // t² on per-user purchase revenue between the two pmod(user_id,2)
+    // variants — the value-lift companion to events_ab_readout's
+    // conversion χ². Moments stay EXACT decimals (value at cents
+    // precision; Σm and Σm² via the unscaled-integer d2 route) until
+    // the closed-form t²/df assembly, written as ONE fixed expression
+    // tree mirrored verbatim in the oracle so every IEEE rounding
+    // lands identically. With per-variant n in the thousands the t
+    // reference is ~z, so the 0.05 verdict threshold is z²=3.8415…;
+    // df_welch is reported so a reader can check that approximation.
+    // Shape: one per-user hash agg, a 2-row variant agg, a 1-row pivot.
+    "events_ab_value_ttest" -> ((s, d) => {
+      def d2(c: org.apache.spark.sql.Column, scale: Int) = {
+        val p = math.pow(10, scale).toLong
+        (c * lit(p)).cast("decimal(38,0)").cast("double") / lit(p.toDouble)
+      }
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("m"))
+      val v = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
+        .agg(count(lit(1)).as("n"),
+          d2(sum(col("m")), 2).as("s1"),
+          d2(sum(col("m") * col("m")), 4).as("s2"))
+      def side(vr: Int, c: String) = min(when(col("variant") === vr, col(c)))
+      val p = v.agg(
+        side(0, "n").as("n_a"), side(0, "s1").as("s1_a"), side(0, "s2").as("s2_a"),
+        side(1, "n").as("n_b"), side(1, "s1").as("s1_b"), side(1, "s2").as("s2_b"))
+      val meanA = col("s1_a") / col("n_a")
+      val meanB = col("s1_b") / col("n_b")
+      val varA = (col("s2_a") - col("s1_a") * col("s1_a") / col("n_a")) /
+        (col("n_a") - 1)
+      val varB = (col("s2_b") - col("s1_b") * col("s1_b") / col("n_b")) /
+        (col("n_b") - 1)
+      val base = p.select(col("n_a"), col("n_b"), meanA.as("mean_a"),
+        meanB.as("mean_b"), varA.as("var_a"), varB.as("var_b"))
+      val se2 = col("var_a") / col("n_a") + col("var_b") / col("n_b")
+      val t2 = when(col("n_a") < 2 || col("n_b") < 2 || se2 === 0.0, lit(null))
+        .otherwise((col("mean_a") - col("mean_b")) *
+          (col("mean_a") - col("mean_b")) / se2)
+      val dfW = when(col("n_a") < 2 || col("n_b") < 2 || se2 === 0.0, lit(null))
+        .otherwise(se2 * se2 /
+          ((col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) /
+            (col("n_a") - 1) +
+           (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) /
+            (col("n_b") - 1)))
+      base.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"), t2.as("t_stat2"), dfW.as("df_welch"),
+        (t2 > 3.841458820694124).as("significant"))
+    }),
+
+    // Attribution-model readout over purchase segments: each purchase
+    // owns the clicks since the user's PREVIOUS purchase (gaps-and-
+    // islands segmentation — seg = count of purchases strictly before
+    // the row, so clicks and their converting purchase share a key and
+    // first-touch/last-touch are min/max event_id within it). Reports
+    // how many purchases are attributable at all, how many are
+    // single-touch (the two classic models agree), and the mean click
+    // path length where attribution exists. ONE user-partitioned window
+    // pass + a (user, seg)-co-partitioned left join — never a per-pair
+    // range probe; the report is a 1-row integer aggregate.
+    "events_attribution" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("seg", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(byUser), lit(0L)))
+        .transform(graft.CachePool.persist) // click pass + purchase pass
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "seg")
+        .agg(count(lit(1)).as("n_clicks"),
+          min("event_id").as("first_click"), max("event_id").as("last_click"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "seg")
+      buys.join(clicks, Seq("user_id", "seg"), "left")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("n_clicks").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          sum(when(col("first_click") === col("last_click"), 1L)
+            .otherwise(0L)).as("n_single_touch"),
+          coalesce(sum("n_clicks"), lit(0L)).as("total_clicks"))
+        .select(col("n_purchases"), col("n_attributed"),
+          col("n_single_touch"), col("total_clicks"),
+          (col("n_attributed").cast("double") /
+            col("n_purchases").cast("double")).as("share_attributed"),
+          when(col("n_attributed") === 0L, lit(null))
+            .otherwise(col("total_clicks").cast("double") /
+              col("n_attributed").cast("double")).as("avg_clicks_per_attributed"))
+    }),
+
     // Retention-vs-delay decision table for streaming watermark sizing.
     "events_watermark_policy" -> ((s, d) => {
       val delays = Array(0L, 60L * 1000000L, 300L * 1000000L,
@@ -704,6 +796,73 @@ object Stats {
         |    * (CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE) / 2.0))
         |    / (CAST(total_users AS DOUBLE) / 2.0) AS srm_component
         |FROM v, t""".stripMargin,
+
+    "events_ab_value_ttest" ->
+      """WITH per AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+        |    CAST(CAST(SUM(m) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS s1,
+        |    CAST(CAST(SUM(m * m) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000
+        |      AS s2
+        |  FROM per GROUP BY 1),
+        |p AS (SELECT
+        |    MIN(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |    MIN(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+        |    MIN(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+        |    MIN(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |    MIN(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+        |    MIN(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+        |  FROM v),
+        |b AS (SELECT n_a, n_b,
+        |    s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+        |    (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
+        |    (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+        |  FROM p)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR var_a / n_a + var_b / n_b = 0
+        |    THEN NULL
+        |    ELSE (mean_a - mean_b) * (mean_a - mean_b) /
+        |      (var_a / n_a + var_b / n_b) END AS t_stat2,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR var_a / n_a + var_b / n_b = 0
+        |    THEN NULL
+        |    ELSE (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+        |      ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |       (var_b / n_b) * (var_b / n_b) / (n_b - 1)) END AS df_welch,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR var_a / n_a + var_b / n_b = 0
+        |    THEN NULL
+        |    ELSE (mean_a - mean_b) * (mean_a - mean_b) /
+        |      (var_a / n_a + var_b / n_b) > 3.841458820694124 END
+        |    AS significant
+        |FROM b""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM events),
+        |c AS (SELECT user_id, seg, COUNT(*) AS n_clicks,
+        |    MIN(event_id) AS first_click, MAX(event_id) AS last_click
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT user_id, seg FROM ev WHERE event_type = 'purchase'),
+        |j AS (SELECT
+        |    COUNT(*) AS n_purchases,
+        |    CAST(SUM(CASE WHEN n_clicks IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_attributed,
+        |    CAST(SUM(CASE WHEN first_click = last_click THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_single_touch,
+        |    CAST(COALESCE(SUM(n_clicks), 0) AS BIGINT) AS total_clicks
+        |  FROM b LEFT JOIN c USING (user_id, seg))
+        |SELECT n_purchases, n_attributed, n_single_touch, total_clicks,
+        |  CAST(n_attributed AS DOUBLE) / CAST(n_purchases AS DOUBLE)
+        |    AS share_attributed,
+        |  CASE WHEN n_attributed = 0 THEN NULL
+        |    ELSE CAST(total_clicks AS DOUBLE) / CAST(n_attributed AS DOUBLE)
+        |    END AS avg_clicks_per_attributed
+        |FROM j""".stripMargin,
 
     "events_watermark_policy" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) AS us,

@@ -15,6 +15,65 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("welch t-test matches a brute-force recompute of moments and statistic") {
+    val r = Stats.queries("events_ab_value_ttest")(spark, sfDir).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    // brute force: per-user purchase revenue in cents, split by parity
+    val perUser = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.filter(_._2 == "purchase")
+          .map(e => math.rint(e._3 * 100).toLong).sum
+      }
+    val byVar = perUser.groupBy(_._1 % 2)
+    def stats(v: Long) = {
+      val xs = byVar(v).map(_._2.toDouble / 100).toArray
+      val n = xs.length; val m = xs.sum / n
+      (n.toLong, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (bnA, bmA, bvA) = stats(0); val (bnB, bmB, bvB) = stats(1)
+    assert(nA === bnA); assert(nB === bnB)
+    assert(math.abs(r.getDouble(2) - bmA) < 1e-9, "mean_a")
+    assert(math.abs(r.getDouble(3) - bmB) < 1e-9, "mean_b")
+    assert(math.abs(r.getDouble(4) - bvA) < 1e-6, "var_a")
+    assert(math.abs(r.getDouble(5) - bvB) < 1e-6, "var_b")
+    val se2 = bvA / bnA + bvB / bnB
+    val t2 = (bmA - bmB) * (bmA - bmB) / se2
+    assert(math.abs(r.getDouble(6) - t2) / math.max(t2, 1e-12) < 1e-6, "t_stat2")
+    assert(r.getDouble(7) > math.min(bnA, bnB) / 2.0,
+      "welch df must be of the order of the sample sizes")
+    assert(r.getBoolean(8) === (r.getDouble(6) > 3.841458820694124))
+  }
+
+  test("attribution: segment ownership recomputed by a per-user replay") {
+    val r = Stats.queries("events_attribution")(spark, sfDir).collect().head
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getString(2)))
+    var nP = 0L; var nAttr = 0L; var nSingle = 0L; var clicksTot = 0L
+    for ((_, rows) <- ev.groupBy(_._1)) {
+      var segClicks = List.empty[Long] // click event_ids since last purchase
+      for ((_, eid, tp) <- rows.sortBy(_._2)) tp match {
+        case "purchase" =>
+          nP += 1
+          if (segClicks.nonEmpty) {
+            nAttr += 1; clicksTot += segClicks.length
+            if (segClicks.length == 1) nSingle += 1
+          }
+          segClicks = Nil
+        case "click" => segClicks ::= eid
+        case _ => ()
+      }
+    }
+    assert(r.getLong(0) === nP)
+    assert(r.getLong(1) === nAttr)
+    assert(r.getLong(2) === nSingle)
+    assert(r.getLong(3) === clicksTot)
+    assert(math.abs(r.getDouble(4) - nAttr.toDouble / nP) < 1e-15)
+    assert(nAttr > 0 && nAttr < nP, "slice must exercise both branches")
+  }
+
   test("bitmap distinct equals the engine's exact countDistinct per group") {
     val got = Stats.queries("agg_bitmap_distinct")(spark, sfDir)
     val want = Tables.events(spark, sfDir)
