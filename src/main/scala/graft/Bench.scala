@@ -72,7 +72,10 @@ object Bench {
     "dedup_pair_triangles", "cdc_snapshot_diff",
     // round-7 late additions with nontrivial cost: the bipartite wedge
     // expansion and the corpus-wide token census
-    "graph_butterflies", "text_hapax")
+    "graph_butterflies", "text_hapax",
+    // round-10 additions with nontrivial cost: the CMS join-size
+    // sketch pair and the stride-1 duplicated-substring coverage
+    "join_size_estimate", "text_dup_ngram_coverage")
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line

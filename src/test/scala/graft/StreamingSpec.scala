@@ -652,6 +652,59 @@ class StreamingSpec extends AnyFunSuite {
       && o.is_current), s"v2 must open: ${emitted.toSeq}")
   }
 
+  test("open session survives a query RESTART: gap close and timeout close stay exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SessionOut
+    val base = java.nio.file.Files.createTempDirectory("graft_sessckpt").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    def run(): Unit = {
+      val q = ChangeLogStream.sessionizePerUser(
+        spark.readStream.schema(schema).parquet(inDir).as[RawEvent])
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append).start()
+      q.awaitTermination()
+    }
+    // run 1: session 0 of user 1 opens with two events
+    writeFiles(Seq(
+      org.apache.spark.sql.Row(1L, ts(0), 1L, "click", 1.0, "{}"),
+      org.apache.spark.sql.Row(2L, ts(10), 1L, "click", 1.0, "{}")))
+    run()
+    assert(emitted.isEmpty, "nothing closes while the session is open")
+    // run 2 (restarted query): a >30min-later event must close session 0
+    // from RESTORED state — right bounds, count, and session counter
+    writeFiles(Seq(
+      org.apache.spark.sql.Row(3L, ts(100), 1L, "click", 1.0, "{}"),
+      org.apache.spark.sql.Row(4L, ts(3000), 999L, "click", 1.0, "{}")))
+    run()
+    assert(emitted.headOption.contains(SessionOut(1L, 0L, 2L, ts(0), ts(10))),
+      s"gap close across restart: ${emitted.toSeq}")
+    // the watermark the sentinel advanced has passed session 1 + gap →
+    // the armed EventTimeTimeout closes it with the NEXT counter value
+    // (AvailableNow may fire it in run 2's trailing batch or need one
+    // more trigger — either is correct; force the extra trigger)
+    writeFiles(Seq(
+      org.apache.spark.sql.Row(5L, ts(3001), 999L, "click", 1.0, "{}")))
+    run()
+    assert(emitted.exists(o => o.user_id == 1L && o.session_id == 1L &&
+      o.n_events == 1L && o.session_start == ts(100) && o.session_end == ts(100)),
+      s"timeout close across restart: ${emitted.toSeq}")
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
