@@ -41,6 +41,16 @@ case class SessionAcc(sessionId: Long, minTs: Long, maxTs: Long,
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
+/** SpaceSaving counter cell: estimated count and its one-sided error
+  * bound (true count ∈ [count − err, count]). */
+case class CountErr(count: Long, err: Long)
+
+/** One current heavy hitter emitted by
+  * [[ChangeLogStream.heavyHittersPerType]]: the estimate overcounts the
+  * true frequency by at most `err`. */
+case class HeavyHitter(event_type: String, user_id: Long, est_count: Long,
+    err: Long)
+
 /** Structured Streaming re-expression of the reference pipeline
   * (SURVEY.md §3): WAL stream → keyed events → idempotent latest-state
   * materialization.
@@ -230,6 +240,61 @@ object ChangeLogStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new LatestStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming heavy hitters per event_type — the SpaceSaving algorithm
+    * (Metwally et al. 2005) on transformWithState MAP state: at most
+    * `capacity` (user → (count, err)) counters live per group key, so
+    * state is O(groups · capacity) REGARDLESS of how many distinct
+    * users stream past — the bounded-memory property that lets a
+    * top-k monitor run forever against an unbounded key space. On
+    * overflow the minimum counter is evicted and the newcomer inherits
+    * its count as `err` — giving the classic guarantees the spec
+    * checks: true ≤ est ≤ true + err per tracked item, and any item
+    * with true count > N/capacity is guaranteed tracked. Each batch
+    * emits the group's current top-`k` (Update semantics downstream).
+    * The O(capacity) min scans only run on eviction; with the default
+    * 64 counters that is bounded constant work per row.
+    */
+  class HeavyHittersProcessor(capacity: Int = 64, k: Int = 10)
+      extends StatefulProcessor[String, RawEvent, HeavyHitter] {
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[Long, CountErr] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[Long, CountErr]("ss_counters",
+        Encoders.scalaLong, Encoders.product[CountErr], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[RawEvent],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      // local mirror: one state read per batch, one write per touched key
+      val m = scala.collection.mutable.Map.empty[Long, CountErr]
+      counters.iterator().foreach { case (u, ce) => m(u) = ce }
+      rows.foreach { e =>
+        m.get(e.user_id) match {
+          case Some(ce) => m(e.user_id) = ce.copy(count = ce.count + 1)
+          case None if m.size < capacity =>
+            m(e.user_id) = CountErr(1L, 0L)
+          case None =>
+            // evict the min (deterministic tie-break on user_id), the
+            // newcomer inherits its count as the error bound
+            val (mu, mc) = m.minBy { case (u, ce) => (ce.count, u) }
+            m.remove(mu)
+            counters.removeKey(mu)
+            m(e.user_id) = CountErr(mc.count + 1, mc.count)
+        }
+      }
+      m.foreach { case (u, ce) => counters.updateValue(u, ce) }
+      m.toSeq.sortBy { case (u, ce) => (-ce.count, u) }.take(k)
+        .map { case (u, ce) => HeavyHitter(key, u, ce.count, ce.err) }
+        .iterator
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] wired per event_type. */
+  def heavyHittersPerType(events: Dataset[RawEvent], capacity: Int = 64,
+      k: Int = 10): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(capacity, k),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -300,6 +300,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SpaceSaving heavy hitters: bounded state, guarantees hold vs exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.HeavyHitter
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEvent]
+      // the report of record is the LAST batch's emission (Update
+      // semantics): capture per-batch, not the memory sink's union
+      val lastBatch = new java.util.concurrent.atomic.AtomicReference[Array[HeavyHitter]](Array.empty)
+      // capacity 8 counters against 40 distinct users → real evictions
+      val q = ChangeLogStream.heavyHittersPerType(in.toDS(), capacity = 8, k = 8)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+          val rows = batch.collect()
+          if (rows.nonEmpty) lastBatch.set(rows); ()
+        }
+        .outputMode(OutputMode.Update).start()
+      try {
+        // skewed stream: user u occurs 50-u times for u in 1..40, + a
+        // burst of 60 for user 7 — clear heavy hitters at 7, 1, 2, 3
+        var id = 0L
+        val data = (1L to 40L).flatMap(u =>
+          Seq.fill((50 - u).toInt)(u)) ++ Seq.fill(60)(7L)
+        val shuffled = data.zipWithIndex // deterministic interleave
+          .sortBy { case (u, i) => (i % 7, i) }.map(_._1)
+        shuffled.grouped(200).foreach { chunk =>
+          in.addData(chunk.map { u => id += 1; ev(id, 1, u, "click") })
+          q.processAllAvailable()
+        }
+        val fin = lastBatch.get().filter(_.event_type == "click")
+          .map(h => h.user_id -> h).toMap
+        assert(fin.size <= 8, "at most capacity counters emitted")
+        val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // guarantee 1: per tracked item, true <= est <= true + err
+        fin.foreach { case (u, h) =>
+          assert(h.est_count >= exact(u), s"u$u must not undercount")
+          assert(h.est_count - h.err <= exact(u),
+            s"u$u err bound: est=${h.est_count} err=${h.err} true=${exact(u)}")
+        }
+        // guarantee 2: any item with true count > N/capacity is tracked
+        val n = data.size
+        exact.filter(_._2 > n / 8).keys.foreach(u =>
+          assert(fin.contains(u), s"guaranteed heavy hitter u$u missing"))
+        // the burst user must rank first
+        assert(fin.maxBy(_._2.est_count)._1 === 7L)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("TTL state expiry: idle keys drop, fresh events re-create state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RawEvent]
