@@ -419,6 +419,35 @@ object Stats {
             (col("total_users").cast("double") / 2.0)).as("srm_component"))
     }),
 
+    // Exact weighted median WITHOUT ranking rows — the reusable form of
+    // the value-histogram trick (events_power_pareto / events_rfm): per
+    // return flag, the revenue-weighted median quantity. Rows collapse
+    // into the ≤50-value quantity histogram FIRST (one hash agg, weight
+    // = exact price cents), so the cumulative window walks O(groups ×
+    // distinct quantities) rows — never the 100 TB fact table — and the
+    // median is the smallest value whose 2·cum ≥ total (all integer
+    // compares, no division). This is how any exact weighted quantile
+    // should run at scale when the value domain collapses.
+    "agg_weighted_median" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("q"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("w"))
+      val tot = hist.groupBy("l_returnflag")
+        .agg(sum("w").as("total_w"), count(lit(1)).as("n_distinct_q"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn("cw", sum("w").over(cum))
+        .join(broadcast(tot), "l_returnflag")
+        .filter(col("cw") * 2 >= col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(min(col("q")).cast("double").as("weighted_median_qty"))
+        .join(broadcast(tot), "l_returnflag")
+        .select(col("l_returnflag"), col("n_distinct_q"), col("total_w"),
+          col("weighted_median_qty"))
+    }),
+
     // Continuous-metric experiment readout: Welch's unequal-variance
     // t² on per-user purchase revenue between the two pmod(user_id,2)
     // variants — the value-lift companion to events_ab_readout's
@@ -796,6 +825,27 @@ object Stats {
         |    * (CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE) / 2.0))
         |    / (CAST(total_users AS DOUBLE) / 2.0) AS srm_component
         |FROM v, t""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH hist AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_w,
+        |    COUNT(*) AS n_distinct_q
+        |  FROM hist GROUP BY 1),
+        |cum AS (SELECT l_returnflag, q, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw
+        |  FROM hist),
+        |med AS (SELECT cum.l_returnflag,
+        |    CAST(MIN(q) AS DOUBLE) AS weighted_median_qty
+        |  FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+        |  WHERE cw * 2 >= total_w GROUP BY 1)
+        |SELECT l_returnflag, n_distinct_q, total_w, weighted_median_qty
+        |FROM tot JOIN med USING (l_returnflag)""".stripMargin,
 
     "events_ab_value_ttest" ->
       """WITH per AS (SELECT user_id,

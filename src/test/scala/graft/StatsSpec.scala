@@ -15,6 +15,28 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("weighted median matches a brute-force sorted-cumulation per group") {
+    val got = Stats.queries("agg_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        new java.math.BigDecimal(r.getDouble(2))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()))
+    for ((flag, fr) <- rows.groupBy(_._1)) {
+      val byQ = fr.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val total = byQ.map(_._2).sum
+      var cum = 0L
+      val median = byQ.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      val (nQ, totW, med) = got(flag)
+      assert(nQ === byQ.size.toLong, s"$flag distinct values")
+      assert(totW === total, s"$flag total weight")
+      assert(med === median, s"$flag median")
+    }
+  }
+
   test("welch t-test matches a brute-force recompute of moments and statistic") {
     val r = Stats.queries("events_ab_value_ttest")(spark, sfDir).collect().head
     val (nA, nB) = (r.getLong(0), r.getLong(1))
