@@ -514,6 +514,59 @@ object Similarity {
           max("aerr").as("max_abs_err"))
     }),
 
+    // Product-quantization sizing study — the IVFADC backbone: split
+    // the 64-dim space into M=4 subspaces of 16 dims, one codebook per
+    // subspace, and measure the reconstruction MSE that 4 bytes/vector
+    // (one codeword id per subspace) costs next to int8's 64 bytes
+    // (ann_int8_error is the sibling report). Codebooks are the
+    // per-LABEL centroids restricted to each subspace — deterministic
+    // (the ann_label_centroids integer-grid means) where k-means++
+    // would be seed-dependent, and oracle-expressible. Assignment is a
+    // broadcast of the O(M·labels) codebook against the subspace-
+    // exploded corpus (a ×labels bounded expansion, never a corpus
+    // self-join); the report needs only the nearest DISTANCE, so the
+    // reduction is a hash-aggregable min(dist) (no struct argmin — that
+    // would SortAggregate) with each L2² folded in fixed element order,
+    // engine-identical; error means re-quantize through the 2^30 grid.
+    "ann_pq_error" -> ((s, d) => {
+      import s.implicits._
+      val Q = 1073741824.0 // 2^30
+      val M = 4
+      val SUB = DIM / M
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          VectorOps.asDouble(col("embedding")).as("e"))
+        .transform(graft.CachePool.persist) // means pass + assignment pass
+      val means = base
+        .select(col("label"), posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("label", "dim")
+        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+          count(lit(1)).cast("double")).as("mval"))
+        .collect()
+      val codebook = means.groupBy(_.getInt(0)).toSeq
+        .flatMap { case (l, rows) =>
+          val c = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          (0 until M).map(sId => (sId, l, c.slice(sId * SUB, (sId + 1) * SUB)))
+        }
+        .toDF("s", "label", "cw")
+      def l2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      val subs = base.select(col("vec_id"), posexplode(array(
+        (0 until M).map(i => slice(col("e"), i * SUB + 1, SUB)): _*))
+        .as(Seq("s", "sub")))
+      subs.join(broadcast(codebook), "s")
+        .select(col("vec_id"), col("s"), l2(col("sub"), col("cw")).as("dist"))
+        .groupBy("vec_id", "s").agg(min("dist").as("dist"))
+        .groupBy("s")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(floor(col("dist") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mse_pq"))
+        .join(broadcast(
+          codebook.groupBy("s").agg(count(lit(1)).as("n_codewords"))), "s")
+        .select(col("s").as("subspace"), col("n_vectors"),
+          col("n_codewords"), col("mse_pq"))
+    }),
+
     // Index-health report for the sign-LSH layout: the occupancy
     // histogram (bucket size → how many buckets hold that many vectors).
     // THE skew diagnostic for any hash-partitioned ANN index — a heavy
@@ -826,6 +879,36 @@ object Similarity {
          |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
          |  MIN(c) AS min_cos
          |FROM sc GROUP BY label""".stripMargin,
+    "ann_pq_error" ->
+      s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |m AS (SELECT label, dim,
+         |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+         |        FROM ev) u
+         |  GROUP BY label, dim),
+         |cents AS (SELECT label, array_agg(mval ORDER BY dim) AS ce
+         |  FROM m GROUP BY label),
+         |ss AS (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS s),
+         |cb AS (SELECT s, label, ce[s * 16 + 1 : s * 16 + 16] AS cw
+         |  FROM cents CROSS JOIN ss),
+         |vs AS (SELECT vec_id, s, e[s * 16 + 1 : s * 16 + 16] AS sub
+         |  FROM ev CROSS JOIN ss),
+         |cand AS (SELECT vec_id, vs.s, cb.label,
+         |    list_reduce(list_transform(range(1, 17),
+         |      i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)
+         |      AS dist
+         |  FROM vs JOIN cb ON vs.s = cb.s),
+         |best AS (SELECT vec_id, s, MIN(dist) AS dist FROM cand
+         |  GROUP BY vec_id, s),
+         |agg AS (SELECT s, COUNT(*) AS n_vectors,
+         |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mse_pq
+         |  FROM best GROUP BY s),
+         |nc AS (SELECT s, COUNT(*) AS n_codewords FROM cb GROUP BY s)
+         |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_pq
+         |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
     "ann_knn_classify" ->
       s"""WITH topk AS ($annBruteSql),
          |votes AS (SELECT q_id, label, COUNT(*) AS n_votes

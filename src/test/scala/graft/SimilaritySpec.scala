@@ -16,6 +16,50 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("PQ error: assignments are truly nearest, MSE matches a brute recompute") {
+    val got = Similarity.queries("ann_pq_error")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val Q = 1073741824.0
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    // centroids exactly as the query builds them: grid-quantized means
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { vs =>
+      Array.tabulate(64) { d =>
+        vs.map(v => math.floor(v._3(d) * Q + 0.5).toLong).sum.toDouble / Q /
+          vs.size
+      }
+    }.toMap
+    for (s <- 0 until 4) {
+      val (nV, nC, mse) = got(s)
+      assert(nV === vecs.length.toLong)
+      assert(nC === byLabel.size.toLong)
+      var acc = 0L
+      for ((_, _, e) <- vecs) {
+        // fold in element order to reproduce the query's exact doubles
+        val dists = cents.toSeq.map { case (l, c) =>
+          var dsum = 0.0
+          for (d <- s * 16 until (s + 1) * 16) {
+            val dd = e(d) - c(d); dsum += dd * dd
+          }
+          (dsum, l)
+        }
+        val best = dists.min._1
+        // every candidate distance must be >= the chosen one
+        assert(dists.forall(_._1 >= best))
+        acc += math.floor(best * Q + 0.5).toLong
+      }
+      assert(math.abs(mse - acc.toDouble / Q / vecs.length) < 1e-12,
+        s"subspace $s mse")
+    }
+    // PQ at 4 bytes/vec must cost more error than int8's 64 bytes/vec
+    assert(got.values.forall(_._3 > 0.0))
+  }
+
   private def brutePairs = {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
