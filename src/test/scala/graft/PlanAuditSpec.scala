@@ -19,6 +19,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // LINEAR in the corpus by construction
     "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
     "ann_ivf_recall",       // composes the two above
+    "ann_ivfadc_topk",      // broadcast centroids × corpus/queries (the
+                            // ann_ivf_topk assignment/probe shapes); the
+                            // PQ encode itself is an equi-join on s
+    "ann_ivfadc_recall",    // composes ann_ivfadc_topk + the brute scan
     "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —

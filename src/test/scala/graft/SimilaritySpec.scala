@@ -34,7 +34,9 @@ class SimilaritySpec extends AnyFunSuite {
           vs.size
       }
     }.toMap
-    for (s <- 0 until 4) {
+    val m = got.size // number of subspaces, from the report itself
+    val sub = 64 / m
+    for (s <- 0 until m) {
       val (nV, nC, mse) = got(s)
       assert(nV === vecs.length.toLong)
       assert(nC === byLabel.size.toLong)
@@ -43,7 +45,7 @@ class SimilaritySpec extends AnyFunSuite {
         // fold in element order to reproduce the query's exact doubles
         val dists = cents.toSeq.map { case (l, c) =>
           var dsum = 0.0
-          for (d <- s * 16 until (s + 1) * 16) {
+          for (d <- s * sub until (s + 1) * sub) {
             val dd = e(d) - c(d); dsum += dd * dd
           }
           (dsum, l)
