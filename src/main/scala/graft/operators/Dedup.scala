@@ -370,6 +370,60 @@ object Dedup {
       verifyPairs(cand, sh, JACCARD_NEAR)
     }),
 
+    // MinHash estimator CALIBRATION — the sketch-quality audit for the
+    // LSH tier: per matching-component count k, how far the signature
+    // estimate k/8 sits from exact Jaccard on the band-candidate pairs.
+    // E[matches/8] = J(a,b) is the MinHash theorem; this MEASURES the
+    // 8-component variance on this corpus (the number that justifies —
+    // or indicts — the signature length, the same measured-not-assumed
+    // convention as the recall queries). Same hash family and the same
+    // shared shingle/band postings as dedup_minhash_lsh; report is
+    // O(MINHASH_SEEDS+1) rows; double means re-quantize through the
+    // 2^30 grid so partial-agg order can't shift a bit.
+    "dedup_minhash_error" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val Q = 1073741824.0 // 2^30
+      val sh = docShingles(s, d)
+      val m1 = md5(col("g"))
+      val m2 = md5(concat(lit("#"), col("g")))
+      def h(seed: Int): Column =
+        conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
+          .cast("long")
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sig = posting.groupBy("doc_id").agg(
+        min(h(0)).as("sig0"),
+        (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
+      val bands = minhashBands(sh)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.toDF("doc_a" +: (0 until MINHASH_SEEDS).map(i => s"a$i"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until MINHASH_SEEDS).map(i => s"b$i"): _*)
+      val nMatch = (0 until MINHASH_SEEDS)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(nMatch.as("n_match"),
+          jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(floor(col("j") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mean_jaccard"),
+          (sum(floor(abs(col("n_match").cast("double") /
+            lit(MINHASH_SEEDS.toDouble) - col("j")) * Q + 0.5)).cast("double") /
+            Q / count(lit(1)).cast("double")).as("mean_abs_err"))
+        .select(col("n_match"), col("n_pairs"),
+          (col("n_match").cast("double") / lit(MINHASH_SEEDS.toDouble))
+            .as("estimate"),
+          col("mean_jaccard"), col("mean_abs_err"))
+    }),
+
     // INCREMENTAL near-dedup: a new snapshot against the standing
     // corpus — the pattern that makes dedup sustainable at 100 TB.
     // Re-running the full self-join per snapshot is O(corpus²-ish);
@@ -852,6 +906,29 @@ object Dedup {
          |    ORDER BY quality_score DESC, doc_id) AS rn FROM scored)
          |SELECT fingerprint, doc_id, quality_score FROM r WHERE rn = 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_minhash_error" -> {
+      val nMatchSql = (0 until MINHASH_SEEDS)
+        .map(i => s"CASE WHEN sa2.sig$i = sb2.sig$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $minhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |pj AS (SELECT $nMatchSql AS n_match, $jaccardSql AS j
+         |  FROM cand JOIN d da ON doc_a = da.doc_id
+         |  JOIN d db ON doc_b = db.doc_id
+         |  JOIN sig sa2 ON doc_a = sa2.doc_id
+         |  JOIN sig sb2 ON doc_b = sb2.doc_id)
+         |SELECT n_match, COUNT(*) AS n_pairs,
+         |  CAST(n_match AS DOUBLE) / ${MINHASH_SEEDS.toDouble} AS estimate,
+         |  CAST(SUM(CAST(FLOOR(j * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_jaccard,
+         |  CAST(SUM(CAST(FLOOR(abs(CAST(n_match AS DOUBLE)
+         |      / ${MINHASH_SEEDS.toDouble} - j) * 1073741824.0 + 0.5)
+         |    AS BIGINT)) AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_abs_err
+         |FROM pj GROUP BY n_match""".stripMargin
+    },
     "dedup_incremental" -> incrementalPairsSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),

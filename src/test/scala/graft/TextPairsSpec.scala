@@ -13,6 +13,37 @@ class TextPairsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("minhash calibration: counts partition the candidate set, estimator is monotone and bounded") {
+    val rows = operators.Dedup.queries("dedup_minhash_error")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the candidate universe is exactly dedup_minhash_lsh's pre-verify
+    // set; that query post-filters at JACCARD_NEAR, so its row count
+    // must be <= the calibration's total pairs
+    val verified = operators.Dedup.queries("dedup_minhash_lsh")(spark, sfDir).count()
+    assert(rows.map(_._2).sum >= verified)
+    for ((nMatch, nPairs, est, meanJ, mae) <- rows) {
+      assert(nMatch >= 0 && nMatch <= 8)
+      assert(nPairs > 0)
+      assert(math.abs(est - nMatch / 8.0) < 1e-15)
+      assert(meanJ >= 0.0 && meanJ <= 1.0)
+      // MAE is consistent with the bucket's own mean in the unmixed
+      // buckets we can bound: it can never exceed max(est, 1-est)
+      assert(mae <= math.max(est, 1.0 - est) + 1e-12)
+    }
+    // calibration must be monotone in the estimate on this corpus:
+    // higher signature agreement => higher measured jaccard
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, _, j1, _), (_, _, _, j2, _)) => assert(j1 <= j2)
+      case _ => ()
+    }
+    // non-vacuous: both a false-positive band bucket (low jaccard) and
+    // a true near-dup bucket must exist
+    assert(sorted.head._4 < 0.2 && sorted.last._4 > 0.9)
+  }
+
   test("tfidf cosine pairs: Cauchy-Schwarz bound holds, top pair verified by brute force") {
     val top = operators.TextAnalysis
       .queries("text_tfidf_cosine_pairs")(spark, sfDir).collect()
