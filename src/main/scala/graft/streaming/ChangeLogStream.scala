@@ -379,23 +379,12 @@ object ChangeLogStream {
               stamp(s.maxTs)))
           } else {
             val ordered = batch.toSeq.sortBy(_.event_id)
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            ordered.foreach { e =>
-              val t = micros(e.ts)
-              cur match {
-                case Some(s) if t - s.lastEvTs > gapMicros =>
-                  out += SessionOut(uid, s.sessionId, s.n, stamp(s.minTs),
-                    stamp(s.maxTs))
-                  cur = Some(SessionAcc(s.sessionId + 1, t, t, t, 1L))
-                case Some(s) =>
-                  cur = Some(s.copy(minTs = math.min(s.minTs, t),
-                    maxTs = math.max(s.maxTs, t), lastEvTs = t, n = s.n + 1))
-                case None =>
-                  cur = Some(SessionAcc(0L, t, t, t, 1L))
-              }
-            }
-            cur.foreach { s =>
+              .map(e => micros(e.ts))
+            val (next, closed) =
+              sessionFold(state.getOption, ordered, gapMicros)
+            val out = closed.map(s => SessionOut(uid, s.sessionId, s.n,
+              stamp(s.minTs), stamp(s.maxTs)))
+            next.foreach { s =>
               state.update(s)
               // +1: the ms-truncation must round UP so the timeout never
               // lands strictly inside the gap window
@@ -405,6 +394,32 @@ object ChangeLogStream {
             out.iterator
           }
       }
+  }
+
+  /** Pure per-batch session fold — the whole sessionizer semantics in
+    * one referentially transparent function so the split-invariance
+    * law (any batching of a user's in-order event times yields the
+    * same closed sessions and final open state) is directly property-
+    * testable without a streaming harness. `times` must be the batch's
+    * event times in LSN order, micros.
+    */
+  def sessionFold(init: Option[SessionAcc], times: Seq[Long],
+      gapMicros: Long): (Option[SessionAcc], Seq[SessionAcc]) = {
+    var cur = init
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+    times.foreach { t =>
+      cur match {
+        case Some(s) if t - s.lastEvTs > gapMicros =>
+          closed += s
+          cur = Some(SessionAcc(s.sessionId + 1, t, t, t, 1L))
+        case Some(s) =>
+          cur = Some(s.copy(minTs = math.min(s.minTs, t),
+            maxTs = math.max(s.maxTs, t), lastEvTs = t, n = s.n + 1))
+        case None =>
+          cur = Some(SessionAcc(0L, t, t, t, 1L))
+      }
+    }
+    (cur, closed.toSeq)
   }
 
   /** Partition-column name of the bucketed latest-state layout. Spark's

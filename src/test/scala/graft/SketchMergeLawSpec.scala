@@ -129,4 +129,35 @@ class SketchMergeLawSpec extends AnyFunSuite {
       assert(merged === words(xs), s"sample $i: word drift")
     }
   }
+
+  test("property: sessionizer fold is split-invariant — any batching yields the same sessions") {
+    import graft.streaming.ChangeLogStream.sessionFold
+    val gap = 1800L * 1000000L // 30 min in micros
+    // random in-order event times with gaps straddling the threshold
+    val deltas: Gen[List[Long]] = Gen.listOfN(60, Gen.oneOf(
+      Gen.choose(1L, gap),                 // within-session continuation
+      Gen.choose(gap + 1, gap * 4)))       // session break
+    for (i <- 0 until 40) {
+      val ds = sample(deltas, 4242L + i)
+      val times = ds.scanLeft(1_700_000_000_000_000L)(_ + _).toVector
+      val (refState, refClosed) = sessionFold(None, times, gap)
+      // replay the same times through random contiguous batch splits
+      val parts = chunks(times, 1 + i % 6, 9000L + i)
+      var st: Option[graft.streaming.SessionAcc] = None
+      val closed = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.SessionAcc]
+      parts.foreach { p =>
+        val (next, c) = sessionFold(st, p, gap)
+        st = next; closed ++= c
+      }
+      assert(closed.toSeq === refClosed, s"sample $i: closed-session drift")
+      assert(st === refState, s"sample $i: open-state drift")
+      // structural invariants: ids dense from 0, counts/bounds consistent
+      assert(refClosed.map(_.sessionId) === refClosed.indices.map(_.toLong))
+      refClosed.foreach { s =>
+        assert(s.minTs <= s.maxTs && s.n >= 1)
+      }
+      val all = refClosed ++ refState.toSeq
+      assert(all.map(_.n).sum === times.length.toLong, s"sample $i: events lost")
+    }
+  }
 }
