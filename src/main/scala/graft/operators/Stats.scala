@@ -419,6 +419,53 @@ object Stats {
             (col("total_users").cast("double") / 2.0)).as("srm_component"))
     }),
 
+    // Kaplan–Meier time-to-first-purchase — discrete-time survival
+    // analysis of the conversion funnel: per day-since-first-activity,
+    // who is still at risk (active, not yet purchased), who converted
+    // exactly there, the hazard d/n, and the survival function
+    // S(t) = Π_{i≤t} (1 − h_i) — the not-yet-converted curve. Users
+    // who never purchase are right-CENSORED at their last observed
+    // day (the standard KM treatment; they leave the risk set without
+    // an event). Scale shape: per-user (first day, first purchase,
+    // last day) is one hash agg; everything after runs on the O(day
+    // offsets) DURATION HISTOGRAM — at-risk counts are a descending
+    // cumulative over it (never over users), and the cumulative
+    // PRODUCT is an ordered fold over the collected factor array
+    // (bounded, one per offset) so both engines multiply the same
+    // doubles in the same order — no libm exp/ln detour.
+    "events_survival_curve" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("dy"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(min("dy").as("fd"),
+          min(when(col("event_type") === "purchase", col("dy"))).as("pd"),
+          max("dy").as("ld"))
+      val lt = u.select(
+        when(col("pd").isNotNull, datediff(col("pd"), col("fd")))
+          .otherwise(datediff(col("ld"), col("fd"))).cast("int").as("l"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("converted"))
+      val hist = lt.groupBy("l")
+        .agg(count(lit(1)).as("n_total"), sum("converted").as("n_converted"))
+      val wDesc = Window.orderBy(col("l").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAsc = Window.orderBy("l")
+      val cum = hist
+        .withColumn("n_at_risk", sum("n_total").over(wDesc))
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("hazard",
+          col("n_converted").cast("double") / col("n_at_risk").cast("double"))
+        .withColumn("factor", lit(1.0) - col("hazard"))
+      val fa = cum.agg(transform(
+        array_sort(collect_list(struct(col("l"), col("factor")))),
+        x => x.getField("factor")).as("farr"))
+      cum.crossJoin(broadcast(fa))
+        .select(col("l").as("day_offset"), col("n_at_risk"),
+          col("n_converted"), col("hazard"),
+          aggregate(slice(col("farr"), lit(1), col("rn")), lit(1.0),
+            (acc, f) => acc * f).as("survival"))
+    }),
+
     // Exact weighted median WITHOUT ranking rows — the reusable form of
     // the value-histogram trick (events_power_pareto / events_rfm): per
     // return flag, the revenue-weighted median quantity. Rows collapse
@@ -825,6 +872,35 @@ object Stats {
         |    * (CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE) / 2.0))
         |    / (CAST(total_users AS DOUBLE) / 2.0) AS srm_component
         |FROM v, t""".stripMargin,
+
+    "events_survival_curve" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS pd,
+        |    MAX(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY user_id),
+        |lt AS (SELECT CAST(CASE WHEN pd IS NOT NULL
+        |      THEN datediff('day', fd, pd)
+        |      ELSE datediff('day', fd, ld) END AS INT) AS l,
+        |    CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM u),
+        |hist AS (SELECT l, COUNT(*) AS n_total,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted
+        |  FROM lt GROUP BY l),
+        |cum AS (SELECT l, n_total, n_converted,
+        |    CAST(SUM(n_total) OVER (ORDER BY l DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_at_risk,
+        |    row_number() OVER (ORDER BY l) AS rn
+        |  FROM hist),
+        |fa AS (SELECT array_agg(
+        |    1.0 - CAST(n_converted AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+        |    ORDER BY l) AS farr FROM cum)
+        |SELECT l AS day_offset, n_at_risk, n_converted,
+        |  CAST(n_converted AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+        |  list_reduce(list_prepend(1.0, farr[1:rn]), (x, y) -> x * y)
+        |    AS survival
+        |FROM cum CROSS JOIN fa""".stripMargin,
 
     "agg_weighted_median" ->
       """WITH hist AS (SELECT l_returnflag,

@@ -112,9 +112,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // into the ≤64-row octave bands — bounded
     "text_unigram_surprise", // 1-row corpus-bit-length aggregate broadcast
                             // into the source×vocab join — bounded
-    "join_size_estimate"    // three 1-row aggregates (|A|, |B|, exact,
+    "join_size_estimate",   // three 1-row aggregates (|A|, |B|, exact,
                             // estimate) cross-combined into the single
                             // report row — bounded
+    "events_survival_curve" // 1-row collected factor-array aggregate
+                            // broadcast into the O(day offsets)
+                            // histogram for the ordered fold — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

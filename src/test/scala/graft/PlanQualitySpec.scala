@@ -359,7 +359,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "events_rfm" ->
         ("O(distinct values): exact r/f histogram-cumulative boundaries; " +
           "monetary over a 05/16^2 ≈ 2.0% sample (SampleRates)"),
-      "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch")
+      "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch",
+      "events_survival_curve" ->
+        "O(day offsets): duration histogram (at-risk cumulative + rank)")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
     try {

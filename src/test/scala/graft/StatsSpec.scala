@@ -15,6 +15,41 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("survival curve matches a brute-force Kaplan-Meier recompute") {
+    val got = Stats.queries("events_survival_curve")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("dy"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val fd = rows.map(_._2).min
+      val purchases = rows.filter(_._3 == "purchase").map(_._2)
+      if (purchases.nonEmpty)
+        (java.time.temporal.ChronoUnit.DAYS.between(fd, purchases.min).toInt, true)
+      else
+        (java.time.temporal.ChronoUnit.DAYS.between(fd, rows.map(_._2).max).toInt, false)
+    }.toSeq
+    val offsets = perUser.map(_._1).distinct.sorted
+    assert(got.keySet === offsets.toSet)
+    var surv = 1.0
+    for (l <- offsets) {
+      val atRisk = perUser.count(_._1 >= l).toLong
+      val events = perUser.count(p => p._1 == l && p._2).toLong
+      val h = events.toDouble / atRisk
+      surv *= (1.0 - h)
+      val (gAr, gEv, gH, gS) = got(l)
+      assert(gAr === atRisk, s"l=$l at_risk")
+      assert(gEv === events, s"l=$l events")
+      assert(math.abs(gH - h) < 1e-12, s"l=$l hazard")
+      assert(math.abs(gS - surv) < 1e-12, s"l=$l survival")
+    }
+    // survival is monotone non-increasing from 1-h0
+    val ss = offsets.map(got(_)._4)
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-15 })
+    assert(got.size >= 3, "curve must be non-degenerate at this SF")
+  }
+
   test("weighted median matches a brute-force sorted-cumulation per group") {
     val got = Stats.queries("agg_weighted_median")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
