@@ -618,6 +618,26 @@ object Dedup {
     "dedup_clusters" -> ((s, d) =>
       componentsFor(s, d, "minhash", queries("dedup_minhash_lsh"))),
 
+    // Cluster-SIZE distribution of the near-dup graph — the power-law
+    // report every dedup paper plots (how much of the corpus sits in
+    // large duplicate families vs singletons) and the capacity input
+    // for the keep-canonical pass. Runs entirely on the memoized
+    // component labels: two hash aggs collapse docs → clusters →
+    // O(distinct sizes) rows; the share denominator is a broadcast
+    // 1-row aggregate.
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val sizes = queries("dedup_clusters")(s, d)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val hist = sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      val tot = hist.agg(sum("n_docs").cast("long").as("tot"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          (col("n_docs").cast("double") / col("tot").cast("double"))
+            .as("doc_share"))
+    }),
+
     // The dedup pipeline's actual OUTPUT: the kept corpus. One doc per
     // near-dup cluster — the highest-quality copy (singletons keep
     // themselves; every doc is its own component until merged). This is
@@ -939,6 +959,26 @@ object Dedup {
          |  UNION
          |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s)
          |SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY doc""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.t, walk.lbl FROM walk JOIN edges e ON walk.doc = e.s),
+         |comp AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM walk GROUP BY doc),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM comp GROUP BY cluster_id),
+         |h AS (SELECT cluster_size, COUNT(*) AS n_clusters,
+         |    CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |  FROM sz GROUP BY cluster_size)
+         |SELECT cluster_size, n_clusters, n_docs,
+         |  CAST(n_docs AS DOUBLE) /
+         |    CAST((SELECT CAST(SUM(n_docs) AS BIGINT) FROM h) AS DOUBLE)
+         |    AS doc_share
+         |FROM h""".stripMargin,
     "dedup_keep_canonical" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

@@ -49,4 +49,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 9L))
   }
+
+  test("cluster-size histogram reconciles with the labels and the corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Dedup.queries("dedup_cluster_sizes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val labels = Dedup.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(1))
+    val want = labels.groupBy(identity).values.map(_.length)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.map(r => (r._1.toInt, r._2.toInt)).toMap === want)
+    assert(rows.map(_._3).sum === labels.length.toLong,
+      "per-size doc counts must partition the corpus")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "doc shares sum to 1")
+    assert(rows.exists(_._1 > 1), "corpus must contain a real dup family")
+    CachePool.releaseAll()
+  }
 }

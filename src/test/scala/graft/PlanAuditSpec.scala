@@ -122,7 +122,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     if (!intentionallyUnbounded(name) && !name.endsWith("_clusters") &&
-        name != "agg_cms_heavy_hitters" && name != "dedup_keep_canonical") {
+        name != "agg_cms_heavy_hitters" && name != "dedup_keep_canonical" &&
+        name != "dedup_cluster_sizes") { // composes dedup_clusters
       // the *_clusters queries (and dedup_keep_canonical, which composes
       // one) execute driver-side label-propagation loops at construction;
       // their component joins are key-equi by construction (covered by

@@ -366,7 +366,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val saved = c.get("spark.sql.adaptive.enabled")
     try {
       c.set("spark.sql.adaptive.enabled", "false")
-      val skip = Set("agg_cms_heavy_hitters", "dedup_keep_canonical")
+      val skip = Set("agg_cms_heavy_hitters", "dedup_keep_canonical",
+        "dedup_cluster_sizes") // composes dedup_clusters
       val names = SparkEntry.queries.keys.toSeq.sorted
         .filterNot(skip).filterNot(_.endsWith("_clusters"))
       val offenders = names.filterNot(bounded.contains).filter { name =>
