@@ -266,27 +266,45 @@ object ChangeLogStream {
     override def handleInputRows(key: String, rows: Iterator[RawEvent],
         timerValues: TimerValues): Iterator[HeavyHitter] = {
       // local mirror: one state read per batch, one write per touched key
-      val m = scala.collection.mutable.Map.empty[Long, CountErr]
-      counters.iterator().foreach { case (u, ce) => m(u) = ce }
-      rows.foreach { e =>
-        m.get(e.user_id) match {
-          case Some(ce) => m(e.user_id) = ce.copy(count = ce.count + 1)
-          case None if m.size < capacity =>
-            m(e.user_id) = CountErr(1L, 0L)
-          case None =>
-            // evict the min (deterministic tie-break on user_id), the
-            // newcomer inherits its count as the error bound
-            val (mu, mc) = m.minBy { case (u, ce) => (ce.count, u) }
-            m.remove(mu)
-            counters.removeKey(mu)
-            m(e.user_id) = CountErr(mc.count + 1, mc.count)
-        }
-      }
-      m.foreach { case (u, ce) => counters.updateValue(u, ce) }
-      m.toSeq.sortBy { case (u, ce) => (-ce.count, u) }.take(k)
+      val before = counters.iterator()
+        .map { case (u, ce) => u -> ce }.toMap
+      val after = ChangeLogStream.spaceSavingFold(before,
+        rows.map(_.user_id), capacity)
+      (before.keySet -- after.keySet).foreach(counters.removeKey)
+      after.foreach { case (u, ce) => counters.updateValue(u, ce) }
+      after.toSeq.sortBy { case (u, ce) => (-ce.count, u) }.take(k)
         .map { case (u, ce) => HeavyHitter(key, u, ce.count, ce.err) }
         .iterator
     }
+  }
+
+  /** Pure SpaceSaving update — the whole counter semantics in one
+    * referentially transparent function (the sessionFold convention) so
+    * the algorithm's guarantees are directly property-testable: at most
+    * `capacity` counters survive; a tracked item's estimate brackets
+    * its true count within `err`; any item with true count > N/capacity
+    * is tracked; and chunked folding equals one pass by construction.
+    * Eviction takes the (count, key)-lexicographic minimum, so the fold
+    * is deterministic for a given input order.
+    */
+  def spaceSavingFold(init: Map[Long, CountErr], items: IterableOnce[Long],
+      capacity: Int): Map[Long, CountErr] = {
+    val m = scala.collection.mutable.Map.empty[Long, CountErr]
+    m ++= init
+    items.iterator.foreach { item =>
+      m.get(item) match {
+        case Some(ce) => m(item) = ce.copy(count = ce.count + 1)
+        case None if m.size < capacity =>
+          m(item) = CountErr(1L, 0L)
+        case None =>
+          // evict the min (deterministic tie-break on key), the
+          // newcomer inherits its count as the error bound
+          val (mu, mc) = m.minBy { case (u, ce) => (ce.count, u) }
+          m.remove(mu)
+          m(item) = CountErr(mc.count + 1, mc.count)
+      }
+    }
+    m.toMap
   }
 
   /** [[HeavyHittersProcessor]] wired per event_type. */

@@ -130,6 +130,36 @@ class SketchMergeLawSpec extends AnyFunSuite {
     }
   }
 
+  test("property: SpaceSaving fold honors its guarantees on random skewed streams") {
+    import graft.streaming.ChangeLogStream.spaceSavingFold
+    val cap = 8
+    // zipf-ish: small ids much more frequent than large
+    val itemGen: Gen[Long] = Gen.frequency(
+      (8, Gen.choose(1L, 4L)), (3, Gen.choose(5L, 20L)), (1, Gen.choose(21L, 200L)))
+    for (i <- 0 until 40) {
+      val xs = sample(Gen.listOfN(400, itemGen), 7100L + i).toVector
+      val fin = spaceSavingFold(Map.empty, xs, cap)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(fin.size <= cap, s"sample $i: capacity exceeded")
+      // counts are conserved: Σ estimates == stream length (SpaceSaving
+      // total-preservation invariant)
+      assert(fin.values.map(_.count).sum === xs.length.toLong)
+      fin.foreach { case (u, ce) =>
+        assert(ce.count >= exact(u), s"sample $i: undercount of $u")
+        assert(ce.count - ce.err <= exact(u), s"sample $i: err bound of $u")
+      }
+      // any item with true count > N/cap must be tracked
+      exact.filter(_._2 > xs.length / cap).keys.foreach(u =>
+        assert(fin.contains(u), s"sample $i: guaranteed hitter $u missing"))
+      // chunked folding equals one pass for any contiguous batching
+      val parts = chunks(xs, 1 + i % 5, 7300L + i)
+      val chunked = parts.foldLeft(Map.empty[Long, graft.streaming.CountErr]) {
+        (st, p) => spaceSavingFold(st, p, cap)
+      }
+      assert(chunked === fin, s"sample $i: chunking drift")
+    }
+  }
+
   test("property: sessionizer fold is split-invariant — any batching yields the same sessions") {
     import graft.streaming.ChangeLogStream.sessionFold
     val gap = 1800L * 1000000L // 30 min in micros
