@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{ArrayIntersectSize, CosineSimilarity}
+import graft.functions.expressions.{ArrayIntersectSize, CosineSimilarity, L2DistanceSq}
 
 /** Registration for graft's native Catalyst expressions.
   *
@@ -22,7 +22,10 @@ object GraftFunctions {
       ("cosine_sim(a, b)", "cosine similarity of two array<double> vectors")),
     ("array_intersect_size", (es: Seq[Expression]) => ArrayIntersectSize(es(0), es(1)),
       ("array_intersect_size(a, b)",
-        "count of a's elements contained in b (array<string>), hash-probe codegen")))
+        "count of a's elements contained in b (array<string>), hash-probe codegen")),
+    ("l2_dist_sq", (es: Seq[Expression]) => L2DistanceSq(es(0), es(1)),
+      ("l2_dist_sq(a, b)",
+        "squared L2 distance of two array<double> vectors, codegen loop")))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -34,6 +37,7 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def arrayIntersectSize(a: Column, b: Column): Column =
     call_function("array_intersect_size", a, b)
+  def l2DistSq(a: Column, b: Column): Column = call_function("l2_dist_sq", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

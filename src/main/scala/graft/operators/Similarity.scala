@@ -580,13 +580,15 @@ object Similarity {
     // would SortAggregate) with each L2² folded in fixed element order,
     // engine-identical; error means re-quantize through the 2^30 grid.
     "ann_pq_error" -> ((s, d) => {
+      GraftFunctions.register(s)
       val Q = 1073741824.0 // 2^30
       val codebook = pqCodebookDf(s, d)
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           VectorOps.asDouble(col("embedding")).as("e"))
-      def l2(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      // native codegen kernel; bitwise-identical to the HOF fold and
+      // the oracle's list_reduce (same adds, same order)
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
       val subs = base.select(col("vec_id"), posexplode(array(
         (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
         .as(Seq("s", "sub")))
@@ -617,9 +619,11 @@ object Similarity {
     // cosine folds in fixed element order — engine-identical ranks.
     "ann_ivfadc_topk" -> ((s, d) => {
       graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
       val cents = centroidsDf(s, d)
-      def l2(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      // native codegen kernel; bitwise-identical to the HOF fold and
+      // the oracle's list_reduce (same adds, same order)
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
       // PQ-encode the corpus: nearest codeword per (vector, subspace)
       val wCode = Window.partitionBy("vec_id", "s")
         .orderBy(col("dist"), col("label"))

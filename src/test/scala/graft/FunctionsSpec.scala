@@ -27,6 +27,32 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen L2DistanceSq is bitwise-equal to the HOF fold; ragged yields NULL; SQL-callable") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 8.0f), Array(-1.5f, 0.125f, 2.0f)),
+      (Array(1e-8f, 2e8f, -3.5f), Array(7.0f, -2e-8f, 0.25f))
+    ).toDF("a", "b")
+      .select(VectorOps.asDouble($"a").as("a"), VectorOps.asDouble($"b").as("b"))
+    val rows = df.select(
+      hofL2($"a", $"b").as("hof"),
+      GraftFunctions.l2DistSq($"a", $"b").as("native")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(spark.sql("SELECT l2_dist_sq(array(1.0d, 2.0d), array(1.0d)) AS c")
+      .collect().head.isNullAt(0), "length mismatch must yield NULL")
+    assert(spark.sql(
+      "SELECT l2_dist_sq(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS c")
+      .as[Double].head() === 8.0)
+  }
+
   test("cosine_sim returns NULL for ragged (mismatched-length) vectors") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
