@@ -316,7 +316,16 @@ object TextAnalysis {
           .withColumnRenamed("sumsq", "sb"), "doc_b")
         .withColumn("cosine", col("dot").cast("double") /
           (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))))
-        .select("doc_a", "doc_b", "dot", "cosine")
+        // Ship the dot cell as BIGINT: the DECIMAL(38,0) ACCUMULATOR is
+        // load-bearing (the Σ w² overflow bound above), but the shipped
+        // top-20 dot values are ≤ ~10¹³ at every test SF — provably
+        // inside long — and a DECIMAL(p>18) output column is hash-
+        // fragile across readers (INT128-backed decimals render
+        // differently between parquet-read and driver-fetch paths; same
+        // hazard class as round 6's layout_compaction_plan). The
+        // OutputTypeSpec allowlist enforces this repo-wide.
+        .select(col("doc_a"), col("doc_b"), col("dot").cast("bigint").as("dot"),
+          col("cosine"))
         .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
         .limit(20)
     }),
@@ -1139,7 +1148,7 @@ object TextAnalysis {
          |    CAST(SUM(CAST(a.w AS HUGEINT) * b.w) AS DECIMAL(38,0)) AS dot
          |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, dot,
+         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.sumsq AS DOUBLE))
          |    * sqrt(CAST(nb.sumsq AS DOUBLE))) AS cosine
          |FROM pairs

@@ -70,9 +70,11 @@ class TextPairsSpec extends AnyFunSuite {
     val wb = w.filter(col("doc_id") === db).collect()
       .map(x => x.getAs[String]("t") -> x.getAs[Long]("w")).toMap
     val dot = wa.keysIterator.map(k => wa(k) * wb.getOrElse(k, 0L)).sum
-    // dot accumulates in decimal(38,0) (long Σw² wraps ~10⁸ docs)
-    assert(r.getAs[java.math.BigDecimal]("dot").longValueExact === dot,
-      s"pair ($da,$db) dot")
+    // dot accumulates in decimal(38,0) (long Σw² wraps ~10⁸ docs) but
+    // SHIPS as bigint — the top-20 dot values are provably inside long
+    // and DECIMAL(p>18) output columns are driver-hash-fragile
+    // (OutputTypeSpec).
+    assert(r.getAs[Long]("dot") === dot, s"pair ($da,$db) dot")
   }
 
   test("keyword search: scores rank correctly and the top hit survives a brute recount") {
