@@ -368,7 +368,10 @@ object ChangeLogStream {
     * EventTimeTimeout fires (the open tail of an inactive user — the
     * case a pure batch job can only resolve by re-scanning). Session ids
     * count gaps from 0 per user, matching the batch numbering, so the
-    * closed-session stream converges to the batch table row-for-row.
+    * closed-session stream converges to the batch table row-for-row —
+    * INCLUDING users who return after a timeout: the timeout leaves a
+    * per-user numbering marker (n = 0) in state so the comeback session
+    * continues at sessionId + 1 instead of restarting at 0.
     */
   def sessionizePerUser(events: Dataset[RawEvent],
       gapMinutes: Int = 30,
@@ -390,11 +393,27 @@ object ChangeLogStream {
         (uid: Long, batch: Iterator[RawEvent], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
             // watermark passed the session's last activity + gap: no
-            // in-order event can extend it any more — close and clear.
+            // in-order event can extend it any more — close it. Do NOT
+            // remove the state: a user who returns after the timeout
+            // must continue numbering at sessionId+1, or the stream
+            // would re-emit session_id 0 and diverge from the batch
+            // table. We retain a NUMBERING MARKER — a SessionAcc with
+            // n = 0 (impossible for a real session, which always holds
+            // ≥1 event) carrying the next id and the closed session's
+            // lastEvTs. No new timeout is armed for markers, so they
+            // never fire again; the state cost is a few longs per
+            // user-ever-seen instead of per-active-user — the price of
+            // the row-for-row batch-parity contract. (A deployment that
+            // cannot afford per-user markers can bound them with a
+            // state-store TTL and accept numbering restarts past it.)
             val s = state.get
-            state.remove()
-            Iterator(SessionOut(uid, s.sessionId, s.n, stamp(s.minTs),
-              stamp(s.maxTs)))
+            if (s.n == 0L) Iterator.empty // marker timeout: nothing open
+            else {
+              state.update(SessionAcc(s.sessionId + 1, s.lastEvTs,
+                s.lastEvTs, s.lastEvTs, 0L))
+              Iterator(SessionOut(uid, s.sessionId, s.n, stamp(s.minTs),
+                stamp(s.maxTs)))
+            }
           } else {
             val ordered = batch.toSeq.sortBy(_.event_id)
               .map(e => micros(e.ts))
@@ -405,9 +424,12 @@ object ChangeLogStream {
             next.foreach { s =>
               state.update(s)
               // +1: the ms-truncation must round UP so the timeout never
-              // lands strictly inside the gap window
-              state.setTimeoutTimestamp(
-                s.maxTs / 1000L + 1L + gapMinutes * 60L * 1000L)
+              // lands strictly inside the gap window. Markers (n == 0,
+              // possible here only on an empty replay batch) are never
+              // armed — they must outlive every watermark.
+              if (s.n > 0L)
+                state.setTimeoutTimestamp(
+                  s.maxTs / 1000L + 1L + gapMinutes * 60L * 1000L)
             }
             out.iterator
           }
@@ -427,6 +449,13 @@ object ChangeLogStream {
     val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
     times.foreach { t =>
       cur match {
+        case Some(s) if s.n == 0L =>
+          // numbering marker left behind by an EventTimeTimeout: the
+          // previous session is already emitted, so the first event
+          // after it opens the session CARRYING THE MARKER'S id (the
+          // marker stores sessionId + 1 of the closed session). No gap
+          // check — the timeout already proved the gap.
+          cur = Some(SessionAcc(s.sessionId, t, t, t, 1L))
         case Some(s) if t - s.lastEvTs > gapMicros =>
           closed += s
           cur = Some(SessionAcc(s.sessionId + 1, t, t, t, 1L))

@@ -188,6 +188,29 @@ class SketchMergeLawSpec extends AnyFunSuite {
       }
       val all = refClosed ++ refState.toSeq
       assert(all.map(_.n).sum === times.length.toLong, s"sample $i: events lost")
+      // marker init (the post-timeout numbering state, n = 0): the same
+      // fold must (a) open the first session with the marker's id with
+      // NO gap check — the timeout already proved the gap — and (b) stay
+      // split-invariant, so the streaming comeback path can't drift.
+      val markerId = 5L + i % 3
+      val marker = Some(graft.streaming.SessionAcc(
+        markerId, times.head - 1, times.head - 1, times.head - 1, 0L))
+      val (mState, mClosed) = sessionFold(marker, times, gap)
+      val mAll = mClosed ++ mState.toSeq
+      assert(mAll.map(_.sessionId) ===
+        mAll.indices.map(markerId + _.toLong),
+        s"sample $i: marker init must renumber from $markerId")
+      assert(mAll.map(t => (t.minTs, t.maxTs, t.n)) ===
+        all.map(t => (t.minTs, t.maxTs, t.n)),
+        s"sample $i: marker init changed session contents")
+      var mSt: Option[graft.streaming.SessionAcc] = marker
+      val mChunked = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.SessionAcc]
+      parts.foreach { p =>
+        val (next, c) = sessionFold(mSt, p, gap)
+        mSt = next; mChunked ++= c
+      }
+      assert(mChunked.toSeq === mClosed && mSt === mState,
+        s"sample $i: marker-init split-invariance drift")
     }
   }
 }

@@ -204,6 +204,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer: a user returning AFTER a timeout continues numbering, not session_id 0") {
+    // The EventTimeTimeout closes an inactive user's open session. If
+    // the timeout also dropped the user's state, a comeback would
+    // restart at session_id 0 — a duplicate id that diverges from the
+    // batch numbering. The timeout instead leaves an n=0 numbering
+    // marker, so the comeback session must arrive as session_id 1.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = ChangeLogStream.sessionizePerUser(in.toDS(), 30, "10 minutes")
+      .writeStream.format("memory").queryName("sess_comeback")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 session 0 (2 events), then u9 traffic far ahead advances the
+      // watermark past u1's gap + timeout...
+      in.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(3, 300, 9, "click"))
+      q.processAllAvailable()
+      in.addData(ev(4, 310, 9, "click")) // second trigger fires the timeout
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_comeback")
+        .filter($"user_id" === 1L)
+        .select($"session_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(afterTimeout === Set((0L, 2L)),
+        s"u1's first session should close by timeout as id 0; got $afterTimeout")
+      // ...u1 RETURNS (minute 320, within u9's watermark) → new session;
+      // close it via the in-data gap rule with a much later u1 event.
+      in.addData(ev(5, 320, 1, "click"), ev(6, 321, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(7, 700, 1, "click")) // gap > 30 min closes the comeback
+      q.processAllAvailable()
+      val all = spark.table("sess_comeback")
+        .filter($"user_id" === 1L)
+        .select($"session_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(all === Set((0L, 2L), (1L, 2L)),
+        s"comeback must continue at session_id 1; got $all")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer converges to the batch window_sessionize table on real events") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
