@@ -33,45 +33,94 @@ case class L2DistanceSq(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  // ragged inputs → NULL (the zip_with reference pads with null and the
-  // fold poisons); codegen needs a real isNull slot for that path
+  // ragged inputs or a NULL element → NULL (the zip_with reference
+  // pads with null and the fold poisons); codegen needs a real isNull
+  // slot for those paths
   override def nullable: Boolean = true
 
   override def prettyName: String = "l2_dist_sq"
 
+  /** True when a child's STATIC type admits null elements. When false
+    * for both, the branch-free `toDoubleArray` fast path is sound (and
+    * is what the PQ hot loops compile to — codebook literals carry
+    * containsNull = false); when true, the fold's null-poisoning must
+    * be honored element-by-element: `toDoubleArray` would NPE on a
+    * GenericArrayData null or silently read 0.0 from UnsafeArrayData —
+    * either way diverging from the HOF/oracle semantics.
+    */
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    if (x.length != y.length) null
-    else {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else if (!mayHaveNullElements) {
+      val xs = x.toDoubleArray(); val ys = y.toDoubleArray()
       var acc = 0.0
       var i = 0
-      while (i < x.length) {
-        val d = x(i) - y(i); acc += d * d; i += 1
+      while (i < n) {
+        val d = xs(i) - ys(i); acc += d * d; i += 1
       }
       java.lang.Double.valueOf(acc)
+    } else {
+      var acc = 0.0
+      var i = 0
+      var poisoned = false
+      while (i < n && !poisoned) {
+        if (x.isNullAt(i) || y.isNullAt(i)) poisoned = true
+        else { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+      }
+      if (poisoned) null else java.lang.Double.valueOf(acc)
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
       val i = ctx.freshName("i")
-      s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |if ($x.length != $y.length) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $x.length; $i++) {
-         |    double $dd = $x[$i] - $y[$i];
-         |    $acc += $dd * $dd;
-         |  }
-         |  ${ev.value} = $acc;
-         |}
-       """.stripMargin
+      if (!mayHaveNullElements) {
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |double[] $x = $a.toDoubleArray();
+           |double[] $y = $b.toDoubleArray();
+           |if ($x.length != $y.length) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $x.length; $i++) {
+           |    double $dd = $x[$i] - $y[$i];
+           |    $acc += $dd * $dd;
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      } else {
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    double $dd = $a.getDouble($i) - $b.getDouble($i);
+           |    $acc += $dd * $dd;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $acc;
+           |  }
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

@@ -302,9 +302,16 @@ object Multimodal {
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
+        // The oracle mirrors these dims with DuckDB's FLOORING `//`
+        // (doc_id // 3 % 3) while Scala `/` truncates — for a negative
+        // doc_id the two diverge and w/h would go ≤ 0 and crash
+        // BufferedImage. floorDiv matches `//` exactly for all ids; the
+        // require makes the (corpus-impossible) negative case loud
+        // instead of a downstream AWT error.
+        require(id >= 0, s"gifAssets: negative doc_id $id")
         val nf = (id % 4 + 2).toInt
         val w = ((id % 3) + 1).toInt * 8
-        val h = ((id / 3 % 3) + 1).toInt * 8
+        val h = ((Math.floorDiv(id, 3) % 3) + 1).toInt * 8
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         val writer =

@@ -398,6 +398,12 @@ object Stats {
     }),
 
     // A/B experiment readout with a sample-ratio-mismatch component.
+    // Variant-assignment convention (shared with events_ab_value_ttest):
+    // Spark assigns via pmod(user_id, 2) — the FLOORED remainder, always
+    // in {0, 1} — and the oracle mirrors it as ((user_id % 2) + 2) % 2
+    // because DuckDB's bare % truncates (negative ids would map to -1
+    // and silently skew both sides' moments). Floored on both engines →
+    // agreement for ALL ids, not just the corpus's non-negative ones.
     "events_ab_readout" -> ((s, d) => {
       val per = Tables.events(s, d).groupBy("user_id")
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -862,7 +868,7 @@ object Stats {
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |      AS converted
         |  FROM events GROUP BY user_id),
-        |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+        |v AS (SELECT ((user_id % 2) + 2) % 2 AS variant, COUNT(*) AS n_users,
         |    CAST(SUM(converted) AS BIGINT) AS n_converted
         |  FROM per GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total_users FROM v)
@@ -929,7 +935,7 @@ object Stats {
         |      THEN CAST(value AS DECIMAL(18,2)) END),
         |      CAST(0 AS DECIMAL(18,2))) AS m
         |  FROM events GROUP BY user_id),
-        |v AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+        |v AS (SELECT ((user_id % 2) + 2) % 2 AS variant, COUNT(*) AS n,
         |    CAST(CAST(SUM(m) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS s1,
         |    CAST(CAST(SUM(m * m) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000
         |      AS s2

@@ -53,6 +53,45 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Double].head() === 8.0)
   }
 
+  test("L2DistanceSq null-poisons on NULL elements, matching the HOF fold") {
+    // A null ELEMENT (not a null array) makes the zip_with/aggregate
+    // fold yield NULL; the native kernel must agree — toDoubleArray
+    // would NPE (GenericArrayData) or silently read 0.0
+    // (UnsafeArrayData), a latent cross-engine divergence.
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // array(double, NULL) carries containsNull = true → the checking path
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)),
+        |  (array(1.0d, 2.0d), array(CAST(NULL AS DOUBLE), 2.0d)),
+        |  (array(1.0d, 2.0d), array(3.0d, 4.0d))
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(
+      hofL2(col("a"), col("b")).as("hof"),
+      GraftFunctions.l2DistSq(col("a"), col("b")).as("native")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1),
+        s"null-poisoning drift: hof=${r.get(0)} native=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(1)) === 2, "both null-element rows poison")
+    // interpreted path (no codegen) must agree too
+    val ga = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Any](1.0, null))
+    val gb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Any](1.0, 2.0))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit1 = Literal.create(ga, ArrayType(DoubleType, containsNull = true))
+    val lit2 = Literal.create(gb, ArrayType(DoubleType, containsNull = true))
+    assert(graft.functions.expressions.L2DistanceSq(lit1, lit2).eval(null) == null)
+    assert(graft.functions.expressions.L2DistanceSq(lit2, lit2).eval(null) == 0.0)
+  }
+
   test("cosine_sim returns NULL for ragged (mismatched-length) vectors") {
     GraftFunctions.register(spark)
     val rows = spark.sql(

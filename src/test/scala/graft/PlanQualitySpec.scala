@@ -403,12 +403,55 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(f > 0.0 && f <= graft.SampleRates.Ceiling,
         f"$name: rate $hex = $f%.4f exceeds ceiling ${graft.SampleRates.Ceiling}%.4f")
     }
-    // and the registry can't rot: no stray rate constants outside it —
-    // any whitelist reason claiming a sample must name a registered hex
-    val sampled = Seq("layout_range_split" -> "041", "events_rfm" -> "05")
-    for ((q, hex) <- sampled)
-      assert(graft.SampleRates.rates.values.toSet.contains(hex),
-        s"$q cites hex $hex not present in SampleRates")
+    // and the registry can't rot: SCAN the source tree for every
+    // salted-md5 threshold literal (`substr(md5(...)) < '<hex>'`, Scala
+    // or SQL) and demand each one is either a registered SampleRates
+    // value or an explicitly-classified non-sampling use. A new sampling
+    // constant added anywhere fails here until it is classified —
+    // unlike the previous check, which only re-listed known rates.
+    val routingThresholds = Map(
+      // train/val/test SPLIT routing: every row is kept and routed, no
+      // cardinality is reduced, so the boundary-sample ceiling does not
+      // apply (used by text_train_split / Curation / Profiling splits)
+      "e666" -> "train/val cut of the 90/5/5 split router",
+      "f333" -> "val/test cut of the 90/5/5 split router",
+      // text_sample_hash's 10% PRODUCT sample: the sample IS the
+      // query's deliverable (a deterministic corpus subset), not a
+      // boundary-placement pass feeding a partitionless sort
+      "1999" -> "text_sample_hash product sample (output = the sample)")
+    val registered = graft.SampleRates.rates.values.toSet
+    val hexRe = """<\s*(?:lit\()?['"]([0-9a-f]{2,8})['"]""".r
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+      }
+    val offenders = scalaFiles(new java.io.File("src/main/scala")).flatMap { f =>
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // collapse stripMargin line wraps so `substr(...)\n  | < 'hex'`
+      // still matches: drop newline + indent + margin pipe
+      val content = raw.replaceAll("\n\\s*\\|?\\s*", " ")
+      hexRe.findAllMatchIn(content).flatMap { m =>
+        val windowStart = math.max(0, m.start - 200)
+        val window = content.substring(windowStart, m.start)
+        val hex = m.group(1)
+        if (window.contains("md5") && !registered.contains(hex) &&
+            !routingThresholds.contains(hex))
+          Some(s"${f.getPath}: unclassified md5 threshold '$hex'")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"""salted-md5 threshold literals outside the SampleRates registry:
+         |  ${offenders.mkString("\n  ")}
+         |Register boundary-sampling rates in graft.SampleRates (ceiling
+         |1/32) or classify routing/product-sample uses in this spec's
+         |routingThresholds map with a reason.""".stripMargin)
+    // the scan itself can't rot silently either: it must SEE the
+    // registered + routing constants that exist today
+    assert(graft.SampleRates.rates.size >= 2, "registry unexpectedly empty")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
