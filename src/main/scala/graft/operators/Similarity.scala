@@ -143,27 +143,49 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
 
-  /** PQ design point: M subspaces of DIM/M dims each; codebook per
-    * subspace = the label centroids restricted to it (deterministic
-    * where k-means++ is seed-dependent, and oracle-expressible).
+  /** PQ design point: M subspaces of DIM/M dims each. Two codebook
+    * tiers exist: the LABEL baseline (per-label centroids restricted
+    * to each subspace — the sizing study's cheap reference point) and
+    * the TRAINED tier ([[pqTrainedSeq]]) — real per-subspace Lloyd
+    * codebooks at k ≤ [[PQ_K]], which is what [[queries]]'
+    * `ann_ivfadc_topk` ships.
     */
   private val PQ_M = 8
   private val PQ_SUB = 8 // DIM / PQ_M
 
-  /** IVFADC refine width: ADC ranks this many candidates per query,
-    * and only they are re-scored at full precision (10·TOP_K — the
-    * FAISS refine convention). Near-uniform random embeddings are PQ's
-    * WORST case (no cluster structure for the codebooks to exploit):
-    * raw ADC ordering alone measured recall 0.0–0.2; with this refine,
-    * end-to-end recall measures 0.68 / 0.76 / 0.52 at the three SFs
-    * against the brute-force ground truth (ann_ivfadc_recall) while
-    * plain IVF at the same probe budget measures 1.0 — the measured
-    * evidence that THIS corpus needs larger codebooks (or OPQ) before
-    * an 8-byte-code tier is shippable. That conclusion is what the
-    * sizing study exists to produce; the number is measured per run,
-    * never assumed.
+  /** Trained-codebook size per subspace: 256 codewords = one BYTE per
+    * subspace per vector, so an M=8 code is exactly 8 bytes — the
+    * standard FAISS PQ8 budget. Seeds are stride-sampled corpus
+    * sub-vectors (deterministic, oracle-expressible where k-means++ is
+    * seed-dependent) refined by [[PQ_TRAIN_ITERS]] Lloyd passes of the
+    * same decimal-exact mean machinery as the coarse centroids. At the
+    * test SFs the training input is the whole corpus (n < the 39·k
+    * FAISS training floor, so there is nothing to subsample); at 100 TB
+    * you cap the training input at ~39·k·M sub-vectors with a
+    * deterministic hash-sample — training cost is O(sample·k·iters),
+    * independent of corpus size, and encode stays O(n·k·M).
     */
-  private val ADC_SHORTLIST = 100
+  private val PQ_K = 256
+  private val PQ_TRAIN_ITERS = 2
+
+  /** IVFADC refine width: ADC ranks this many candidates per query,
+    * and only they are re-scored at full precision (FAISS's k_factor
+    * refine; 40·TOP_K here). Near-uniform random embeddings are PQ's
+    * WORST case (no cluster structure for the codebooks to exploit):
+    * under round 10's 10-codeword label-baseline codebooks, raw ADC
+    * ordering alone measured recall 0.0–0.2 and end-to-end 0.68 / 0.76
+    * / 0.52 — the measured evidence that the baseline codebooks were
+    * too small. With the TRAINED k ≤ 256 codebooks ([[pqTrainedSeq]])
+    * at the same 8-byte code budget, end-to-end recall measures
+    * 1.0 / 1.0 / 0.92 at the three SFs against the brute-force ground
+    * truth (ann_ivfadc_recall). The residual sf0.1 loss is one query
+    * at 0.8 whose fifth neighbor the ADC ordering ranks below the
+    * shortlist: widening 100 → 200 bought 0.90 → 0.92 and a third
+    * Lloyd pass bought nothing (both measured) — the honest remaining
+    * price of 8-byte codes on uniform data. All numbers are measured
+    * per run by the recall query, never assumed.
+    */
+  private val ADC_SHORTLIST = 200
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, Seq[Double])]]
@@ -192,6 +214,73 @@ object Similarity {
   private def pqCodebookDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     pqCodebookSeq(s, d).toDF("s", "label", "cw")
+  }
+
+  private val pqTrainedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Long, Seq[Double])]]
+
+  /** TRAINED per-subspace PQ codebooks — real Lloyd k-means in each
+    * subspace (rows: subspace, codeword id, codeword), memoized like
+    * [[centroidSeq]]. Round 10 measured what the 10-codeword label
+    * baseline costs on this near-uniform corpus: IVFADC recall
+    * 0.68/0.76/0.52 vs plain IVF's 1.0. The fix is codebook SIZE, not
+    * machinery: k ≤ [[PQ_K]] stride-seeded codewords per subspace at
+    * the same 8-byte code budget. Seeds are the sub-vectors of every
+    * `stride`-th corpus vector with stride = ceil(n / PQ_K) (k fills
+    * toward 256 as the corpus grows); each pass assigns every
+    * sub-vector to its nearest codeword (fixed-order L2 fold, ties to
+    * the smallest id — engine-identical) and recentres through the
+    * exact decimal sums, so Spark and the unrolled DuckDB chain produce
+    * bitwise-identical codebooks. Codewords that attract no vectors
+    * simply drop out of the next pass (both engines agree). Collected
+    * size is O(M·k·PQ_SUB) doubles ≈ 16K values — planner-sized, like
+    * every other centroid collect here. Queries are EXCLUDED from
+    * training (they are the search workload, not the corpus).
+    */
+  private def pqTrainedSeq(s: SparkSession, d: String): Seq[(Int, Long, Seq[Double])] =
+    pqTrainedCache.getOrElseUpdate(d, {
+      import s.implicits._
+      graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
+      val corpus = corpusDf(s, d)
+      val stride = math.max(1L,
+        math.ceil(corpus.count().toDouble / PQ_K).toLong)
+      val subs = corpus.select(col("vec_id"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
+        .as(Seq("s", "sub")))
+        .transform(graft.CachePool.persist) // seeds + one scan per pass
+      var cb = subs.filter(col("vec_id") % stride === 0)
+        .select(col("s"), col("vec_id").as("plabel"), col("sub").as("cw"))
+      for (_ <- 1 to PQ_TRAIN_ITERS) {
+        val w = Window.partitionBy("vec_id", "s")
+          .orderBy(col("dist"), col("plabel"))
+        val assigned = subs.join(broadcast(cb), "s")
+          .withColumn("dist", GraftFunctions.l2DistSq(col("sub"), col("cw")))
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") === 1)
+          .select(col("s"), col("plabel"), col("sub"))
+        // decimal-exact sums ÷ double count — same portability bound as
+        // centroidSeq's scale-10 comment (values ≤ ~10, rows/codeword
+        // ≪ 2^43 at every test SF)
+        val means = assigned
+          .select(col("s"), col("plabel"),
+            posexplode(col("sub")).as(Seq("dim", "val")))
+          .groupBy("s", "plabel", "dim")
+          .agg((sum(col("val").cast("decimal(38,10)")).cast("double") /
+            count(lit(1)).cast("double")).as("mval"))
+          .collect()
+        val rebuilt = means.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+          .map { case ((sid, pl), rows) =>
+            (sid, pl, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+        cb = rebuilt.toDF("s", "plabel", "cw")
+      }
+      cb.as[(Int, Long, Seq[Double])].collect().toSeq
+    })
+
+  private def pqTrainedDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqTrainedSeq(s, d).toDF("s", "plabel", "cw")
   }
 
   private def centroidSeq(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
@@ -605,6 +694,34 @@ object Similarity {
           col("n_codewords"), col("mse_pq"))
     }),
 
+    // The sizing study's sequel: per-subspace reconstruction MSE with
+    // the TRAINED k ≤ 256 Lloyd codebooks — the tier ann_ivfadc_topk
+    // actually ships — next to ann_pq_error's 10-codeword label
+    // baseline. Same 8-byte code budget, same grid-quantized error
+    // mean; the delta between the two reports is the measured value of
+    // real codebook training on this corpus. Corpus-only on both axes
+    // (codebooks are trained on the corpus; queries are workload).
+    "ann_pq_trained_error" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val Q = 1073741824.0 // 2^30
+      val codebook = pqTrainedDf(s, d)
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
+      val subs = corpusDf(s, d).select(col("vec_id"), posexplode(array(
+        (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
+        .as(Seq("s", "sub")))
+      subs.join(broadcast(codebook), "s")
+        .select(col("vec_id"), col("s"), l2(col("sub"), col("cw")).as("dist"))
+        .groupBy("vec_id", "s").agg(min("dist").as("dist"))
+        .groupBy("s")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(floor(col("dist") * Q + 0.5)).cast("double") / Q /
+            count(lit(1)).cast("double")).as("mse_trained"))
+        .join(broadcast(
+          codebook.groupBy("s").agg(count(lit(1)).as("n_codewords"))), "s")
+        .select(col("s").as("subspace"), col("n_vectors"),
+          col("n_codewords"), col("mse_trained"))
+    }),
+
     // IVFADC — the full FAISS-style index search: IVF coarse cells
     // restrict WHICH vectors are scored (the ann_ivf_topk probe set),
     // and PQ codes replace the full-precision vectors in the scoring
@@ -624,14 +741,17 @@ object Similarity {
       // native codegen kernel; bitwise-identical to the HOF fold and
       // the oracle's list_reduce (same adds, same order)
       def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
-      // PQ-encode the corpus: nearest codeword per (vector, subspace)
+      // PQ-encode the corpus: nearest TRAINED codeword per (vector,
+      // subspace) — the k ≤ 256 Lloyd codebooks, not the 10-codeword
+      // label baseline (round 10 measured that baseline at recall
+      // 0.68/0.76/0.52; same 8-byte budget, real codebooks close it)
       val wCode = Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist"), col("label"))
+        .orderBy(col("dist"), col("plabel"))
       val recon = corpusDf(s, d)
         .select(col("vec_id"), posexplode(array(
           (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
           .as(Seq("s", "sub")))
-        .join(broadcast(pqCodebookDf(s, d)), "s")
+        .join(broadcast(pqTrainedDf(s, d)), "s")
         .withColumn("dist", l2(col("sub"), col("cw")))
         .withColumn("crn", row_number().over(wCode))
         .filter(col("crn") === 1)
@@ -659,7 +779,7 @@ object Similarity {
       // ADC shortlist: approximate scores rank ADC_SHORTLIST candidates
       // per query — only THESE fetch their full-precision vectors for
       // the re-rank (the FAISS refine stage). At 100 TB the ADC pass
-      // touches 4-byte codes; the expensive 256-byte rows are read for
+      // touches 8-byte codes; the expensive 256-byte rows are read for
       // ADC_SHORTLIST·|queries| candidates, not the probed cells.
       val wShort = Window.partitionBy("q_id")
         .orderBy(col("adc").desc, col("vec_id"))
@@ -676,7 +796,7 @@ object Similarity {
     }),
 
     // Measured recall of the IVFADC tier against the brute-force
-    // full-precision ground truth — what the 4-byte codes COST on this
+    // full-precision ground truth — what the 8-byte codes COST on this
     // data, next to ann_ivf_recall's cells-only number. The honest
     // index-sizing pair: probe budget buys back IVF loss, codebook
     // size buys back ADC loss; both are measured, not assumed.
@@ -902,9 +1022,46 @@ object Similarity {
          |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
+  /** The oracle's trained-PQ-codebook chain — the IDENTICAL Lloyd
+    * passes as [[pqTrainedSeq]], unrolled like [[centsSqlChain]]:
+    * stride-sampled seeds, fixed-order L2 argmin assignment (ties to
+    * the smallest codeword id), decimal-exact recentre. Requires the
+    * `corpus` CTE; exports `pss`, `vsub`, and `pqcb` (s, plabel, cw).
+    */
+  private lazy val pqTrainSqlChain: String = {
+    val l2sub = s"""list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
+       |          i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)""".stripMargin
+    val sb = new StringBuilder(
+      s"""pss AS (SELECT CAST(unnest(generate_series(0, ${PQ_M - 1})) AS INT) AS s),
+         |vsub AS (SELECT vec_id, s, e[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
+         |  FROM corpus CROSS JOIN pss),
+         |pqcb_0 AS (SELECT s, vec_id AS plabel, sub AS cw FROM vsub
+         |  WHERE vec_id % (SELECT greatest(1,
+         |      CAST(ceil(COUNT(*) / $PQ_K.0) AS BIGINT)) FROM corpus) = 0)""".stripMargin)
+    for (i <- 1 to PQ_TRAIN_ITERS) {
+      sb.append(s""",
+         |pqassign_$i AS (SELECT s, plabel, sub FROM (
+         |    SELECT vsub.s AS s, cb.plabel, vsub.sub,
+         |      row_number() OVER (PARTITION BY vsub.vec_id, vsub.s
+         |        ORDER BY $l2sub, cb.plabel) AS arn
+         |    FROM vsub JOIN pqcb_${i - 1} cb ON vsub.s = cb.s) t WHERE arn = 1),
+         |pqmeans_$i AS (SELECT s, plabel, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT s, plabel, generate_subscripts(sub, 1) AS dim,
+         |        unnest(sub) AS val FROM pqassign_$i) u
+         |  GROUP BY s, plabel, dim),
+         |pqcb_$i AS (SELECT s, plabel, array_agg(mval ORDER BY dim) AS cw
+         |  FROM pqmeans_$i GROUP BY s, plabel)""".stripMargin)
+    }
+    sb.append(s""",
+       |pqcb AS (SELECT s, plabel, cw FROM pqcb_$PQ_TRAIN_ITERS)""".stripMargin)
+    sb.toString
+  }
+
   /** IVFADC oracle chain: the identical refined coarse centroids and
-    * PQ codebooks, the identical argmin encode (row_number over the
-    * fixed-order L2 fold), reconstruction reassembled in subspace
+    * TRAINED PQ codebooks, the identical argmin encode (row_number over
+    * the fixed-order L2 fold), reconstruction reassembled in subspace
     * order, then the ann_ivf_topk probe/assign shapes scored against
     * the reconstruction.
     */
@@ -912,27 +1069,14 @@ object Similarity {
     s"""$baseSql,
        |$centsSqlChain,
        |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
-       |pqm AS (SELECT label, dim,
-       |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
-       |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
-       |  FROM (SELECT label, generate_subscripts(e2, 1) AS dim, unnest(e2) AS val
-       |        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e2
-       |              FROM embeddings) z) u
-       |  GROUP BY label, dim),
-       |pqcents AS (SELECT label, array_agg(mval ORDER BY dim) AS pce
-       |  FROM pqm GROUP BY label),
-       |pss AS (SELECT CAST(unnest(generate_series(0, ${PQ_M - 1})) AS INT) AS s),
-       |cb AS (SELECT s, label, pce[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS cw
-       |  FROM pqcents CROSS JOIN pss),
-       |vsub AS (SELECT vec_id, s, e[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
-       |  FROM corpus CROSS JOIN pss),
+       |$pqTrainSqlChain,
        |code AS (SELECT vec_id, s, cw FROM (
-       |    SELECT vsub.vec_id, vsub.s, cb.cw, cb.label,
+       |    SELECT vsub.vec_id, vsub.s, cb.cw, cb.plabel,
        |      row_number() OVER (PARTITION BY vsub.vec_id, vsub.s
        |        ORDER BY list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
        |          i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y),
-       |          cb.label) AS crn
-       |    FROM vsub JOIN cb ON vsub.s = cb.s) t
+       |          cb.plabel) AS crn
+       |    FROM vsub JOIN pqcb cb ON vsub.s = cb.s) t
        |  WHERE crn = 1),
        |recon AS (SELECT vec_id, flatten(array_agg(cw ORDER BY s)) AS recon
        |  FROM code GROUP BY vec_id),
@@ -1094,6 +1238,24 @@ object Similarity {
          |  FROM best GROUP BY s),
          |nc AS (SELECT s, COUNT(*) AS n_codewords FROM cb GROUP BY s)
          |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_pq
+         |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
+    "ann_pq_trained_error" ->
+      s"""$baseSql,
+         |$pqTrainSqlChain,
+         |cand AS (SELECT vsub.vec_id, vsub.s,
+         |    list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
+         |      i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)
+         |      AS dist
+         |  FROM vsub JOIN pqcb cb ON vsub.s = cb.s),
+         |best AS (SELECT vec_id, s, MIN(dist) AS dist FROM cand
+         |  GROUP BY vec_id, s),
+         |agg AS (SELECT s, COUNT(*) AS n_vectors,
+         |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE)
+         |      AS mse_trained
+         |  FROM best GROUP BY s),
+         |nc AS (SELECT s, COUNT(*) AS n_codewords FROM pqcb GROUP BY s)
+         |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_trained
          |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
     "ann_knn_classify" ->
       s"""WITH topk AS ($annBruteSql),
