@@ -41,7 +41,20 @@ case class CdcEvent(
     before: Map[String, String], // pre-image (update/delete); empty otherwise
     after: Map[String, String],  // post-image (snapshot/insert/update); empty for delete
     txnId: Long,           // reference logs Begin/Commit Xid but drops it (replicator.go:323-331)
-    columns: Seq[ColumnMeta] // snapshot-op column catalog (replicator.go:138-145); null for stream events
+    columns: Seq[ColumnMeta], // snapshot-op column catalog (replicator.go:138-145); null for stream events
+    /** TOAST `'u'` sentinel done right (SURVEY §7.5.5): the names of
+      * `after` columns whose values Postgres did NOT re-ship because an
+      * UPDATE left the TOASTed value unchanged. The reference stores
+      * the literal string `"(unchanged)"` AS the value
+      * (replicator.go:349-350) — downstream state then holds that
+      * string as data. Here the column stays in `after` with a NULL
+      * value and its name listed in this field, so a consumer can
+      * distinguish "SET NULL" (null, not listed) from "unchanged, carry
+      * the prior value forward" (null + listed). Null/empty for every
+      * op except update; [[graft.pipeline.ChangeLog.latestStateCarryForward]]
+      * consumes it.
+      */
+    unchangedCols: Seq[String] = null
 )
 
 object CdcEvent {
@@ -67,7 +80,9 @@ object CdcEvent {
     StructField("before", MapType(StringType, StringType), nullable = true),
     StructField("after", MapType(StringType, StringType), nullable = true),
     StructField("txnId", LongType, nullable = false),
-    StructField("columns", columnsType, nullable = true)
+    StructField("columns", columnsType, nullable = true),
+    StructField("unchangedCols", ArrayType(StringType, containsNull = false),
+      nullable = true)
   ))
 
   /** The users-table catalog a snapshot of the test corpus carries.

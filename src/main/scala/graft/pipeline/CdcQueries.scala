@@ -48,6 +48,23 @@ object CdcQueries {
         col("event_type") === "error")
     }),
 
+    // SURVEY §7.5.5: TOAST `'u'` markers resolved by the carry-forward
+    // merge — latest state where an update's unchanged columns keep the
+    // key's PRIOR value instead of being overwritten with the marker
+    // (the reference ships the string "(unchanged)" as data instead,
+    // replicator.go:349-350). Markers synthesized deterministically on
+    // the corpus (Envelope.toCdcEventsToast); state reprojected to
+    // typed columns — value's double→string→double round trip is exact
+    // (Java shortest-repr toString), so cells compare bitwise.
+    "cdc_toast_latest_state" -> ((s, d) => {
+      val env = Envelope.toCdcEventsToast(Tables.events(s, d)).toDF()
+      ChangeLog.latestStateCarryForward(env)
+        .select(col("key"), col("state_lsn"),
+          col("state")("user_id").cast("long").as("user_id"),
+          col("state")("value").cast("double").as("value"),
+          col("state")("k").cast("long").as("k"))
+    }),
+
     // D6-D11: envelope normalization — op mapping, key construction,
     // JSON payload projection (D9/D10 analog via get_json_object).
     "cdc_envelope" -> ((s, d) => {
@@ -547,6 +564,33 @@ object CdcQueries {
     "cdc_latest_state" -> latestSql,
     "cdc_latest_state_delete" ->
       s"SELECT * FROM ($latestSql) u WHERE event_type <> 'error'",
+    // Carry-forward semantics per COLUMN: the latest live event where
+    // that column was not flagged unchanged (update ∧ lsn%3=0 flags k,
+    // update ∧ lsn%5=0 flags value — the synthesis rule in
+    // Envelope.toCdcEventsToast); deletes fence earlier state.
+    "cdc_toast_latest_state" ->
+      s"""WITH e AS (SELECT event_id, user_id, value, $opSql AS op,
+         |    json_extract_string(props, '$$.k') AS k
+         |  FROM events),
+         |dels AS (SELECT user_id, MAX(event_id) AS del_lsn FROM e
+         |  WHERE op = 'delete' GROUP BY 1),
+         |live AS (SELECT e.* FROM e LEFT JOIN dels USING (user_id)
+         |  WHERE op <> 'delete' AND (del_lsn IS NULL OR event_id > del_lsn)),
+         |mx AS (SELECT user_id, MAX(event_id) AS state_lsn FROM live GROUP BY 1),
+         |lv AS (SELECT user_id, value FROM (
+         |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM live WHERE NOT (op = 'update' AND event_id % 5 = 0)) t
+         |  WHERE rn = 1),
+         |lk AS (SELECT user_id, k FROM (
+         |    SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM live WHERE NOT (op = 'update' AND event_id % 3 = 0)) t
+         |  WHERE rn = 1)
+         |SELECT 'public.users:' || CAST(mx.user_id AS VARCHAR) AS key,
+         |  state_lsn, mx.user_id AS user_id, lv.value AS value,
+         |  CAST(lk.k AS BIGINT) AS k
+         |FROM mx LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)""".stripMargin,
     "cdc_envelope" ->
       s"""SELECT $opSql AS op, event_id AS lsn, ts,
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,

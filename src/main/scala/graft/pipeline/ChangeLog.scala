@@ -25,6 +25,51 @@ object ChangeLog {
   def latestState(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
     graft.plans.TopK.perKey(df, keyCols, Seq((versionCol, false)), 1)
 
+  /** Latest state with TOAST carry-forward (SURVEY §7.5.5): the merge
+    * [[graft.model.CdcEvent.unchangedCols]] exists for. An update that
+    * lists a column there did NOT re-ship that column's (TOASTed)
+    * value — the materialized state must carry the key's PRIOR value
+    * forward, which plain last-event-wins ([[latestState]]) cannot do:
+    * it would overwrite the state with the marker's null (or, in the
+    * reference, with the literal string `"(unchanged)"`,
+    * replicator.go:349-350).
+    *
+    * Distributed formulation — per-COLUMN argmax, not a per-key ordered
+    * fold (a key's whole history never meets in one task):
+    *   1. tombstone fence: max delete LSN per key; only events after it
+    *      are live (a delete wipes state, a later insert restarts it);
+    *   2. explode each live after-image to (key, column, lsn, value)
+    *      and DROP the entries the event flagged unchanged — absence is
+    *      what makes the older value win;
+    *   3. latest entry per (key, column) via the TopK heap (k=1, no
+    *      sort), then reassemble the state map.
+    * Cost: one O(columns) map-side expansion + the same keyed shuffles
+    * latestState needs; no state, no iteration, scales as exchanges.
+    * Output: (key, state_lsn, state map); keys whose latest event is
+    * the delete fence disappear, like [[latestStateWithTombstones]].
+    */
+  def latestStateCarryForward(env: DataFrame): DataFrame = {
+    val dels = env.filter(col("op") === "delete")
+      .groupBy("key").agg(max("lsn").as("del_lsn"))
+    val live = env.filter(col("op").isin("insert", "update", "snapshot"))
+      .join(dels, Seq("key"), "left")
+      .filter(col("del_lsn").isNull || col("lsn") > col("del_lsn"))
+    val entries = live
+      .select(col("key"), col("lsn"), col("unchangedCols"),
+        explode(col("after")).as(Seq("c", "v")))
+      .filter(!array_contains(
+        coalesce(col("unchangedCols"), array().cast("array<string>")),
+        col("c")))
+      .select("key", "c", "lsn", "v")
+    val latestPerCol =
+      graft.plans.TopK.perKey(entries, Seq("key", "c"), Seq(("lsn", false)), 1)
+    val stateLsn = live.groupBy("key").agg(max("lsn").as("state_lsn"))
+    val state = latestPerCol.groupBy("key")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("c"), col("v"))))).as("state"))
+    stateLsn.join(state, Seq("key"), "left")
+  }
+
   /** Latest state with delete tombstones: a key whose LATEST op is a
     * delete disappears from the materialized view (reference stubs
     * DELETE at replicator.go:398-407 and never emits it; SURVEY.md §2.6

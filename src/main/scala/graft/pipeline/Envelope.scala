@@ -42,7 +42,8 @@ object Envelope {
     * only per-builder degrees of freedom. `after` empties on delete for
     * every builder (op="snapshot" never matches).
     */
-  private def envelopeColumns(before: Column, columnsMeta: Column): Seq[Column] = Seq(
+  private def envelopeColumns(before: Column, columnsMeta: Column,
+      unchangedCols: Column = lit(null).cast("array<string>")): Seq[Column] = Seq(
     col("op"),
     lit("public").as("schemaName"),
     lit("users").as("tableName"),
@@ -52,7 +53,8 @@ object Envelope {
     before.as("before"),
     when(col("op") === "delete", emptyMap).otherwise(col("after_img")).as("after"),
     (col("event_id") / 100).cast("long").as("txnId"),
-    columnsMeta.as("columns"))
+    columnsMeta.as("columns"),
+    unchangedCols.as("unchangedCols"))
 
   /** Stream events carry no catalog — the reference only captures
     * FieldDescriptions during the snapshot SELECT (replicator.go:114-126);
@@ -119,6 +121,43 @@ object Envelope {
       .withColumn("op", opCol)
       .withColumn("after_img", afterImage)
       .select(envelopeColumns(before = emptyMap, columnsMeta = noCatalog): _*)
+      .as[CdcEvent]
+  }
+
+  /** Envelope with synthesized TOAST `'u'` markers (SURVEY §7.5.5) —
+    * the test corpus has no TOAST-able columns, so the pgoutput
+    * behavior is modeled deterministically on top of it: an UPDATE
+    * whose `event_id % 3 == 0` ships `k` as unchanged, and one whose
+    * `event_id % 5 == 0` ships `value` as unchanged (both at
+    * `% 15 == 0`; LSNs are non-negative so `%` agrees across engines).
+    * A marked column stays in `after` with a NULL value and its name in
+    * `unchangedCols` — the null-plus-flag modeling the survey promises,
+    * instead of the reference's `"(unchanged)"` string-as-data
+    * (replicator.go:349-350). [[graft.pipeline.ChangeLog.latestStateCarryForward]]
+    * resolves the markers; inserts and deletes never mark (pgoutput
+    * only emits `'u'` on UPDATE new-tuples).
+    */
+  def toCdcEventsToast(events: DataFrame): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kUnch = col("op") === "update" && col("event_id") % 3 === 0
+    val vUnch = col("op") === "update" && col("event_id") % 5 === 0
+    val emptyArr = array().cast("array<string>")
+    events
+      .withColumn("op", opCol)
+      .withColumn("after_img", map(
+        lit("user_id"), col("user_id").cast("string"),
+        lit("value"), when(vUnch, lit(null).cast("string"))
+          .otherwise(col("value").cast("string")),
+        lit("k"), when(kUnch, lit(null).cast("string"))
+          .otherwise(get_json_object(col("props"), "$.k"))))
+      .withColumn("unch",
+        when(col("op") === "update", concat(
+          when(kUnch, array(lit("k"))).otherwise(emptyArr),
+          when(vUnch, array(lit("value"))).otherwise(emptyArr)))
+          .otherwise(lit(null).cast("array<string>")))
+      .select(envelopeColumns(before = emptyMap, columnsMeta = noCatalog,
+        unchangedCols = col("unch")): _*)
       .as[CdcEvent]
   }
 

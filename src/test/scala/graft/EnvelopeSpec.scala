@@ -116,7 +116,9 @@ class EnvelopeSpec extends AnyFunSuite {
       CdcEvent(op, "public", s"t$i", rnd.nextLong().abs.max(1L),
         new java.sql.Timestamp(1700000000000L + rnd.nextInt(1 << 30)),
         s"public.t$i:${rnd.nextInt(100)}", m(), m(), rnd.nextLong(),
-        if (op == "snapshot") Seq(ColumnMeta("v", 25, -1, 0)) else null)
+        if (op == "snapshot") Seq(ColumnMeta("v", 25, -1, 0)) else null,
+        // TOAST markers must survive the wire byte-for-byte too
+        if (op == "update" && rnd.nextBoolean()) Seq("v", s"k$i") else null)
     }
     val src = spark.createDataset(events)
     val back = Envelope.fromKafkaMessages(Envelope.toKafkaMessages(src))
@@ -129,6 +131,8 @@ class EnvelopeSpec extends AnyFunSuite {
       assert(b.before === o.before && b.after === o.after, s"map drift: $b vs $o")
       assert((b.columns == null) === (o.columns == null))
       if (o.columns != null) assert(b.columns === o.columns)
+      assert((b.unchangedCols == null) === (o.unchangedCols == null))
+      if (o.unchangedCols != null) assert(b.unchangedCols === o.unchangedCols)
     }
   }
 
