@@ -1003,4 +1003,88 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterReplay === afterTwo, "replay must not change materialized state")
     } finally q.stop()
   }
+
+  test("multi-table topology: one stream + one checkpoint fans out to N bucketed stores == batch") {
+    // The reference's actual deployment shape: ONE replication topic,
+    // the consumer demuxing every message to a per-table ES index named
+    // from its (schema, table) (es_consumer/main.go:66-75). Here: one
+    // file-stream changelog and one checkpoint; each microbatch routes
+    // per table and upserts each slice into that table's OWN bucketed
+    // store. The query restarts mid-stream (new query object, same
+    // checkpoint). Every table's materialized state must equal batch
+    // latest-state over the full log, and no store may hold a foreign
+    // table's keys.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, split}
+    import graft.pipeline.Envelope
+    val base = java.nio.file.Files.createTempDirectory("graft_multitable").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the routing rule the publication side would implement: 3 logical
+    // tables sharing one topic, key rewritten to the routed identity
+    // ("schema.table:pk", replicator.go:374-379)
+    def routed(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val env = Envelope.toCdcEventsStreaming(events).toDF()
+      val uid = split(col("key"), ":").getItem(1).cast("long")
+      env.withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
+        .withColumn("key", concat(lit("public."), col("tableName"), lit(":"), uid))
+    }
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val env = routed(batch).persist()
+          try {
+            // the consumer's per-index write loop, batched: O(tables
+            // present in the batch) driver-side names, never row data
+            val tables = env.select("schemaName", "tableName").distinct()
+              .collect().map(r => (r.getString(0), r.getString(1))).sorted
+            tables.foreach { case (s0, t) =>
+              ChangeLogStream.upsertBatch(s"$base/state/${s0}.$t",
+                Seq("key"), "lsn", numBuckets = 4)(
+                env.filter(col("schemaName") === s0 && col("tableName") === t), id)
+            }
+          } finally { env.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val rnd = new scala.util.Random(0xF00D)
+    def mkRows(ids: Range): Seq[org.apache.spark.sql.Row] = ids.map { i =>
+      val typ = rnd.nextInt(4) match {
+        case 0 => "signup" case 1 => "error" case _ => "click"
+      }
+      org.apache.spark.sql.Row(i.toLong, ts(i), (rnd.nextInt(12) + 1).toLong,
+        typ, rnd.nextInt(50).toDouble, """{"k":"7"}""")
+    }
+    val first = mkRows(1 to 25)
+    val second = mkRows(26 to 50)
+    writeFiles(first); run()       // session 1
+    writeFiles(second); run()      // RESTART: new query, same checkpoint
+    // batch reference: same routing over the full log, latest per key
+    val fullLog = spark.createDataFrame(
+      spark.sparkContext.parallelize(first ++ second), schema)
+    val batchLatest = graft.pipeline.ChangeLog
+      .latestState(routed(fullLog), Seq("key"), "lsn")
+      .select($"tableName", $"key", $"lsn", $"op")
+      .as[(String, String, Long, String)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    assert(batchLatest.keySet === Set("t0", "t1", "t2"),
+      "corpus must populate all three routed tables")
+    for (t <- Seq("t0", "t1", "t2")) {
+      val store = spark.read.parquet(s"$base/state/public.$t")
+        .select($"key", $"lsn", $"op").as[(String, Long, String)].collect().toSet
+      assert(store === batchLatest(t), s"table $t: store drifted from batch")
+      assert(store.forall(_._1.startsWith(s"public.$t:")),
+        s"table $t: foreign keys leaked into the store")
+    }
+  }
 }
