@@ -722,6 +722,76 @@ object Similarity {
           col("n_codewords"), col("mse_trained"))
     }),
 
+    // OPQ-style rotation study — the sizing study's sequel the r10
+    // IVFADC measurement asked for: does an orthogonal pre-rotation
+    // lower PQ reconstruction error at the same 8-byte budget? The
+    // rotation is the 64-point Walsh–Hadamard transform, entries
+    // ±1/8 = ±1/√64 — a REAL orthogonal matrix (H·Hᵀ = I), and
+    // deterministic where OPQ's learned rotation or a seeded random
+    // Gram–Schmidt basis would be seed-dependent and not
+    // oracle-expressible: h[i][j] = (-1)^popcount(i AND j) / 8. Each
+    // rotated coordinate folds in fixed index order (aggregate HOF ↔
+    // the oracle's list_reduce — same adds, same order, so both
+    // engines produce identical doubles). Codebooks are the
+    // label-centroid baseline REBUILT in rotated space (grid means do
+    // not commute with the rotation through the 2^30 re-quantization,
+    // so both engines re-derive them from rotated values); mse_pq is
+    // ann_pq_error's unrotated pipeline on the shared scan, so
+    // rotation_gain is directly the measured value of the rotation.
+    // On this near-isotropic corpus the honest expectation is ≈ 0 —
+    // OPQ wins by equalizing per-subspace variance, which uniform
+    // data already has; the report MEASURES that instead of assuming
+    // it (Ge et al., "Optimized Product Quantization", CVPR 2013 —
+    // rotation gains concentrate on anisotropic data). At 100 TB: the
+    // rotation is a per-row map (O(d log d) as a fast WHT kernel; d²
+    // here via the HOF), codebooks stay O(M·labels) broadcasts, and
+    // no shuffle appears beyond the four grid-mean aggregations.
+    "ann_opq_rotation" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val Q = 1073741824.0 // 2^30
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
+      val rot = expr(
+        s"""transform(sequence(0, ${DIM - 1}), i ->
+           |  aggregate(zip_with(e, sequence(0, ${DIM - 1}), (x, j) ->
+           |      CASE WHEN bit_count(i & j) % 2 = 0 THEN x ELSE -x END),
+           |    CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+           |  / CAST(8 AS DOUBLE))""".stripMargin)
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          VectorOps.asDouble(col("embedding")).as("e"))
+        .withColumn("er", rot)
+        .transform(graft.CachePool.persist)
+      // label-centroid codebook in the given space: integer-grid means
+      // per (label, dim), reassembled in dim order, sliced per subspace
+      def codebook(vec: String): DataFrame = base
+        .select(col("label"), posexplode(col(vec)).as(Seq("dim", "val")))
+        .groupBy("label", "dim")
+        .agg((sum(floor(col("val") * Q + 0.5)).cast("double") / Q /
+          count(lit(1)).cast("double")).as("mval"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mval")))).as("ps"))
+        .select(col("label"), expr("transform(ps, p -> p.mval)").as("c"))
+        .select(col("label"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col("c"), i * PQ_SUB + 1, PQ_SUB)): _*))
+          .as(Seq("s", "cw")))
+      def mse(vec: String, out: String): DataFrame = {
+        val subs = base.select(col("vec_id"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col(vec), i * PQ_SUB + 1, PQ_SUB)): _*))
+          .as(Seq("s", "sub")))
+        subs.join(broadcast(codebook(vec)), "s")
+          .select(col("vec_id"), col("s"), l2(col("sub"), col("cw")).as("dist"))
+          .groupBy("vec_id", "s").agg(min("dist").as("dist"))
+          .groupBy("s")
+          .agg(count(lit(1)).as("n_vectors"),
+            (sum(floor(col("dist") * Q + 0.5)).cast("double") / Q /
+              count(lit(1)).cast("double")).as(out))
+      }
+      mse("e", "mse_pq").join(mse("er", "mse_rotated").drop("n_vectors"), "s")
+        .select(col("s").as("subspace"), col("n_vectors"),
+          col("mse_pq"), col("mse_rotated"),
+          (col("mse_pq") - col("mse_rotated")).as("rotation_gain"))
+    }),
+
     // IVFADC — the full FAISS-style index search: IVF coarse cells
     // restrict WHICH vectors are scored (the ann_ivf_topk probe set),
     // and PQ codes replace the full-precision vectors in the scoring
@@ -1257,6 +1327,64 @@ object Similarity {
          |nc AS (SELECT s, COUNT(*) AS n_codewords FROM pqcb GROUP BY s)
          |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_trained
          |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
+    // Walsh–Hadamard rotation mirrored term-for-term: list_reduce is
+    // the same left-associative fold as Spark's aggregate (the extra
+    // 0.0 seed on the Spark side is IEEE-neutral), bit_count(i & j)
+    // parity selects the same ±1 entries, and both sides re-derive
+    // codebooks from rotated values through the same 2^30 grid.
+    "ann_opq_rotation" ->
+      s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |rot AS (SELECT vec_id, label,
+         |    list_transform(range(0, $DIM), i -> list_reduce(
+         |      list_transform(range(0, $DIM), j ->
+         |        CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT)) % 2 = 0
+         |             THEN e[CAST(j AS INT) + 1]
+         |             ELSE -e[CAST(j AS INT) + 1] END),
+         |      (x, y) -> x + y) / CAST(8 AS DOUBLE)) AS er
+         |  FROM ev),
+         |ss AS (SELECT CAST(unnest(generate_series(0, ${PQ_M - 1})) AS INT) AS s),
+         |m0 AS (SELECT label, dim,
+         |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+         |        FROM ev) u GROUP BY label, dim),
+         |c0 AS (SELECT label, array_agg(mval ORDER BY dim) AS c FROM m0 GROUP BY label),
+         |mr AS (SELECT label, dim,
+         |    CAST(SUM(CAST(FLOOR(val * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT label, generate_subscripts(er, 1) AS dim, unnest(er) AS val
+         |        FROM rot) u GROUP BY label, dim),
+         |cr AS (SELECT label, array_agg(mval ORDER BY dim) AS c FROM mr GROUP BY label),
+         |cb0 AS (SELECT s, label, c[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS cw
+         |  FROM c0 CROSS JOIN ss),
+         |cbr AS (SELECT s, label, c[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS cw
+         |  FROM cr CROSS JOIN ss),
+         |vs0 AS (SELECT vec_id, s, e[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
+         |  FROM ev CROSS JOIN ss),
+         |vsr AS (SELECT vec_id, s, er[s * $PQ_SUB + 1 : s * $PQ_SUB + $PQ_SUB] AS sub
+         |  FROM rot CROSS JOIN ss),
+         |b0 AS (SELECT vec_id, vs0.s, MIN(list_reduce(
+         |      list_transform(range(1, ${PQ_SUB + 1}),
+         |        i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y))
+         |      AS dist
+         |  FROM vs0 JOIN cb0 ON vs0.s = cb0.s GROUP BY vec_id, vs0.s),
+         |br AS (SELECT vec_id, vsr.s, MIN(list_reduce(
+         |      list_transform(range(1, ${PQ_SUB + 1}),
+         |        i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y))
+         |      AS dist
+         |  FROM vsr JOIN cbr ON vsr.s = cbr.s GROUP BY vec_id, vsr.s),
+         |a0 AS (SELECT s, COUNT(*) AS n_vectors,
+         |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mse_pq
+         |  FROM b0 GROUP BY s),
+         |ar AS (SELECT s,
+         |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mse_rotated
+         |  FROM br GROUP BY s)
+         |SELECT a0.s AS subspace, n_vectors, mse_pq, mse_rotated,
+         |  mse_pq - mse_rotated AS rotation_gain
+         |FROM a0 JOIN ar ON a0.s = ar.s""".stripMargin,
     "ann_knn_classify" ->
       s"""WITH topk AS ($annBruteSql),
          |votes AS (SELECT q_id, label, COUNT(*) AS n_votes
