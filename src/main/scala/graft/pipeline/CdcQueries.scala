@@ -215,6 +215,49 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changes"), dsum("delta").as("net_sum"))
     }),
 
+    // Incremental COUNT DISTINCT with RETRACTIONS — the IVM case the
+    // delta-sum pair cannot express: a key UPDATE moves a user between
+    // k-groups, so the maintained "distinct users per k-group" view
+    // needs -1 on the old group and +1 on the new one, which only the
+    // before-image makes computable (the algebra of Gupta/Mumick-style
+    // counting maintenance: refcount per (group, value), view = groups'
+    // positive-count census). The corpus op mapping is not
+    // protocol-consistent (live keys re-"insert"), so ops are first
+    // NORMALIZED per key history — first-or-post-delete event = insert,
+    // delete stays, rest = update — exactly the consistency a real
+    // pgoutput log has by construction; the lag window that does it
+    // here is the per-key shuffle a streaming consumer gets for free
+    // from the wire's before-images. The ORACLE is the full recompute
+    // over final latest-state, so the driver's hash match IS the proof
+    // the signed deltas telescope losslessly. At 100 TB: one key-
+    // partitioned window + one hash agg on (group, user) — the view
+    // refresh never rescans history.
+    "cdc_incremental_distinct" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val hist = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), opCol.as("op"),
+          get_json_object(col("props"), "$.k").as("k"))
+        .withColumn("prev", lag(struct(col("op"), col("k")), 1).over(w))
+        .withColumn("nop",
+          when(col("op") === "delete", "delete")
+            .when(col("prev").isNull || col("prev.op") === "delete", "insert")
+            .otherwise("update"))
+      // retraction fires only when a LIVE predecessor asserted a group;
+      // assertion only when this event leaves the key live
+      val deltas = hist.select(col("user_id"), explode(array(
+          struct(when(col("nop") =!= "insert" && col("prev.op") =!= "delete",
+            col("prev.k")).as("g"), lit(-1L).as("dc")),
+          struct(when(col("nop") =!= "delete", col("k")).as("g"),
+            lit(1L).as("dc")))).as("delta"))
+        .select(col("user_id"), col("delta.g").as("g"), col("delta.dc").as("dc"))
+        .filter(col("g").isNotNull)
+      deltas.groupBy("g", "user_id").agg(sum("dc").as("rc"))
+        .filter(col("rc") > 0)
+        .groupBy("g").agg(count(lit(1)).as("n_users"))
+        .select(col("g").as("k_group"), col("n_users"))
+    }),
+
     // §2.6 TRUNCATE done right: the reference only logs truncate
     // messages (replicator.go:409-411). Semantics: a truncate at LSN F
     // clears ALL state; keys exist afterwards only if re-created by
@@ -272,6 +315,26 @@ object CdcQueries {
           count(lit(1)).as("n_total"))
         .withColumn("delete_share",
           col("n_delete").cast("double") / col("n_total").cast("double"))
+    }),
+
+    // §2.6 BEGIN/COMMIT done right: the reference LOGS Begin/Commit
+    // Xids and then drops them (replicator.go:323-331) — no consumer
+    // can ever reassemble a transaction. This is the Debezium
+    // "transaction metadata" surface: one row per txn with its op
+    // census, key fan-out, and LSN span, built from the SAME txnId the
+    // envelope carries (Envelope.scala — every consumer sees the same
+    // assignment). At 100 TB: one hash aggregation keyed on txn_id
+    // with map-side partials; output is O(transactions), and no join
+    // or window touches the event log a second time.
+    "cdc_txn_assembly" -> ((s, d) => {
+      val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+      env.groupBy(col("txnId").as("txn_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          countDistinct(col("key")).as("n_keys"),
+          min("lsn").as("first_lsn"), max("lsn").as("last_lsn"),
+          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("op") === "update", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_delete"))
     }),
 
     // Snapshot differencing — QUERY-BASED CDC, the fallback every CDC
@@ -482,6 +545,32 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS delete_share
          |FROM events GROUP BY 1""".stripMargin,
+    // txn_id = event_id // 100, the envelope's own derivation
+    // (Envelope.scala txnId); event_ids are non-negative so Spark's
+    // truncating cast and DuckDB's flooring // agree.
+    "cdc_txn_assembly" ->
+      s"""SELECT event_id // 100 AS txn_id, COUNT(*) AS n_ops,
+         |  COUNT(DISTINCT user_id) AS n_keys,
+         |  MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn,
+         |  CAST(SUM(CASE WHEN $opSql = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_insert,
+         |  CAST(SUM(CASE WHEN $opSql = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_update,
+         |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delete
+         |FROM events GROUP BY 1""".stripMargin,
+    // Deliberately the FULL recompute over final latest-state — the
+    // refcount delta fold matching it is the lossless-maintenance proof.
+    "cdc_incremental_distinct" ->
+      s"""WITH latest AS (SELECT user_id, k, op FROM (
+         |    SELECT user_id, json_extract_string(props, '$$.k') AS k,
+         |      $opSql AS op,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY event_id DESC) AS rn
+         |    FROM events) t WHERE rn = 1)
+         |SELECT k AS k_group, COUNT(DISTINCT user_id) AS n_users
+         |FROM latest WHERE op <> 'delete' AND k IS NOT NULL
+         |GROUP BY 1""".stripMargin,
     "cdc_low_watermark" ->
       """WITH pos AS (SELECT event_type AS consumer,
         |    MAX(event_id) AS acked_lsn, COUNT(*) AS n_events
