@@ -759,7 +759,7 @@ object Dedup {
     * running sum stays within [−2^63, 2^63−1] at every step — portable
     * to DuckDB, whose checked BIGINT addition would reject an overflow.
     */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+  private[operators] def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -787,7 +787,7 @@ object Dedup {
   // cast via the '0x' prefix, as in the minhash oracle), the same
   // per-bit ±1 sums, the same two's-complement assembly with bit 63's
   // weight −2^63 added last so no checked BIGINT addition can overflow.
-  private val simhashSqlBase: String = {
+  private[operators] val simhashSqlBase: String = {
     val sums = (0 until SIMHASH_BITS).map { j =>
       val half = if (j < 32) s"(lo >> $j)" else s"(hi >> ${j - 32})"
       s"SUM(CASE WHEN $half & 1 = 1 THEN 1 ELSE -1 END) AS s$j"

@@ -198,10 +198,74 @@ object Layout {
         .groupBy("split_id")
         .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
           count(lit(1)).as("n_keys"))
+    }),
+
+    // Fingerprint-sorted corpus layout — the text-store sibling of
+    // OPTIMIZE ZORDER: write shards in SimHash order instead of
+    // arrival order, so near-duplicate documents land adjacent. Two
+    // payoffs at 100 TB: general-purpose compressors see repeated
+    // byte runs inside a block (near-dups share most shingles), and a
+    // near-dup investigation scan prunes to the fingerprint range
+    // instead of touching every shard. The report MEASURES the
+    // locality both orderings give: mean Hamming distance between
+    // ADJACENT fingerprints under arrival (doc_id) order vs SimHash
+    // order — lower = more similar neighbors. Adjacency is computed
+    // WITHIN range-shards of each ordering's own sort key (the lag
+    // window is shard-partitioned — a global-order window would
+    // funnel the corpus through one task; the O(shards) seam pairs
+    // this drops are the same pairs a sharded writer never co-locates
+    // anyway). Fingerprints are SIGNED: the oracle shards with
+    // DuckDB's arithmetic `>>` (its `//` truncates toward zero and
+    // disagrees with shiftright below zero — see the oracle note);
+    // mean = exact BIGINT sum ÷ exact count, one IEEE division.
+    "layout_fingerprint_order" -> ((s, d) => {
+      val fp = Dedup.simhashDf(s, d)
+      def adjacency(label: String, shard: Column, order: Column) = {
+        val w = Window.partitionBy("shard").orderBy(order, col("doc_id"))
+        fp.withColumn("shard", shard)
+          .withColumn("prev", lag(col("simhash"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(expr("cast(bit_count(simhash ^ prev) as bigint)"))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("mean_adjacent_hamming"))
+          .select(lit(label).as("ordering"),
+            col("n_pairs"), col("mean_adjacent_hamming"))
+      }
+      adjacency("arrival_doc_id",
+        expr("shiftright(doc_id, 5)"), col("doc_id"))
+        .unionByName(adjacency("simhash_sorted",
+          expr("shiftright(simhash, 60)"), col("simhash")))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same simhash base as the dedup family. Fingerprints go NEGATIVE
+    // (bit 63 weight), and DuckDB's `//` TRUNCATES toward zero while
+    // Spark's shiftright floors — measured here: -5234 // 2^60 = 0 but
+    // -5234 >> 60 = -1 — so the shard key uses DuckDB's `>>`, which IS
+    // arithmetic/flooring, matching shiftright bit-for-bit.
+    // xor+bit_count are integer-exact in both engines.
+    "layout_fingerprint_order" ->
+      s"""WITH sh AS (${Dedup.simhashSqlBase}),
+         |aa AS (SELECT bit_count(xor(simhash, prev)) AS hd FROM (
+         |    SELECT simhash, lag(simhash) OVER (
+         |      PARTITION BY doc_id >> 5 ORDER BY doc_id) AS prev
+         |    FROM sh) t WHERE prev IS NOT NULL),
+         |bb AS (SELECT bit_count(xor(simhash, prev)) AS hd FROM (
+         |    SELECT simhash, lag(simhash) OVER (
+         |      PARTITION BY simhash >> 60 ORDER BY simhash, doc_id)
+         |      AS prev
+         |    FROM sh) t WHERE prev IS NOT NULL)
+         |SELECT 'arrival_doc_id' AS ordering, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(hd AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_adjacent_hamming
+         |FROM aa
+         |UNION ALL
+         |SELECT 'simhash_sorted' AS ordering, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(hd AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_adjacent_hamming
+         |FROM bb""".stripMargin,
     "layout_zorder" ->
       s"""WITH m AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
          |c AS (SELECT (l_partkey * ${1L << ZBITS}) // mp AS cp,

@@ -197,8 +197,11 @@ object Stats {
     // Exact mergeable distinct via 64-bit bucket bitmaps. The bucket is
     // shiftright(id, 6) — FLOOR division, the same rounding family as
     // pmod's floored remainder — so bucket*64 + bit == id for negative
-    // ids too, matching DuckDB's flooring `//` (a truncating `div`
-    // would disagree with pmod below zero).
+    // ids too. NOTE (measured, round 11): DuckDB's `//` TRUNCATES
+    // toward zero, it does not floor — the oracle's `user_id // 64` is
+    // only safe because user_ids are non-negative; for a signed key
+    // mirror shiftright with DuckDB's `>>`, which IS arithmetic
+    // (layout_fingerprint_order does exactly that).
     "agg_bitmap_distinct" -> ((s, d) => {
       val words = Tables.events(s, d)
         .groupBy(col("event_type"), expr("shiftright(user_id, 6)").as("bucket"))
