@@ -682,6 +682,48 @@ object TextAnalysis {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }),
 
+    // Packing-efficiency ledger — WHY text_pack_sequences exists, as a
+    // number: token efficiency (trained ÷ window-capacity tokens) of
+    // the naive one-doc-per-window loader (pad short docs to CTX,
+    // truncate long ones — losing tail tokens AND burning pad slots)
+    // vs the shipped concat-and-chunk packer (docs span windows; the
+    // only padding is each shard's final partial window, ≤ CTX−1
+    // tokens per shard by construction). Every cell is exact integer
+    // arithmetic; efficiency is one IEEE division of two exact longs.
+    // At 100 TB both strategies reduce to one hash aggregation over
+    // per-doc token counts (the packer's ledger needs only per-shard
+    // totals, NOT the packed assignment itself) — the report costs
+    // less than the packing it justifies.
+    "text_pack_waste" -> ((s, d) => {
+      val ctx = PACK_CTX.toLong
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
+          size(toks).cast("long").as("n_tokens"))
+      def withEff(df: DataFrame, label: String) = df.select(
+        lit(label).as("strategy"), col("n_windows"), col("padded_tokens"),
+        col("truncated_tokens"), col("trained_tokens"),
+        (col("trained_tokens").cast("double") /
+          (col("n_windows") * ctx).cast("double")).as("efficiency"))
+      val naive = withEff(t.agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("n_tokens") < ctx, lit(ctx) - col("n_tokens"))
+          .otherwise(0L)).as("padded_tokens"),
+        sum(when(col("n_tokens") > ctx, col("n_tokens") - ctx)
+          .otherwise(0L)).as("truncated_tokens"),
+        sum(least(col("n_tokens"), lit(ctx))).as("trained_tokens")),
+        "one_doc_per_window")
+      val packed = withEff(t.groupBy("shard")
+        .agg(sum("n_tokens").as("tok"))
+        .select(col("tok"),
+          expr(s"CAST((tok + ${PACK_CTX - 1}) DIV $PACK_CTX AS BIGINT)").as("w"))
+        .agg(sum("w").as("n_windows"),
+          sum(col("w") * ctx - col("tok")).as("padded_tokens"),
+          sum(lit(0L)).as("truncated_tokens"),
+          sum("tok").as("trained_tokens")),
+        "concat_chunk_packed")
+      naive.unionByName(packed)
+    }),
+
     // Deterministic train/val/test split: md5 bucket of the salted doc
     // id (the text_sample_hash idiom) cut at ~90/5/5. Membership is a
     // pure function of the id, so re-runs, backfills and joins against
@@ -1027,6 +1069,40 @@ object TextAnalysis {
          |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
+    // `//` on strictly-positive totals only (truncation == floor
+    // there); SUM(BIGINT) is HUGEINT in DuckDB — every cell re-cast.
+    "text_pack_waste" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS n_windows,
+         |    CAST(SUM(CASE WHEN n_tokens < $PACK_CTX
+         |      THEN $PACK_CTX - n_tokens ELSE 0 END) AS BIGINT) AS padded_tokens,
+         |    CAST(SUM(CASE WHEN n_tokens > $PACK_CTX
+         |      THEN n_tokens - $PACK_CTX ELSE 0 END) AS BIGINT) AS truncated_tokens,
+         |    CAST(SUM(LEAST(n_tokens, $PACK_CTX)) AS BIGINT) AS trained_tokens
+         |  FROM t),
+         |p0 AS (SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS tok
+         |  FROM t GROUP BY 1),
+         |p AS (SELECT
+         |    CAST(SUM((tok + ${PACK_CTX - 1}) // $PACK_CTX) AS BIGINT) AS n_windows,
+         |    CAST(SUM(((tok + ${PACK_CTX - 1}) // $PACK_CTX) * $PACK_CTX - tok)
+         |      AS BIGINT) AS padded_tokens,
+         |    CAST(0 AS BIGINT) AS truncated_tokens,
+         |    CAST(SUM(tok) AS BIGINT) AS trained_tokens
+         |  FROM p0)
+         |SELECT 'one_doc_per_window' AS strategy, n_windows, padded_tokens,
+         |  truncated_tokens, trained_tokens,
+         |  CAST(trained_tokens AS DOUBLE) /
+         |    CAST(n_windows * $PACK_CTX AS DOUBLE) AS efficiency
+         |FROM n
+         |UNION ALL
+         |SELECT 'concat_chunk_packed' AS strategy, n_windows, padded_tokens,
+         |  truncated_tokens, trained_tokens,
+         |  CAST(trained_tokens AS DOUBLE) /
+         |    CAST(n_windows * $PACK_CTX AS DOUBLE) AS efficiency
+         |FROM p""".stripMargin,
     "text_train_split" ->
       """WITH t AS (
         |  SELECT lang,
