@@ -44,6 +44,10 @@ object Layout {
   // ceiling over every registered rate.
   private val RS_RATE_HEX = graft.SampleRates.rates("layout_range_split")
   private val TARGET_CHARS = 100000L // compaction target: chars per output file
+  // layout_hilbert_gain file width in curve positions — deliberately
+  // NOT a power of 4: aligned widths make Hilbert and Morton buckets
+  // the same squares and the comparison degenerate (see the query doc)
+  private val HGAIN_BUCKET = 1000
 
   /** Interleave the low ZBITS of `a` (odd positions) and `b` (even):
     * the Morton code as a sum of shifted bit tests — pure integer ops,
@@ -60,6 +64,65 @@ object Layout {
     (0 until ZBITS).map { i =>
       s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
     }.mkString(" + ")
+
+  /** Hilbert index of the ZBITS-per-dimension grid cell (cp, cs) — the
+    * standard xy2d bit-descent (quadrant digit + reflect/swap rotation
+    * per level, the textbook formulation): at each bit level the
+    * quadrant contributes s²·((3·rx) XOR ry) and the frame rotates so
+    * the NEXT level's quadrant is read in curve orientation. Unlike
+    * Morton, consecutive indices are always grid NEIGHBORS (HilbertSpec
+    * proves bijectivity + unit-step continuity over the full 256×256
+    * grid), so equal-index-range buckets are tighter rectangles — the
+    * reason Hilbert beats Z-order as a clustering key.
+    *
+    * Each level is its own projection over the previous level's
+    * columns (hx/hy referenced more than once per step, so Catalyst's
+    * CollapseProject keeps the steps chunked instead of inlining an
+    * exponentially-grown expression) — pure integer ops end to end.
+    */
+  private[graft] def withHilbert(df: DataFrame): DataFrame = {
+    val n = 1L << ZBITS
+    var cur = df.withColumn("hx", col("cp")).withColumn("hy", col("cs"))
+      .withColumn("hd", lit(0L))
+    for (k <- (ZBITS - 1) to 0 by -1) {
+      val s = 1L << k
+      val rx = shiftright(col("hx"), k).bitwiseAND(lit(1L))
+      val ry = shiftright(col("hy"), k).bitwiseAND(lit(1L))
+      val keep = cur.columns.filterNot(Set("hx", "hy", "hd")).map(col).toSeq
+      cur = cur.select(keep ++ Seq(
+        when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")).as("hx"),
+        when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")).as("hy"),
+        (col("hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)).as("hd")): _*)
+    }
+    cur.drop("hx", "hy")
+  }
+
+  /** The same bit-descent as [[withHilbert]], unrolled as ZBITS chained
+    * CTEs (h1..h$ZBITS over h0) with per-step column names — no lateral
+    * alias shadowing ambiguity. Caller provides
+    * `h0 AS (SELECT <pass>, cp AS hx0, cs AS hy0, CAST(0 AS BIGINT) AS hd0 ...)`
+    * and reads `hd$ZBITS` from `h$ZBITS`.
+    */
+  private def hilbertSqlChain(pass: String): String = {
+    val n = 1L << ZBITS
+    (0 until ZBITS).map { i =>
+      val k = ZBITS - 1 - i
+      val s = 1L << k
+      val rx = s"((hx$i >> $k) & 1)"
+      val ry = s"((hy$i >> $k) & 1)"
+      s"""h${i + 1} AS (SELECT $pass,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+         |    THEN ${n - 1} - hy$i ELSE hy$i END) ELSE hx$i END AS hx${i + 1},
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+         |    THEN ${n - 1} - hx$i ELSE hx$i END) ELSE hy$i END AS hy${i + 1},
+         |  hd$i + ${s * s} * xor(3 * $rx, $ry) AS hd${i + 1}
+         |FROM h$i)""".stripMargin
+    }.mkString(",\n")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -200,6 +263,84 @@ object Layout {
           count(lit(1)).as("n_keys"))
     }),
 
+    // Hilbert clustering report — layout_zorder's upgrade path: bucket
+    // the same normalized 2-D coords by HILBERT index range instead of
+    // Morton. Same 64 buckets, same min/max zone-map stats, directly
+    // comparable rows; layout_hilbert_gain below runs the measured
+    // head-to-head under the same box predicate.
+    "layout_hilbert" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val m = li.agg((max("l_partkey") + 1L).as("mp"),
+        (max("l_suppkey") + 1L).as("ms"))
+      val coords = li.crossJoin(broadcast(m))
+        .withColumn("cp", expr(s"(l_partkey * ${1L << ZBITS}) div mp"))
+        .withColumn("cs", expr(s"(l_suppkey * ${1L << ZBITS}) div ms"))
+      withHilbert(coords)
+        .withColumn("h_bucket", shiftright(col("hd"), ZBUCKET_SHIFT))
+        .groupBy("h_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+    }),
+
+    // Hilbert vs Z-order, measured under the conditions where they
+    // actually differ. Buckets ALIGNED to subtree boundaries (hd >>
+    // 10) are geometrically identical 32x32 squares for BOTH curves —
+    // only the numbering differs — so any aligned-bucket comparison
+    // reads equal and proves nothing (measured first, then fixed).
+    // Real writers cut files by ROW COUNT along the curve, at offsets
+    // that never align with subtrees; modeled here as UNALIGNED
+    // fixed-width index ranges (div HGAIN_BUCKET, not a power of 4).
+    // There Hilbert's unit-step continuity keeps every bucket one
+    // compact blob while Morton's quadrant jumps scatter buckets that
+    // straddle them: this box measures 7 vs 11 buckets read at every
+    // SF. Box is the CENTER square (3/8..5/8 of each key), straddling
+    // both midlines — the worst case for quadrant jumps. All integer;
+    // one scan, one persist, two O(buckets) verdicts.
+    "layout_hilbert_gain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val m = li.agg((max("l_partkey") + 1L).as("mp"),
+        (max("l_suppkey") + 1L).as("ms"))
+      val coords = withHilbert(li.crossJoin(broadcast(m))
+        .withColumn("cp", expr(s"(l_partkey * ${1L << ZBITS}) div mp"))
+        .withColumn("cs", expr(s"(l_suppkey * ${1L << ZBITS}) div ms"))
+        .withColumn("z_idx", morton(col("cp"), col("cs")))
+        .withColumn("p_lo", expr("(mp * 3) div 8"))
+        .withColumn("p_hi", expr("(mp * 5) div 8 - 1"))
+        .withColumn("s_lo", expr("(ms * 3) div 8"))
+        .withColumn("s_hi", expr("(ms * 5) div 8 - 1")))
+        .withColumn("h_bucket", expr(s"hd div $HGAIN_BUCKET"))
+        .withColumn("zg_bucket", expr(s"z_idx div $HGAIN_BUCKET"))
+        .transform(graft.CachePool.persist)
+      val inBox = col("l_partkey") >= col("p_lo") &&
+        col("l_partkey") <= col("p_hi") &&
+        col("l_suppkey") >= col("s_lo") && col("l_suppkey") <= col("s_hi")
+      def stats(bucket: Column, name: String) = coords
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(inBox, 1L).otherwise(0L)).as("n_match"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"),
+          max("p_lo").as("p_lo"), max("p_hi").as("p_hi"),
+          max("s_lo").as("s_lo"), max("s_hi").as("s_hi"))
+        .withColumn("read",
+          !(col("max_pk") < col("p_lo") || col("min_pk") > col("p_hi") ||
+            col("max_sk") < col("s_lo") || col("min_sk") > col("s_hi")))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("read"), 1L).otherwise(0L)).as("n_buckets_read"),
+          sum(when(col("read"), col("n_rows")).otherwise(0L))
+            .as("n_rows_read"),
+          sum("n_match").as("n_rows_matched"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("n_buckets_read"), col("n_rows_read"), col("n_rows_matched"),
+          when(col("n_rows_matched") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_rows_read").cast("double") /
+              col("n_rows_matched").cast("double"))
+            .as("read_amplification"))
+      stats(col("h_bucket"), "hilbert")
+        .unionByName(stats(col("zg_bucket"), "zorder"))
+    }),
+
     // Fingerprint-sorted corpus layout — the text-store sibling of
     // OPTIMIZE ZORDER: write shards in SimHash order instead of
     // arrival order, so near-duplicate documents land adjacent. Two
@@ -266,6 +407,69 @@ object Layout {
          |  CAST(SUM(CAST(hd AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS mean_adjacent_hamming
          |FROM bb""".stripMargin,
+    "layout_hilbert" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
+         |c AS (SELECT (l_partkey * ${1L << ZBITS}) // mp AS cp,
+         |             (l_suppkey * ${1L << ZBITS}) // ms AS cs,
+         |             l_partkey, l_suppkey
+         |      FROM lineitem, m),
+         |h0 AS (SELECT l_partkey, l_suppkey, cp AS hx0, cs AS hy0,
+         |         CAST(0 AS BIGINT) AS hd0 FROM c),
+         |${hilbertSqlChain("l_partkey, l_suppkey")}
+         |SELECT CAST(hd$ZBITS >> $ZBUCKET_SHIFT AS BIGINT) AS h_bucket,
+         |  COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+         |FROM h$ZBITS GROUP BY 1""".stripMargin,
+    "layout_hilbert_gain" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
+         |c AS (SELECT l_partkey, l_suppkey,
+         |    (l_partkey * ${1L << ZBITS}) // mp AS cp,
+         |    (l_suppkey * ${1L << ZBITS}) // ms AS cs,
+         |    (mp * 3) // 8 AS p_lo, (mp * 5) // 8 - 1 AS p_hi,
+         |    (ms * 3) // 8 AS s_lo, (ms * 5) // 8 - 1 AS s_hi
+         |  FROM lineitem, m),
+         |h0 AS (SELECT l_partkey, l_suppkey, p_lo, p_hi, s_lo, s_hi,
+         |    (${mortonSql("cp", "cs")}) // $HGAIN_BUCKET AS zg_bucket,
+         |    cp AS hx0, cs AS hy0, CAST(0 AS BIGINT) AS hd0
+         |  FROM c),
+         |${hilbertSqlChain("l_partkey, l_suppkey, p_lo, p_hi, s_lo, s_hi, zg_bucket")},
+         |c2 AS (SELECT *, hd$ZBITS // $HGAIN_BUCKET AS h_bucket,
+         |    CASE WHEN l_partkey >= p_lo AND l_partkey <= p_hi
+         |      AND l_suppkey >= s_lo AND l_suppkey <= s_hi
+         |      THEN 1 ELSE 0 END AS in_box
+         |  FROM h$ZBITS),
+         |hb AS (SELECT h_bucket, COUNT(*) AS n_rows, SUM(in_box) AS n_match,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+         |    MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+         |    MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+         |  FROM c2 GROUP BY 1),
+         |zb AS (SELECT zg_bucket, COUNT(*) AS n_rows, SUM(in_box) AS n_match,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+         |    MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+         |    MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+         |  FROM c2 GROUP BY 1),
+         |v AS (
+         |  SELECT 'hilbert' AS layout, n_rows, n_match,
+         |    CASE WHEN max_pk < p_lo OR min_pk > p_hi
+         |      OR max_sk < s_lo OR min_sk > s_hi THEN 0 ELSE 1 END AS rd
+         |  FROM hb
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout, n_rows, n_match,
+         |    CASE WHEN max_pk < p_lo OR min_pk > p_hi
+         |      OR max_sk < s_lo OR min_sk > s_hi THEN 0 ELSE 1 END AS rd
+         |  FROM zb)
+         |SELECT layout, COUNT(*) AS n_buckets,
+         |  CAST(SUM(rd) AS BIGINT) AS n_buckets_read,
+         |  CAST(SUM(rd * n_rows) AS BIGINT) AS n_rows_read,
+         |  CAST(SUM(n_match) AS BIGINT) AS n_rows_matched,
+         |  CASE WHEN SUM(n_match) = 0 THEN NULL
+         |    ELSE CAST(CAST(SUM(rd * n_rows) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(SUM(n_match) AS BIGINT) AS DOUBLE) END
+         |    AS read_amplification
+         |FROM v GROUP BY layout""".stripMargin,
     "layout_zorder" ->
       s"""WITH m AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
          |c AS (SELECT (l_partkey * ${1L << ZBITS}) // mp AS cp,
