@@ -44,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_source_sample",
     "layout_zorder",        // 1-row max-key aggregate broadcast into the
                             // scan for range normalization — bounded
+    "layout_hilbert",       // same 1-row normalizer broadcast as
+    "layout_hilbert_gain",  // layout_zorder / layout_skipping_gain
     "join_skew_profile",    // 1-row global-stats aggregate broadcast into
                             // the per-key frequencies — bounded
     "text_source_temperature", // 1-row weight-normalizer aggregate
