@@ -418,6 +418,72 @@ object Similarity {
       topK(scored)
     }),
 
+    // Matryoshka-style dimension-truncation study (Kusupati et al.,
+    // "Matryoshka Representation Learning", NeurIPS 2022): score with
+    // only the FIRST D dims and measure top-K recall against the
+    // full-64-dim ground truth, per query and per budget. At 100 TB
+    // the payoff is bandwidth: a 16-dim first pass reads 1/4 of the
+    // vector bytes (or lets 4× more vectors fit a memory tier) and a
+    // full-precision refine re-scores only the shortlist — this report
+    // says what that first pass costs in recall BEFORE anyone ships
+    // it. Same broadcast-queries shape as the brute-force baseline;
+    // the corpus never shuffles; ranks fold in fixed element order so
+    // both engines agree exactly.
+    "ann_dim_truncation" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
+      val q = queriesDf(s, d)
+      val c = corpusDf(s, d)
+      val full = topK(c.join(broadcast(q))
+        .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select(col("q_id"), col("vec_id"))
+      def recallFor(dm: Int): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val a = c.join(broadcast(q))
+          .withColumn("cosine",
+            cos(slice(col("qe"), 1, dm), slice(col("e"), 1, dm)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TOP_K)
+          .select(col("q_id").as("aq"), col("vec_id").as("av"))
+        full.join(a,
+            full("q_id") === a("aq") && full("vec_id") === a("av"), "left")
+          .groupBy("q_id")
+          .agg((sum(when(col("av").isNotNull, 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("recall"))
+          .select(lit(dm.toLong).as("dims"), col("q_id"), col("recall"))
+      }
+      recallFor(16).unionByName(recallFor(32)).unionByName(recallFor(48))
+    }),
+
+    // Hard-negative mining — the contrastive-training data op: per
+    // query, the top-K most-similar corpus vectors with a DIFFERENT
+    // label (similar-but-wrong = the gradient-rich negatives of
+    // triplet/InfoNCE training; random negatives are too easy to teach
+    // anything). Broadcast queries against the unshuffled corpus, the
+    // label inequality pushed below the score; the TopK heap keeps K
+    // rows per query before any exchange.
+    "ann_hard_negatives" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
+      val ev = Tables.embeddings(s, d)
+      val q = ev.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          VectorOps.asDouble(col("embedding")).as("qe"))
+      val c = ev.filter(col("vec_id") >= N_QUERIES)
+        .select(col("vec_id"), col("label"),
+          VectorOps.asDouble(col("embedding")).as("e"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      c.join(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOP_K)
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          col("cosine"), col("rn").cast("int").as("rn"))
+    }),
+
     "ann_ivf_topk" -> ((s, d) => {
       val cents = centroidsDf(s, d)
       // assignment pass: nearest centroid per corpus vector. Written as
@@ -1396,6 +1462,45 @@ object Similarity {
          |SELECT q_id, predicted_label, tl.label AS true_label, n_votes
          |FROM pred JOIN embeddings tl ON pred.q_id = tl.vec_id""".stripMargin,
     "ann_cosine_topk" -> annBruteSql,
+    // truncated-dim scoring over materialized qe[1:D]/e[1:D] slices;
+    // same fixed-order fold, same tie-break, same left-join recall
+    // shape as ann_ivf_recall
+    "ann_dim_truncation" -> {
+      def tier(dm: Int) =
+        s"""q$dm AS (SELECT q_id, qe[1:$dm] AS qt FROM q),
+           |c$dm AS (SELECT vec_id, e[1:$dm] AS ct FROM corpus),
+           |t$dm AS (SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${VectorOps.cosineSql("qt", "ct", dm)} DESC, vec_id)
+           |      AS rn
+           |    FROM q$dm, c$dm) r WHERE rn <= $TOP_K),
+           |r$dm AS (SELECT CAST($dm AS BIGINT) AS dims, e.q_id,
+           |    CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / COUNT(*) AS recall
+           |  FROM exact e LEFT JOIN t$dm a
+           |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+           |  GROUP BY e.q_id)""".stripMargin
+      s"""WITH exact0 AS ($annBruteSql),
+         |exact AS (SELECT q_id, vec_id FROM exact0),
+         |${baseSql.stripPrefix("WITH ")},
+         |${tier(16)},
+         |${tier(32)},
+         |${tier(48)}
+         |SELECT * FROM r16 UNION ALL SELECT * FROM r32
+         |UNION ALL SELECT * FROM r48""".stripMargin
+    },
+    "ann_hard_negatives" ->
+      s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe
+         |  FROM ev WHERE vec_id < $N_QUERIES),
+         |corpus AS (SELECT vec_id, label, e FROM ev WHERE vec_id >= $N_QUERIES),
+         |scored AS (SELECT q_id, q_label, vec_id, label, $cosQC AS cosine
+         |  FROM q, corpus WHERE label <> q_label),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT q_id, q_label, vec_id, label, cosine, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
     "ann_ivf_topk" -> annIvfSql,
     // identical cosine doubles ⇒ identical FLOOR banding
     "ann_similarity_histogram" ->

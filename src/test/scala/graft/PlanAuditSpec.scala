@@ -15,6 +15,9 @@ class PlanAuditSpec extends AnyFunSuite {
   /** intentional cross/pair scans (each has a blocked scale path). */
   private val intentionallyUnbounded = Set(
     "ann_cosine_topk",      // broadcast query set × corpus scan
+    "ann_dim_truncation",   // the ann_cosine_topk shape per dim budget
+    "ann_hard_negatives",   // broadcast query set × corpus scan with a
+                            // label-inequality filter — LINEAR in corpus
     "ann_similarity_histogram", // broadcast probe set × corpus scan —
                             // LINEAR in the corpus by construction
     "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
