@@ -390,6 +390,34 @@ object Profiling {
         .agg(count(lit(1)).as("n_events"), max("dd").as("max_drawdown"))
     }),
 
+    // Exponentially-weighted moving average, EXACT: the recursive
+    // S_t = x/2 + S_{t-1}/2 fold is order-sequential (unshippable
+    // distributed, engine-divergent in float), so the metric is
+    // DEFINED as its 30-tap truncation — a windowed dot product with
+    // the dyadic kernel 2^-1..2^-30 (truncation bias < max|x|·2^-30,
+    // far below a cent). Every term is a cent integer divided by a
+    // power of two and all partial sums fit 53 bits (|x| < 2^20 cents,
+    // 30-bit denominators), so EVERY addition is exact and any
+    // fold order gives the same double — no cross-engine hazard at
+    // all, unusual for a float window. collect_list over the frame is
+    // frame-ordered in both engines; weights attach by position from
+    // the window's end. One user-partitioned window, no other shuffle.
+    "window_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-29, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("xs", collect_list("cents").over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          size(col("xs")).as("n_taps"),
+          expr("""aggregate(
+            zip_with(xs, sequence(1, size(xs)), (x, i) ->
+              CAST(x AS DOUBLE) /
+              CAST(shiftleft(1L, size(xs) - i + 1) AS DOUBLE)),
+            CAST(0 AS DOUBLE), (acc, t) -> acc + t)""").as("ewma_cents"))
+    }),
+
     // Pareto concentration: what share of all events comes from the
     // top decile of users (k = ⌈n_users/10⌉). The abuse/VIP skew report
     // — also exactly the skew a key-partitioned consumer needs to know
@@ -851,6 +879,25 @@ object Profiling {
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events, MAX(dd) AS max_drawdown
         |FROM x GROUP BY user_id""".stripMargin,
+
+    // list(...) OVER a ROWS frame is frame-ordered like Spark's
+    // collect_list; dyadic weights make every addition exact (see the
+    // Spark-side doc), so the fold order cannot matter.
+    "window_ewma" ->
+      """WITH x AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |fr AS (SELECT user_id, event_id, cents,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM x)
+        |SELECT user_id, event_id, cents,
+        |  CAST(len(xs) AS INT) AS n_taps,
+        |  list_reduce(list_transform(range(1, len(xs) + 1), i ->
+        |      CAST(xs[i] AS DOUBLE) /
+        |      CAST((CAST(1 AS BIGINT) << (len(xs) - i + 1)) AS DOUBLE)),
+        |    (x, y) -> x + y) AS ewma_cents
+        |FROM fr""".stripMargin,
 
     "events_power_pareto" ->
       """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

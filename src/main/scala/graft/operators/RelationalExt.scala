@@ -212,6 +212,43 @@ object RelationalExt {
           col("last_click"))
     }),
 
+    // NEAREST as-of join — the bidirectional tier pandas' merge_asof
+    // (direction='nearest') ships and plain backward as-of cannot
+    // express: per purchase, the click nearest in EVENT TIME in EITHER
+    // direction, within a ±1 h tolerance, ties to the earlier side.
+    // Same single user-partitioned window shuffle as the backward
+    // variant — one preceding-frame max and one following-frame min
+    // share it — then the pick is pure integer arithmetic on exact
+    // microsecond gaps. No join at all, which is the 100 TB point: the
+    // naive band-join candidate set is |purchases|×|clicks-in-band|,
+    // this is one pass.
+    "asof_nearest_click" -> ((s, d) => {
+      val tolUs = 3600L * 1000000L
+      val ec = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "click", unix_micros(col("ts")))
+            .as("click_us"))
+      val wb = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      ec.withColumn("prev_us", max(col("click_us")).over(wb))
+        .withColumn("next_us", min(col("click_us")).over(wf))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_us",
+          when(col("prev_us").isNotNull &&
+            (col("next_us").isNull ||
+              col("us") - col("prev_us") <= col("next_us") - col("us")),
+            col("prev_us")).otherwise(col("next_us")))
+        .withColumn("nearest_click_us",
+          when(abs(col("nearest_us") - col("us")) <= tolUs, col("nearest_us")))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("purchase_us"), col("nearest_click_us"),
+          (col("nearest_click_us") - col("us")).as("gap_us"))
+    }),
+
     // Point-in-time (time travel): latest state per key as of LSN 5000.
     "cdc_state_asof" -> ((s, d) => {
       graft.pipeline.ChangeLog.latestState(
@@ -662,6 +699,27 @@ object RelationalExt {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "asof_nearest_click" ->
+      """WITH ec AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |    max(click_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        |    min(click_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM ec),
+        |p AS (SELECT *,
+        |    CASE WHEN prev_us IS NOT NULL AND (next_us IS NULL
+        |        OR us - prev_us <= next_us - us)
+        |      THEN prev_us ELSE next_us END AS nearest_us
+        |  FROM w WHERE event_type = 'purchase'),
+        |q AS (SELECT *, CASE WHEN abs(nearest_us - us) <= 3600000000
+        |    THEN nearest_us END AS nearest_click_us FROM p)
+        |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+        |  nearest_click_us, nearest_click_us - us AS gap_us
+        |FROM q""".stripMargin,
     "cdc_state_asof" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -653,6 +653,45 @@ object Stats {
           sum(col("n") - col("pred")).as("bias_total"))
         .withColumn("mae",
           col("abs_err_total").cast("double") / col("n_days"))
+    }),
+
+    // Linear-trend forecast — the forecast family's OLS tier: per
+    // event type, fit daily volume ~ epoch-day by least squares from
+    // EXACT integer power sums (the agg_regr_slope algebra: slope =
+    // (nΣty − ΣtΣy) / (nΣt² − (Σt)²), every sum a BIGINT well under
+    // 2^53, so the two IEEE divisions are the only float steps and
+    // both engines compute identical doubles), then project 7 days
+    // past the last observed day. Zero-variance guard: a type seen on
+    // a single day has no trend — slope/predicted go NULL, never ±Inf
+    // (the r9 advice convention). One hash aggregation over O(types ×
+    // days) rows; the ×7 horizon explode is map-side.
+    "events_forecast_linear" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long").as("t"),
+          col("y"))
+      daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("t").as("st"),
+          sum(col("t") * col("t")).as("stt"),
+          sum("y").as("sy"), sum(col("t") * col("y")).as("sty"),
+          max("t").as("tmax"))
+        .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+        .withColumn("slope",
+          when(col("den") === 0L, lit(null).cast("double"))
+            .otherwise((col("n") * col("sty") - col("st") * col("sy"))
+              .cast("double") / col("den").cast("double")))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("st").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("h", explode(sequence(lit(1), lit(7))))
+        .select(col("event_type"), col("h").cast("int").as("horizon"),
+          date_add(lit("1970-01-01").cast("date"),
+            (col("tmax") + col("h")).cast("int")).as("forecast_day"),
+          (col("intercept") + col("slope") *
+            (col("tmax") + col("h")).cast("double")).as("predicted"))
     })
   )
 
@@ -1037,6 +1076,35 @@ object Stats {
         |  CAST(SUM(abs(n - pred)) AS BIGINT) AS abs_err_total,
         |  CAST(SUM(n - pred) AS BIGINT) AS bias_total,
         |  CAST(SUM(abs(n - pred)) AS DOUBLE) / COUNT(*) AS mae
-        |FROM j GROUP BY 1""".stripMargin
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // DuckDB SUM(BIGINT) is HUGEINT — every sum re-cast to BIGINT
+    // BEFORE the slope arithmetic so the double conversions round the
+    // same 64-bit values as Spark (all magnitudes < 2^53: exact).
+    "events_forecast_linear" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS t, y
+        |  FROM daily),
+        |fit AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * y) AS BIGINT) AS sty,
+        |    MAX(t) AS tmax
+        |  FROM tt GROUP BY 1),
+        |sl AS (SELECT *, n * stt - st * st AS den,
+        |    CASE WHEN n * stt - st * st = 0 THEN NULL
+        |      ELSE CAST(n * sty - st * sy AS DOUBLE)
+        |        / CAST(n * stt - st * st AS DOUBLE) END AS slope
+        |  FROM fit),
+        |ic AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS intercept
+        |  FROM sl)
+        |SELECT event_type, CAST(h AS INT) AS horizon,
+        |  DATE '1970-01-01' + CAST(tmax + h AS INT) AS forecast_day,
+        |  intercept + slope * CAST(tmax + h AS DOUBLE) AS predicted
+        |FROM ic, (SELECT unnest(generate_series(1, 7)) AS h) hs""".stripMargin
   )
 }
