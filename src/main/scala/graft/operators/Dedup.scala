@@ -687,6 +687,62 @@ object Dedup {
             count(lit(1))).as("recall"))
     }),
 
+    // LSH banding TRADEOFF curve — the (bands, rows-per-band) knob IS
+    // the scale decision at 100 TB: more bands/shorter rows catch more
+    // true pairs (P[cand] = 1−(1−J^r)^b, the S-curve) but explode the
+    // candidate set every verify must pay for; fewer/longer bands
+    // invert both. This query MEASURES the curve on this corpus for
+    // the three configs the 8-component signature admits — (8,1),
+    // (4,2) [the shipped dedup_minhash_lsh config], (2,4) — reporting
+    // candidate volume, recall vs the exact ground truth, and
+    // candidate precision, from ONE signature pass re-banded three
+    // ways. The same sizing-study convention as ann_pq_error: the
+    // shipped config's neighbors measured, not assumed.
+    "dedup_lsh_tradeoff" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val m1 = md5(col("g"))
+      val m2 = md5(concat(lit("#"), col("g")))
+      def h(seed: Int): Column =
+        conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
+          .cast("long")
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sig = posting.groupBy("doc_id").agg(
+        min(h(0)).as("sig0"),
+        (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
+        .transform(graft.CachePool.persist)
+      val truth = queries("dedup_ngram_jaccard")(s, d)
+        .filter(col("jaccard") >= JACCARD_NEAR).select("doc_a", "doc_b")
+        .transform(graft.CachePool.persist)
+      def config(r: Int): DataFrame = {
+        val nb = MINHASH_SEEDS / r
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until nb).map { b =>
+            concat_ws("|", lit(s"$b") +:
+              (0 until r).map(i => col(s"sig${r * b + i}").cast("string")): _*)
+          }: _*)).as("bk"))
+        val cand = graft.CachePool.persist(bands.as("a")
+          .join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+          .distinct())
+        truth.join(cand,
+            col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("ca").isNotNull, 1L).otherwise(0L)).as("n_found"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .select(lit(nb).cast("int").as("bands"),
+            lit(r).cast("int").as("rows_per_band"),
+            col("n_candidates"), col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0L, lit(null).cast("double"))
+              .otherwise(col("n_found").cast("double") /
+                col("n_truth").cast("double")).as("recall"),
+            when(col("n_candidates") === 0L, lit(null).cast("double"))
+              .otherwise(col("n_found").cast("double") /
+                col("n_candidates").cast("double")).as("candidate_precision"))
+      }
+      config(1).unionByName(config(2)).unionByName(config(4))
+    }),
+
     // Embedding near-dup, BLOCKED: sign-bit LSH buckets as the join key
     // — the scale path made a first-class query (the brute-force
     // baseline below is its oracle-of-intent). Only same-bucket pairs
@@ -1040,6 +1096,47 @@ object Dedup {
          |  CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
          |  CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
          |FROM truth LEFT JOIN lsh ON doc_a = la AND doc_b = lb""".stripMargin,
+    "dedup_lsh_tradeoff" -> {
+      val sigCols = (0 until MINHASH_SEEDS).map { sd =>
+        val digest = if (sd < 4) "md5(g)" else "md5('#' || g)"
+        s"MIN(('0x' || substr($digest, ${8 * (sd % 4) + 1}, 8))::BIGINT) AS sig$sd"
+      }.mkString(", ")
+      def cfg(r: Int): String = {
+        val nb = MINHASH_SEEDS / r
+        val bandList = (0 until nb).map { b =>
+          (s"'$b'" +: (0 until r).map(i => s"CAST(sig${r * b + i} AS VARCHAR)"))
+            .mkString(" || '|' || ")
+        }.mkString("[", ", ", "]")
+        s"""band$r AS (SELECT doc_id, unnest($bandList) AS bk FROM sig),
+           |cand$r AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+           |  FROM band$r a JOIN band$r b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |nc$r AS (SELECT COUNT(*) AS n_candidates FROM cand$r),
+           |res$r AS (SELECT CAST($nb AS INT) AS bands,
+           |    CAST($r AS INT) AS rows_per_band,
+           |    MAX(n_candidates) AS n_candidates, COUNT(*) AS n_truth,
+           |    CAST(SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_found
+           |  FROM truth LEFT JOIN cand$r ON doc_a = ca AND doc_b = cb, nc$r)"""
+          .stripMargin
+      }
+      s"""WITH d AS ($docShinglesSql),
+         |posting AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         |sig AS (SELECT doc_id, $sigCols FROM posting GROUP BY doc_id),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM (${"\n"}${oracleNgramJaccard}) t
+         |  WHERE jaccard >= $JACCARD_NEAR),
+         |${cfg(1)},
+         |${cfg(2)},
+         |${cfg(4)}
+         |SELECT bands, rows_per_band, n_candidates, n_truth, n_found,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |    ELSE CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |    ELSE CAST(n_found AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+         |    AS candidate_precision
+         |FROM (SELECT * FROM res1 UNION ALL SELECT * FROM res2
+         |      UNION ALL SELECT * FROM res4) u""".stripMargin
+    },
     "dedup_embedding_lsh" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", EMB_LSH_DIMS)} AS bucket FROM ev)

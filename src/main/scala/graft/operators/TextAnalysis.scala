@@ -255,6 +255,51 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
 
+    // BM25 ranking — the tier every real search engine ships above
+    // raw tf·idf: term frequency SATURATES (k1 = 1.2, a 10th
+    // occurrence buys almost nothing) and long documents are
+    // normalized by dl/avgdl (b = 0.75), killing the "longest doc
+    // wins" bias the plain sum has. Portability: idf stays the
+    // family's integer grid (n_docs div df — exact, monotone in df;
+    // ln() would drag libm in), dl/total/n are exact BIGINTs, and the
+    // float part is a FIXED expression tree mirrored token-for-token
+    // in the oracle, so each per-term score is the identical double.
+    // The per-doc Σ over terms folds in SORTED TERM ORDER (array_sort
+    // + aggregate ↔ list(... ORDER BY term) + list_reduce) — a plain
+    // SUM(double) would round differently under different partial
+    // orders, the one float hazard a ≤|q|-term sum actually has. Same
+    // standing-index probe shape as search_keyword_topk: only query-
+    // term postings move, the corpus never shuffles.
+    "search_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("total_tokens"))
+        .withColumn("__k", lit(1))
+      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term").isin(SEARCH_TOKS: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(graft.CachePool.persist)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("__k", lit(1)).join(broadcast(n), "__k")
+        .withColumn("avgdl",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .withColumn("sc",
+          expr("CAST(n_docs div df AS DOUBLE)") *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(expr("""aggregate(
+            transform(array_sort(collect_list(struct(term, sc))), p -> p.sc),
+            CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("score"),
+          count(lit(1)).as("n_terms_hit"), max("dl").as("dl"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
     // Phrase search census per source: exact substring match count and
     // total occurrences via the length/replace identity — no regex, no
     // tokenizer, identical on every engine.
@@ -1199,6 +1244,34 @@ object TextAnalysis {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Mirrors the Spark expression tree operation-for-operation;
+    // list(s ORDER BY term) + list_reduce is the same sorted-order
+    // fold as array_sort + aggregate (the 0.0 seed is IEEE-neutral).
+    "search_bm25_topk" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) t
+         |  WHERE term IN (${SEARCH_TOKS.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |  FROM documents),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |sc AS (SELECT doc_id, term, dl,
+         |    CAST(n_docs // df AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+         |        0.75 * CAST(dl AS DOUBLE) /
+         |          (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |      AS s
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), n)
+         |SELECT doc_id,
+         |  list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS score,
+         |  COUNT(*) AS n_terms_hit, MAX(dl) AS dl
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_phrase_match" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN contains(text, '$SEARCH_PHRASE') THEN 1 ELSE 0 END)

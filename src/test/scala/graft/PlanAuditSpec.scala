@@ -34,9 +34,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_semdedup_recall",  // composes ann_semdedup's assignment plus the
                             // documented brute-force ground-truth scan
     "dedup_embedding_cosine", // documented brute-force baseline
+    "dedup_lsh_tradeoff",   // 1-row candidate-count aggregate crossed
+                            // into the 1-row recall aggregate — bounded
     "dedup_simhash_pairs",  // all-pairs hamming scan (banded is the scale path)
     "join_range",           // band predicate vs 4-row broadcast dim: BNLJ is the plan
     "join_cross_dims",      // explicit CROSS JOIN of two ≤25-row dims
+    "search_bm25_topk",     // scalar-(N, total-tokens) subquery: the
+                            // text_tfidf constant-key 1-row broadcast shape
     "text_tfidf",           // scalar-N subquery: the constant-key join to the
                             // 1-row COUNT(*) aggregate constant-folds into a
                             // single-row broadcast — the same physical shape
