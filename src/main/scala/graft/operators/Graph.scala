@@ -49,6 +49,8 @@ object Graph {
   private val JUMP = 15L * R0 / 100 // damping teleport share (exact)
   private val ITERS = 3
   private val BFS_ROUNDS = 4
+  private val KCORE_K = 3
+  private val KCORE_ROUNDS = 6
   private val SEED = "c1" // customer key 1 exists at every SF
 
   /** Butterfly counting degeneracy guard: customers with more than this
@@ -140,6 +142,46 @@ object Graph {
             (lit(JUMP) + expr("(85 * m) div 100")).as("rank_units"))
       }
       rank
+    }),
+
+    // k-CORE decomposition (k = 3) by synchronized peeling: each round
+    // recomputes within-live degrees and drops nodes below k; the
+    // fixed KCORE_ROUNDS unroll is the oracle-able form of the
+    // loop-until-fixpoint a production run uses (the pagerank ITERS /
+    // BFS_ROUNDS convention — identical rounds on both engines, so
+    // convergence is not assumed anywhere; the min_core_degree output
+    // column is the self-evidencing check: ≥ k iff the peel reached
+    // its fixpoint, and GraphSpec asserts it at the test SFs). Per
+    // round: two hash joins against the persisted edge relation + one
+    // aggregation; each round's survivor set is persisted because the
+    // next round references it twice (src probe + dst probe) — the
+    // BFS doubling argument. The report is O(node types) rows.
+    "graph_kcore" -> ((s, d) => {
+      val e = edgesWithDeg(s, d).select("src", "dst")
+      var live = graft.CachePool.persist(
+        e.select(col("src").as("node")).distinct())
+      val total = live.groupBy(substring(col("node"), 1, 1).as("node_type"))
+        .agg(count(lit(1)).as("n_nodes"))
+      for (_ <- 1 to KCORE_ROUNDS) {
+        val dg = e
+          .join(live.select(col("node").as("src")), "src")
+          .join(live.select(col("node").as("dst")), "dst")
+          .groupBy("src").agg(count(lit(1)).as("dg"))
+        live = graft.CachePool.persist(
+          dg.filter(col("dg") >= KCORE_K).select(col("src").as("node")))
+      }
+      val coreDeg = e
+        .join(live.select(col("node").as("src")), "src")
+        .join(live.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("dg"))
+      val coreStats = coreDeg
+        .groupBy(substring(col("src"), 1, 1).as("node_type"))
+        .agg(count(lit(1)).as("n_in_core"),
+          min("dg").as("min_core_degree"))
+      total.join(coreStats, Seq("node_type"), "left")
+        .select(col("node_type"), col("n_nodes"),
+          coalesce(col("n_in_core"), lit(0L)).as("n_in_core"),
+          col("min_core_degree"))
     }),
 
     // BFS frontier expansion from SEED: dist = min over (current dist,
@@ -287,6 +329,29 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsSql,
+    "graph_kcore" -> {
+      val rounds = (0 until KCORE_ROUNDS).map { i =>
+        s"""dg${i + 1} AS (SELECT e.src AS node, COUNT(*) AS dg FROM edges e
+           |  JOIN live$i a ON e.src = a.node
+           |  JOIN live$i b ON e.dst = b.node GROUP BY 1),
+           |live${i + 1} AS (SELECT node FROM dg${i + 1} WHERE dg >= $KCORE_K)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |live0 AS (SELECT DISTINCT src AS node FROM edges),
+         |$rounds,
+         |tot AS (SELECT substr(node, 1, 1) AS node_type, COUNT(*) AS n_nodes
+         |  FROM live0 GROUP BY 1),
+         |cd AS (SELECT e.src AS node, COUNT(*) AS dg FROM edges e
+         |  JOIN live$KCORE_ROUNDS a ON e.src = a.node
+         |  JOIN live$KCORE_ROUNDS b ON e.dst = b.node GROUP BY 1),
+         |cs AS (SELECT substr(node, 1, 1) AS node_type,
+         |    COUNT(*) AS n_in_core, MIN(dg) AS min_core_degree
+         |  FROM cd GROUP BY 1)
+         |SELECT t.node_type, n_nodes,
+         |  COALESCE(n_in_core, 0) AS n_in_core, min_core_degree
+         |FROM tot t LEFT JOIN cs USING (node_type)""".stripMargin
+    },
     "graph_butterflies" ->
       s"""WITH $wedgeSql
          |SELECT COUNT(*) AS n_pairs,

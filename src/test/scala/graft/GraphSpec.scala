@@ -47,6 +47,21 @@ class GraphSpec extends AnyFunSuite {
     assert(hops(1L) <= rank)
   }
 
+  test("kcore peel reaches its fixpoint: every surviving node keeps degree >= k") {
+    // the scaladoc's self-evidencing check: min within-core degree >= 3
+    // iff the fixed-round peel converged at this SF (a non-converged
+    // unroll would leave a node below k in the final survivor set)
+    val rows = q("graph_kcore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nNodes, nCore) = (r.getLong(1), r.getLong(2))
+      assert(nCore <= nNodes)
+      if (nCore > 0)
+        assert(r.getLong(3) >= 3L,
+          s"type ${r.getString(0)}: core min degree ${r.getLong(3)} < k")
+    }
+  }
+
   test("zorder buckets are range-tight on BOTH dimensions") {
     val b = q("layout_zorder").collect()
     val (maxPk, maxSk) = (b.map(_.getLong(3)).max, b.map(_.getLong(5)).max)
