@@ -65,6 +65,19 @@ object CdcQueries {
           col("state")("k").cast("long").as("k"))
     }),
 
+    // Cell-level LINEAGE of the carried-forward state: which LSN wrote
+    // each column of each key's current row. Under TOAST markers a
+    // cell's source is OLDER than the row's state LSN whenever the
+    // marked update kept the prior value — the audit row-level
+    // provenance cannot express, and the view that makes the
+    // carry-forward inspectable (Debezium users know this as the gap
+    // between source.lsn and the actual cell origin). Integer columns
+    // only — no cross-engine value formatting anywhere.
+    "cdc_cell_provenance" -> ((s, d) => {
+      val env = Envelope.toCdcEventsToast(Tables.events(s, d)).toDF()
+      ChangeLog.cellProvenance(env, Seq("user_id", "value", "k"))
+    }),
+
     // D6-D11: envelope normalization — op mapping, key construction,
     // JSON payload projection (D9/D10 analog via get_json_object).
     "cdc_envelope" -> ((s, d) => {
@@ -679,6 +692,23 @@ object CdcQueries {
          |SELECT 'public.users:' || CAST(mx.user_id AS VARCHAR) AS key,
          |  state_lsn, mx.user_id AS user_id, lv.value AS value,
          |  CAST(lk.k AS BIGINT) AS k
+         |FROM mx LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)""".stripMargin,
+    // Same fence/liveness CTEs as cdc_toast_latest_state; per column,
+    // the winning LSN is the latest live event NOT flagged unchanged
+    // for it (user_id is never flagged, so its source is state_lsn).
+    "cdc_cell_provenance" ->
+      s"""WITH e AS (SELECT event_id, user_id, $opSql AS op FROM events),
+         |dels AS (SELECT user_id, MAX(event_id) AS del_lsn FROM e
+         |  WHERE op = 'delete' GROUP BY 1),
+         |live AS (SELECT e.* FROM e LEFT JOIN dels USING (user_id)
+         |  WHERE op <> 'delete' AND (del_lsn IS NULL OR event_id > del_lsn)),
+         |mx AS (SELECT user_id, MAX(event_id) AS state_lsn FROM live GROUP BY 1),
+         |lv AS (SELECT user_id, MAX(event_id) AS lsn_value FROM live
+         |  WHERE NOT (op = 'update' AND event_id % 5 = 0) GROUP BY 1),
+         |lk AS (SELECT user_id, MAX(event_id) AS lsn_k FROM live
+         |  WHERE NOT (op = 'update' AND event_id % 3 = 0) GROUP BY 1)
+         |SELECT 'public.users:' || CAST(mx.user_id AS VARCHAR) AS key,
+         |  state_lsn, state_lsn AS lsn_user_id, lsn_value, lsn_k
          |FROM mx LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)""".stripMargin,
     "cdc_envelope" ->
       s"""SELECT $opSql AS op, event_id AS lsn, ts,

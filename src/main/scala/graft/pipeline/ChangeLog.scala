@@ -49,6 +49,19 @@ object ChangeLog {
     * the delete fence disappear, like [[latestStateWithTombstones]].
     */
   def latestStateCarryForward(env: DataFrame): DataFrame = {
+    val (live, latestPerCol) = carryForwardCells(env)
+    val stateLsn = live.groupBy("key").agg(max("lsn").as("state_lsn"))
+    val state = latestPerCol.groupBy("key")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("c"), col("v"))))).as("state"))
+    stateLsn.join(state, Seq("key"), "left")
+  }
+
+  /** The carry-forward core, shared with [[cellProvenance]]: the live
+    * (post-fence) event relation and the winning (key, column, lsn,
+    * value) cell per column.
+    */
+  private def carryForwardCells(env: DataFrame): (DataFrame, DataFrame) = {
     val dels = env.filter(col("op") === "delete")
       .groupBy("key").agg(max("lsn").as("del_lsn"))
     val live = env.filter(col("op").isin("insert", "update", "snapshot"))
@@ -61,13 +74,27 @@ object ChangeLog {
         coalesce(col("unchangedCols"), array().cast("array<string>")),
         col("c")))
       .select("key", "c", "lsn", "v")
-    val latestPerCol =
-      graft.plans.TopK.perKey(entries, Seq("key", "c"), Seq(("lsn", false)), 1)
+    (live,
+      graft.plans.TopK.perKey(entries, Seq("key", "c"), Seq(("lsn", false)), 1))
+  }
+
+  /** Cell-level LINEAGE of the carried-forward state: which LSN wrote
+    * each column of each key's current row. Under TOAST markers a
+    * cell's source can be OLDER than the row's state LSN (the marked
+    * update kept the prior value), which row-level provenance cannot
+    * express — this is the audit view that makes the carry-forward
+    * inspectable. Output: (key, state_lsn, one src-LSN column per
+    * payload column) — integers only, no value formatting. Same cost
+    * profile as [[latestStateCarryForward]] (it IS the same dataflow,
+    * pivoted instead of reassembled).
+    */
+  def cellProvenance(env: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val (live, latestPerCol) = carryForwardCells(env)
     val stateLsn = live.groupBy("key").agg(max("lsn").as("state_lsn"))
-    val state = latestPerCol.groupBy("key")
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("c"), col("v"))))).as("state"))
-    stateLsn.join(state, Seq("key"), "left")
+    val aggs = payloadCols.map(p =>
+      max(when(col("c") === p, col("lsn"))).as(s"lsn_$p"))
+    val pivoted = latestPerCol.groupBy("key").agg(aggs.head, aggs.tail: _*)
+    stateLsn.join(pivoted, Seq("key"), "left")
   }
 
   /** Latest state with delete tombstones: a key whose LATEST op is a
