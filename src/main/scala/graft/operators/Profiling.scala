@@ -167,6 +167,56 @@ object Profiling {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Sample-rate AUDIT for the SampleRates registry — the study that
+    // justifies (or indicts) events_rfm's 2% monetary boundary sample
+    // ON THIS CORPUS instead of assuming it: exact quintile boundaries
+    // from the full per-user value histogram vs the boundaries the
+    // registered sample actually produces, plus the number of users
+    // whose monetary quintile SHIFTS between the two boundary sets
+    // (exactly the users lying between each exact/sampled boundary
+    // pair). Same salt, same rate constant — the sample audited IS the
+    // sample shipped. All decimal-exact comparisons; at 100 TB the
+    // full-side boundary pass is the same O(distinct values) histogram
+    // walk events_rfm already argues, so the audit costs one extra
+    // boundary pass over the sample, not a second corpus scan.
+    "profile_sample_error" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("m"))
+        .transform(graft.CachePool.persist)
+      def bounds(src: DataFrame, out: String) = {
+        val hist = src.groupBy("m").agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum("c").over(
+          Window.orderBy(col("m")).rowsBetween(Window.unboundedPreceding, 0)))
+        val ranks = hist.agg(sum("c").as("nn"))
+          .withColumn("i", explode(sequence(lit(1L), lit(4L))))
+          .select(expr("(i * nn) div 5").as("rk"))
+          .filter(col("rk") >= 1L).distinct()
+        cum.join(broadcast(ranks), col("cum") >= col("rk"))
+          .groupBy("rk").agg(min(col("m")).as("bv"))
+          .agg(sort_array(collect_list(col("bv"))).as(out))
+          .withColumn("__k", lit(1))
+      }
+      val samp = per.filter(substring(
+        md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
+        < RFM_RATE_HEX)
+      per.withColumn("__k", lit(1))
+        .join(broadcast(bounds(per, "eb")), "__k")
+        .join(broadcast(bounds(samp, "sb")), "__k")
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .select(col("m"), col("i"),
+          get(col("eb"), col("i") - 1).as("e"),
+          get(col("sb"), col("i") - 1).as("s"))
+        .groupBy(col("i").cast("int").as("quintile_boundary"),
+          col("e").as("exact_boundary"), col("s").as("sampled_boundary"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("m") > least(col("e"), col("s")) &&
+            col("m") <= greatest(col("e"), col("s")), 1L).otherwise(0L))
+            .as("n_shifted_users"))
+        .withColumn("shifted_share",
+          col("n_shifted_users").cast("double") / col("n_users").cast("double"))
+    }),
+
     // Benford first-digit screen over order values — the classic
     // fabricated-data / broken-ETL detector: naturally-occurring
     // multiplicative amounts follow P(d) = log10(1+1/d); a feed whose
@@ -746,6 +796,39 @@ object Profiling {
          |FROM q GROUP BY r_q, f_q, m_q""".stripMargin
     },
 
+    // Same rank-join bounds formulation as the events_rfm oracle; list
+    // extract past the end is NULL, matching Spark's get() when the
+    // small-SF sample yields fewer than 4 boundaries.
+    "profile_sample_error" -> {
+      def boundsSql(src: String) =
+        s"""(SELECT COALESCE(list_sort(array_agg(m)), []) AS bl FROM (
+           |    SELECT m, row_number() OVER (ORDER BY m)
+           |      AS rn FROM $src) rk
+           |  JOIN (SELECT DISTINCT (i * nn) // 5 AS rn
+           |    FROM (SELECT unnest(generate_series(1, 4)) AS i) si,
+           |         (SELECT COUNT(*) AS nn FROM $src) nc
+           |    WHERE (i * nn) // 5 >= 1) rs USING (rn))""".stripMargin
+      s"""WITH per AS (SELECT user_id,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS m
+         |  FROM events GROUP BY 1),
+         |samp AS (SELECT * FROM per
+         |  WHERE substr(md5('rfm|' || CAST(user_id AS VARCHAR)), 1, 2)
+         |    < '$RFM_RATE_HEX'),
+         |x AS (SELECT m, i,
+         |    (${boundsSql("per")})[i] AS e,
+         |    (${boundsSql("samp")})[i] AS s
+         |  FROM per, (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS i) hs),
+         |g AS (SELECT i AS quintile_boundary, e AS exact_boundary,
+         |    s AS sampled_boundary, COUNT(*) AS n_users,
+         |    CAST(SUM(CASE WHEN m > least(e, s) AND m <= greatest(e, s)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_users
+         |  FROM x GROUP BY 1, 2, 3)
+         |SELECT quintile_boundary, exact_boundary, sampled_boundary, n_users,
+         |  n_shifted_users,
+         |  CAST(n_shifted_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    AS shifted_share
+         |FROM g""".stripMargin
+    },
     // Expected-share CASE is generated from the SAME constant table as
     // the Spark side — identical literal text, identical doubles.
     "profile_benford" -> {

@@ -53,6 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // scan for range normalization — bounded
     "layout_hilbert",       // same 1-row normalizer broadcast as
     "layout_hilbert_gain",  // layout_zorder / layout_skipping_gain
+    "profile_sample_error", // two 1-row boundary-array aggregates broadcast
+                            // into the per-user pass (the events_rfm shape)
     "join_skew_profile",    // 1-row global-stats aggregate broadcast into
                             // the per-key frequencies — bounded
     "text_source_temperature", // 1-row weight-normalizer aggregate

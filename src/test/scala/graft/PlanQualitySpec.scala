@@ -359,6 +359,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "events_rfm" ->
         ("O(distinct values): exact r/f histogram-cumulative boundaries; " +
           "monetary over a 05/16^2 ≈ 2.0% sample (SampleRates)"),
+      "profile_sample_error" ->
+        ("O(distinct values): the events_rfm monetary boundary walk run " +
+          "on both the full histogram and its registered sample"),
       "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch",
       "events_survival_curve" ->
         "O(day offsets): duration histogram (at-risk cumulative + rank)")
