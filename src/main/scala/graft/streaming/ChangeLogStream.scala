@@ -519,6 +519,46 @@ object ChangeLogStream {
     upsertBatchImpl(tableDir, keyCols, versionCol, numBuckets,
       compact = None)(batch, batchId)
 
+  /** [[upsertBatch]] with the TOAST carry-forward MERGE LAW (SURVEY
+    * §7.5.5 end-to-end): batches are CDC envelope rows (op, lsn, key,
+    * after, unchangedCols); the store holds (key, state_lsn, state).
+    * Per touched bucket, the existing state re-enters the merge as a
+    * synthetic `snapshot` event and
+    * [[graft.pipeline.ChangeLog.latestStateCarryForward]] resolves the
+    * batch against it — so an update whose TOASTed column was not
+    * re-shipped HEALS from the store's value even when the insert that
+    * wrote it landed in an earlier micro-batch. The reference cannot
+    * express this at all (its `"(unchanged)"` string lands in ES as
+    * data); the plain sink cannot either (last-writer-wins would
+    * overwrite the cell with the marker's null). Delete semantics: a
+    * delete at-or-above the key's state LSN removes the key from its
+    * bucket outright (the merge's fence) — replays of the same batch
+    * re-merge to the same result (idempotent); replays of OLDER
+    * history can resurrect, the same horizon contract as
+    * [[retentionUpsertBatch]]. All bucket mechanics (touched-only
+    * rewrite, rename-aside crash protocol, pinned bucket count) are
+    * the SAME code the model property test hammers.
+    */
+  def carryForwardUpsertBatch(tableDir: String, numBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit =
+    upsertBatchImpl(tableDir, Seq("key"), "lsn", numBuckets,
+      compact = None, merge = Some(carryForwardMerge))(batch, batchId)
+
+  private def carryForwardMerge(existing: DataFrame,
+      batchRows: DataFrame): DataFrame = {
+    val env = batchRows.select(col("key"), col("op"), col("lsn"),
+      col("after"), col("unchangedCols"))
+    // a store that does not exist yet surfaces as the batch-schema
+    // empty placeholder — there is no prior state to snapshot
+    val withPrior =
+      if (!existing.columns.contains("state_lsn")) env
+      else env.unionByName(existing.select(col("key"),
+        lit("snapshot").as("op"), col("state_lsn").as("lsn"),
+        col("state").as("after"),
+        lit(null).cast("array<string>").as("unchangedCols")))
+    ChangeLog.latestStateCarryForward(withPrior)
+  }
+
   /** [[upsertBatch]] with the compact+delete tombstone-retention policy
     * wired into the merge (reference K2's ES store never GCs deletes;
     * Kafka's log cleaner is the model — SURVEY.md §2.6). The policy is
@@ -605,7 +645,8 @@ object ChangeLogStream {
   private def upsertBatchImpl(tableDir: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int,
       compact: Option[DataFrame => DataFrame],
-      touchedOverride: Array[Int] = Array.empty)(
+      touchedOverride: Array[Int] = Array.empty,
+      merge: Option[(DataFrame, DataFrame) => DataFrame] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val target = new Path(tableDir)
@@ -626,7 +667,12 @@ object ChangeLogStream {
       fs.delete(backupRoot, true)
     }
     val nb = readOrPinBucketCount(fs, target, numBuckets)
-    val batchLatest = ChangeLog.latestState(batch, keyCols, versionCol)
+    // a custom merge law sees EVERY batch row (a pre-reduction to the
+    // per-key latest would lose the earlier rows a carry-forward merge
+    // heals from); the default last-writer-wins path pre-reduces as
+    // before
+    val batchLatest = merge.fold(
+        ChangeLog.latestState(batch, keyCols, versionCol))(_ => batch)
       .withColumn(BucketCol, bucketOf(keyCols, nb))
       .persist()
     try {
@@ -645,9 +691,16 @@ object ChangeLogStream {
           spark.read.option("mergeSchema", "true").parquet(tableDir)
             .filter(col(BucketCol).isin(touched.map(Int.box): _*))
         else batchLatest.limit(0)
-      val latest = ChangeLog.latestState(
-        existingTouched.unionByName(batchLatest, allowMissingColumns = true),
-        keyCols, versionCol)
+      val latest = merge match {
+        case None => ChangeLog.latestState(
+          existingTouched.unionByName(batchLatest, allowMissingColumns = true),
+          keyCols, versionCol)
+        case Some(m) =>
+          // the merge law owns the row semantics; the bucket column is
+          // the layout's concern — recomputed from the merged keys
+          m(existingTouched.drop(BucketCol), batchLatest.drop(BucketCol))
+            .withColumn(BucketCol, bucketOf(keyCols, nb))
+      }
       val merged = compact.fold(latest)(f => f(latest))
       val stagingRoot = new Path(tableDir + s"__staging_$batchId")
       // repartition on the bucket id so each bucket's rows land in one
@@ -678,16 +731,18 @@ object ChangeLogStream {
               val staged = new Path(stagingRoot, name)
               val live = new Path(target, name)
               val aside = new Path(backupRoot, name)
-              // WITHOUT compaction a touched bucket has ≥ 1 key ⇒
+              // Under the DEFAULT merge a touched bucket has ≥ 1 key ⇒
               // latest-state has ≥ 1 row, so a missing staged dir is an
-              // invariant violation. WITH compaction the bucket can
-              // legitimately empty out (its only keys were expired
-              // tombstones): publishing an empty bucket = deleting the
+              // invariant violation. WITH compaction — or a custom
+              // merge law whose deletes remove keys outright (the
+              // carry-forward sink) — the bucket can legitimately
+              // empty out: publishing an empty bucket = deleting the
               // live copy (replay-safe — re-merging re-compacts to the
               // same empty result).
               if (!fs.exists(staged)) {
-                if (compact.isEmpty) throw new IllegalStateException(
-                  s"staging missing touched bucket $name under $stagingRoot")
+                if (compact.isEmpty && merge.isEmpty)
+                  throw new IllegalStateException(
+                    s"staging missing touched bucket $name under $stagingRoot")
                 if (fs.exists(aside)) fs.delete(aside, true)
                 if (fs.exists(live)) fs.delete(live, true)
                 return

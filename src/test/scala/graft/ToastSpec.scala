@@ -126,6 +126,101 @@ class ToastSpec extends AnyFunSuite {
     assert(gone.count() === 0)
   }
 
+  test("carry-forward sink: marked columns heal from store state across batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the cell the plain sink CANNOT keep: insert lands in batch 0,
+    // the marked update in batch 1 — the sink must heal k from the
+    // bucket's stored state, not from anything in the batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cfsink").toString + "/state"
+    val sink = streaming.ChangeLogStream.carryForwardUpsertBatch(dir, 4) _
+    sink(spark.createDataset(Seq(
+      ev("insert", 1, 7, Map("user_id" -> "7", "value" -> "10", "k" -> "a"), null)
+    )).toDF(), 0L)
+    sink(spark.createDataset(Seq(
+      ev("update", 2, 7, Map("user_id" -> "7", "value" -> "20", "k" -> null), Seq("k"))
+    )).toDF(), 1L)
+    def state(): Map[String, (Long, Map[String, String])] = {
+      // a fully-deleted store legitimately has zero bucket dirs
+      val hasBuckets = Option(new java.io.File(dir).list())
+        .getOrElse(Array.empty[String]).exists(_.startsWith("__bucket="))
+      if (!hasBuckets) Map.empty
+      else streaming.ChangeLogStream.readState(spark, dir)
+        .select(col("key"), col("state_lsn"), col("state"))
+        .as[(String, Long, Map[String, String])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    assert(state() === Map("public.users:7" ->
+      (2L, Map("user_id" -> "7", "value" -> "20", "k" -> "a"))),
+      "k must carry 'a' forward from the stored state")
+    // replay of the same batch is a no-op
+    sink(spark.createDataset(Seq(
+      ev("update", 2, 7, Map("user_id" -> "7", "value" -> "20", "k" -> null), Seq("k"))
+    )).toDF(), 2L)
+    assert(state()("public.users:7")._2("k") === "a")
+    // delete removes the key from its bucket outright
+    sink(spark.createDataset(Seq(ev("delete", 3, 7, Map.empty, null))).toDF(), 3L)
+    assert(state().isEmpty)
+  }
+
+  test("property: carry-forward sink over random batch splits == one-shot batch merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("value", "k")
+    for (sample <- 0 until 8) {
+      val rnd = new scala.util.Random(0x5EED + sample)
+      val users = 1L to 5L
+      var st = Map.empty[Long, Map[String, String]]
+      var lsn = 0L
+      val log = Vector.newBuilder[CdcEvent]
+      for (_ <- 0 until 60) {
+        val uid = users(rnd.nextInt(users.size))
+        lsn += 1 + rnd.nextInt(3)
+        st.get(uid) match {
+          case None =>
+            val full = Map("user_id" -> uid.toString) ++
+              cols.map(c => c -> rnd.nextInt(100).toString)
+            st += uid -> full
+            log += ev("insert", lsn, uid, full, null)
+          case Some(_) if rnd.nextInt(5) == 0 =>
+            st -= uid
+            log += ev("delete", lsn, uid, Map.empty, null)
+          case Some(prev) =>
+            val kept = cols.filter(_ => rnd.nextBoolean())
+            val full = Map("user_id" -> uid.toString) ++
+              cols.map(c => c -> (if (kept.contains(c)) prev(c)
+                                  else rnd.nextInt(100).toString))
+            st += uid -> full
+            log += ev("update", lsn, uid,
+              full.map { case (c, v) =>
+                c -> (if (kept.contains(c)) null else v) },
+              kept)
+        }
+      }
+      val events = log.result()
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cfprop_$sample").toString + "/state"
+      val sink = streaming.ChangeLogStream.carryForwardUpsertBatch(dir, 3) _
+      // random contiguous batch splits, occasional same-batch replay
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(events.length + 1)))
+        .distinct.sorted
+      var id = 0L
+      cuts.zip(cuts.tail).map { case (a, b) => events.slice(a, b) }
+        .filter(_.nonEmpty).foreach { b =>
+          val df = spark.createDataset(b).toDF()
+          sink(df, id); id += 1
+          if (rnd.nextInt(3) == 0) { sink(df, id); id += 1 }
+        }
+      val got = streaming.ChangeLogStream.readState(spark, dir)
+        .select(col("key"), col("state"))
+        .as[(String, Map[String, String])].collect().toMap
+      val want = st.map { case (u, m) => s"public.users:$u" -> m }
+      assert(got === want, s"sample $sample: sink drifted from generator state")
+    }
+  }
+
   test("toCdcEventsToast marks exactly the synthesis rule's columns") {
     val sfDir = "/root/testdata/sf0.001"
     val env = Envelope.toCdcEventsToast(
