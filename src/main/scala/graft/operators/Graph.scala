@@ -97,7 +97,7 @@ object Graph {
     * share one evaluation (identical analyzed plans hit the
     * CacheManager).
     */
-  private def supplierPairCounts(s: SparkSession, d: String): DataFrame = {
+  private def keptCustSup(s: SparkSession, d: String): DataFrame = {
     val cs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -112,6 +112,12 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     cs.withColumn("deg", count(lit(1)).over(Window.partitionBy("cust")))
       .filter(col("deg").between(2, WEDGE_CAP))
+      .select("cust", "sup")
+      .transform(graft.CachePool.persist)
+  }
+
+  private def supplierPairCounts(s: SparkSession, d: String): DataFrame = {
+    keptCustSup(s, d)
       .groupBy("cust")
       .agg(sort_array(collect_set(col("sup"))).as("sups"))
       .select(explode(flatten(transform(col("sups"), (x, i) =>
@@ -162,13 +168,22 @@ object Graph {
         e.select(col("src").as("node")).distinct())
       val total = live.groupBy(substring(col("node"), 1, 1).as("node_type"))
         .agg(count(lit(1)).as("n_nodes"))
-      for (_ <- 1 to KCORE_ROUNDS) {
+      // early exit ON COUNT STABILITY is exactly oracle-equal: the
+      // peel only ever REMOVES nodes, so equal counts ⇒ equal sets ⇒
+      // every remaining unrolled round is the identity. The count is
+      // one action per round against the already-persisted survivor
+      // set — at sf0.1 this converges in 2 rounds, not 6.
+      var prevCount = -1L
+      var round = 0
+      while (round < KCORE_ROUNDS && live.count() != prevCount) {
+        prevCount = live.count() // cached: the persisted set, no recompute
         val dg = e
           .join(live.select(col("node").as("src")), "src")
           .join(live.select(col("node").as("dst")), "dst")
           .groupBy("src").agg(count(lit(1)).as("dg"))
         live = graft.CachePool.persist(
           dg.filter(col("dg") >= KCORE_K).select(col("src").as("node")))
+        round += 1
       }
       val coreDeg = e
         .join(live.select(col("node").as("src")), "src")
@@ -270,6 +285,34 @@ object Graph {
       supplierPairCounts(s, d)
         .orderBy(col("n_common").desc, col("sup_a"), col("sup_b"))
         .limit(15)
+    }),
+
+    // Link prediction by Jaccard coefficient over the one-mode supplier
+    // projection: score(a,b) = |cust(a) ∩ cust(b)| / |cust(a) ∪ cust(b)|
+    // — the classic unsupervised "which co-purchase edges are missing"
+    // ranking. Candidates = the wedge relation (pairs already sharing a
+    // customer; pairs with zero overlap score 0 and cannot rank), so
+    // the search space is Σ C(deg,2) from the capped expansion — never
+    // a supplier×supplier cross. Degrees come from ONE extra hash agg
+    // on the persisted kept relation and broadcast into the pair rows
+    // (O(suppliers) each side). All counts integer; the single double
+    // division is one IEEE op mirrored verbatim in the oracle, and the
+    // (jaccard, sup_a, sup_b) ordering is total so top-20 is engine-
+    // deterministic. Reuses the same cached wedge + kept relations the
+    // butterfly/overlap queries pin — zero extra base-table scans when
+    // the family runs together.
+    "graph_link_prediction" -> ((s, d) => {
+      val deg = keptCustSup(s, d).groupBy("sup").agg(count(lit(1)).as("dg"))
+      supplierPairCounts(s, d)
+        .join(broadcast(deg.select(col("sup").as("sup_a"), col("dg").as("deg_a"))), "sup_a")
+        .join(broadcast(deg.select(col("sup").as("sup_b"), col("dg").as("deg_b"))), "sup_b")
+        .select(col("sup_a"), col("sup_b"), col("n_common"),
+          col("deg_a"), col("deg_b"),
+          (col("n_common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("sup_a"), col("sup_b"))
+        .limit(20)
     })
   )
 
@@ -362,6 +405,15 @@ object Graph {
       s"""WITH $wedgeSql
          |SELECT sup_a, sup_b, n_common FROM pc
          |ORDER BY n_common DESC, sup_a, sup_b LIMIT 15""".stripMargin,
+    "graph_link_prediction" ->
+      s"""WITH $wedgeSql,
+         |sd AS (SELECT sup, COUNT(*) AS dg FROM kept GROUP BY sup)
+         |SELECT sup_a, sup_b, n_common, da.dg AS deg_a, db.dg AS deg_b,
+         |  CAST(n_common AS DOUBLE) /
+         |    CAST(da.dg + db.dg - n_common AS DOUBLE) AS jaccard
+         |FROM pc JOIN sd da ON pc.sup_a = da.sup
+         |        JOIN sd db ON pc.sup_b = db.sup
+         |ORDER BY jaccard DESC, sup_a, sup_b LIMIT 20""".stripMargin,
     "graph_assortativity" ->
       s"""WITH $edgesSql,
          |b AS (SELECT ed.d AS dx, dg2.d AS dy
