@@ -692,8 +692,83 @@ object Stats {
             (col("tmax") + col("h")).cast("int")).as("forecast_day"),
           (col("intercept") + col("slope") *
             (col("tmax") + col("h")).cast("double")).as("predicted"))
+    }),
+
+    // Hour-of-day seasonality test: per event type, Pearson's χ²
+    // against the uniform-over-24-hours null. With E = N/24 constant,
+    // Σ(O−E)²/E collapses algebraically to 24·ΣO²/N − N — so missing
+    // hours need no backfill row (they contribute 0 to ΣO² and the
+    // identity still holds), the statistic is built from ONE integer
+    // power sum, and the only float steps are a division and a
+    // subtraction mirrored verbatim in the oracle. Overflow: ΣO² ≤ N²
+    // needs N < 6e8 per type — rescale to DECIMAL accumulation past
+    // that. Threshold is the standard χ²(df=23, 0.95) table value;
+    // both engines compare against the identical literal, so the
+    // boolean is engine-exact regardless of the constant's provenance.
+    // Shape: O(types × 24) aggregation rows after one hash agg.
+    "events_hourly_seasonality" -> ((s, d) => {
+      val byHour = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("o"))
+      byHour.groupBy("event_type")
+        .agg(sum("o").as("n_events"),
+          count(lit(1)).as("hours_present"),
+          max("o").as("max_hourly"),
+          sum(col("o") * col("o")).as("sum_sq"))
+        .withColumn("chi2",
+          (lit(24L) * col("sum_sq")).cast("double") /
+            col("n_events").cast("double") -
+            col("n_events").cast("double"))
+        .withColumn("uniform_rejected", col("chi2") > 35.17246162690806)
+    }),
+
+    // Experiment power analysis — the planning companion to
+    // events_ab_value_ttest: from the SAME per-user purchase-revenue
+    // moments (exact decimal Σm, Σm² via the d2 route), how many users
+    // per arm does a future test need to detect a 5%-of-mean lift at
+    // α=0.05 two-sided, power 0.8? n = ⌈2(z_α+z_β)²·σ²/δ²⌉ with the
+    // z-sum constant precomputed once in Scala and embedded as the
+    // SAME round-trip literal in both engines (Double.toString
+    // round-trips exactly; DuckDB parses it to the identical double),
+    // so the one IEEE expression tree is mirrored verbatim. Degenerate
+    // guard: zero mean or zero variance → NULL n_required, never ÷0.
+    // Shape: one per-user hash agg + a 1-row global aggregate.
+    "events_power_analysis" -> ((s, d) => {
+      def d2(c: org.apache.spark.sql.Column, scale: Int) = {
+        val p = math.pow(10, scale).toLong
+        (c * lit(p)).cast("decimal(38,0)").cast("double") / lit(p.toDouble)
+      }
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("m"))
+      val g = per.agg(count(lit(1)).as("n_users"),
+        d2(sum(col("m")), 2).as("s1"),
+        d2(sum(col("m") * col("m")), 4).as("s2"))
+      val mean = col("s1") / col("n_users")
+      val varr = (col("s2") - col("s1") * col("s1") / col("n_users")) /
+        (col("n_users") - 1)
+      val base = g.select(col("n_users"), mean.as("mean_rev"),
+        varr.as("var_rev"))
+      val delta = lit(0.05) * col("mean_rev")
+      val nReq = when(col("mean_rev") === 0.0 || col("var_rev") === 0.0,
+        lit(null).cast("long"))
+        .otherwise(ceil(lit(Stats.POWER_K) * col("var_rev") /
+          (delta * delta)).cast("long"))
+      base.select(col("n_users"), col("mean_rev"), col("var_rev"),
+        delta.as("mde_abs"), nReq.as("n_required_per_arm"))
     })
   )
+
+  /** 2·(z₀.₀₂₅ + z₀.₂)² for the power-analysis sample-size formula —
+    * computed once here so the Spark literal and the oracle's embedded
+    * decimal literal are the SAME double (Double.toString round-trips).
+    */
+  val POWER_K: Double = {
+    val za = 1.959963984540054 // Φ⁻¹(0.975)
+    val zb = 0.8416212335729143 // Φ⁻¹(0.8)
+    2.0 * (za + zb) * (za + zb)
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -1105,6 +1180,46 @@ object Stats {
         |SELECT event_type, CAST(h AS INT) AS horizon,
         |  DATE '1970-01-01' + CAST(tmax + h AS INT) AS forecast_day,
         |  intercept + slope * CAST(tmax + h AS DOUBLE) AS predicted
-        |FROM ic, (SELECT unnest(generate_series(1, 7)) AS h) hs""".stripMargin
+        |FROM ic, (SELECT unnest(generate_series(1, 7)) AS h) hs""".stripMargin,
+
+    "events_hourly_seasonality" ->
+      """WITH byh AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_events,
+        |    COUNT(*) AS hours_present, CAST(MAX(o) AS BIGINT) AS max_hourly,
+        |    CAST(SUM(o * o) AS BIGINT) AS sum_sq
+        |  FROM byh GROUP BY 1)
+        |SELECT event_type, n_events, hours_present, max_hourly, sum_sq,
+        |  CAST(24 * sum_sq AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    - CAST(n_events AS DOUBLE) AS chi2,
+        |  CAST(24 * sum_sq AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    - CAST(n_events AS DOUBLE) > 35.17246162690806
+        |    AS uniform_rejected
+        |FROM g""".stripMargin,
+
+    "events_power_analysis" -> {
+      val k = Stats.POWER_K.toString
+      s"""WITH per AS (SELECT user_id,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,2)) END),
+         |      CAST(0 AS DECIMAL(18,2))) AS m
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT COUNT(*) AS n_users,
+         |    CAST(CAST(SUM(m) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100 AS s1,
+         |    CAST(CAST(SUM(m * m) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000
+         |      AS s2
+         |  FROM per),
+         |b AS (SELECT n_users, s1 / n_users AS mean_rev,
+         |    (s2 - s1 * s1 / n_users) / (n_users - 1) AS var_rev
+         |  FROM g)
+         |SELECT n_users, mean_rev, var_rev,
+         |  0.05 * mean_rev AS mde_abs,
+         |  CASE WHEN mean_rev = 0 OR var_rev = 0 THEN NULL
+         |    ELSE CAST(CEIL($k * var_rev /
+         |      ((0.05 * mean_rev) * (0.05 * mean_rev))) AS BIGINT) END
+         |    AS n_required_per_arm
+         |FROM b""".stripMargin
+    }
   )
 }

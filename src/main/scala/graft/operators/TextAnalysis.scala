@@ -968,6 +968,71 @@ object TextAnalysis {
         .select(col("doc_id"),
           md5(col("text")).as("fp_md5"),
           array_min(transform(grams, g => md5(g))).as("fp_shingle"))
+    }),
+
+    // Boilerplate screen — the C4/RefinedWeb curation step that finds
+    // TEMPLATE text (headers, footers, nav chrome) as n-grams repeated
+    // across a large FRACTION of a source's documents, as opposed to
+    // dup_ngram_coverage's any-duplication view. An 8-gram is boiler-
+    // plate when it occurs in ≥ max(2, n_docs/5) distinct docs of its
+    // source — all integer compares (df·5 ≥ n_docs avoids float ceil),
+    // so the flag is engine-exact. Reuses the IDENTICAL persisted
+    // (doc,source,pos,fp) posting dup_ngram_coverage pins (same
+    // analyzed plan → one evaluation when the family runs together);
+    // on top of it: one (source,fp) hash agg with a distinct-doc
+    // count, a broadcast of the O(sources) totals, and an O(sources)
+    // report. 100 TB: the posting is the dominant cost and is already
+    // paid once for the family; nothing else touches the corpus.
+    "text_boilerplate_ngrams" -> ((s, d) => {
+      val NG = 8
+      val starts = sequence(lit(0), size(col("t")) - NG, lit(1))
+      val base = docsPar(s, d).select(col("doc_id"), col("source"), toks.as("t"))
+      val tot = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val pos = base
+        .filter(size(col("t")) >= NG)
+        .select(col("doc_id"), col("source"), explode(starts).as("st"),
+          col("t"))
+        .select(col("doc_id"), col("source"), col("st"),
+          md5(concat_ws(" ", slice(col("t"), col("st") + 1, lit(NG))))
+            .as("fp"))
+        .transform(graft.CachePool.persist) // shared with dup_ngram_coverage
+      val perFp = pos.groupBy("source", "fp")
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
+      perFp.join(broadcast(tot), "source")
+        .withColumn("boiler", col("df") >= 2 && col("df") * 5 >= col("n_docs"))
+        .groupBy("source")
+        .agg(min("n_docs").as("n_docs"),
+          sum("n_occ").as("gram_occurrences"),
+          count(lit(1)).as("distinct_grams"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_grams"),
+          sum(when(col("boiler"), col("n_occ")).otherwise(0L))
+            .as("boiler_occurrences"))
+        .withColumn("boiler_share",
+          col("boiler_occurrences").cast("double") /
+            col("gram_occurrences").cast("double"))
+    }),
+
+    // Tokenizer fertility per source — the "how many model tokens does
+    // a byte of this source cost" planning number every pretraining
+    // mixture budget needs (fertility = subword/word ratio; bytes per
+    // subword = compression the tokenizer achieves). Both tokenizers
+    // are the repo's standing conventions (whitespace + TOKEN_RE), the
+    // totals are exact integers from ONE map-side hash agg over
+    // O(sources) groups, and the two ratios are single IEEE divisions
+    // mirrored verbatim. 100 TB: per-row token counting is embarrassingly
+    // parallel; the aggregate state is 4 longs × sources.
+    "text_token_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit(TOKEN_RE), lit(0)))
+            .cast("long")).as("re_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          col("re_tokens").cast("double") / col("ws_tokens").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("re_tokens").cast("double"))
     })
   )
 
@@ -1404,6 +1469,49 @@ object TextAnalysis {
         |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
         |        || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]),
         |    g -> md5(g)), 'min') AS fp_shingle
-        |FROM documents WHERE len(string_split(text, ' ')) >= 4""".stripMargin
+        |FROM documents WHERE len(string_split(text, ' ')) >= 4""".stripMargin,
+
+    "text_boilerplate_ngrams" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM tk GROUP BY source),
+        |st AS (SELECT doc_id, source, t,
+        |    unnest(generate_series(0, len(t) - 8, 1)) AS s
+        |  FROM tk WHERE len(t) >= 8),
+        |ng AS (SELECT doc_id, source, s,
+        |    md5(array_to_string(t[s + 1 : s + 8], ' ')) AS fp
+        |  FROM st),
+        |pf AS (SELECT source, fp, COUNT(*) AS n_occ,
+        |    COUNT(DISTINCT doc_id) AS df
+        |  FROM ng GROUP BY 1, 2),
+        |fl AS (SELECT pf.source, n_occ,
+        |    (df >= 2 AND df * 5 >= n_docs) AS boiler, n_docs
+        |  FROM pf JOIN tot ON pf.source = tot.source),
+        |g AS (SELECT source, MIN(n_docs) AS n_docs,
+        |    CAST(SUM(n_occ) AS BIGINT) AS gram_occurrences,
+        |    COUNT(*) AS distinct_grams,
+        |    CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS boiler_grams,
+        |    CAST(SUM(CASE WHEN boiler THEN n_occ ELSE 0 END) AS BIGINT)
+        |      AS boiler_occurrences
+        |  FROM fl GROUP BY 1)
+        |SELECT source, n_docs, gram_occurrences, distinct_grams,
+        |  boiler_grams, boiler_occurrences,
+        |  CAST(boiler_occurrences AS DOUBLE) /
+        |    CAST(gram_occurrences AS DOUBLE) AS boiler_share
+        |FROM g""".stripMargin,
+
+    "text_token_fertility" ->
+      s"""WITH g AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+         |    CAST(SUM(len(regexp_extract_all(text, '$TOKEN_RE'))) AS BIGINT)
+         |      AS re_tokens,
+         |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, ws_tokens, re_tokens, n_chars,
+         |  CAST(re_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility,
+         |  CAST(n_chars AS DOUBLE) / CAST(re_tokens AS DOUBLE)
+         |    AS chars_per_token
+         |FROM g""".stripMargin
   )
 }
