@@ -1092,6 +1092,68 @@ object Similarity {
         .groupBy(floor(col("cosine") * 10).cast("int").as("band"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("vec_id")).as("n_vectors"))
+    }),
+
+    // The IVF tuning curve — recall vs candidates-scored at nprobe ∈
+    // {1,2,4,8}, the dedup_lsh_tradeoff convention applied to the ANN
+    // tier: the number an operator actually tunes against, measured
+    // exactly instead of guessed from the paper's corpus. One shared
+    // assignment pass and ONE probe pass tagged with probe rank (a
+    // corpus vector lives in exactly one cell, so each (q, vec) is
+    // scored at most once and "candidates" is a plain row count); the
+    // persisted scored relation is then re-ranked per budget — four
+    // windows over the SAME cached rows, no recomputation, plus the
+    // declared brute-force ground truth (whitelisted baseline). The
+    // report is 4 rows; every count integer, recall one IEEE division.
+    // 100 TB: the curve costs one assignment + one probe scan more
+    // than ann_ivf_topk itself — this is the cheap experiment you run
+    // BEFORE fixing nprobe fleet-wide.
+    "ann_ivf_probe_curve" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val cents = centroidsDf(s, d)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = corpusDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("e"), col("cent_id"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("cent_id"))
+      val probe8 = queriesDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("qcos", cos(col("qe"), col("ce")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 8)
+        .select(col("q_id"), col("qe"), col("cent_id"), col("prn"))
+      val scored = probe8.join(assign, "cent_id")
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .select("q_id", "vec_id", "cosine", "prn")
+        .transform(graft.CachePool.persist) // 4 budgets re-rank these rows
+      val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+          .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select("q_id", "vec_id")
+        .transform(graft.CachePool.persist) // hit-join per budget
+      def rowFor(np: Int): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val sub = scored.filter(col("prn") <= np)
+        val approx = sub.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TOP_K)
+          .select("q_id", "vec_id")
+        val cand = sub.agg(count(lit(1)).as("candidates"))
+        val hit = exact.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val ex = exact.agg(count(lit(1)).as("exact_rows"))
+        cand.crossJoin(broadcast(hit)).crossJoin(broadcast(ex))
+          .select(lit(np).cast("int").as("nprobe"), col("candidates"),
+            col("total_hits"),
+            (col("total_hits").cast("double") /
+              col("exact_rows").cast("double")).as("recall"))
+      }
+      rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(4))
+        .unionByName(rowFor(8))
     })
   )
 
@@ -1502,6 +1564,42 @@ object Similarity {
          |SELECT q_id, q_label, vec_id, label, cosine, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_ivf_probe_curve" -> {
+      val perNp = Seq(1, 2, 4, 8).map { np =>
+        s"""(SELECT CAST($np AS INT) AS nprobe,
+           |  (SELECT COUNT(*) FROM scored8 WHERE prn <= $np) AS candidates,
+           |  (SELECT COUNT(*) FROM exact e JOIN
+           |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+           |        row_number() OVER (PARTITION BY q_id
+           |          ORDER BY cosine DESC, vec_id) AS rn
+           |      FROM scored8 WHERE prn <= $np) t WHERE rn <= $TOP_K) a
+           |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
+           |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""$baseSql,
+         |$centsSqlChain,
+         |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
+         |assign AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT corpus.vec_id, corpus.e, cent_id,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", 64)} DESC, cent_id) AS arn
+         |  FROM corpus, cents) t WHERE arn = 1),
+         |probe8 AS (SELECT q_id, qe, cent_id, prn FROM (
+         |  SELECT q_id, qe, cent_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
+         |  FROM q, cents) t WHERE prn <= 8),
+         |scored8 AS (SELECT q_id, vec_id, prn, $cosQC AS cosine
+         |  FROM probe8 JOIN assign USING (cent_id)),
+         |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+         |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+         |  WHERE rn <= $TOP_K)
+         |SELECT nprobe, candidates, total_hits,
+         |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
+         |FROM ($perNp)""".stripMargin
+    },
     // identical cosine doubles ⇒ identical FLOOR banding
     "ann_similarity_histogram" ->
       s"""$baseSql

@@ -22,6 +22,9 @@ class PlanAuditSpec extends AnyFunSuite {
                             // LINEAR in the corpus by construction
     "ann_ivf_topk",         // broadcast centroids × corpus (assignment)
     "ann_ivf_recall",       // composes the two above
+    "ann_ivf_probe_curve",  // the ann_ivf_topk assignment/probe shapes +
+                            // the brute ground truth + per-budget 1-row
+                            // (candidates, hits, exact) aggregates crossed
     "ann_ivfadc_topk",      // broadcast centroids × corpus/queries (the
                             // ann_ivf_topk assignment/probe shapes); the
                             // PQ encode itself is an equi-join on s
