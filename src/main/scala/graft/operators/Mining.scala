@@ -52,6 +52,9 @@ object Mining {
   private val PATH_LEN = 5
   private val PATH_TOP = 20
 
+  /** events_markov_stationary: unrolled power-iteration rounds. */
+  private val MARKOV_ITERS = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Markov transition matrix: count (event_type → next event_type)
@@ -70,6 +73,50 @@ object Mining {
       trans.withColumn("prob",
         col("n_transitions").cast("double") /
           sum("n_transitions").over(wf).cast("double"))
+    }),
+
+    // Stationary distribution of the event-type Markov chain — where
+    // the transition matrix's probability mass settles, i.e. the
+    // long-run share of traffic per event type if users kept walking
+    // the observed chain. Power iteration in INTEGER rank units (the
+    // graph_pagerank convention: π₀ = 1e12 per from-state, each step
+    // splits π(i)·n(i,j) div r(i) with positive-operand floor division
+    // — bit-identical across engines, no float accumulation order to
+    // disagree on). The chain itself is O(types²) ≤ 25 rows after ONE
+    // user-partitioned window pass over the fact table, so the
+    // iteration runs driver-side on the collected matrix (the
+    // centroidSeq convention: a planner-sized collect, bounded by
+    // construction) and the oracle unrolls the identical rounds as
+    // CTEs. Overflow: π_total·max_cell_n must stay < 2^63 — at R0=1e12
+    // that allows ~1.8e6 transitions per cell (sf0.1 has ~24k);
+    // rescale R0 before corpora grow 100×. States = types observed as
+    // transition SOURCES; mass reaching a sink-only type is dropped by
+    // the next round in both engines alike.
+    "events_markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("to_event", lead(col("event_type"), 1).over(w))
+        .filter(col("to_event").isNotNull)
+        .groupBy(col("event_type").as("from_event"), col("to_event"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val rowTot = trans.groupBy(_._1).map { case (f, rs) =>
+        (f, rs.map(_._3).sum)
+      }
+      val R0 = 1000000000000L
+      var pi: Map[String, Long] = rowTot.keys.map(_ -> R0).toMap
+      for (_ <- 1 to MARKOV_ITERS) {
+        pi = trans.flatMap { case (f, t, n) =>
+          pi.get(f).map(p => (t, p * n / rowTot(f)))
+        }.groupBy(_._1).map { case (t, cs) => (t, cs.map(_._2).sum) }
+      }
+      val total = pi.values.sum
+      pi.toSeq.map { case (t, u) =>
+        (t, u, u.toDouble / total.toDouble)
+      }.toDF("event_type", "stationary_units", "stationary_share")
     }),
 
     // Market-basket affinity: top co-occurring part pairs across order
@@ -264,6 +311,32 @@ object Mining {
         |    CAST(SUM(n_transitions) OVER (PARTITION BY from_event) AS DOUBLE)
         |    AS prob
         |FROM m""".stripMargin,
+
+    "events_markov_stationary" -> {
+      val rounds = (1 to MARKOV_ITERS).map { i =>
+        s"""p$i AS (SELECT m.to_event AS et,
+           |    CAST(SUM((p.pi * m.n) // r.rt) AS BIGINT) AS pi
+           |  FROM m JOIN p${i - 1} p ON m.from_event = p.et
+           |    JOIN r ON m.from_event = r.from_event
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT event_type AS from_event,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+         |      AS to_event
+         |  FROM events),
+         |m AS (SELECT from_event, to_event, COUNT(*) AS n
+         |  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT from_event, CAST(SUM(n) AS BIGINT) AS rt
+         |  FROM m GROUP BY 1),
+         |p0 AS (SELECT from_event AS et, CAST(1000000000000 AS BIGINT) AS pi
+         |  FROM r),
+         |$rounds
+         |SELECT et AS event_type, pi AS stationary_units,
+         |  CAST(pi AS DOUBLE) /
+         |    CAST((SELECT SUM(pi) FROM p$MARKOV_ITERS) AS DOUBLE)
+         |    AS stationary_share
+         |FROM p$MARKOV_ITERS""".stripMargin
+    },
 
     "events_top_paths" ->
       s"""WITH r AS (SELECT user_id, event_id, event_type,
