@@ -1012,6 +1012,51 @@ object TextAnalysis {
             col("gram_occurrences").cast("double"))
     }),
 
+    // DSIR-style domain-targeted data selection (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // rank out-of-domain documents by how much a bag-of-unigrams model
+    // of the TARGET domain (src0 as the declared in-domain proxy)
+    // prefers them over the raw-corpus model — the published recipe
+    // for "find me more data that looks like my eval set" at corpus
+    // scale. log-likelihood ratios are INTEGER log2 via the
+    // length(bin(n)) trick (the text_unigram_surprise convention):
+    // per-occurrence score = bits(n_target+1) − bits(n_corpus+1)
+    // (+1 = Laplace smoothing so unseen-in-target tokens contribute
+    // the floor, not −∞), plus the per-token normalizer
+    // bits(N_corpus) − bits(N_target) folded in once per doc — exact
+    // in both engines, no libm. Shapes: both unigram tables are
+    // O(vocab) broadcasts (termCounts is the family's shared cache);
+    // the occurrence relation never shuffles before the per-doc
+    // partial agg; the report is a global top-50 TakeOrdered. 100 TB:
+    // identical plan, with the posting as the one pass over text.
+    "text_dsir_select" -> ((s, d) => {
+      val tc = termCounts(s, d)
+      val target = docsPar(s, d).filter(col("source") === "src0")
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_t"))
+      val totals = tc.agg(sum("n").cast("long").as("nr"))
+        .crossJoin(broadcast(target.agg(sum("n_t").cast("long").as("nt"))))
+        .select(length(bin(col("nr"))).cast("int").as("bits_nr"),
+          length(bin(col("nt"))).cast("int").as("bits_nt"))
+      val occ = docsPar(s, d).filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+      occ
+        .join(broadcast(tc), Seq("tok"))
+        .join(broadcast(target), Seq("tok"), "left")
+        .select(col("doc_id"), col("source"),
+          (length(bin(coalesce(col("n_t"), lit(0L)) + 1)).cast("int") -
+            length(bin(col("n") + 1)).cast("int")).as("db"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"), sum("db").as("tok_bits"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("tok_bits") +
+            col("n_tokens") * (col("bits_nr") - col("bits_nt")))
+            .as("score_bits"))
+        .orderBy(col("score_bits").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // Tokenizer fertility per source — the "how many model tokens does
     // a byte of this source cost" planning number every pretraining
     // mixture budget needs (fertility = subword/word ratio; bytes per
@@ -1500,6 +1545,31 @@ object TextAnalysis {
         |  CAST(boiler_occurrences AS DOUBLE) /
         |    CAST(gram_occurrences AS DOUBLE) AS boiler_share
         |FROM g""".stripMargin,
+
+    "text_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |tg AS (SELECT tok, COUNT(*) AS n_t FROM t
+        |  WHERE source = 'src0' GROUP BY tok),
+        |tot AS (SELECT
+        |    CAST(length(bin(CAST((SELECT SUM(n) FROM c) AS BIGINT)))
+        |      AS INT) AS bits_nr,
+        |    CAST(length(bin(CAST((SELECT SUM(n_t) FROM tg) AS BIGINT)))
+        |      AS INT) AS bits_nt),
+        |sc AS (SELECT doc_id, t.source,
+        |    CAST(length(bin(COALESCE(tg.n_t, 0) + 1)) AS INT)
+        |      - CAST(length(bin(c.n + 1)) AS INT) AS db
+        |  FROM t JOIN c USING (tok) LEFT JOIN tg USING (tok)
+        |  WHERE t.source <> 'src0'),
+        |g AS (SELECT doc_id, source, COUNT(*) AS n_tokens,
+        |    CAST(SUM(db) AS BIGINT) AS tok_bits
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens,
+        |  tok_bits + n_tokens * (bits_nr - bits_nt) AS score_bits
+        |FROM g, tot
+        |ORDER BY score_bits DESC, doc_id LIMIT 50""".stripMargin,
 
     "text_token_fertility" ->
       s"""WITH g AS (SELECT source, COUNT(*) AS n_docs,

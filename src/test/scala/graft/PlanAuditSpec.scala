@@ -74,6 +74,9 @@ class PlanAuditSpec extends AnyFunSuite {
                             // next to the union-sketch estimate — bounded
     "agg_kll_quantile_rollup", // 1-row global exact-percentile aggregate
                             // broadcast next to the merged sketch — bounded
+    "text_dsir_select",     // two 1-row token-total aggregates (corpus,
+                            // target) crossed into the per-doc scores —
+                            // the text_pmi_ratio normalizer shape, bounded
     "text_pmi_ratio",       // 1-row corpus-token-total aggregate broadcast
                             // into the pair/unigram join — bounded
     "events_anomaly_days",  // 1-row moment aggregate (n, Σ, Σ²) broadcast
