@@ -424,6 +424,69 @@ object Dedup {
           col("mean_jaccard"), col("mean_abs_err"))
     }),
 
+    // b-bit minhash (Li & König 2010, "b-Bit Minwise Hashing"): store
+    // only the LOWEST b bits of each signature component and correct
+    // the match rate for accidental low-bit collisions —
+    // Ĵ = (m/k − 2⁻ᵇ)/(1 − 2⁻ᵇ). The published result is that at
+    // b=1..2 the variance penalty is small while storage drops 16-32×,
+    // and this query MEASURES that tradeoff on this corpus: per b ∈
+    // {1,2,4,8,16,32}, the mean |Ĵ−J| over the banded candidate pairs
+    // against exact Jaccard (32 = the full component width = the
+    // uncorrected dedup_minhash_error baseline). All six estimators
+    // read the SAME joined pair relation in ONE aggregate (six
+    // conditional sums), unpivoted by stack(); 2⁻ᵇ and 1−2⁻ᵇ are
+    // exactly-representable doubles embedded as round-trip literals in
+    // both engines, and the error sum is floor-quantized at 2³⁰ (the
+    // family convention) so the aggregation order cannot matter.
+    "dedup_minhash_bbit" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val Q = 1073741824.0 // 2^30
+      val sh = docShingles(s, d)
+      val m1 = md5(col("g"))
+      val m2 = md5(concat(lit("#"), col("g")))
+      def h(seed: Int): Column =
+        conv(substring(if (seed < 4) m1 else m2, 8 * (seed % 4) + 1, 8), 16, 10)
+          .cast("long")
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sig = posting.groupBy("doc_id").agg(
+        min(h(0)).as("sig0"),
+        (1 until MINHASH_SEEDS).map(sd => min(h(sd)).as(s"sig$sd")): _*)
+      val bands = minhashBands(sh)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.toDF("doc_a" +: (0 until MINHASH_SEEDS).map(i => s"a$i"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until MINHASH_SEEDS).map(i => s"b$i"): _*)
+      val joined = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      val bs = Seq(1, 2, 4, 8, 16, 32)
+      val errCols = bs.map { b =>
+        val mod = 1L << b
+        val c = 1.0 / mod.toDouble
+        val m = (0 until MINHASH_SEEDS).map(i =>
+          when(col(s"a$i") % mod === col(s"b$i") % mod, 1).otherwise(0))
+          .reduce(_ + _)
+        val est = (m.cast("double") / lit(MINHASH_SEEDS.toDouble) - lit(c)) /
+          lit(1.0 - c)
+        sum(floor(abs(est - col("j")) * Q + 0.5)).cast("long").as(s"e$b")
+      }
+      joined.agg(count(lit(1)).as("n_pairs"), errCols: _*)
+        .selectExpr(s"stack(${bs.length}, " +
+          bs.map(b => s"$b, n_pairs, e$b").mkString(", ") +
+          ") AS (bits, n_pairs, errq)")
+        .select(col("bits").cast("int").as("bits"),
+          (col("bits") * lit(MINHASH_SEEDS)).cast("int").as("sig_bits_per_doc"),
+          col("n_pairs"),
+          (col("errq").cast("double") / Q / col("n_pairs").cast("double"))
+            .as("mean_abs_err"))
+    }),
+
     // INCREMENTAL near-dedup: a new snapshot against the standing
     // corpus — the pattern that makes dedup sustainable at 100 TB.
     // Re-running the full self-join per snapshot is O(corpus²-ish);
@@ -1004,6 +1067,40 @@ object Dedup {
          |    AS BIGINT)) AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE)
          |    AS mean_abs_err
          |FROM pj GROUP BY n_match""".stripMargin
+    },
+    "dedup_minhash_bbit" -> {
+      val bs = Seq(1, 2, 4, 8, 16, 32)
+      val pjCols = bs.map { b =>
+        val mod = 1L << b
+        val m = (0 until MINHASH_SEEDS).map(i =>
+          s"CASE WHEN sa2.sig$i % $mod = sb2.sig$i % $mod THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"$m AS m_$b"
+      }.mkString(",\n  ")
+      val sums = bs.map { b =>
+        val c = 1.0 / (1L << b).toDouble
+        s"""SUM(CAST(FLOOR(abs((CAST(m_$b AS DOUBLE) / ${MINHASH_SEEDS.toDouble}
+           | - $c) / ${1.0 - c} - j) * 1073741824.0 + 0.5) AS BIGINT)) AS e_$b"""
+          .stripMargin
+      }.mkString(",\n  ")
+      val rows = bs.map { b =>
+        s"""SELECT CAST($b AS INT) AS bits,
+           |  CAST($b * $MINHASH_SEEDS AS INT) AS sig_bits_per_doc, n_pairs,
+           |  CAST(e_$b AS DOUBLE) / 1073741824.0 / CAST(n_pairs AS DOUBLE)
+           |    AS mean_abs_err FROM agg""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $minhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b ON a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |pj AS (SELECT $pjCols,
+         |  $jaccardSql AS j
+         |  FROM cand JOIN d da ON doc_a = da.doc_id
+         |  JOIN d db ON doc_b = db.doc_id
+         |  JOIN sig sa2 ON doc_a = sa2.doc_id
+         |  JOIN sig sb2 ON doc_b = sb2.doc_id),
+         |agg AS (SELECT COUNT(*) AS n_pairs, $sums FROM pj)
+         |$rows""".stripMargin
     },
     "dedup_incremental" -> incrementalPairsSql,
     "dedup_clusters" ->
