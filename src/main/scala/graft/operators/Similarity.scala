@@ -1094,6 +1094,84 @@ object Similarity {
           countDistinct(col("vec_id")).as("n_vectors"))
     }),
 
+    // The refine-depth half of the IVFADC tuning space (nprobe is the
+    // other half — ann_ivf_probe_curve): how much recall does each
+    // tier of the full-precision re-rank buy? At 100 TB the refine
+    // stage is the part that touches 256-byte vectors instead of
+    // 8-byte codes, so depth is THE knob trading read bandwidth for
+    // recall — this measures it at 10/25/50/100/200 candidates per
+    // query with one shared ADC pass (the persisted scored relation is
+    // re-cut per depth, exactly the probe-curve shape). Report: 5
+    // rows, integer hits, one IEEE division.
+    "ann_ivfadc_refine_curve" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
+      val cents = centroidsDf(s, d)
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
+      val wCode = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist"), col("plabel"))
+      val recon = corpusDf(s, d)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
+          .as(Seq("s", "sub")))
+        .join(broadcast(pqTrainedDf(s, d)), "s")
+        .withColumn("dist", l2(col("sub"), col("cw")))
+        .withColumn("crn", row_number().over(wCode))
+        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("cw")))),
+          x => x.getField("cw"))).as("recon"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = corpusDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("cent_id"))
+      val probe = queriesDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("qcos", cos(col("qe"), col("ce")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nprobe(s, d))
+        .select(col("q_id"), col("qe"), col("cent_id"))
+      val wShort = Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("vec_id"))
+      val sc = probe.join(assign, "cent_id")
+        .join(recon, "vec_id")
+        .withColumn("adc", cos(col("qe"), col("recon")))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= ADC_SHORTLIST)
+        .select(col("q_id"), col("qe"), col("vec_id"), col("srn"))
+        .join(corpusDf(s, d), "vec_id")
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .select("q_id", "vec_id", "cosine", "srn")
+        .transform(graft.CachePool.persist) // 5 depths re-rank these rows
+      val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+          .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select("q_id", "vec_id")
+        .transform(graft.CachePool.persist)
+      def rowFor(dp: Int): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val approx = sc.filter(col("srn") <= dp)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TOP_K)
+          .select("q_id", "vec_id")
+        val hit = exact.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val ex = exact.agg(count(lit(1)).as("exact_rows"))
+        hit.crossJoin(broadcast(ex))
+          .select(lit(dp).cast("int").as("refine_depth"), col("total_hits"),
+            (col("total_hits").cast("double") /
+              col("exact_rows").cast("double")).as("recall"))
+      }
+      Seq(10, 25, 50, 100, 200).map(rowFor).reduce(_.unionByName(_))
+    }),
+
     // The IVF tuning curve — recall vs candidates-scored at nprobe ∈
     // {1,2,4,8}, the dedup_lsh_tradeoff convention applied to the ANN
     // tier: the number an operator actually tunes against, measured
@@ -1263,7 +1341,12 @@ object Similarity {
     * order, then the ann_ivf_topk probe/assign shapes scored against
     * the reconstruction.
     */
-  private lazy val annIvfadcSql =
+  /** The IVFADC chain up to the per-candidate ADC scores — shared
+    * verbatim between the top-k oracle and the refine-depth curve so
+    * the two cannot drift. Exports `adc` (q_id, qe, vec_id, adc) plus
+    * everything upstream (corpus, cents, recon, assign, probe).
+    */
+  private lazy val annIvfadcChainSql =
     s"""$baseSql,
        |$centsSqlChain,
        |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
@@ -1293,7 +1376,10 @@ object Similarity {
        |adc AS (SELECT q_id, qe, assign.vec_id AS vec_id,
        |    ${VectorOps.cosineSql("qe", "recon", 64)} AS adc
        |  FROM probe JOIN assign USING (cent_id)
-       |  JOIN recon ON assign.vec_id = recon.vec_id),
+       |  JOIN recon ON assign.vec_id = recon.vec_id)""".stripMargin
+
+  private lazy val annIvfadcSql =
+    s"""$annIvfadcChainSql,
        |shortlist AS (SELECT q_id, qe, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc DESC, vec_id) AS srn FROM adc) t
@@ -1304,6 +1390,35 @@ object Similarity {
        |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
        |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+
+  private lazy val annIvfadcRefineCurveSql = {
+    val depths = Seq(10, 25, 50, 100, 200)
+    val perDepth = depths.map { dp =>
+      s"""(SELECT CAST($dp AS INT) AS refine_depth,
+         |  (SELECT COUNT(*) FROM exact e JOIN
+         |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rn
+         |      FROM sc WHERE srn <= $dp) t WHERE rn <= $TOP_K) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
+         |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$annIvfadcChainSql,
+       |srt AS (SELECT q_id, qe, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, vec_id) AS srn FROM adc),
+       |sc AS (SELECT q_id, srn, corpus.vec_id AS vec_id, $cosQC AS cosine
+       |  FROM srt JOIN corpus ON srt.vec_id = corpus.vec_id
+       |  WHERE srn <= $ADC_SHORTLIST),
+       |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+       |  WHERE rn <= $TOP_K)
+       |SELECT refine_depth, total_hits,
+       |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
+       |FROM ($perDepth)""".stripMargin
+  }
 
   /** SemDeDup oracle chain: the IDENTICAL refined centroids, then a
     * final assignment over ALL vectors (queries included) and the
@@ -1616,6 +1731,7 @@ object Similarity {
          |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
          |GROUP BY e.q_id""".stripMargin,
     "ann_ivfadc_topk" -> annIvfadcSql,
+    "ann_ivfadc_refine_curve" -> annIvfadcRefineCurveSql,
     "ann_ivfadc_recall" ->
       s"""WITH exact AS ($annBruteSql),
          |approx AS ($annIvfadcSql)

@@ -29,6 +29,9 @@ class PlanAuditSpec extends AnyFunSuite {
                             // ann_ivf_topk assignment/probe shapes); the
                             // PQ encode itself is an equi-join on s
     "ann_ivfadc_recall",    // composes ann_ivfadc_topk + the brute scan
+    "ann_ivfadc_refine_curve", // the ann_ivfadc_topk shapes + the brute
+                            // ground truth + per-depth 1-row aggregates
+                            // crossed — the probe-curve shape
     "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
