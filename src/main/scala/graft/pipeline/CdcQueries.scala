@@ -171,6 +171,41 @@ object CdcQueries {
     // oracle computes latest-state directly from the source table, so a
     // pass proves the produce→consume round trip is the identity on the
     // pipeline's semantics, not just on individual fields.
+    // C3's error path made queryable — the dead-letter ledger. The
+    // reference LOGS decode failures and drops the message
+    // (es_consumer/main.go:66-71); a production pipeline needs that
+    // path to be an auditable relation, not a log line. Here 1/32 of
+    // wire messages are deterministically corrupted (salted-md5
+    // membership — the fault set is a pure function of the LSN,
+    // classified in PlanQualitySpec's routing map; the payload loses
+    // its last 8 bytes, so the outer JSON object can never close and
+    // the parse MUST fail), pushed through the same from_json decode
+    // the consumer uses, and classified dead on the envelope's
+    // non-null lsn contract. The oracle computes the EXPECTED dead set
+    // from the fault predicate alone — so a pass proves Spark's
+    // permissive-mode decode fails on exactly the injected faults and
+    // nothing else: no silently-committed poison pills, no healthy
+    // messages discarded. One map-side pass + an O(ops) aggregate.
+    "cdc_dead_letter" -> ((s, d) => {
+      val ev = Envelope.toCdcEvents(Tables.events(s, d))
+      val wire = ev
+        .select(col("lsn"), col("op"),
+          to_json(struct(ev.columns.map(col): _*)).as("w"))
+        .withColumn("faulty",
+          substring(md5(concat(lit("dlq|"), col("lsn"))), 1, 2) < "08")
+        .withColumn("w2", when(col("faulty"),
+          expr("substring(w, 1, length(w) - 8)")).otherwise(col("w")))
+      wire
+        .select(col("lsn"), col("op"),
+          from_json(col("w2"), graft.model.CdcEvent.envelopeSchema).as("ev"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ev.lsn").isNull, 1L).otherwise(0L)).as("n_dead"),
+          min(when(col("ev.lsn").isNull, col("lsn"))).as("first_dead_lsn"))
+        .withColumn("dead_rate",
+          col("n_dead").cast("double") / col("n_total").cast("double"))
+    }),
+
     "cdc_kafka_wire" -> ((s, d) => {
       val env = Envelope.toCdcEvents(Tables.events(s, d))
       val parsed = Envelope.fromKafkaMessages(Envelope.toKafkaMessages(env))
@@ -754,6 +789,19 @@ object CdcQueries {
          |  MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn,
          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
          |FROM events GROUP BY 1""".stripMargin,
+    "cdc_dead_letter" ->
+      s"""WITH w AS (SELECT event_id AS lsn, $opSql AS op,
+         |    substr(md5('dlq|' || CAST(event_id AS VARCHAR)), 1, 2) < '08'
+         |      AS faulty
+         |  FROM events),
+         |g AS (SELECT op, COUNT(*) AS n_total,
+         |    CAST(SUM(CASE WHEN faulty THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dead,
+         |    MIN(CASE WHEN faulty THEN lsn END) AS first_dead_lsn
+         |  FROM w GROUP BY op)
+         |SELECT op, n_total, n_dead, first_dead_lsn,
+         |  CAST(n_dead AS DOUBLE) / CAST(n_total AS DOUBLE) AS dead_rate
+         |FROM g""".stripMargin,
     "cdc_kafka_wire" ->
       s"""WITH l AS (
          |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

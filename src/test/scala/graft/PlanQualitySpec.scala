@@ -421,7 +421,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // text_sample_hash's 10% PRODUCT sample: the sample IS the
       // query's deliverable (a deterministic corpus subset), not a
       // boundary-placement pass feeding a partitionless sort
-      "1999" -> "text_sample_hash product sample (output = the sample)")
+      "1999" -> "text_sample_hash product sample (output = the sample)",
+      // cdc_dead_letter's FAULT INJECTOR: 1/32 of wire messages are
+      // deterministically corrupted; the set is the oracle's expected
+      // dead-letter set, not a cardinality-reducing sample
+      "08" -> "cdc_dead_letter fault-injection set (oracle = same set)")
     val registered = graft.SampleRates.rates.values.toSet
     val hexRe = """<\s*(?:lit\()?['"]([0-9a-f]{2,8})['"]""".r
     def scalaFiles(dir: java.io.File): Seq[java.io.File] =
