@@ -922,4 +922,54 @@ object ChangeLogStream {
     upsertBatch(tableDir, keyCols, versionCol, numBuckets)(batch, batchId)
     graft.ops.LogSink.append(batch.sparkSession, logDir, Seq(record))
   }
+
+  /** Consumer-side DEAD-LETTER tee around the bucketed upsert — C3's
+    * error path as a durable relation instead of the reference's
+    * log-and-drop (es_consumer/main.go:66-71; batch analog:
+    * `cdc_dead_letter`). The batch is the Kafka-shaped wire relation
+    * (`key`/`value` binary, [[graft.pipeline.Envelope.toKafkaMessages]]).
+    * Values that fail the envelope decode are preserved VERBATIM (raw
+    * value bytes as string, plus the message key) under
+    * `dlqDir/batch_id=<id>/`; the decodable remainder flows to the
+    * wrapped upsert unchanged — nothing is silently dropped, nothing
+    * poisoned is committed as state.
+    *
+    * Idempotency: the DLQ publish is a per-batch-directory OVERWRITE
+    * keyed by batchId, so a foreachBatch replay after a crash rewrites
+    * the same rows rather than appending duplicates — the ledger holds
+    * exactly one row per poisoned message (the state side replays
+    * safely through the upsert's own latest-state idempotency).
+    *
+    * Decode contract: a valid envelope always carries a non-null lsn
+    * (every producer path in [[graft.pipeline.Envelope]] stamps one),
+    * so `from_json`'s permissive-mode null is a definitive failure
+    * signal, never a false positive on a healthy message.
+    *
+    * Scale: decode runs ONCE (both sides of the split read one
+    * persisted decode), the split is map-side, and the DLQ write
+    * touches only this batch's directory — cost is O(batch), never
+    * O(accumulated state or accumulated dead letters).
+    */
+  def deadLetterUpsertBatch(tableDir: String, dlqDir: String,
+      numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    val decoded = batch
+      .withColumn("ev", from_json(col("value").cast("string"),
+        graft.model.CdcEvent.envelopeSchema))
+      .persist()
+    try {
+      decoded.filter(col("ev.lsn").isNull)
+        .select(col("key").cast("string").as("msg_key"),
+          col("value").cast("string").as("raw_value"))
+        .write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
+      val good = decoded.filter(col("ev.lsn").isNotNull).select("ev.*")
+      upsertBatch(tableDir, Seq("key"), "lsn", numBuckets)(good, batchId)
+    } finally { decoded.unpersist(); () }
+  }
+
+  /** Read back the dead-letter ledger; partition discovery surfaces
+    * `batch_id` as the per-message provenance column.
+    */
+  def readDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      dlqDir: String): DataFrame =
+    spark.read.parquet(dlqDir)
 }

@@ -1087,4 +1087,71 @@ class StreamingSpec extends AnyFunSuite {
         s"table $t: foreign keys leaked into the store")
     }
   }
+
+  test("dead-letter tee: poisoned wire bytes land in the DLQ exactly once, never in state") {
+    // C3's error path under a live streaming query: wire messages whose
+    // lsn % 3 == 0 lose their last 8 bytes (the JSON object can never
+    // close, so the consumer decode MUST fail). The tee must (a) commit
+    // exactly the decodable remainder as state, (b) ledger exactly the
+    // poisoned originals with batch provenance, (c) stay idempotent
+    // when foreachBatch replays a batch after a crash.
+    import graft.pipeline.Envelope
+    import org.apache.spark.sql.functions.{col, expr, lit, struct, to_json, when}
+    val base = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val table = s"$base/state"
+    val dlq = s"$base/dlq"
+    def toWire(env: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      env.select(col("key").cast("binary").as("key"),
+          to_json(struct(env.columns.map(col): _*)).as("w"), col("lsn"))
+        .select(col("key"),
+          when(col("lsn") % 3 === 0, expr("substring(w, 1, length(w) - 8)"))
+            .otherwise(col("w")).cast("binary").as("value"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ChangeLogStream.deadLetterUpsertBatch(table, dlq)(
+          toWire(Envelope.toCdcEventsStreaming(batch).toDF()), id)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val second = Seq(ev(4, 4, 2, "click", 8.0), ev(5, 5, 3, "signup", 9.0),
+      ev(6, 6, 3, "error"))
+    try {
+      in.addData(ev(1, 1, 1, "signup", 5.0), ev(2, 2, 2, "signup", 6.0),
+        ev(3, 3, 1, "click", 7.0)) // lsn 3 poisoned
+      q.processAllAvailable()
+      in.addData(second: _*) // lsn 6 poisoned
+      q.processAllAvailable()
+    } finally q.stop()
+    // state: u1→lsn1 (its lsn-3 update died), u2→lsn4, u3→lsn5 (its
+    // lsn-6 delete died — a poisoned tombstone must NOT remove the key)
+    val state = spark.read.parquet(table)
+      .select($"key", $"lsn", $"op").as[(String, Long, String)]
+      .collect().toSet
+    assert(state === Set(
+      ("public.users:1", 1L, "insert"),
+      ("public.users:2", 4L, "update"),
+      ("public.users:3", 5L, "insert")))
+    // ledger: exactly the two poisoned messages, keyed to their batch,
+    // raw bytes preserved verbatim (truncated JSON never closes)
+    val dead = ChangeLogStream.readDeadLetters(spark, dlq)
+      .select($"batch_id".cast("long"), $"msg_key", $"raw_value")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(dead.map(d => (d._1, d._2)).toSeq ===
+      Seq((0L, "public.users:1"), (1L, "public.users:3")))
+    assert(dead.forall(d => !d._3.endsWith("}")),
+      "raw_value must be the verbatim truncated bytes")
+    // replay batch 1 (the crash-recovery path foreachBatch takes): the
+    // per-batch overwrite must leave the ledger and state unchanged
+    val replay = toWire(Envelope.toCdcEventsStreaming(
+      spark.createDataset(second).toDF()).toDF())
+    ChangeLogStream.deadLetterUpsertBatch(table, dlq)(replay, 1L)
+    assert(ChangeLogStream.readDeadLetters(spark, dlq).count() === 2L,
+      "replaying a batch must not duplicate dead letters")
+    assert(spark.read.parquet(table)
+      .select($"key", $"lsn", $"op").as[(String, Long, String)]
+      .collect().toSet === state, "replay must not move state")
+  }
 }
