@@ -33,6 +33,10 @@ import graft.sources.Tables
 object Similarity {
 
   private[graft] val N_QUERIES = 10 // vec_id < 10 are the query vectors
+  // hybrid fusion: keyword probe terms (the text family's standing
+  // query), shortlist depth per modality
+  private val FUSION_TOKS = Seq("dup", "spark", "table")
+  private val FUSION_K = 50
   private val TOP_K = 5
   private val CENT_STRIDE = 50 // vec_id % 50 == 0 → k-means seed
   // Probe budget: ceil(PROBE_FRAC · cells), floored at PROBE_MIN — a
@@ -1232,6 +1236,55 @@ object Similarity {
       }
       rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(4))
         .unionByName(rowFor(8))
+    }),
+
+    // Hybrid retrieval fusion — the modern RAG-retrieval shape: a
+    // sparse (inverted-index keyword) ranker and a dense (embedding
+    // cosine) ranker each produce a top-K shortlist, fused into one
+    // list by BORDA COUNT (a doc earns K+1−rank points per list it
+    // appears on). Borda is the integer-exact cousin of RRF
+    // (reciprocal-rank fusion, Cormack et al. SIGIR'09): RRF's
+    // Σ 1/(60+r) would put float division in the SHIPPED score, while
+    // Borda keeps the fused score an exact BIGINT — ranks, not raw
+    // scores, cross the modality boundary either way, which is the
+    // property that makes fusion calibration-free. Scale: each side is
+    // its family's standing probe (only query-term postings move; the
+    // corpus embedding scan never shuffles), each shortlist arrives via
+    // distributed TakeOrdered, and the rank pass + full-outer fuse run
+    // over two ≤K-row relations (the partitionless windows are bounded
+    // by construction — whitelisted in PlanQualitySpec).
+    "search_hybrid_fusion" -> ((s, d) => {
+      val K = FUSION_K
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(FUSION_TOKS: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val kwTop = tf.join(broadcast(dfreq), "term")
+        .withColumn("__k", lit(1)).join(broadcast(n), "__k")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * expr("n_docs div df")).as("kw_score"))
+        .orderBy(col("kw_score").desc, col("doc_id")).limit(K)
+      val kwRank = kwTop.withColumn("kw_rank",
+        row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("kw_rank"))
+      val probe = queriesDf(s, d).filter(col("q_id") === 0)
+      val vecTop = corpusDf(s, d).join(broadcast(probe))
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .select(col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+      val vecRank = vecTop.withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      kwRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .withColumn("borda",
+          (coalesce(lit(K + 1) - col("kw_rank"), lit(0)) +
+            coalesce(lit(K + 1) - col("vec_rank"), lit(0))).cast("long"))
+        .select(col("doc_id"), col("kw_rank").cast("int").as("kw_rank"),
+          col("vec_rank").cast("int").as("vec_rank"), col("borda"))
+        .orderBy(col("borda").desc, col("doc_id")).limit(20)
     })
   )
 
@@ -1774,7 +1827,36 @@ object Similarity {
     "ann_covariance" -> covarianceSql,
     // Shard-and-merge is a pure re-association of the SAME integer sums
     // — the oracle is the flat formulation, byte-identical output.
-    "ann_covariance_sharded" -> covarianceSql
+    "ann_covariance_sharded" -> covarianceSql,
+    // Borda fusion: ranks (not raw scores) cross the modality boundary,
+    // so only the ORDER of each shortlist must agree between engines —
+    // the keyword score is an exact BIGINT and the cosine is the
+    // family's bitwise-mirrored expression.
+    "search_hybrid_fusion" ->
+      s"""$baseSql,
+         |kw_tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents) t
+         |  WHERE term IN (${FUSION_TOKS.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |kw_df AS (SELECT term, COUNT(*) AS df FROM kw_tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |kw_top AS (SELECT doc_id,
+         |    CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS kw_score
+         |  FROM kw_tf JOIN kw_df USING (term), n GROUP BY doc_id
+         |  ORDER BY kw_score DESC, doc_id LIMIT $FUSION_K),
+         |kwr AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY kw_score DESC, doc_id) AS kw_rank FROM kw_top),
+         |vec_top AS (SELECT vec_id, $cosQC AS cosine FROM corpus, q
+         |  WHERE q_id = 0 ORDER BY cosine DESC, vec_id LIMIT $FUSION_K),
+         |vecr AS (SELECT vec_id AS doc_id, row_number() OVER
+         |    (ORDER BY cosine DESC, vec_id) AS vec_rank FROM vec_top)
+         |SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank,
+         |  CAST(vec_rank AS INT) AS vec_rank,
+         |  CAST(COALESCE(${FUSION_K + 1} - kw_rank, 0)
+         |    + COALESCE(${FUSION_K + 1} - vec_rank, 0) AS BIGINT) AS borda
+         |FROM kwr FULL OUTER JOIN vecr USING (doc_id)
+         |ORDER BY borda DESC, doc_id LIMIT 20""".stripMargin
   )
 
   private lazy val covarianceSql =

@@ -316,6 +316,38 @@ object TextAnalysis {
           col("n_match").cast("double") / col("n_docs").cast("double"))
     }),
 
+    // Positional phrase search — the INVERTED-INDEX route to the same
+    // phrase the substring census scans for: postings carry (doc_id,
+    // position), and a phrase hit is an adjacency join (term₀ at p,
+    // term₁ at p+1), i.e. how a real search engine evaluates quoted
+    // queries against a standing positional index. Token-exact where
+    // search_phrase_match is byte-exact: the substring scan also hits
+    // across token boundaries ("s|table scan" contains "table scan"),
+    // so the two relevance census queries answer different questions —
+    // that asymmetry is why both exist. Scale: only the two phrase
+    // terms' postings leave the scan (filter BEFORE the explode's
+    // shuffle boundary), and the adjacency join is an equi-join on
+    // (doc_id, position±1) — hash-partitionable, co-located, bounded by
+    // the phrase terms' document frequency, never the corpus.
+    "search_positional_phrase" -> ((s, d) => {
+      val ph = SEARCH_PHRASE.split(" ").toSeq
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+        .filter(col("term").isin(ph: _*))
+        .transform(graft.CachePool.persist) // one probe, two term slices
+      val p0 = post.filter(col("term") === ph.head)
+        .select(col("doc_id"), col("pos"))
+      val p1 = post.filter(col("term") === ph(1))
+        .select(col("doc_id").as("d1"), col("pos").as("pos1"))
+      p0.join(p1, col("doc_id") === col("d1") &&
+          col("pos") + 1 === col("pos1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occurrences"),
+          // 1-based to match the oracle's generate_subscripts
+          (min(col("pos")) + 1).cast("long").as("first_pos"))
+        .orderBy(col("n_occurrences").desc, col("doc_id")).limit(10)
+    }),
+
     // Weighted sparse similarity join: top document pairs by TF-IDF
     // cosine — the WEIGHTED complement to the jaccard family (set
     // overlap treats "the" and a rare entity alike; idf weighting makes
@@ -1391,6 +1423,21 @@ object TextAnalysis {
          |  CAST(SUM(CASE WHEN contains(text, '$SEARCH_PHRASE') THEN 1 ELSE 0 END)
          |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS match_share
          |FROM documents GROUP BY source""".stripMargin,
+
+    // Same positional-adjacency algorithm over a 1-based posting list
+    // (generate_subscripts ↔ posexplode+1).
+    "search_positional_phrase" -> {
+      val ph = SEARCH_PHRASE.split(" ")
+      s"""WITH post AS (SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS term FROM documents),
+         |p0 AS (SELECT doc_id, pos FROM post WHERE term = '${ph(0)}'),
+         |p1 AS (SELECT doc_id, pos FROM post WHERE term = '${ph(1)}')
+         |SELECT p0.doc_id, COUNT(*) AS n_occurrences,
+         |  CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+         |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos + 1 = p1.pos
+         |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id LIMIT 10""".stripMargin
+    },
 
     "text_tfidf_cosine_pairs" ->
       s"""WITH terms AS (SELECT doc_id, term, COUNT(*) AS tf

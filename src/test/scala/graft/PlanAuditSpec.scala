@@ -135,9 +135,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_size_estimate",   // three 1-row aggregates (|A|, |B|, exact,
                             // estimate) cross-combined into the single
                             // report row — bounded
-    "events_survival_curve" // 1-row collected factor-array aggregate
+    "events_survival_curve", // 1-row collected factor-array aggregate
                             // broadcast into the O(day offsets)
                             // histogram for the ordered fold — bounded
+    "search_hybrid_fusion"  // 1-row probe-vector broadcast into the
+                            // corpus scan (the ann-family shape) plus
+                            // the 1-row corpus-count idf numerator
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

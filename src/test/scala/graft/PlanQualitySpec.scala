@@ -364,7 +364,9 @@ class PlanQualitySpec extends AnyFunSuite {
           "on both the full histogram and its registered sample"),
       "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch",
       "events_survival_curve" ->
-        "O(day offsets): duration histogram (at-risk cumulative + rank)")
+        "O(day offsets): duration histogram (at-risk cumulative + rank)",
+      "search_hybrid_fusion" ->
+        "O(K): rank passes over two TakeOrdered top-50 shortlists")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
     try {
