@@ -468,6 +468,40 @@ object Profiling {
             CAST(0 AS DOUBLE), (acc, t) -> acc + t)""").as("ewma_cents"))
     }),
 
+    // Time-weighted average — the metric a sampled gauge needs (a value
+    // HELD between observations must weigh by how long it was held, or
+    // burst-sampled periods dominate the mean). Each event's value is
+    // held until the user's next event (step interpolation); TWA =
+    // Σ valueᵢ·Δtᵢ / span. Exactness: values on the family's cent grid
+    // (the window_ewma convention), Δt in integer micros, and the
+    // Σ cents·Δt numerator accumulates in DECIMAL(38,0) — cents ≤ 2^20
+    // and per-user spans reach 2^45 µs, so a long accumulator would
+    // wrap at ~2^63 under heavy per-user event counts; only the final
+    // shipped ratio divides as double, one mirrored IEEE tree. Events
+    // order by (ts, event_id) — the corpus HAS out-of-order arrivals
+    // (events_out_of_order measures them) and event-id order would
+    // manufacture negative intervals. One user-partitioned window +
+    // one hash aggregation; nothing global.
+    "window_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("us") - min("us")).as("span_us"),
+          sum(when(col("next_us").isNotNull,
+            col("cents").cast("decimal(38,0)") * (col("next_us") - col("us")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("num"))
+        .filter(col("span_us") > 0)
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          (col("num").cast("double") /
+            (col("span_us").cast("double") * 100.0)).as("twa"))
+    }),
+
     // Pareto concentration: what share of all events comes from the
     // top decile of users (k = ⌈n_users/10⌉). The abuse/VIP skew report
     // — also exactly the skew a key-partitioned consumer needs to know
@@ -1036,6 +1070,24 @@ object Profiling {
         |      CAST((CAST(1 AS BIGINT) << (len(xs) - i + 1)) AS DOUBLE)),
         |    (x, y) -> x + y) AS ewma_cents
         |FROM fr""".stripMargin,
+
+    // Identical step-interpolation algebra; epoch_us ↔ unix_micros,
+    // decimal numerator, one mirrored double division at the end.
+    "window_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS next_us FROM e),
+        |g AS (SELECT user_id, COUNT(*) AS n_events,
+        |    MAX(us) - MIN(us) AS span_us,
+        |    SUM(CASE WHEN next_us IS NOT NULL
+        |      THEN CAST(cents AS DECIMAL(38,0)) * (next_us - us)
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS num
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events, CAST(span_us AS BIGINT) AS span_us,
+        |  CAST(num AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0) AS twa
+        |FROM g WHERE span_us > 0""".stripMargin,
 
     "events_power_pareto" ->
       """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

@@ -348,6 +348,56 @@ object TextAnalysis {
         .orderBy(col("n_occurrences").desc, col("doc_id")).limit(10)
     }),
 
+    // Incremental inverted-index maintenance — IVM applied to the search
+    // index the reference's consumer actually keeps fresh (every CDC
+    // upsert into ES re-indexes the document, es_consumer/main.go:77-95).
+    // Synthesized changelog over the corpus: docs with id % 10 == 0
+    // arrive as INSERTS (absent from the base state); docs with
+    // id % 7 == 0 (and % 10 != 0) are UPDATED down to the first half of
+    // their tokens — a real edit, so the delta must RETRACT df for every
+    // term that lived only in the dropped half, not just add. The df
+    // delta algebra (+distinct(new) −distinct(old) per touched doc) is
+    // applied to the base index and compared term-by-term against a
+    // full recompute over the final corpus — `consistent` must be true
+    // on every row, making the query self-auditing. Scale: the delta
+    // side touches only CHANGED docs' postings — O(Δ) index refresh per
+    // batch instead of the O(corpus) rebuild, which is the entire point
+    // of maintaining an inverted index under CDC at 100 TB.
+    "text_incremental_df" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 0
+      val isUpd = col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0
+      val halfTerms = expr(
+        "array_distinct(slice(split(text, ' '), 1, size(split(text, ' ')) div 2))")
+      val fullTerms = array_distinct(toks)
+      def dfOf(docTerms: DataFrame, as: String): DataFrame =
+        docTerms.select(explode(col("terms")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as(as))
+      // base state: inserts absent, updated docs still at FULL text
+      val baseDf = dfOf(docs.filter(!isNew).select(fullTerms.as("terms")), "df_base")
+      // delta: per changed doc, +new distinct terms, −old distinct terms
+      val delta = docs.filter(isNew).select(fullTerms.as("terms"))
+        .select(explode(col("terms")).as("term"), lit(1L).as("d"))
+        .unionByName(docs.filter(isUpd).select(halfTerms.as("terms"))
+          .select(explode(col("terms")).as("term"), lit(1L).as("d")))
+        .unionByName(docs.filter(isUpd).select(fullTerms.as("terms"))
+          .select(explode(col("terms")).as("term"), lit(-1L).as("d")))
+        .groupBy("term").agg(sum("d").as("d"))
+      val ivm = baseDf.join(delta, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_base"), lit(0L)) + coalesce(col("d"), lit(0L)))
+            .as("df_ivm"))
+        .filter(col("df_ivm") > 0)
+      // ground truth: full recompute over the final corpus state
+      val finalDf = dfOf(docs.select(
+        when(isUpd, halfTerms).otherwise(fullTerms).as("terms")), "df_full")
+      ivm.join(finalDf, Seq("term"), "full_outer")
+        .select(col("term"), coalesce(col("df_ivm"), lit(0L)).as("df_ivm"),
+          coalesce(col("df_full"), lit(0L)).as("df_full"))
+        .withColumn("consistent", col("df_ivm") === col("df_full"))
+        .orderBy(col("df_full").desc, col("term")).limit(50)
+    }),
+
     // Weighted sparse similarity join: top document pairs by TF-IDF
     // cosine — the WEIGHTED complement to the jaccard family (set
     // overlap treats "the" and a rare entity alike; idf weighting makes
@@ -1438,6 +1488,45 @@ object TextAnalysis {
          |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos + 1 = p1.pos
          |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id LIMIT 10""".stripMargin
     },
+
+    // Identical delta algebra in DuckDB; list_slice/len// mirrors
+    // slice/size-div (non-negative sizes, so // == div).
+    "text_incremental_df" ->
+      """WITH half AS (SELECT doc_id,
+        |    list_distinct(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) // 2)) AS terms
+        |  FROM documents),
+        |fullt AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS terms FROM documents),
+        |base_df AS (SELECT term, COUNT(*) AS df_base FROM (
+        |    SELECT unnest(terms) AS term FROM fullt WHERE doc_id % 10 <> 0) t
+        |  GROUP BY term),
+        |delta AS (SELECT term, SUM(d) AS d FROM (
+        |    SELECT unnest(terms) AS term, 1 AS d FROM fullt WHERE doc_id % 10 = 0
+        |    UNION ALL
+        |    SELECT unnest(terms) AS term, 1 AS d FROM half
+        |      WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+        |    UNION ALL
+        |    SELECT unnest(terms) AS term, -1 AS d FROM fullt
+        |      WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0) u
+        |  GROUP BY term),
+        |ivm AS (SELECT term, df_ivm FROM (
+        |    SELECT COALESCE(b.term, dl.term) AS term,
+        |      COALESCE(df_base, 0) + COALESCE(d, 0) AS df_ivm
+        |    FROM base_df b FULL OUTER JOIN delta dl ON b.term = dl.term) t
+        |  WHERE df_ivm > 0),
+        |full_df AS (SELECT term, COUNT(*) AS df_full FROM (
+        |    SELECT unnest(terms) AS term FROM (
+        |      SELECT CASE WHEN f.doc_id % 10 <> 0 AND f.doc_id % 7 = 0
+        |          THEN h.terms ELSE f.terms END AS terms
+        |      FROM fullt f JOIN half h ON f.doc_id = h.doc_id) c) t
+        |  GROUP BY term)
+        |SELECT COALESCE(i.term, f.term) AS term,
+        |  CAST(COALESCE(df_ivm, 0) AS BIGINT) AS df_ivm,
+        |  CAST(COALESCE(df_full, 0) AS BIGINT) AS df_full,
+        |  COALESCE(df_ivm, 0) = COALESCE(df_full, 0) AS consistent
+        |FROM ivm i FULL OUTER JOIN full_df f ON i.term = f.term
+        |ORDER BY COALESCE(df_full, 0) DESC, term LIMIT 50""".stripMargin,
 
     "text_tfidf_cosine_pairs" ->
       s"""WITH terms AS (SELECT doc_id, term, COUNT(*) AS tf
