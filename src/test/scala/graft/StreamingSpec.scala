@@ -45,6 +45,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct users: split-invariant, equals batch sketch, bounded error") {
+    // bounded-state distinct counting: the streaming result must not
+    // depend on HOW the log splits into micro-batches (sketch-union
+    // merge law), must equal the batch sketch over the full log, and
+    // must sit within the lgK=12 accuracy envelope of the exact count.
+    import org.apache.spark.sql.functions.{col, countDistinct, hll_sketch_agg, hll_sketch_estimate, window}
+    implicit val sqlCtx = spark.sqlContext
+    val log = (1 to 400).map { i =>
+      // ~160 distinct users spread over two hour windows, two types
+      ev(i.toLong, if (i <= 200) i % 50 else 60 + i % 50, (i % 160).toLong,
+        if (i % 3 == 0) "view" else "click")
+    }
+    val closer = ev(999, 600, 9999, "click") // advances watermark past both
+    def run(splits: Seq[Seq[RawEvent]], name: String): Map[(Timestamp, String), Long] = {
+      val in = MemoryStream[RawEvent]
+      val q = ChangeLogStream.windowedDistinctHll(in.toDF(), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        splits.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        in.addData(closer); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select($"window_start", $"event_type", $"approx_users")
+        .as[(Timestamp, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    val oneShot = run(Seq(log), "hll_a")
+    val manySplit = run(log.grouped(37).toSeq, "hll_b")
+    assert(oneShot === manySplit,
+      "windowed HLL estimates must be invariant to micro-batch splits")
+    // batch reference: same sketch over the full log, exact alongside
+    val batch = spark.createDataset(log).toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"),
+        countDistinct(col("user_id")).as("exact"))
+      .select($"window.start", $"event_type", $"est", $"exact")
+      .as[(Timestamp, String, Long, Long)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (ws, t, est, exact) =>
+      assert(oneShot((ws, t)) === est,
+        s"stream must equal batch sketch for ($ws, $t)")
+      assert(math.abs(est - exact).toDouble <= 0.06 * exact,
+        s"estimate $est outside ±6% of exact $exact for ($ws, $t)")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RawEvent]
