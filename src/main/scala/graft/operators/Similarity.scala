@@ -1285,6 +1285,50 @@ object Similarity {
         .select(col("doc_id"), col("kw_rank").cast("int").as("kw_rank"),
           col("vec_rank").cast("int").as("vec_rank"), col("borda"))
         .orderBy(col("borda").desc, col("doc_id")).limit(20)
+    }),
+
+    // Embedding/text ALIGNMENT screen — the curation sanity check that
+    // should run before anyone trusts an embedding column for semantic
+    // dedup or retrieval: pairs the text pipeline CALLS duplicates
+    // (exact fingerprint cliques) against a content-independent control
+    // (adjacent-id pairs) and reports each band's mean cosine. If the
+    // dup band doesn't separate from the control, the embeddings don't
+    // encode the text and every `ann_semdedup`-style decision built on
+    // them is noise. Exactness: per-pair cosines land on the 2^40
+    // integer grid (the ann_dim_stats convention) so the mean is an
+    // order-free integer sum + one mirrored double division. Scale:
+    // dup pairs are clique-bounded (Σ k²) equi-joins on the
+    // fingerprint, the control is a linear id+1 self-join, and both
+    // cosine lookups are (id)-co-partitioned equi-joins — no pair
+    // explosion anywhere.
+    "ann_text_alignment" -> ((s, d) => {
+      val Q = 1099511627776.0 // 2^40 — the ann_dim_stats grid
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          md5(array_join(slice(split(col("text"), " "), 1, 8), " "))
+            .as("pfp"))
+        .transform(graft.CachePool.persist) // two dup joins + control
+      def pairsOn(key: String, band: String) =
+        fp.as("a").join(fp.as("b"),
+            col(s"a.$key") === col(s"b.$key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+            lit(band).as("band"))
+      val adj = fp.select(col("doc_id").as("ida"),
+        (col("doc_id") + 1).as("idb"), lit("adjacent").as("band"))
+      val e = emb(s, d)
+      pairsOn("fp", "exact_dup")
+        .unionByName(pairsOn("pfp", "prefix8_dup"))
+        .unionByName(adj)
+        .join(e.select(col("vec_id").as("ida"), col("e").as("ea")), "ida")
+        .join(e.select(col("vec_id").as("idb"), col("e").as("eb")), "idb")
+        .withColumn("g",
+          floor(cos(col("ea"), col("eb")) * Q + lit(0.5)).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum("g").cast("double") /
+            (count(lit(1)).cast("double") * Q)).as("mean_cosine"))
+        .orderBy("band")
     })
   )
 
@@ -1856,7 +1900,36 @@ object Similarity {
          |  CAST(COALESCE(${FUSION_K + 1} - kw_rank, 0)
          |    + COALESCE(${FUSION_K + 1} - vec_rank, 0) AS BIGINT) AS borda
          |FROM kwr FULL OUTER JOIN vecr USING (doc_id)
-         |ORDER BY borda DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY borda DESC, doc_id LIMIT 20""".stripMargin,
+    // Same band construction; cosines on the same 2^40 grid, so the
+    // means are integer sums + one mirrored double division.
+    "ann_text_alignment" ->
+      s"""WITH ev AS (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |fp AS (SELECT doc_id, md5(text) AS fp,
+         |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+         |      ' ')) AS pfp
+         |  FROM documents),
+         |dup AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    'exact_dup' AS band
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |pdup AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    'prefix8_dup' AS band
+         |  FROM fp a JOIN fp b ON a.pfp = b.pfp AND a.doc_id < b.doc_id),
+         |adj AS (SELECT doc_id AS ida, doc_id + 1 AS idb,
+         |    'adjacent' AS band FROM fp),
+         |pairs AS (SELECT * FROM dup UNION ALL SELECT * FROM pdup
+         |  UNION ALL SELECT * FROM adj),
+         |wc AS (SELECT band,
+         |    CAST(FLOOR(${VectorOps.cosineSql("qe", "e", 64)}
+         |      * 1099511627776.0 + 0.5) AS BIGINT) AS g
+         |  FROM (SELECT p.band, ea.e AS qe, eb.e AS e FROM pairs p
+         |    JOIN ev ea ON p.ida = ea.vec_id
+         |    JOIN ev eb ON p.idb = eb.vec_id) j)
+         |SELECT band, COUNT(*) AS n_pairs,
+         |  CAST(SUM(g) AS DOUBLE) /
+         |    (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS mean_cosine
+         |FROM wc GROUP BY band ORDER BY band""".stripMargin
   )
 
   private lazy val covarianceSql =
