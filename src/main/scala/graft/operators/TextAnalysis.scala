@@ -674,6 +674,35 @@ object TextAnalysis {
           min("q").as("min_score"), max("q").as("max_score"))
     }),
 
+    // Per-source quantile NORMALIZATION of the quality score — the
+    // calibration step before any cross-source quality threshold: raw
+    // scores are not comparable across sources (different length and
+    // vocabulary mixes shift the whole distribution), so each doc maps
+    // to its within-source percent rank and downstream curation cuts
+    // on q_norm, not q. Scale shape: ranks come from the per-source
+    // DISTINCT-SCORE histogram (the text_quality_deciles argument —
+    // scores collide massively, so the source-partitioned cumulative
+    // window sees a planner-sized relation), broadcast back onto the
+    // doc scan by (source, score) — no per-doc ranking window anywhere.
+    "text_quality_quantile_norm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docsPar(s, d)
+        .select(col("doc_id"), col("source"), qualityScore.as("q"))
+        .transform(graft.CachePool.persist) // histogram + join back
+      val bySrc = Window.partitionBy("source").orderBy("q")
+      val cum = scored.groupBy("source", "q").agg(count(lit(1)).as("nd"))
+        .withColumn("cum_before", coalesce(
+          sum("nd").over(bySrc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n_src", sum("nd").over(Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      scored.join(broadcast(cum), Seq("source", "q"))
+        .select(col("doc_id"), col("source"), col("q").as("quality_score"),
+          when(col("n_src") > 1, col("cum_before").cast("double") /
+            (col("n_src") - 1).cast("double"))
+            .otherwise(lit(0.0)).as("q_norm"))
+    }),
+
     // Quality-stratified sampling: keep each language's top quintile by
     // quality score — the curation step of a training-data pipeline.
     "text_quality_sample" -> ((s, d) => {
@@ -1643,6 +1672,15 @@ object TextAnalysis {
          |  CAST(SUM(st) AS BIGINT) AS sum_tokens,
          |  MIN(q) AS min_score, MAX(q) AS max_score
          |FROM dd GROUP BY decile""".stripMargin,
+
+    // percent_rank = (rank − 1)/(n − 1) with ties sharing the rank —
+    // exactly the histogram's cum_before/(n_src − 1), same operands,
+    // same one double division.
+    "text_quality_quantile_norm" ->
+      s"""SELECT doc_id, source, q AS quality_score,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS q_norm
+         |FROM (SELECT doc_id, source, $qualityScoreSql AS q
+         |      FROM documents) t""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  list_aggregate(list_transform(
