@@ -994,4 +994,57 @@ object ChangeLogStream {
   def readDeadLetters(spark: org.apache.spark.sql.SparkSession,
       dlqDir: String): DataFrame =
     spark.read.parquet(dlqDir)
+
+  /** Event-time LATE-DATA tee — the watermark sibling of the
+    * dead-letter tee. Spark's built-in windowed aggregations DROP rows
+    * behind the watermark silently (StreamingSpec's first test proves
+    * it); a production pipeline routes them to a durable side table for
+    * backfill and audit instead. The tee applies the watermark rule
+    * explicitly in foreachBatch: a row is late when its event time is
+    * older than (high-water event time as of the END of the previous
+    * batch) − delay — the same "watermark for batch N comes from
+    * batches < N" contract as Spark's global watermark.
+    *
+    * REPLAY DETERMINISM: each batch's high-water mark is RECORDED
+    * (`wmDir/wm-<id>`, the LsnCheckpoint atomic-replace protocol), and
+    * a replayed batch re-reads its PREDECESSOR's recorded mark — so the
+    * late/on-time split, and therefore the late ledger (a per-batch
+    * overwrite, like the DLQ), is byte-identical on replay even though
+    * the live watermark has advanced since the crash. This is the
+    * watermark-per-batch contract Spark's own OffsetSeqLog keeps for
+    * its internal aggregations, applied to a user-visible tee.
+    */
+  def lateDataSplit(wmDir: String, delayUs: Long)(
+      batch: DataFrame, batchId: Long): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val prev = graft.pipeline.LsnCheckpoint.read(spark, s"$wmDir/wm-${batchId - 1}")
+    val us = unix_micros(col("ts"))
+    val (onTime, late) =
+      if (prev < 0) (batch, batch.limit(0))
+      else (batch.filter(us >= prev - delayUs),
+        batch.filter(us < prev - delayUs))
+    // record THIS batch's mark before the caller commits: max(prev,
+    // batch max) — monotone, and deterministic on replay because the
+    // same inputs produce the same max
+    val bmax = batch.agg(max(us)).head()
+    val next = if (bmax.isNullAt(0)) prev else math.max(prev, bmax.getLong(0))
+    graft.pipeline.LsnCheckpoint.write(spark, s"$wmDir/wm-$batchId", next)
+    (onTime, late)
+  }
+
+  /** [[upsertBatch]] behind the late tee: late rows land VERBATIM in
+    * `lateDir/batch_id=<id>/` (idempotent per-batch overwrite), on-time
+    * rows flow to the bucketed upsert as CDC envelopes. The composition
+    * every consumer with an SLA on event-time correctness wants: state
+    * reflects only rows the watermark contract admits, and nothing is
+    * silently discarded.
+    */
+  def lateAwareUpsertBatch(tableDir: String, lateDir: String, wmDir: String,
+      delayUs: Long, numBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (onTime, late) = lateDataSplit(wmDir, delayUs)(batch, batchId)
+    late.write.mode("overwrite").parquet(s"$lateDir/batch_id=$batchId")
+    upsertBatch(tableDir, Seq("key"), "lsn", numBuckets)(
+      graft.pipeline.Envelope.toCdcEventsStreaming(onTime).toDF(), batchId)
+  }
 }

@@ -1200,4 +1200,58 @@ class StreamingSpec extends AnyFunSuite {
       .select($"key", $"lsn", $"op").as[(String, Long, String)]
       .collect().toSet === state, "replay must not move state")
   }
+
+  test("late-data tee: rows behind the recorded watermark are ledgered, split replay-stable") {
+    // the event-time sibling of the DLQ: rows older than the previous
+    // batch's recorded high-water mark minus the delay go to a durable
+    // ledger instead of silently vanishing; the recorded per-batch mark
+    // makes the split identical on replay even after the live watermark
+    // has advanced.
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val table = s"$base/state"
+    val lateDir = s"$base/late"
+    val wmDir = s"$base/wm"
+    val delayUs = 10L * 60 * 1000000 // 10 minutes
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ChangeLogStream.lateAwareUpsertBatch(table, lateDir, wmDir, delayUs)(b, id)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // batch 0: high-water mark lands at 01:00 (no predecessor → no lates)
+    // batch 1: horizon 01:00 − 10 min = 00:50; event 3 (00:45) is LATE,
+    // event 4 (00:55) is admitted, event 5 advances the mark to 02:00
+    val batch2 = Seq(ev(3, 45, 1, "click", 7.0), ev(4, 55, 2, "click", 8.0),
+      ev(5, 120, 3, "signup", 9.0))
+    try {
+      in.addData(ev(1, 5, 1, "signup", 5.0), ev(2, 60, 2, "signup", 6.0))
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(table)
+      .select($"key", $"lsn", $"op").as[(String, Long, String)]
+      .collect().toSet
+    assert(state === Set(
+      ("public.users:1", 1L, "insert"), // its 00:45 update was late
+      ("public.users:2", 4L, "update"),
+      ("public.users:3", 5L, "insert")), s"got $state")
+    def lateIds() = spark.read.parquet(lateDir)
+      .select($"batch_id".cast("long"), $"event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(lateIds() === Set((1L, 3L)))
+    // replay batch 1 AFTER the live mark advanced to 02:00: the split
+    // must still use the recorded wm-0 (01:00) — identical ledger, no
+    // extra rows reclassified late, state unmoved
+    ChangeLogStream.lateAwareUpsertBatch(table, lateDir, wmDir, delayUs)(
+      spark.createDataset(batch2).toDF(), 1L)
+    assert(lateIds() === Set((1L, 3L)),
+      "replay must reproduce the same late set from the recorded mark")
+    assert(spark.read.parquet(table)
+      .select($"key", $"lsn", $"op").as[(String, Long, String)]
+      .collect().toSet === state, "replay must not move state")
+  }
 }
