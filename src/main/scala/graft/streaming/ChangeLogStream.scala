@@ -934,13 +934,14 @@ object ChangeLogStream {
     * the state table lost.
     */
   def loggedUpsertBatch(tableDir: String, logDir: String, keyCols: Seq[String],
-      versionCol: String, numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+      versionCol: String, numBuckets: Int = 16,
+      component: String = "upsert-sink")(batch: DataFrame, batchId: Long): Unit = {
     // compute the progress aggregate BEFORE the upsert evaluates the
     // batch (so the upsert's own scan is the only other pass), but
     // APPEND it only after the commit — the log never claims progress
     // the state table lost
     val record =
-      graft.ops.LogSink.progressRecord(batch, batchId, versionCol, "upsert-sink")
+      graft.ops.LogSink.progressRecord(batch, batchId, versionCol, component)
     upsertBatch(tableDir, keyCols, versionCol, numBuckets)(batch, batchId)
     graft.ops.LogSink.append(batch.sparkSession, logDir, Seq(record))
   }
@@ -1046,5 +1047,55 @@ object ChangeLogStream {
     late.write.mode("overwrite").parquet(s"$lateDir/batch_id=$batchId")
     upsertBatch(tableDir, Seq("key"), "lsn", numBuckets)(
       graft.pipeline.Envelope.toCdcEventsStreaming(onTime).toDF(), batchId)
+  }
+
+  /** The COMPLETE consumer micro-batch — the reference's whole
+    * es_consumer main loop (es_consumer/main.go:44-95) as one
+    * idempotent foreachBatch body, with the two error paths it only
+    * logs made durable:
+    *
+    *   wire bytes → decode (undecodable → dead-letter ledger)
+    *             → event-time admission (recorded watermark; too-late
+    *               rows → late ledger)
+    *             → per-(schema, table) demux
+    *             → each slice LOGGED-upserted into its own bucketed
+    *               store (one progress record per table per batch,
+    *               component = the routed table — the per-index
+    *               accounting the reference's SQLite log keeps)
+    *
+    * Conservation law (asserted by the spec): every wire message lands
+    * in EXACTLY ONE of {dead ledger, late ledger, a routed table's
+    * logged row count} — nothing silently dropped, nothing double-
+    * committed. Layout under `baseDir`: `dlq/`, `late/`, `wm/`, `log/`,
+    * `state/<schema>.<table>/`. Decode runs once (persisted); the
+    * per-table demux collects only O(tables-in-batch) names, never
+    * rows.
+    */
+  def fullConsumerBatch(baseDir: String, delayUs: Long, numBuckets: Int = 4)(
+      wire: DataFrame, batchId: Long): Unit = {
+    val decoded = wire
+      .withColumn("ev", from_json(col("value").cast("string"),
+        graft.model.CdcEvent.envelopeSchema))
+      .persist()
+    try {
+      decoded.filter(col("ev.lsn").isNull)
+        .select(col("key").cast("string").as("msg_key"),
+          col("value").cast("string").as("raw_value"))
+        .write.mode("overwrite").parquet(s"$baseDir/dlq/batch_id=$batchId")
+      val good = decoded.filter(col("ev.lsn").isNotNull).select("ev.*")
+      val (onTime, late) = lateDataSplit(s"$baseDir/wm", delayUs)(good, batchId)
+      late.write.mode("overwrite").parquet(s"$baseDir/late/batch_id=$batchId")
+      val adm = onTime.persist()
+      try {
+        val tables = adm.select("schemaName", "tableName").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        tables.foreach { case (s0, t) =>
+          loggedUpsertBatch(s"$baseDir/state/$s0.$t", s"$baseDir/log",
+            Seq("key"), "lsn", numBuckets, component = s"$s0.$t")(
+            adm.filter(col("schemaName") === s0 && col("tableName") === t),
+            batchId)
+        }
+      } finally { adm.unpersist(); () }
+    } finally { decoded.unpersist(); () }
   }
 }

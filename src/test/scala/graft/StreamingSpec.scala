@@ -1254,4 +1254,91 @@ class StreamingSpec extends AnyFunSuite {
       .select($"key", $"lsn", $"op").as[(String, Long, String)]
       .collect().toSet === state, "replay must not move state")
   }
+
+  test("full consumer topology: dead + late + routed logged upserts conserve every message") {
+    // the reference's whole consumer as one streaming query, with its
+    // two log-and-drop error paths made durable: wire bytes whose JSON
+    // cannot decode (lsn % 5 == 0 loses 8 tail bytes) → dead ledger;
+    // decodable rows behind the recorded watermark → late ledger; the
+    // remainder demuxes to per-table bucketed stores with one progress
+    // record per (table, batch). Restart mid-stream on one checkpoint.
+    // CONSERVATION: every input message is in exactly one of the three.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod, split, struct, to_json, when}
+    import graft.pipeline.Envelope
+    val base = java.nio.file.Files.createTempDirectory("graft_fullcons").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def routed(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val env = Envelope.toCdcEventsStreaming(events).toDF()
+      val uid = split(col("key"), ":").getItem(1).cast("long")
+      env.withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
+        .withColumn("key", concat(lit("public."), col("tableName"), lit(":"), uid))
+    }
+    def toWire(env: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      env.select(col("key").cast("binary").as("k2"),
+          to_json(struct(env.columns.map(col): _*)).as("w"), col("lsn"))
+        .select(col("k2").as("key"),
+          when(col("lsn") % 5 === 0, expr("substring(w, 1, length(w) - 8)"))
+            .otherwise(col("w")).cast("binary").as("value"))
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ChangeLogStream.fullConsumerBatch(base, 10L * 60 * 1000000)(
+            toWire(routed(b)), id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def row(id: Long, minute: Int, typ: String) =
+      org.apache.spark.sql.Row(id, ts(minute), id % 6, typ, id * 1.0, "{}")
+    val types = Seq("signup", "click", "view", "error")
+    // batch 0: ids 1..12 at minutes 11..22 → recorded mark = 22:00
+    val first = (1 to 12).map(i => row(i.toLong, 10 + i, types(i % 4)))
+    // batch 1: horizon 22:00 − 10 min = 12:00; id 21 (minute 5) is
+    // LATE; ids 15, 20, 25 are DEAD (decode precedes admission — 25's
+    // minute-40 timestamp never reaches the late tee)
+    val second = (13 to 20).map(i => row(i.toLong, 30 + i, types(i % 4))) ++
+      Seq(row(21L, 5, "click"), row(25L, 40, "signup"))
+    writeFiles(first); run()
+    writeFiles(second); run() // RESTART: new query, same checkpoint
+    val deadKeys = spark.read.parquet(s"$base/dlq")
+      .select($"msg_key").as[String].collect().toSet
+    val lateLsns = spark.read.parquet(s"$base/late")
+      .select($"lsn").as[Long].collect().toSet
+    assert(lateLsns === Set(21L))
+    assert(deadKeys.size === 5, s"ids 5,10,15,20,25 must be dead: $deadKeys")
+    // per-table state == batch latest-state over exactly the admitted set
+    val appliedIds = ((1 to 20).toSet -- Set(5, 10, 15, 20)).map(_.toLong)
+    val fullLog = spark.createDataFrame(
+      spark.sparkContext.parallelize(first ++ second), schema)
+    val expect = graft.pipeline.ChangeLog
+      .latestState(routed(fullLog)
+        .filter(col("lsn").isInCollection(appliedIds) && col("lsn") =!= 21L),
+        Seq("key"), "lsn")
+      .select($"tableName", $"key", $"lsn", $"op")
+      .as[(String, String, Long, String)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    for (t <- expect.keys.toSeq.sorted) {
+      val store = spark.read.parquet(s"$base/state/public.$t")
+        .select($"key", $"lsn", $"op").as[(String, Long, String)].collect().toSet
+      assert(store === expect(t), s"table $t drifted from batch reference")
+    }
+    // conservation: input = dead + late + Σ per-table logged rows
+    val logged = graft.ops.LogSink.read(spark, s"$base/log")
+      .collect().map(_.nRows).sum
+    val nInput = (first ++ second).size.toLong
+    assert(nInput === deadKeys.size + lateLsns.size + logged,
+      s"conservation broke: $nInput != ${deadKeys.size} + ${lateLsns.size} + $logged")
+  }
 }
