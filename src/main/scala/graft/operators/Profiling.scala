@@ -502,6 +502,44 @@ object Profiling {
             (col("span_us").cast("double") * 100.0)).as("twa"))
     }),
 
+    // Autocorrelation function of the daily event series at lags 1–7 —
+    // the diagnostic that says whether yesterday predicts today (lag-1)
+    // and whether the series has a weekly pulse (lag-7), i.e. whether
+    // events_forecast_naive's "same as yesterday" or a seasonal model
+    // is the right baseline. Pearson r per lag over (day, day+k) count
+    // pairs, the agg_corr_stats construction: integer counts, power
+    // sums accumulated in DECIMAL (a product of two daily counts
+    // already passes 2^63 at ~3×10⁹ events/day — real at 100 TB), one
+    // mirrored double expression at the end. The lag pairing is an
+    // equi-join on the shifted day — O(days) rows per lag, 7 lags,
+    // all downstream of one persisted O(days) roll-up.
+    "events_autocorrelation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CachePool.persist)
+      def dd(c: org.apache.spark.sql.Column) =
+        sum(c).cast("decimal(38,0)").cast("double")
+      def statsAt(k: Int): DataFrame = {
+        val b = daily.select(date_add(col("day"), k).as("day"),
+          col("n").as("m"))
+        daily.join(b, "day")
+          .agg(lit(k).cast("int").as("lag"),
+            count(lit(1)).as("n_pairs"),
+            dd(col("n")).as("sx"), dd(col("m")).as("sy"),
+            dd(col("n").cast("decimal(19,0)") * col("m")).as("sxy"),
+            dd(col("n").cast("decimal(19,0)") * col("n")).as("sxx"),
+            dd(col("m").cast("decimal(19,0)") * col("m")).as("syy"))
+      }
+      (1 to 7).map(statsAt).reduce(_ unionByName _)
+        .select(col("lag"), col("n_pairs"),
+          ((col("sxy") - col("sx") * col("sy") / col("n_pairs")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n_pairs")) *
+              (col("syy") - col("sy") * col("sy") / col("n_pairs"))))
+            .as("acf"))
+        .orderBy("lag")
+    }),
+
     // Pareto concentration: what share of all events comes from the
     // top decile of users (k = ⌈n_users/10⌉). The abuse/VIP skew report
     // — also exactly the skew a key-partitioned consumer needs to know
@@ -979,6 +1017,27 @@ object Profiling {
         |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    // Same per-lag moment algebra; day + k ↔ date_add, decimal power
+    // sums cast to double once.
+    "events_autocorrelation" -> {
+      val one = (k: Int) =>
+        s"""SELECT $k AS lag, COUNT(*) AS n_pairs,
+           |  CAST(CAST(SUM(a.n) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+           |  CAST(CAST(SUM(b.n) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+           |  CAST(CAST(SUM(CAST(a.n AS DECIMAL(19,0)) * b.n) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+           |  CAST(CAST(SUM(CAST(a.n AS DECIMAL(19,0)) * a.n) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+           |  CAST(CAST(SUM(CAST(b.n AS DECIMAL(19,0)) * b.n) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+           |FROM daily a JOIN daily b ON a.day = b.day + $k""".stripMargin
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1),
+         |st AS (${(1 to 7).map(one).mkString("\n", "\nUNION ALL\n", "\n")})
+         |SELECT CAST(lag AS INT) AS lag, n_pairs,
+         |  (sxy - sx * sy / n_pairs) /
+         |    sqrt((sxx - sx * sx / n_pairs) * (syy - sy * sy / n_pairs))
+         |    AS acf
+         |FROM st ORDER BY lag""".stripMargin
+    },
 
     "events_anomaly_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events

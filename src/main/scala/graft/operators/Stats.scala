@@ -555,6 +555,49 @@ object Stats {
         (t2 > 3.841458820694124).as("significant"))
     }),
 
+    // Mann–Whitney U — the rank-based nonparametric companion to the
+    // Welch test above: compares the A/B revenue DISTRIBUTIONS without
+    // the normality lean, which is exactly where heavy-tailed revenue
+    // misleads a t-test. The rank machinery is EXACT and histogram-
+    // shaped: per distinct cent-total tie group of size t, the shared
+    // average rank is cum_below + (t+1)/2, so DOUBLED rank sums are
+    // integers — 2·R_A = Σ ca·(2·cum_below + t + 1), accumulated in
+    // decimal (the addend passes 2^63 near 10⁹ users); the normal
+    // approximation carries the standard Σ(t³−t) tie correction, also
+    // decimal. The cumulative window runs over DISTINCT cent totals
+    // (the text_quality_deciles / events_power_pareto collision
+    // argument: totals land on a shared value grid), never over users.
+    "events_ab_mannwhitney" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("v"))
+        .select(expr("pmod(user_id, 2)").as("variant"), col("v"))
+      val hist = per.groupBy("v")
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("ct"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val agg1 = hist
+        .withColumn("cum_below", coalesce(sum("ct").over(w), lit(0L)))
+        .agg(sum("ca").as("n_a"), sum(col("ct") - col("ca")).as("n_b"),
+          sum(col("ca").cast("decimal(19,0)") *
+            (lit(2) * col("cum_below") + col("ct") + 1))
+            .cast("decimal(38,0)").cast("double").as("two_ra"),
+          sum(col("ct").cast("decimal(19,0)") * col("ct") * col("ct")
+            - col("ct"))
+            .cast("decimal(38,0)").cast("double").as("tie_cubes"))
+      val nA = col("n_a").cast("double")
+      val nB = col("n_b").cast("double")
+      val n = nA + nB
+      val withU = agg1.withColumn("u_a",
+        (col("two_ra") -
+          (col("n_a").cast("decimal(19,0)") * (col("n_a") + 1))
+            .cast("double")) / 2.0)
+      withU.select(col("n_a"), col("n_b"), col("u_a"),
+        ((col("u_a") - nA * nB / 2.0) /
+          sqrt(nA * nB / 12.0 *
+            ((n + 1.0) - col("tie_cubes") / (n * (n - 1.0))))).as("z"))
+    }),
+
     // Attribution-model readout over purchase segments: each purchase
     // owns the clicks since the user's PREVIOUS purchase (gaps-and-
     // islands segmentation — seg = count of purchases strictly before
@@ -1045,6 +1088,41 @@ object Stats {
         |  WHERE cw * 2 >= total_w GROUP BY 1)
         |SELECT l_returnflag, n_distinct_q, total_w, weighted_median_qty
         |FROM tot JOIN med USING (l_returnflag)""".stripMargin,
+
+    // Same doubled-rank histogram algebra; pmod ↔ ((x % 2) + 2) % 2 is
+    // the family's variant convention.
+    "events_ab_mannwhitney" ->
+      """WITH per AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS v
+        |  FROM events GROUP BY user_id),
+        |pv AS (SELECT ((user_id % 2) + 2) % 2 AS variant, v FROM per),
+        |hist AS (SELECT v,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    COUNT(*) AS ct
+        |  FROM pv GROUP BY v),
+        |cum AS (SELECT *, COALESCE(SUM(ct) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+        |  FROM hist),
+        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+        |    CAST(CAST(SUM(CAST(ca AS DECIMAL(19,0))
+        |      * (2 * cum_below + ct + 1)) AS DECIMAL(38,0)) AS DOUBLE)
+        |      AS two_ra,
+        |    CAST(CAST(SUM(CAST(ct AS DECIMAL(19,0)) * ct * ct - ct)
+        |      AS DECIMAL(38,0)) AS DOUBLE) AS tie_cubes
+        |  FROM cum),
+        |u AS (SELECT n_a, n_b, tie_cubes,
+        |    (two_ra - CAST(CAST(n_a AS DECIMAL(19,0)) * (n_a + 1) AS DOUBLE))
+        |      / 2.0 AS u_a
+        |  FROM a)
+        |SELECT n_a, n_b, u_a,
+        |  (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - tie_cubes / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))) AS z
+        |FROM u""".stripMargin,
 
     "events_ab_value_ttest" ->
       """WITH per AS (SELECT user_id,

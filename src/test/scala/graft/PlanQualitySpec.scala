@@ -366,7 +366,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "events_survival_curve" ->
         "O(day offsets): duration histogram (at-risk cumulative + rank)",
       "search_hybrid_fusion" ->
-        "O(K): rank passes over two TakeOrdered top-50 shortlists")
+        "O(K): rank passes over two TakeOrdered top-50 shortlists",
+      "events_ab_mannwhitney" ->
+        "O(distinct cent totals): doubled-rank histogram cumulative")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
     try {
