@@ -540,6 +540,37 @@ object Profiling {
         .orderBy("lag")
     }),
 
+    // Theil–Sen robust trend of the daily series — the estimator to
+    // report NEXT TO events_forecast_linear's OLS slope: OLS moves with
+    // a single corrupted day (an outage, a bot flood), while the median
+    // of all pairwise slopes has a 29% breakdown point. Slopes are one
+    // double division of exact integer operands per day pair; the lower
+    // median is max-of-first-⌈m/2⌉ under a full ordering — a distributed
+    // TakeOrdered, no global window. The pair expansion is O(days²) of
+    // the PLANNER-SIZED day roll-up (a decade is ~13M pairs), never of
+    // events; the one construction-time action counts days, nothing
+    // else leaves the executors.
+    "events_theilsen_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(datediff(col("day"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("di"),
+          col("n"))
+        .transform(graft.CachePool.persist)
+      val days = daily.count()
+      val m = days * (days - 1) / 2
+      val k = ((m + 1) / 2).toInt
+      val b = daily.select(col("di").as("dj"), col("n").as("nj"))
+      val slopes = daily.join(b, col("di") < col("dj"))
+        .select(((col("nj").cast("double") - col("n").cast("double")) /
+          (col("dj").cast("double") - col("di").cast("double"))).as("slope"))
+      slopes.orderBy(col("slope")).limit(k)
+        .agg(lit(days).cast("long").as("n_days"),
+          lit(m).cast("long").as("n_pairs"),
+          max("slope").as("theilsen_slope"))
+    }),
+
     // Pareto concentration: what share of all events comes from the
     // top decile of users (k = ⌈n_users/10⌉). The abuse/VIP skew report
     // — also exactly the skew a key-partitioned consumer needs to know
@@ -1017,6 +1048,22 @@ object Profiling {
         |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    // Lower median of pair slopes = the row_number-k formulation, the
+    // same value as Spark's max-of-first-k TakeOrdered.
+    "events_theilsen_trend" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT CAST(day - DATE '2024-01-01' AS BIGINT) AS di, n
+        |  FROM daily),
+        |p AS (SELECT (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE)) /
+        |    (CAST(b.di AS DOUBLE) - CAST(a.di AS DOUBLE)) AS slope
+        |  FROM dd a JOIN dd b ON a.di < b.di),
+        |c AS (SELECT COUNT(*) AS m,
+        |    (SELECT COUNT(*) FROM dd) AS n_days FROM p),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p)
+        |SELECT c.n_days, c.m AS n_pairs, r.slope AS theilsen_slope
+        |FROM c JOIN r ON r.rn = (c.m + 1) // 2""".stripMargin,
 
     // Same per-lag moment algebra; day + k ↔ date_add, decimal power
     // sums cast to double once.

@@ -348,6 +348,43 @@ object TextAnalysis {
         .orderBy(col("n_occurrences").desc, col("doc_id")).limit(10)
     }),
 
+    // Heaps'-law vocabulary-growth curve — V(N) at ten corpus-prefix
+    // checkpoints, the planning number for anything vocabulary-sized
+    // (tokenizer training, postings memory, embedding tables): sublinear
+    // growth says when the vocab budget saturates; a curve that keeps
+    // climbing linearly says the corpus keeps importing novel junk
+    // (unfiltered boilerplate IDs, the text_repeat_run signal). ONE
+    // pass, no per-prefix rescans: a term's contribution to every
+    // prefix is determined by its FIRST-SEEN doc (min doc_id per term),
+    // so vocab-at-checkpoint is a cumulative census over the ≤10
+    // first-seen deciles — the same trick that makes dedup_cluster_sizes
+    // O(distinct sizes). Doc and token counts cumulate from the same
+    // decile histogram; everything integer-exact.
+    "text_heaps_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("ntok"),
+          array_distinct(toks).as("terms"))
+        .transform(graft.CachePool.persist) // doc census + postings
+      val mx = docs.agg(max("doc_id").as("mx")).withColumn("__k", lit(1))
+      val db = docs.withColumn("__k", lit(1)).join(broadcast(mx), "__k")
+        .withColumn("b", expr("(doc_id * 10) div (mx + 1)"))
+        .groupBy("b").agg(count(lit(1)).as("nd"), sum("ntok").as("nt"))
+      val tb = docs.select(col("doc_id"), explode(col("terms")).as("term"))
+        .groupBy("term").agg(min("doc_id").as("fd"))
+        .withColumn("__k", lit(1)).join(broadcast(mx), "__k")
+        .withColumn("b", expr("(fd * 10) div (mx + 1)"))
+        .groupBy("b").agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+      db.join(tb, Seq("b"), "full_outer")
+        .withColumn("n_docs", sum(coalesce(col("nd"), lit(0L))).over(w))
+        .withColumn("n_tokens", sum(coalesce(col("nt"), lit(0L))).over(w))
+        .withColumn("vocab", sum(coalesce(col("nv"), lit(0L))).over(w))
+        .select((col("b") + 1).cast("int").as("decile"),
+          col("n_docs"), col("n_tokens"), col("vocab"))
+        .orderBy("decile")
+    }),
+
     // Incremental inverted-index maintenance — IVM applied to the search
     // index the reference's consumer actually keeps fresh (every CDC
     // upsert into ES re-indexes the document, es_consumer/main.go:77-95).
@@ -1517,6 +1554,30 @@ object TextAnalysis {
          |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.pos + 1 = p1.pos
          |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id LIMIT 10""".stripMargin
     },
+
+    // First-seen-decile census; // == div on the non-negative ids, and
+    // the cumulative frames agree because b is distinct per row.
+    "text_heaps_curve" ->
+      """WITH dd AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |db AS (SELECT (doc_id * 10) // (mx + 1) AS b, COUNT(*) AS nd,
+        |    CAST(SUM(ntok) AS BIGINT) AS nt
+        |  FROM dd, mx GROUP BY 1),
+        |fs AS (SELECT term, MIN(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |      AS term FROM documents) t GROUP BY term),
+        |tb AS (SELECT (fd * 10) // (mx + 1) AS b, COUNT(*) AS nv
+        |  FROM fs, mx GROUP BY 1),
+        |j AS (SELECT COALESCE(db.b, tb.b) AS b, COALESCE(nd, 0) AS nd,
+        |    COALESCE(nt, 0) AS nt, COALESCE(nv, 0) AS nv
+        |  FROM db FULL OUTER JOIN tb ON db.b = tb.b)
+        |SELECT CAST(b + 1 AS INT) AS decile,
+        |  CAST(SUM(nd) OVER (ORDER BY b) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) OVER (ORDER BY b) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nv) OVER (ORDER BY b) AS BIGINT) AS vocab
+        |FROM j ORDER BY decile""".stripMargin,
 
     // Identical delta algebra in DuckDB; list_slice/len// mirrors
     // slice/size-div (non-negative sizes, so // == div).

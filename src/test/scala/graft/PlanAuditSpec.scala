@@ -138,9 +138,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_survival_curve", // 1-row collected factor-array aggregate
                             // broadcast into the O(day offsets)
                             // histogram for the ordered fold — bounded
-    "search_hybrid_fusion"  // 1-row probe-vector broadcast into the
+    "search_hybrid_fusion", // 1-row probe-vector broadcast into the
                             // corpus scan (the ann-family shape) plus
                             // the 1-row corpus-count idf numerator
+    "events_theilsen_trend", // O(days)×O(days) inequality pair expansion
+                            // of the planner-sized day roll-up — bounded
+    "text_heaps_curve"      // 1-row max-doc-id aggregate broadcast into
+                            // the doc and first-seen censuses — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -368,7 +368,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "search_hybrid_fusion" ->
         "O(K): rank passes over two TakeOrdered top-50 shortlists",
       "events_ab_mannwhitney" ->
-        "O(distinct cent totals): doubled-rank histogram cumulative")
+        "O(distinct cent totals): doubled-rank histogram cumulative",
+      "text_heaps_curve" ->
+        "O(10): first-seen decile census cumulative")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
     try {
