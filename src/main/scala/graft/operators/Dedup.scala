@@ -854,6 +854,39 @@ object Dedup {
         .select("bench_id", "doc_id", "containment")
     }),
 
+    // Decontamination at SKETCH cost, with its price MEASURED: the
+    // exact containment screen above streams every corpus posting
+    // through the bench join — fine when the bench side broadcasts, but
+    // the per-probe cost is O(corpus postings). This variant generates
+    // candidates from the standing 3-gram MinHash bands (a bipartite
+    // bench×corpus band probe — the dedup_incremental shape, O(band
+    // collisions) not O(postings)) and reports recall against the exact
+    // screen. The HONESTY CLAUSE is the point: MinHash bands model
+    // JACCARD, while decontamination wants CONTAINMENT of the bench
+    // doc — a short bench doc swallowed by a long corpus doc has high
+    // containment but low jaccard, and the bands CAN miss it. The
+    // measured recall is the number that says whether that failure mode
+    // exists on this corpus before anyone ships the cheap path.
+    "dedup_contamination_lsh" -> ((s, d) => {
+      val exact = queries("dedup_contamination")(s, d)
+        .select(col("bench_id"), col("doc_id"))
+      val bands = minhashBands(docShingles(s, d))
+      val cand = bands.filter(col("doc_id") < N_BENCH).as("a")
+        .join(bands.filter(col("doc_id") >= N_BENCH).as("b"),
+          col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("bench_id"), col("b.doc_id").as("doc_id"))
+        .distinct()
+      val found = exact.join(cand, Seq("bench_id", "doc_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact")).withColumn("__k", lit(1))
+        .join(cand.agg(count(lit(1)).as("n_candidates"))
+          .withColumn("__k", lit(1)), "__k")
+        .join(found.agg(count(lit(1)).as("n_found"))
+          .withColumn("__k", lit(1)), "__k")
+        .select(col("n_exact"), col("n_candidates"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
     // baseline; blocked variants live in Similarity as the scale path).
     "dedup_embedding_cosine" -> ((s, d) => {
@@ -1258,6 +1291,30 @@ object Dedup {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${VectorOps.cosineSql("a.e", "b.e", 64)} AS cosine
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR""".stripMargin
+         |WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR""".stripMargin,
+    // Same bipartite band probe + the exact-containment reference; the
+    // 3-gram band CTEs and the 5-gram containment CTEs coexist (d vs d5).
+    "dedup_contamination_lsh" ->
+      s"""WITH $minhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS bench_id, b.doc_id AS doc_id
+         |  FROM band a JOIN band b ON a.band_key = b.band_key
+         |  WHERE a.doc_id < $N_BENCH AND b.doc_id >= $N_BENCH),
+         |d5 AS (
+         |  SELECT doc_id, ${shingleSql(5).replace("w", "string_split(text,' ')")} AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 5),
+         |bp AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM d5 WHERE doc_id < $N_BENCH),
+         |bs AS (SELECT bench_id, COUNT(*) AS b_n FROM bp GROUP BY bench_id),
+         |cp AS (SELECT doc_id, unnest(sh) AS g FROM d5 WHERE doc_id >= $N_BENCH),
+         |jj AS (SELECT bench_id, doc_id, COUNT(*) AS n_shared
+         |      FROM bp JOIN cp USING (g) GROUP BY 1, 2),
+         |ex AS (SELECT bench_id, doc_id FROM jj JOIN bs USING (bench_id)
+         |  WHERE CAST(n_shared AS DOUBLE) / b_n >= $CONTAIN_MIN),
+         |t AS (SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+         |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM ex JOIN cand USING (bench_id, doc_id))
+         |    AS n_found)
+         |SELECT n_exact, n_candidates, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM t""".stripMargin
   )
 }

@@ -143,8 +143,11 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the 1-row corpus-count idf numerator
     "events_theilsen_trend", // O(days)×O(days) inequality pair expansion
                             // of the planner-sized day roll-up — bounded
-    "text_heaps_curve"      // 1-row max-doc-id aggregate broadcast into
+    "text_heaps_curve",     // 1-row max-doc-id aggregate broadcast into
                             // the doc and first-seen censuses — bounded
+    "dedup_contamination_lsh" // three 1-row count aggregates (exact,
+                            // candidates, found) cross-combined into
+                            // the single recall row — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
