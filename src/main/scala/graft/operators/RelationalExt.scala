@@ -388,6 +388,42 @@ object RelationalExt {
       groups.unionByName(union)
     }),
 
+    // Sketch-mergeable CUBE — the agg_hll_mergeable pattern extended to
+    // a grouping LATTICE: leaf-level (returnflag, linestatus) sketches
+    // are built in ONE scan, and every coarser level (per-flag, global)
+    // comes from UNIONING leaf sketches — O(groups) sketch merges, zero
+    // row rescans. At 100 TB this is how a distinct-count dashboard
+    // serves every drill-down level from one pass; the exact distinct
+    // alongside each level exists only to verify the ±6% envelope
+    // (≈3.7σ at lgK=12, the agg_hll_mergeable argument) and is the
+    // recomputation the sketch lattice REPLACES.
+    "agg_hll_cube" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val leaf = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .transform(graft.CachePool.persist) // 3 lattice levels, 1 build
+      def ok(est: org.apache.spark.sql.Column) =
+        (abs(est - col("exact_parts")).cast("double") <=
+          lit(0.06) * col("exact_parts")).as("bound_ok")
+      val nullStatus = lit(null).cast("string").as("l_linestatus")
+      val lvl2 = leaf.select(col("l_returnflag"), col("l_linestatus"),
+        col("exact_parts"), ok(hll_sketch_estimate(col("sk"))))
+      val lvl1 = leaf.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("est"))
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("exact_parts")), "l_returnflag")
+        .select(col("l_returnflag"), nullStatus, col("exact_parts"),
+          ok(col("est")))
+      val lvl0 = leaf
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("est"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct("l_partkey").as("exact_parts"))))
+        .select(lit("ALL").as("l_returnflag"), nullStatus,
+          col("exact_parts"), ok(col("est")))
+      lvl2.unionByName(lvl1).unionByName(lvl0)
+    }),
+
     // Count-min-sketch heavy hitters: the one-pass bounded-memory
     // frequency sketch (width ⌈e/ε⌉ × depth ⌈ln 1/δ⌉ counters) that at
     // 100 TB replaces a full groupBy when only the heavy tail matters.
@@ -662,6 +698,21 @@ object RelationalExt {
         |UNION ALL
         |SELECT 'ALL' AS l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS bound_ok
+        |FROM lineitem""".stripMargin,
+    // Lattice contract: exact distinct per level, TRUE verdict — the
+    // estimates themselves are sketch-impl-specific (the CMS/HLL/KLL
+    // convention).
+    "agg_hll_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS bound_ok
+        |FROM lineitem GROUP BY 1, 2
+        |UNION ALL
+        |SELECT l_returnflag, CAST(NULL AS VARCHAR),
+        |  COUNT(DISTINCT l_partkey), TRUE
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', CAST(NULL AS VARCHAR),
+        |  COUNT(DISTINCT l_partkey), TRUE
         |FROM lineitem""".stripMargin,
     "agg_kll_quantile_rollup" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,

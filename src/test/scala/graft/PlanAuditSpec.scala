@@ -75,6 +75,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // as the balance threshold — bounded
     "agg_hll_mergeable",    // 1-row global exact-distinct aggregate broadcast
                             // next to the union-sketch estimate — bounded
+    "agg_hll_cube",         // same shape at the lattice root: 1-row global
+                            // exact-distinct next to the union estimate
     "agg_kll_quantile_rollup", // 1-row global exact-percentile aggregate
                             // broadcast next to the merged sketch — bounded
     "text_dsir_select",     // two 1-row token-total aggregates (corpus,
