@@ -557,6 +557,40 @@ object CdcQueries {
           (col("acked_lsn") === col("low_watermark")).as("is_laggard"))
     }),
 
+    // Replication-slot retention projection — the disk-pressure
+    // dashboard cdc_consumer_freshness's lag numbers feed: Postgres
+    // pins WAL from the SLOWEST consumer's restart LSN (the low
+    // watermark), so one stalled subscriber grows the primary's disk
+    // until the slot is dropped — the classic logical-replication
+    // outage. Reports the slot's head/low-watermark span, the events
+    // and wire bytes pinned behind it (byte size = the mirrored
+    // payload-length proxy: props + op tag + fixed header), and the
+    // pinned fraction of the whole log. One O(consumers) roll-up + one
+    // fenced scan; all exact integers, one shipped double ratio.
+    "cdc_slot_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("consumer"), col("event_id"),
+          (length(col("props")) + length(col("event_type")) + lit(20))
+            .cast("long").as("bytes"))
+        .transform(graft.CachePool.persist) // head + low + fenced pass
+      val low = ev.groupBy("consumer").agg(max("event_id").as("acked"))
+        .agg(min("acked").as("low_watermark")).withColumn("__k", lit(1))
+      val tot = ev.agg(max("event_id").as("head_lsn"),
+        count(lit(1)).as("n_total"), sum("bytes").as("total_bytes"))
+        .withColumn("__k", lit(1))
+      val ret = ev.withColumn("__k", lit(1)).join(broadcast(low), "__k")
+        .filter(col("event_id") > col("low_watermark"))
+        .agg(count(lit(1)).as("retained_events"),
+          coalesce(sum("bytes"), lit(0L)).as("retained_bytes"))
+        .withColumn("__k", lit(1))
+      low.join(broadcast(tot), "__k").join(broadcast(ret), "__k")
+        .select(col("head_lsn"), col("low_watermark"),
+          (col("head_lsn") - col("low_watermark")).as("slot_lag"),
+          col("retained_events"), col("retained_bytes"),
+          (col("retained_bytes").cast("double") /
+            col("total_bytes").cast("double")).as("retained_frac"))
+    }),
+
     // Event-time tumbling window aggregation (batch analog of the
     // streaming windowed agg; reference has no event-time semantics at
     // all — SURVEY.md §2.7 — we add them).
@@ -629,6 +663,24 @@ object CdcQueries {
         |  head_lsn - acked_lsn AS lag, low_watermark,
         |  acked_lsn = low_watermark AS is_laggard
         |FROM pos, h, lw""".stripMargin,
+    // Same fenced-scan algebra; the byte proxy mirrors length()+20.
+    "cdc_slot_retention" ->
+      """WITH ev AS (SELECT event_type AS consumer, event_id,
+        |    CAST(length(props) + length(event_type) + 20 AS BIGINT) AS bytes
+        |  FROM events),
+        |low AS (SELECT MIN(acked) AS low_watermark FROM (
+        |  SELECT consumer, MAX(event_id) AS acked FROM ev GROUP BY 1) a),
+        |tot AS (SELECT MAX(event_id) AS head_lsn, COUNT(*) AS n_total,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM ev),
+        |ret AS (SELECT COUNT(*) AS retained_events,
+        |    CAST(COALESCE(SUM(bytes), 0) AS BIGINT) AS retained_bytes
+        |  FROM ev, low WHERE event_id > low_watermark)
+        |SELECT head_lsn, low_watermark,
+        |  head_lsn - low_watermark AS slot_lag,
+        |  retained_events, retained_bytes,
+        |  CAST(retained_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+        |    AS retained_frac
+        |FROM tot, low, ret""".stripMargin,
     "cdc_consumer_freshness" ->
       s"""WITH m AS (SELECT event_type AS consumer, user_id, event_id,
          |    epoch_us(ts) AS us,

@@ -147,9 +147,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // of the planner-sized day roll-up — bounded
     "text_heaps_curve",     // 1-row max-doc-id aggregate broadcast into
                             // the doc and first-seen censuses — bounded
-    "dedup_contamination_lsh" // three 1-row count aggregates (exact,
+    "dedup_contamination_lsh", // three 1-row count aggregates (exact,
                             // candidates, found) cross-combined into
                             // the single recall row — bounded
+    "cdc_slot_retention"    // 1-row head/low-watermark/total aggregates
+                            // cross-combined; the low-watermark fence
+                            // broadcast into the retained scan — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
