@@ -1134,6 +1134,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("built-in session_window equals gap-islands sessionization (closed boundary pinned)") {
+    // two formulations of the same operator must agree — and the test
+    // pins the boundary semantic: Spark's session_window MERGES an
+    // event at exactly prev+gap (adjacent [a, a+gap) intervals
+    // coalesce, measured here), which is the same CLOSED boundary as
+    // window_sessionize's islands (new session only when diff > gap).
+    // The fixture includes an exactly-30:00 gap to prove the edge.
+    import org.apache.spark.sql.functions.{col, count, lag, lit, max, min, session_window, sum, unix_micros, when}
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = Seq(
+      ev(1, 0, 1, "click"), ev(2, 10, 1, "click"), ev(3, 41, 1, "click"),
+      ev(4, 70, 1, "click"), // 29-min gap: same session
+      ev(5, 100, 1, "click"), // EXACTLY 30:00 after id 4 → still MERGES
+      ev(6, 131, 1, "click"), // 31-min gap: new session
+      ev(7, 5, 2, "view"), ev(8, 200, 2, "view"))
+    val df = spark.createDataset(rows).toDF()
+    val builtin = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), min("ts").as("s"), max("ts").as("e"))
+      .select($"user_id", $"n", $"s", $"e")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    val byUser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val islands = df
+      .withColumn("new_session", when(
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >
+          1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session"))
+        .over(byUser.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), min("ts").as("s"), max("ts").as("e"))
+      .select($"user_id", $"n", $"s", $"e")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(builtin === islands)
+    assert(builtin.contains((1L, 3L, ts(41), ts(100))),
+      "the exactly-30:00 event must MERGE into the 00:41 session")
+    assert(builtin.count(_._1 == 1L) === 3,
+      "only the two 31-min gaps open new sessions for user 1")
+  }
+
   test("dead-letter tee: poisoned wire bytes land in the DLQ exactly once, never in state") {
     // C3's error path under a live streaming query: wire messages whose
     // lsn % 3 == 0 lose their last 8 bytes (the JSON object can never
