@@ -179,6 +179,47 @@ object Profiling {
     // full-side boundary pass is the same O(distinct values) histogram
     // walk events_rfm already argues, so the audit costs one extra
     // boundary pass over the sample, not a second corpus scan.
+    // Approximate GROUP BY with CLT error bars — the BlinkDB-style
+    // answer for dashboards that cannot afford the full scan: per-group
+    // means from a deterministic ~3.1% hash sample (membership is a
+    // pure function of event_id, so both engines pick the identical
+    // rows — no RNG), each with its 2σ standard-error bar and a
+    // within-bars verdict against the exact mean. The verdict is a
+    // DETERMINISTIC report cell, not an assertion — CLT says ~5% of
+    // groups will honestly sit outside 2σ, and both engines compute the
+    // same boolean either way. Sample moments ride the cent grid
+    // through decimal (exact, order-free); the shipped cells divide as
+    // mirrored doubles. Unlike the SampleRates boundary passes, the
+    // sample here IS the estimator input, not a partitionless-sort
+    // funnel — the hex audit whitelists it under that reason.
+    "profile_approx_groupby" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .transform(graft.CachePool.persist) // sample pass + exact pass
+      val samp = ev.filter(substring(
+          md5(concat(lit("apx|"), col("event_id").cast("string"))), 1, 3)
+          < "07f")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("c").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum(col("c").cast("decimal(19,0)") * col("c"))
+            .cast("decimal(38,0)").cast("double").as("s2"))
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("c").cast("decimal(38,0)")).cast("double").as("sx"))
+      val meanEst = col("s1") / col("n_s") / 100.0
+      val meanExact = col("sx") / col("n_exact") / 100.0
+      val seEst = sqrt((col("s2") / col("n_s") -
+        (col("s1") / col("n_s")) * (col("s1") / col("n_s"))) /
+        col("n_s")) / 100.0
+      samp.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_s"),
+          meanExact.as("mean_exact"), meanEst.as("mean_est"),
+          seEst.as("se_est"),
+          (abs(meanEst - meanExact) <= lit(2.0) * seEst).as("within_2se"))
+        .orderBy("event_type")
+    }),
+
     "profile_sample_error" -> ((s, d) => {
       val per = Tables.events(s, d).groupBy("user_id")
         .agg(sum(col("value").cast("decimal(18,2)"))
@@ -957,6 +998,30 @@ object Profiling {
     // Same rank-join bounds formulation as the events_rfm oracle; list
     // extract past the end is NULL, matching Spark's get() when the
     // small-SF sample yields fewer than 4 boundaries.
+    // Same sample membership, same decimal moments, same mirrored
+    // double expression trees (incl. the deterministic 2σ verdict).
+    "profile_approx_groupby" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |samp AS (SELECT event_type, COUNT(*) AS n_s,
+        |    CAST(CAST(SUM(c) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(38,0))
+        |      AS DOUBLE) AS s2
+        |  FROM ev
+        |  WHERE substr(md5('apx|' || CAST(event_id AS VARCHAR)), 1, 3) < '07f'
+        |  GROUP BY 1),
+        |ex AS (SELECT event_type, COUNT(*) AS n_exact,
+        |    CAST(CAST(SUM(c) AS DECIMAL(38,0)) AS DOUBLE) AS sx
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n_exact, n_s,
+        |  sx / n_exact / 100.0 AS mean_exact,
+        |  s1 / n_s / 100.0 AS mean_est,
+        |  sqrt((s2 / n_s - (s1 / n_s) * (s1 / n_s)) / n_s) / 100.0 AS se_est,
+        |  abs(s1 / n_s / 100.0 - sx / n_exact / 100.0) <=
+        |    2.0 * (sqrt((s2 / n_s - (s1 / n_s) * (s1 / n_s)) / n_s) / 100.0)
+        |    AS within_2se
+        |FROM samp JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+
     "profile_sample_error" -> {
       def boundsSql(src: String) =
         s"""(SELECT COALESCE(list_sort(array_agg(m)), []) AS bl FROM (

@@ -431,7 +431,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // cdc_dead_letter's FAULT INJECTOR: 1/32 of wire messages are
       // deterministically corrupted; the set is the oracle's expected
       // dead-letter set, not a cardinality-reducing sample
-      "08" -> "cdc_dead_letter fault-injection set (oracle = same set)")
+      "08" -> "cdc_dead_letter fault-injection set (oracle = same set)",
+      // profile_approx_groupby's ESTIMATOR sample: the ~3.1% sample is
+      // the estimator's input (CLT bars vs exact), never a funnel into
+      // a partitionless boundary sort
+      "07f" -> "profile_approx_groupby estimator sample (CLT bars)")
     val registered = graft.SampleRates.rates.values.toSet
     val hexRe = """<\s*(?:lit\()?['"]([0-9a-f]{2,8})['"]""".r
     def scalaFiles(dir: java.io.File): Seq[java.io.File] =
