@@ -1287,6 +1287,45 @@ object Similarity {
         .orderBy(col("borda").desc, col("doc_id")).limit(20)
     }),
 
+    // Top principal component by POWER ITERATION — the one-vector slice
+    // of PCA that answers the embedding-ops questions a full
+    // decomposition is overkill for: how anisotropic is the space (the
+    // dominant eigenvalue vs the trace — cosine similarity degrades
+    // when one direction eats the variance), and which dims carry it
+    // (mean-center along v before trusting cosine, the standard
+    // anisotropy fix). Exactness: the d×d covariance comes from the
+    // ann_covariance integer grid (exact); iteration happens on the
+    // COLLECTED 64×64 matrix — d² doubles, the planner-sized
+    // centroid-collect convention, NOT a data-sized collect — with
+    // every fold in ascending-index order via seedless reduceLeft,
+    // token-for-token the oracle's list_reduce(list(... ORDER BY ...))
+    // chain, so all 3 iterations, the norms, and the Rayleigh quotient
+    // are bitwise-mirrored. v₀ = all-ones makes the iteration fully
+    // deterministic (no RNG, no sign ambiguity).
+    "ann_top_component" -> ((s, d) => {
+      val rows = queries("ann_covariance")(s, d)
+        .select("dim_i", "dim_j", "cov").collect()
+      val C = Array.ofDim[Double](DIM, DIM)
+      rows.foreach { r =>
+        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+        C(i)(j) = c; C(j)(i) = c
+      }
+      def mul(v: Array[Double]): Array[Double] =
+        Array.tabulate(DIM)(i =>
+          (0 until DIM).map(j => C(i)(j) * v(j)).reduceLeft(_ + _))
+      var v = Array.fill(DIM)(1.0)
+      for (_ <- 1 to 3) {
+        val w = mul(v)
+        val nrm = math.sqrt((0 until DIM).map(i => w(i) * w(i)).reduceLeft(_ + _))
+        v = w.map(_ / nrm)
+      }
+      val wl = mul(v)
+      val lambda = (0 until DIM).map(i => v(i) * wl(i)).reduceLeft(_ + _)
+      import s.implicits._
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x, lambda) }.toSeq
+        .toDF("dim", "loading", "eigenvalue")
+    }),
+
     // Embedding/text ALIGNMENT screen — the curation sanity check that
     // should run before anyone trusts an embedding column for semantic
     // dedup or retrieval: pairs the text pipeline CALLS duplicates
@@ -1872,6 +1911,37 @@ object Similarity {
     // Shard-and-merge is a pure re-association of the SAME integer sums
     // — the oracle is the flat formulation, byte-identical output.
     "ann_covariance_sharded" -> covarianceSql,
+    // The identical power iteration over the identical covariance:
+    // every fold is list_reduce over an ORDER BY-ed list — the seedless
+    // ascending-index reduceLeft the Spark side mirrors.
+    "ann_top_component" -> {
+      def iter(k: Int): String =
+        s"""w$k AS (SELECT cm.i AS dim,
+           |    list_reduce(list(cm.cov * v${k - 1}.v ORDER BY cm.j),
+           |      (a, b) -> a + b) AS w
+           |  FROM cm JOIN v${k - 1} ON cm.j = v${k - 1}.dim GROUP BY cm.i),
+           |n$k AS (SELECT sqrt(list_reduce(list(w * w ORDER BY dim),
+           |    (a, b) -> a + b)) AS nrm FROM w$k),
+           |v$k AS (SELECT dim, w / nrm AS v FROM w$k, n$k)""".stripMargin
+      s"""WITH cov0 AS ($covarianceSql),
+         |cm AS (SELECT dim_i AS i, dim_j AS j, cov FROM cov0
+         |  UNION ALL
+         |  SELECT dim_j, dim_i, cov FROM cov0 WHERE dim_i <> dim_j),
+         |v0 AS (SELECT i AS dim, 1.0 AS v
+         |  FROM (SELECT DISTINCT i FROM cm) t),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |wl AS (SELECT cm.i AS dim,
+         |    list_reduce(list(cm.cov * v3.v ORDER BY cm.j),
+         |      (a, b) -> a + b) AS w
+         |  FROM cm JOIN v3 ON cm.j = v3.dim GROUP BY cm.i),
+         |lam AS (SELECT list_reduce(list(v3.v * wl.w ORDER BY v3.dim),
+         |    (a, b) -> a + b) AS eigenvalue
+         |  FROM v3 JOIN wl ON v3.dim = wl.dim)
+         |SELECT v3.dim, v3.v AS loading, lam.eigenvalue
+         |FROM v3, lam ORDER BY dim""".stripMargin
+    },
     // Borda fusion: ranks (not raw scores) cross the modality boundary,
     // so only the ORDER of each shortlist must agree between engines —
     // the keyword score is an exact BIGINT and the cosine is the
