@@ -115,6 +115,36 @@ object Similarity {
   private def corpusDf(s: SparkSession, d: String): DataFrame =
     emb(s, d).filter(col("vec_id") >= N_QUERIES)
 
+  /** Three power iterations from v₀ = all-ones on the exact integer-grid
+    * covariance (collected at planner size, d² doubles). Every fold is
+    * an ascending-index seedless reduceLeft — token-for-token the
+    * oracle's `list_reduce(list(... ORDER BY ...))`, so the returned
+    * (eigenvector, Rayleigh quotient, matrix) are bitwise-mirrored.
+    * Shared by ann_top_component and ann_anisotropy_ratio.
+    */
+  private def powerIterate(s: SparkSession, d: String)
+      : (Array[Double], Double, Array[Array[Double]]) = {
+    val rows = queries("ann_covariance")(s, d)
+      .select("dim_i", "dim_j", "cov").collect()
+    val C = Array.ofDim[Double](DIM, DIM)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      C(i)(j) = c; C(j)(i) = c
+    }
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(DIM)(i =>
+        (0 until DIM).map(j => C(i)(j) * v(j)).reduceLeft(_ + _))
+    var v = Array.fill(DIM)(1.0)
+    for (_ <- 1 to 3) {
+      val w = mul(v)
+      val nrm = math.sqrt((0 until DIM).map(i => w(i) * w(i)).reduceLeft(_ + _))
+      v = w.map(_ / nrm)
+    }
+    val wl = mul(v)
+    val lambda = (0 until DIM).map(i => v(i) * wl(i)).reduceLeft(_ + _)
+    (v, lambda, C)
+  }
+
   /** IVF coarse centroids: stride-sampled seeds refined by
     * [[REFINE_ITERS]] Lloyd passes (assign every corpus vector to its
     * nearest centroid, recentre on the element-wise mean). Cosine
@@ -1303,27 +1333,29 @@ object Similarity {
     // are bitwise-mirrored. v₀ = all-ones makes the iteration fully
     // deterministic (no RNG, no sign ambiguity).
     "ann_top_component" -> ((s, d) => {
-      val rows = queries("ann_covariance")(s, d)
-        .select("dim_i", "dim_j", "cov").collect()
-      val C = Array.ofDim[Double](DIM, DIM)
-      rows.foreach { r =>
-        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
-        C(i)(j) = c; C(j)(i) = c
-      }
-      def mul(v: Array[Double]): Array[Double] =
-        Array.tabulate(DIM)(i =>
-          (0 until DIM).map(j => C(i)(j) * v(j)).reduceLeft(_ + _))
-      var v = Array.fill(DIM)(1.0)
-      for (_ <- 1 to 3) {
-        val w = mul(v)
-        val nrm = math.sqrt((0 until DIM).map(i => w(i) * w(i)).reduceLeft(_ + _))
-        v = w.map(_ / nrm)
-      }
-      val wl = mul(v)
-      val lambda = (0 until DIM).map(i => v(i) * wl(i)).reduceLeft(_ + _)
+      val (v, lambda, _) = powerIterate(s, d)
       import s.implicits._
       v.zipWithIndex.map { case (x, i) => (i.toLong, x, lambda) }.toSeq
         .toDF("dim", "loading", "eigenvalue")
+    }),
+
+    // The one-number readout of the component above: λ₁ / trace(C) —
+    // the variance share the dominant direction eats. Near 1/d the
+    // space is isotropic and raw cosine is trustworthy; large shares
+    // mean every similarity is secretly "how much of the rogue
+    // direction do both vectors carry" and the mean/top-component
+    // should be projected out first (Mu & Viswanath, ICLR'18's
+    // all-but-the-top observation). trace folds the diagonal in
+    // ascending dim — the same seedless ordered reduce as everything
+    // else in the chain.
+    "ann_anisotropy_ratio" -> ((s, d) => {
+      val (v, lambda, c) = powerIterate(s, d)
+      val trace = (0 until DIM).map(i => c(i)(i)).reduceLeft(_ + _)
+      val topDim = (0 until DIM)
+        .sortBy(i => (-math.abs(v(i)), i)).head.toLong
+      import s.implicits._
+      Seq((lambda, trace, lambda / trace, topDim))
+        .toDF("eigenvalue", "trace", "anisotropy_ratio", "top_dim")
     }),
 
     // Embedding/text ALIGNMENT screen — the curation sanity check that
@@ -1941,6 +1973,41 @@ object Similarity {
          |  FROM v3 JOIN wl ON v3.dim = wl.dim)
          |SELECT v3.dim, v3.v AS loading, lam.eigenvalue
          |FROM v3, lam ORDER BY dim""".stripMargin
+    },
+    // Same chain + the ascending-dim diagonal fold for the trace and
+    // the |loading|-argmax (ties to the lowest dim) for top_dim.
+    "ann_anisotropy_ratio" -> {
+      def iter(k: Int): String =
+        s"""w$k AS (SELECT cm.i AS dim,
+           |    list_reduce(list(cm.cov * v${k - 1}.v ORDER BY cm.j),
+           |      (a, b) -> a + b) AS w
+           |  FROM cm JOIN v${k - 1} ON cm.j = v${k - 1}.dim GROUP BY cm.i),
+           |n$k AS (SELECT sqrt(list_reduce(list(w * w ORDER BY dim),
+           |    (a, b) -> a + b)) AS nrm FROM w$k),
+           |v$k AS (SELECT dim, w / nrm AS v FROM w$k, n$k)""".stripMargin
+      s"""WITH cov0 AS ($covarianceSql),
+         |cm AS (SELECT dim_i AS i, dim_j AS j, cov FROM cov0
+         |  UNION ALL
+         |  SELECT dim_j, dim_i, cov FROM cov0 WHERE dim_i <> dim_j),
+         |v0 AS (SELECT i AS dim, 1.0 AS v
+         |  FROM (SELECT DISTINCT i FROM cm) t),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |wl AS (SELECT cm.i AS dim,
+         |    list_reduce(list(cm.cov * v3.v ORDER BY cm.j),
+         |      (a, b) -> a + b) AS w
+         |  FROM cm JOIN v3 ON cm.j = v3.dim GROUP BY cm.i),
+         |lam AS (SELECT list_reduce(list(v3.v * wl.w ORDER BY v3.dim),
+         |    (a, b) -> a + b) AS eigenvalue
+         |  FROM v3 JOIN wl ON v3.dim = wl.dim),
+         |tr AS (SELECT list_reduce(list(cov ORDER BY dim_i),
+         |    (a, b) -> a + b) AS trace FROM cov0 WHERE dim_i = dim_j),
+         |td AS (SELECT CAST(dim AS BIGINT) AS top_dim FROM v3
+         |  ORDER BY abs(v) DESC, dim LIMIT 1)
+         |SELECT lam.eigenvalue, tr.trace,
+         |  lam.eigenvalue / tr.trace AS anisotropy_ratio, td.top_dim
+         |FROM lam, tr, td""".stripMargin
     },
     // Borda fusion: ranks (not raw scores) cross the modality boundary,
     // so only the ORDER of each shortlist must agree between engines —
