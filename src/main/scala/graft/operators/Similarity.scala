@@ -122,13 +122,22 @@ object Similarity {
     * (eigenvector, Rayleigh quotient, matrix) are bitwise-mirrored.
     * Shared by ann_top_component and ann_anisotropy_ratio.
     */
+  /** Collected upper-triangle covariance per dir — the centroidCache
+    * convention: a pure function of the data, O(d²) doubles, shared by
+    * ann_top_component and ann_anisotropy_ratio so the covariance agg
+    * runs once per corpus per JVM.
+    */
+  private val covCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Long, Long, Double)]]
+
   private def powerIterate(s: SparkSession, d: String)
       : (Array[Double], Double, Array[Array[Double]]) = {
-    val rows = queries("ann_covariance")(s, d)
-      .select("dim_i", "dim_j", "cov").collect()
+    val rows = covCache.getOrElseUpdate(d,
+      queries("ann_covariance")(s, d).select("dim_i", "dim_j", "cov")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
     val C = Array.ofDim[Double](DIM, DIM)
-    rows.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+    rows.foreach { case (il, jl, c) =>
+      val (i, j) = (il.toInt, jl.toInt)
       C(i)(j) = c; C(j)(i) = c
     }
     def mul(v: Array[Double]): Array[Double] =
