@@ -887,6 +887,33 @@ object Dedup {
             .as("recall"))
     }),
 
+    // Lexical-vs-semantic dedup OVERLAP census — the budget question
+    // for running BOTH tiers: how many pairs does embedding dedup add
+    // that n-gram jaccard already finds (and vice versa)? Reported as
+    // the two pair counts, the intersection, and the pair-set jaccard.
+    // On this corpus ann_text_alignment already showed the embeddings
+    // don't encode the text, so the honest expected answer is ~zero
+    // overlap — the census is the per-corpus number that justifies (or
+    // retires) a tier. Both pair relations are the already-verified
+    // queries; the overlap is a co-partitioned semi-join on the pair
+    // key, and only three 1-row counts combine at the end.
+    "dedup_lexical_semantic_overlap" -> ((s, d) => {
+      val lex = queries("dedup_ngram_jaccard")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val sem = queries("dedup_embedding_cosine")(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val both = lex.join(sem, Seq("doc_a", "doc_b"), "left_semi")
+      lex.agg(count(lit(1)).as("n_lexical")).withColumn("__k", lit(1))
+        .join(sem.agg(count(lit(1)).as("n_semantic"))
+          .withColumn("__k", lit(1)), "__k")
+        .join(both.agg(count(lit(1)).as("n_both"))
+          .withColumn("__k", lit(1)), "__k")
+        .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+          (col("n_both").cast("double") /
+            (col("n_lexical") + col("n_semantic") - col("n_both"))
+              .cast("double")).as("pair_jaccard"))
+    }),
+
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
     // baseline; blocked variants live in Similarity as the scale path).
     "dedup_embedding_cosine" -> ((s, d) => {
@@ -1292,6 +1319,22 @@ object Dedup {
          |  ${VectorOps.cosineSql("a.e", "b.e", 64)} AS cosine
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR""".stripMargin,
+    // Both verified pair chains as CTEs; the same three scalar counts.
+    "dedup_lexical_semantic_overlap" ->
+      s"""WITH lex AS ($oracleNgramJaccard),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR),
+         |t AS (SELECT (SELECT COUNT(*) FROM lex) AS n_lexical,
+         |  (SELECT COUNT(*) FROM sem) AS n_semantic,
+         |  (SELECT COUNT(*) FROM lex JOIN sem USING (doc_a, doc_b))
+         |    AS n_both)
+         |SELECT n_lexical, n_semantic, n_both,
+         |  CAST(n_both AS DOUBLE) /
+         |    CAST(n_lexical + n_semantic - n_both AS DOUBLE) AS pair_jaccard
+         |FROM t""".stripMargin,
+
     // Same bipartite band probe + the exact-containment reference; the
     // 3-gram band CTEs and the 5-gram containment CTEs coexist (d vs d5).
     "dedup_contamination_lsh" ->

@@ -150,9 +150,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_contamination_lsh", // three 1-row count aggregates (exact,
                             // candidates, found) cross-combined into
                             // the single recall row — bounded
-    "cdc_slot_retention"    // 1-row head/low-watermark/total aggregates
+    "cdc_slot_retention",   // 1-row head/low-watermark/total aggregates
                             // cross-combined; the low-watermark fence
                             // broadcast into the retained scan — bounded
+    "dedup_lexical_semantic_overlap" // three 1-row pair counts cross-
+                            // combined into the single census row;
+                            // composes the declared brute-force
+                            // embedding baseline
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
