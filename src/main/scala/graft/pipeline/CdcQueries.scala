@@ -41,6 +41,30 @@ object CdcQueries {
       ChangeLog.latestState(Tables.events(s, d), Seq("user_id"), "event_id")
     }),
 
+    // Query over the MATERIALIZATION — the read path the reference
+    // builds its whole pipeline for (consumers query the ES index, not
+    // the log, es_consumer/main.go:77-95): per-type census and exact
+    // value total of the CURRENT state only, with the live share of
+    // all keys. Distinct from cdc_op_mix (a census of the LOG): a key
+    // updated 100 times counts once here, at its latest value. Cost is
+    // one TopKPerKey pass (sort-free, the cdc_latest_state plan) plus
+    // an O(types) roll-up.
+    "cdc_state_rollup" -> ((s, d) => {
+      val st = ChangeLog.latestState(Tables.events(s, d),
+        Seq("user_id"), "event_id")
+      val tot = st.agg(count(lit(1)).as("n_keys")).withColumn("__k", lit(1))
+      st.groupBy("event_type")
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"),
+          max("event_id").as("max_lsn"))
+        .withColumn("__k", lit(1)).join(broadcast(tot), "__k")
+        .select(col("event_type"), col("n_live"), col("total_value"),
+          col("max_lsn"),
+          (col("n_live").cast("double") / col("n_keys").cast("double"))
+            .as("share_of_keys"))
+    }),
+
     // §2.6 DELETE done right: tombstoned keys drop out of the view.
     "cdc_latest_state_delete" -> ((s, d) => {
       ChangeLog.latestStateWithTombstones(
@@ -751,6 +775,17 @@ object CdcQueries {
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
     "cdc_latest_state" -> latestSql,
+    // The same latest-per-key relation rolled up per type; decimal sum
+    // → one double cast, mirrored.
+    "cdc_state_rollup" ->
+      s"""WITH st AS ($latestSql),
+         |tot AS (SELECT COUNT(*) AS n_keys FROM st)
+         |SELECT event_type, COUNT(*) AS n_live,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         |    AS DOUBLE) AS total_value,
+         |  MAX(event_id) AS max_lsn,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(n_keys AS DOUBLE) AS share_of_keys
+         |FROM st, tot GROUP BY event_type, n_keys""".stripMargin,
     "cdc_latest_state_delete" ->
       s"SELECT * FROM ($latestSql) u WHERE event_type <> 'error'",
     // Carry-forward semantics per COLUMN: the latest live event where

@@ -153,10 +153,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_slot_retention",   // 1-row head/low-watermark/total aggregates
                             // cross-combined; the low-watermark fence
                             // broadcast into the retained scan — bounded
-    "dedup_lexical_semantic_overlap" // three 1-row pair counts cross-
+    "dedup_lexical_semantic_overlap", // three 1-row pair counts cross-
                             // combined into the single census row;
                             // composes the declared brute-force
                             // embedding baseline
+    "cdc_state_rollup"      // 1-row total-keys aggregate broadcast into
+                            // the O(types) state roll-up — bounded
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
