@@ -894,13 +894,23 @@ object Dedup {
     // On this corpus ann_text_alignment already showed the embeddings
     // don't encode the text, so the honest expected answer is ~zero
     // overlap — the census is the per-corpus number that justifies (or
-    // retires) a tier. Both pair relations are the already-verified
-    // queries; the overlap is a co-partitioned semi-join on the pair
-    // key, and only three 1-row counts combine at the end.
+    // retires) a tier. SEMANTIC SIDE = the BLOCKED path
+    // (dedup_embedding_lsh, bucket equi-join): a production census must
+    // inherit the production plan, not the brute all-pairs baseline the
+    // blocked variants exist to avoid (r11 verdict #3 — composing
+    // dedup_embedding_cosine here silently re-introduced the O(n²)
+    // join). The blocked-recall caveat: the semantic counts are the LSH
+    // candidate view of the pair set; dedup_embedding_lsh_recall below
+    // MEASURES that view's recall vs the brute ground truth, so the
+    // census reads together with that number. Both pair relations are
+    // already-verified queries; the overlap is a co-partitioned
+    // semi-join on the pair key, three 1-row counts combine at the end,
+    // and the jaccard carries the repo's 0/0 guard (NULL, not NaN —
+    // matching DuckDB's NULL-propagating division; r12 advice).
     "dedup_lexical_semantic_overlap" -> ((s, d) => {
       val lex = queries("dedup_ngram_jaccard")(s, d)
         .select(col("doc_a"), col("doc_b"))
-      val sem = queries("dedup_embedding_cosine")(s, d)
+      val sem = queries("dedup_embedding_lsh")(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       val both = lex.join(sem, Seq("doc_a", "doc_b"), "left_semi")
       lex.agg(count(lit(1)).as("n_lexical")).withColumn("__k", lit(1))
@@ -909,9 +919,35 @@ object Dedup {
         .join(both.agg(count(lit(1)).as("n_both"))
           .withColumn("__k", lit(1)), "__k")
         .select(col("n_lexical"), col("n_semantic"), col("n_both"),
-          (col("n_both").cast("double") /
-            (col("n_lexical") + col("n_semantic") - col("n_both"))
-              .cast("double")).as("pair_jaccard"))
+          when(col("n_lexical") + col("n_semantic") - col("n_both") === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("n_both").cast("double") /
+              (col("n_lexical") + col("n_semantic") - col("n_both"))
+                .cast("double")).as("pair_jaccard"))
+    }),
+
+    // The blocked-path recall number the census above cites: of the
+    // pairs the brute-force cosine baseline proves are ≥ COSINE_NEAR,
+    // what fraction does the sign-bit LSH bucketing surface? The brute
+    // all-pairs join appears here ONLY as the declared test-scale
+    // ground truth (the dedup_lsh_recall convention — at production
+    // scale recall is re-measured on a fixed probe sample, never the
+    // full corpus); the candidate side is the production bucket
+    // equi-join. A bucketing change that drops recall fails loudly.
+    "dedup_embedding_lsh_recall" -> ((s, d) => {
+      val truth = queries("dedup_embedding_cosine")(s, d)
+        .select(col("vec_a"), col("vec_b"))
+      val lsh = queries("dedup_embedding_lsh")(s, d)
+        .select(col("vec_a").as("la"), col("vec_b").as("lb"))
+      truth.join(lsh,
+          col("vec_a") === col("la") && col("vec_b") === col("lb"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("la").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_found"))
+        .select(col("n_truth"), col("n_found"),
+          when(col("n_truth") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_found").cast("double") /
+              col("n_truth").cast("double")).as("recall"))
     }),
 
     // Embedding near-dup: brute-force cosine over all pairs (test-scale
@@ -1270,10 +1306,12 @@ object Dedup {
            |nc$r AS (SELECT COUNT(*) AS n_candidates FROM cand$r),
            |res$r AS (SELECT CAST($nb AS INT) AS bands,
            |    CAST($r AS INT) AS rows_per_band,
-           |    MAX(n_candidates) AS n_candidates, COUNT(*) AS n_truth,
-           |    CAST(SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_found
-           |  FROM truth LEFT JOIN cand$r ON doc_a = ca AND doc_b = cb, nc$r)"""
+           |    nc.n_candidates, t.n_truth, t.n_found
+           |  FROM (SELECT COUNT(*) AS n_truth,
+           |      CAST(SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END)
+           |        AS BIGINT) AS n_found
+           |    FROM truth LEFT JOIN cand$r ON doc_a = ca AND doc_b = cb) t
+           |  CROSS JOIN nc$r nc)"""
           .stripMargin
       }
       s"""WITH d AS ($docShinglesSql),
@@ -1320,19 +1358,46 @@ object Dedup {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR""".stripMargin,
     // Both verified pair chains as CTEs; the same three scalar counts.
+    // Semantic side = the BLOCKED bucket join (mirrors the query); the
+    // brute-force pair set remains available as its own oracle-checked
+    // baseline (dedup_embedding_cosine) and as the recall ground truth
+    // below — the census itself must not pay for it.
     "dedup_lexical_semantic_overlap" ->
       s"""WITH lex AS ($oracleNgramJaccard),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |  WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |bk AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", EMB_LSH_DIMS)} AS bucket FROM ev),
+         |sem AS (SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE ${VectorOps.cosineSql("a.e", "c.e", 64)} >= $COSINE_NEAR),
          |t AS (SELECT (SELECT COUNT(*) FROM lex) AS n_lexical,
          |  (SELECT COUNT(*) FROM sem) AS n_semantic,
          |  (SELECT COUNT(*) FROM lex JOIN sem USING (doc_a, doc_b))
          |    AS n_both)
          |SELECT n_lexical, n_semantic, n_both,
-         |  CAST(n_both AS DOUBLE) /
-         |    CAST(n_lexical + n_semantic - n_both AS DOUBLE) AS pair_jaccard
+         |  CASE WHEN n_lexical + n_semantic - n_both = 0 THEN NULL
+         |    ELSE CAST(n_both AS DOUBLE) /
+         |      CAST(n_lexical + n_semantic - n_both AS DOUBLE) END
+         |    AS pair_jaccard
+         |FROM t""".stripMargin,
+
+    // Brute pair set as ground truth, blocked pair set as candidates.
+    "dedup_embedding_lsh_recall" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.cosineSql("a.e", "b.e", 64)} >= $COSINE_NEAR),
+         |bk AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", EMB_LSH_DIMS)} AS bucket FROM ev),
+         |cand AS (SELECT a.vec_id AS la, c.vec_id AS lb
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE ${VectorOps.cosineSql("a.e", "c.e", 64)} >= $COSINE_NEAR),
+         |t AS (SELECT COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM truth LEFT JOIN cand ON vec_a = la AND vec_b = lb)
+         |SELECT n_truth, n_found,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |    ELSE CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+         |    AS recall
          |FROM t""".stripMargin,
 
     // Same bipartite band probe + the exact-containment reference; the

@@ -227,11 +227,11 @@ object Layout {
     //      membership is a pure function of the key — the
     //      text_train_split convention — so the oracle draws the
     //      byte-identical sample);
-    //   2. boundaries = the sample's SPLITS-quantile ranks, extracted
-    //      by a broadcast equi-join on row number (the ONLY ordered
-    //      pass, over the O(sample) relation — rate-bounded by
-    //      construction; at a bigger corpus you lower the rate, never
-    //      change the shape);
+    //   2. boundaries = the sample's SPLITS-quantile ranks via
+    //      Boundaries.quantileArray (histogram + distributed prefix-sum
+    //      + rank-extraction join — since r12 even this O(sample) pass
+    //      is range-partitioned, no partitionless window anywhere; at a
+    //      bigger corpus you lower the rate, never change the shape);
     //   3. EXACT per-split [lo, hi] + key counts: broadcast the sorted
     //      boundary array (≤ SPLITS−1 values) into a fully-parallel
     //      pass over the distinct keys — split_id = 1 + |{b < key}|,
@@ -244,16 +244,15 @@ object Layout {
       val samp = ks.filter(
         substring(md5(concat(lit("rs|"), col("l_orderkey").cast("string"))),
           1, 3) < RS_RATE_HEX)
-      val m = samp.agg(count(lit(1)).as("m"))
-      val ranked = samp.withColumn("rn",
-        row_number().over(Window.orderBy("l_orderkey")).cast("long"))
-      val ranks = m
-        .withColumn("i", explode(sequence(lit(1L), lit((SPLITS - 1).toLong))))
-        .select(expr(s"(i * m) div $SPLITS").as("rn"))
-        .filter(col("rn") >= 1L).distinct()
-      val bounds = ranked.join(broadcast(ranks), "rn")
-        .select(col("l_orderkey").as("b")).distinct()
-      val barr = bounds.agg(sort_array(collect_list("b")).as("barr"))
+      // boundary ranks via the shared Boundaries helper (r12): over the
+      // DISTINCT key sample every histogram count is 1, so min{v :
+      // cum(v) ≥ rk} is exactly the old row_number()-rank value — same
+      // boundaries, but the ordered pass is range-partitioned instead
+      // of a partitionless row_number window. dedupValues collapses
+      // ranks that share a key (split boundaries must be distinct).
+      val barr = Boundaries
+        .quantileArray(samp, "l_orderkey", SPLITS, "barr", dedupValues = true)
+        .drop("__k")
       ks.crossJoin(broadcast(barr))
         .withColumn("split_id",
           (lit(1) + size(filter(col("barr"), x => x < col("l_orderkey"))))

@@ -110,10 +110,11 @@ object Profiling {
     // aggregation; no per-user ranking anywhere. Recency and frequency
     // are small-integer domains that collide massively (days-since-last
     // and event counts), so their quintile boundaries are EXACT, from
-    // value HISTOGRAMS — the events_power_pareto construction: the only
-    // ordered pass is a cumulative count over DISTINCT values, a
-    // planner-sized relation, and boundary_k = min{v : cum(v) ≥ rank_k},
-    // identical to the rank-k value of a full sort. Monetary sums don't
+    // value HISTOGRAMS: boundary_k = min{v : cum(v) ≥ rank_k}, identical
+    // to the rank-k value of a full sort — and since r12 the cumulative
+    // itself is the Boundaries distributed prefix-sum (range-partitioned,
+    // every task sorts O(n/P)), so even a money-grade histogram whose
+    // distinct count ≈ users never funnels one task. Monetary sums don't
     // collide (distinct per-user decimals ≈ users), so its boundary
     // placement samples ≈2% of users by salted md5 (membership a pure
     // function of user_id — both engines pick the identical sample; the
@@ -135,30 +136,18 @@ object Profiling {
           datediff(col("gday"), col("last_day")).cast("long").as("r"),
           col("f"), col("m"))
         .transform(graft.CachePool.persist) // 3 boundary passes + assignment
-      // quintile boundaries from the value histogram of `src(metric)`:
-      // cum-count over distinct values; boundary = first value whose
-      // cumulative count reaches rank (i·n) div 5, i = 1..4
-      def bounds(src: DataFrame, metric: String) = {
-        val hist = src.groupBy(metric).agg(count(lit(1)).as("c"))
-        val cum = hist.withColumn("cum", sum("c").over(
-          Window.orderBy(col(metric))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        val ranks = hist.agg(sum("c").as("nn"))
-          .withColumn("i", explode(sequence(lit(1L), lit(4L))))
-          .select(expr("(i * nn) div 5").as("rk"))
-          .filter(col("rk") >= 1L).distinct()
-        cum.join(broadcast(ranks), col("cum") >= col("rk"))
-          .groupBy("rk").agg(min(col(metric)).as("bv"))
-          .agg(sort_array(collect_list(col("bv"))).as(s"${metric}_b"))
-          .withColumn("__k", lit(1))
-      }
+      // quintile boundaries = Boundaries.quantileArray: value histogram
+      // → distributed prefix-sum → boundary_i = min{v : cum(v) ≥
+      // (i·n) div 5} — the rank-k value of a full sort, with every
+      // ordered pass range-partitioned (no single-task window; r12
+      // unification of the three hand-rolled rank-extraction joins)
       val msamp = base.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
         < RFM_RATE_HEX)
       base.withColumn("__k", lit(1))
-        .join(broadcast(bounds(base, "r")), "__k")
-        .join(broadcast(bounds(base, "f")), "__k")
-        .join(broadcast(bounds(msamp, "m")), "__k")
+        .join(broadcast(Boundaries.quantileArray(base, "r", 5, "r_b")), "__k")
+        .join(broadcast(Boundaries.quantileArray(base, "f", 5, "f_b")), "__k")
+        .join(broadcast(Boundaries.quantileArray(msamp, "m", 5, "m_b")), "__k")
         .select(
           size(filter(col("r_b"), x => x < col("r"))).as("r_q"),
           size(filter(col("f_b"), x => x < col("f"))).as("f_q"),
@@ -225,25 +214,19 @@ object Profiling {
         .agg(sum(col("value").cast("decimal(18,2)"))
           .cast("decimal(18,2)").as("m"))
         .transform(graft.CachePool.persist)
-      def bounds(src: DataFrame, out: String) = {
-        val hist = src.groupBy("m").agg(count(lit(1)).as("c"))
-        val cum = hist.withColumn("cum", sum("c").over(
-          Window.orderBy(col("m")).rowsBetween(Window.unboundedPreceding, 0)))
-        val ranks = hist.agg(sum("c").as("nn"))
-          .withColumn("i", explode(sequence(lit(1L), lit(4L))))
-          .select(expr("(i * nn) div 5").as("rk"))
-          .filter(col("rk") >= 1L).distinct()
-        cum.join(broadcast(ranks), col("cum") >= col("rk"))
-          .groupBy("rk").agg(min(col("m")).as("bv"))
-          .agg(sort_array(collect_list(col("bv"))).as(out))
-          .withColumn("__k", lit(1))
-      }
+      // both boundary walks on the shared Boundaries helper (r12): the
+      // exact side's per-user-sum histogram is O(users) distinct values,
+      // which the old partitionless cumulative funneled through one task
+      // — the distributed prefix-sum range-partitions it instead.
+      // shifted_share (a DOUBLE division of the two shipped BIGINTs) was
+      // dropped r12: redundant with its operands and the only column of
+      // this row shape not reproducible from the others.
       val samp = per.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
         < RFM_RATE_HEX)
       per.withColumn("__k", lit(1))
-        .join(broadcast(bounds(per, "eb")), "__k")
-        .join(broadcast(bounds(samp, "sb")), "__k")
+        .join(broadcast(Boundaries.quantileArray(per, "m", 5, "eb")), "__k")
+        .join(broadcast(Boundaries.quantileArray(samp, "m", 5, "sb")), "__k")
         .withColumn("i", explode(sequence(lit(1), lit(4))))
         .select(col("m"), col("i"),
           get(col("eb"), col("i") - 1).as("e"),
@@ -254,8 +237,6 @@ object Profiling {
           sum(when(col("m") > least(col("e"), col("s")) &&
             col("m") <= greatest(col("e"), col("s")), 1L).otherwise(0L))
             .as("n_shifted_users"))
-        .withColumn("shifted_share",
-          col("n_shifted_users").cast("double") / col("n_users").cast("double"))
     }),
 
     // Benford first-digit screen over order values — the classic
@@ -853,7 +834,14 @@ object Profiling {
             .as("v_qty"),
           sum(when(col("l_discount").between(0.0, 0.1), 0L).otherwise(1L))
             .as("v_disc"),
-          count_distinct(col("l_orderkey"), col("l_linenumber")).as("nd_pk"),
+          // struct-wrapped: multi-arg count_distinct SKIPS rows where
+          // either column is NULL, while the oracle's COUNT(*) over
+          // SELECT DISTINCT counts NULL-bearing combinations — the
+          // struct is never NULL and groups its fields null-safely, so
+          // both engines count the same set even if the composite key
+          // ever carries NULLs (r12 advice; non-null in TPC-H today)
+          count_distinct(struct(col("l_orderkey"), col("l_linenumber")))
+            .as("nd_pk"),
           count_distinct(col("l_orderkey")).as("nd_ok"))
         .selectExpr("stack(5, " +
           "'lineitem.l_orderkey not_null', n, v_nn, " +
@@ -1047,9 +1035,7 @@ object Profiling {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_users
          |  FROM x GROUP BY 1, 2, 3)
          |SELECT quintile_boundary, exact_boundary, sampled_boundary, n_users,
-         |  n_shifted_users,
-         |  CAST(n_shifted_users AS DOUBLE) / CAST(n_users AS DOUBLE)
-         |    AS shifted_share
+         |  n_shifted_users
          |FROM g""".stripMargin
     },
     // Expected-share CASE is generated from the SAME constant table as

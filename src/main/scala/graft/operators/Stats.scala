@@ -564,9 +564,14 @@ object Stats {
     // integers — 2·R_A = Σ ca·(2·cum_below + t + 1), accumulated in
     // decimal (the addend passes 2^63 near 10⁹ users); the normal
     // approximation carries the standard Σ(t³−t) tie correction, also
-    // decimal. The cumulative window runs over DISTINCT cent totals
-    // (the text_quality_deciles / events_power_pareto collision
-    // argument: totals land on a shared value grid), never over users.
+    // decimal. Money-grade totals tie far less than the decile grids,
+    // so the histogram can approach O(users) distinct rows — r12 moved
+    // the cum_below pass onto the Boundaries distributed prefix-sum
+    // (range-partitioned; no single-task window), and the z readout
+    // gained the repo's degenerate guard (≤1 user total, or an empty
+    // arm, has no sampling distribution: NULL, matching the oracle —
+    // Spark's raw IEEE division would say NaN/±Inf where DuckDB's
+    // NULL-propagating arithmetic stays NULL).
     "events_ab_mannwhitney" -> ((s, d) => {
       val per = Tables.events(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
@@ -575,9 +580,8 @@ object Stats {
       val hist = per.groupBy("v")
         .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
           count(lit(1)).as("ct"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      val agg1 = hist
-        .withColumn("cum_below", coalesce(sum("ct").over(w), lit(0L)))
+      val agg1 = Boundaries
+        .prefixSum(hist, "v", "ct", "cum_below", inclusive = false)
         .agg(sum("ca").as("n_a"), sum(col("ct") - col("ca")).as("n_b"),
           sum(col("ca").cast("decimal(19,0)") *
             (lit(2) * col("cum_below") + col("ct") + 1))
@@ -593,9 +597,12 @@ object Stats {
           (col("n_a").cast("decimal(19,0)") * (col("n_a") + 1))
             .cast("double")) / 2.0)
       withU.select(col("n_a"), col("n_b"), col("u_a"),
-        ((col("u_a") - nA * nB / 2.0) /
-          sqrt(nA * nB / 12.0 *
-            ((n + 1.0) - col("tie_cubes") / (n * (n - 1.0))))).as("z"))
+        when(col("n_a") + col("n_b") <= 1L ||
+          col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("u_a") - nA * nB / 2.0) /
+              sqrt(nA * nB / 12.0 *
+                ((n + 1.0) - col("tie_cubes") / (n * (n - 1.0))))).as("z"))
     }),
 
     // Attribution-model readout over purchase segments: each purchase
@@ -1117,11 +1124,13 @@ object Stats {
         |      / 2.0 AS u_a
         |  FROM a)
         |SELECT n_a, n_b, u_a,
-        |  (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-        |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-        |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-        |        - tie_cubes / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))) AS z
+        |  CASE WHEN n_a + n_b <= 1 OR n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+        |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |        ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |          - tie_cubes / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+        |    END AS z
         |FROM u""".stripMargin,
 
     "events_ab_value_ttest" ->

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Boundaries
+
+/** The distributed prefix-sum / exact-quantile helper (r12): proves the
+  * range-partitioned two-level scan equals the single-window cumulative
+  * it replaced, on random histograms — and that its plan never funnels
+  * one task (no partitionless WindowExec anywhere in the tree).
+  */
+class BoundariesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Deterministic seed sweep (the repo's property-test convention). */
+  private def forSeeds(n: Int)(body: Long => Unit): Unit =
+    (1 to n).foreach(i => body(0xB0DA1E5L * i + 11))
+
+  private def noPartitionlessWindow(df: org.apache.spark.sql.DataFrame): Unit = {
+    val offenders = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty,
+      s"prefix-sum plan contains a single-task window: $offenders")
+  }
+
+  test("prefixSum == partitionless-window cumulative on random histograms") {
+    forSeeds(10) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(200)
+      // distinct keys (histogram precondition), counts ≥ 1
+      val rows = rnd.shuffle((0 until n).toList)
+        .map(v => (v.toLong * 3 - 17, 1L + rnd.nextInt(5)))
+      val hist = rows.toDF("v", "c")
+      val got = Boundaries.prefixSum(hist, "v", "c", "cum")
+        .orderBy("v").select("v", "cum").as[(Long, Long)].collect().toSeq
+      val want = hist.withColumn("cum", sum("c").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("v").select("v", "cum").as[(Long, Long)].collect().toSeq
+      assert(got == want)
+      CachePool.releaseAll()
+    }
+  }
+
+  test("prefixSum exclusive frame == count strictly below") {
+    val hist = Seq((10L, 2L), (20L, 3L), (30L, 5L)).toDF("v", "c")
+    val got = Boundaries.prefixSum(hist, "v", "c", "below", inclusive = false)
+      .orderBy("v").select("v", "below").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 0L), (20L, 2L), (30L, 5L)))
+    CachePool.releaseAll()
+  }
+
+  test("quantileArray == rank-extraction over a full sort") {
+    forSeeds(10) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(300)
+      val values = List.fill(n)(rnd.nextInt(40).toLong) // heavy ties
+      val df = values.toDF("m")
+      val arr = Boundaries.quantileArray(df, "m", 5, "qb")
+        .select("qb").as[Seq[Long]].collect().head
+      // reference: boundary_i = sorted(values)[(i*n) div 5 - 1] (rank is
+      // 1-based), ranks deduped, per-rank values kept (dups allowed)
+      val sorted = values.sorted
+      val want = (1 to 4).map(i => i.toLong * n / 5).filter(_ >= 1L)
+        .distinct.map(rk => sorted((rk - 1).toInt)).sorted
+      assert(arr == want, s"n=$n arr=$arr want=$want")
+      CachePool.releaseAll()
+    }
+  }
+
+  test("quantileArray dedupValues collapses ranks sharing a boundary") {
+    // 10 equal values: every rank lands on the same boundary value
+    val df = List.fill(10)(7L).toDF("m")
+    val arr = Boundaries.quantileArray(df, "m", 5, "qb", dedupValues = true)
+      .select("qb").as[Seq[Long]].collect().head
+    assert(arr == Seq(7L))
+    CachePool.releaseAll()
+  }
+
+  test("no partitionless WindowExec anywhere in the helper's plans") {
+    val hist = (1 to 100).map(i => (i.toLong, 1L)).toDF("v", "c")
+    noPartitionlessWindow(Boundaries.prefixSum(hist, "v", "c", "cum"))
+    val vals = (1 to 100).map(_.toLong % 13).toDF("m")
+    noPartitionlessWindow(Boundaries.quantileArray(vals, "m", 5, "qb"))
+    CachePool.releaseAll()
+  }
+
+  test("empty input: prefixSum yields zero rows, quantileArray an empty array") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "c")
+    assert(Boundaries.prefixSum(empty, "v", "c", "cum").count() == 0L)
+    val arr = Boundaries.quantileArray(empty.select(col("v").as("m")), "m", 5, "qb")
+      .select("qb").as[Seq[Long]].collect().head
+    assert(arr.isEmpty)
+    CachePool.releaseAll()
+  }
+}

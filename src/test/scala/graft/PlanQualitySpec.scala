@@ -354,21 +354,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "events_changepoint" -> "O(days): daily counts (cusum + argmax pass)",
       "text_quality_deciles" -> "O(distinct scores): small-integer score histogram",
       "events_power_pareto" -> "O(distinct per-user counts): count histogram",
-      "layout_range_split" ->
-        "O(sample, rate 041/16^3 ≈ 1.6%): boundary-rank pass (SampleRates)",
-      "events_rfm" ->
-        ("O(distinct values): exact r/f histogram-cumulative boundaries; " +
-          "monetary over a 05/16^2 ≈ 2.0% sample (SampleRates)"),
-      "profile_sample_error" ->
-        ("O(distinct values): the events_rfm monetary boundary walk run " +
-          "on both the full histogram and its registered sample"),
+      // layout_range_split / events_rfm / profile_sample_error /
+      // events_ab_mannwhitney left this list r12: their rank passes now
+      // run on Boundaries.prefixSum (range-repartition + per-partition
+      // offsets + pid-partitioned local windows) — no partitionless
+      // WindowExec remains in any of the four plans, which the sweep
+      // below now verifies like every other query. The r11 whitelist
+      // reasons claimed "O(distinct values)" for money metrics where
+      // distinct ≈ users; the claim is retired with the shape.
       "cdc_gap_detect" -> "O(buckets): per-bucket extrema stitch",
       "events_survival_curve" ->
         "O(day offsets): duration histogram (at-risk cumulative + rank)",
       "search_hybrid_fusion" ->
         "O(K): rank passes over two TakeOrdered top-50 shortlists",
-      "events_ab_mannwhitney" ->
-        "O(distinct cent totals): doubled-rank histogram cumulative",
       "text_heaps_curve" ->
         "O(10): first-seen decile census cumulative")
     val c = spark.conf

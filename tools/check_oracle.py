@@ -9,11 +9,51 @@ matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables,
 sort columns by name + rows by value, and diff. Exit nonzero on any
 mismatch. Stricter than the driver (exact equality incl. floats), so
 passing here should imply passing there.
+
+RENDER-AND-HASH stage (r12): twice in a row a query passed this
+pre-flight on exact values and declared types yet hashed red on the
+driver (r10 text_tfidf_cosine_pairs, r11 profile_sample_error). The
+driver does not compare Python values — it RENDERS each side to text
+through its own read path (the Spark side re-read from parquet, the
+oracle side fetched from a live DuckDB query) and hashes the rendered
+rows. Value equality does not imply render equality: a type coercion
+introduced by one read path and not the other (DECIMAL -> float64 in a
+pandas conversion drops trailing zeros: '3168.30' vs '3168.3';
+parquet-read timestamps come back tz-aware, live ones naive) changes the
+rendered text of EQUAL values. So after the value compare, every query
+is additionally hashed through three render protocols, each applied to
+BOTH sides, and any per-protocol hash disagreement fails the pre-flight
+with the first divergent rendered cell:
+
+  P1 asymmetric-fetch  spark: fetchall from the result parquet;
+                       oracle: fetchall from the live query.
+                       (The driver's shape per the r11 verdict.)
+  P2 both-parquet      oracle COPY TO parquet, both sides re-read
+                       through the one reader, fetchall.
+                       (The canonical reference render.)
+  P3 pandas            both sides through duckdb's .df() conversion
+                       (DECIMAL -> float64, tz coercions) rendered via
+                       str(); catches drivers that hash DataFrames.
+  P4 pyarrow-vs-fetch  spark side through pyarrow's parquet reader (its
+                       own decimal/timestamp coercions), oracle side
+                       from the live fetch — the maximally-asymmetric
+                       reader pairing.
+
+Float formatting (documented per the r12 directive): floats render via
+repr() — CPython's shortest-round-trip algorithm, the same family as
+DuckDB's ryu VARCHAR cast; Decimals via str() (scale-preserving, so
+'3168.30' keeps its cents digit); None as a sentinel; datetimes via
+isoformat after normalizing tz-aware values to UTC and dropping the
+offset; bytes as hex; lists element-wise recursively.
 """
+import datetime
+import hashlib
 import json
 import math
 import os
 import sys
+import tempfile
+from decimal import Decimal
 
 import duckdb
 
@@ -66,6 +106,111 @@ def close(a, b):
     return a == b
 
 
+# ---------------------------------------------------------------- render
+
+
+def render_cell(v):
+    """Canonical text for one cell. Every branch is a documented render
+    decision (see module docstring); the POINT is that the same value
+    arriving as a different Python type (Decimal vs float, aware vs
+    naive datetime) renders DIFFERENTLY — exactly the divergence class
+    the driver's hash sees and the value compare above cannot."""
+    if v is None:
+        return "␀"  # NUL symbol: never collides with data text
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)  # shortest round-trip
+    if isinstance(v, Decimal):
+        return str(v)  # scale-preserving: '3168.30' != '3168.3'
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def render_hash(rows, cols):
+    """Hash of the rendered relation: columns sorted by name, each row
+    rendered cell-by-cell, rows sorted by rendered text."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rendered = sorted("\x1f".join(render_cell(r[i]) for i in order)
+                      for r in rows)
+    h = hashlib.sha256()
+    h.update("\x1f".join(cols[i] for i in order).encode())
+    for line in rendered:
+        h.update(b"\x1e")
+        h.update(line.encode())
+    return h.hexdigest(), rendered
+
+
+def first_render_diff(sr, dr):
+    """First differing rendered line between two sorted renders."""
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            cells_a, cells_b = a.split("\x1f"), b.split("\x1f")
+            for j, (ca, cb) in enumerate(zip(cells_a, cells_b)):
+                if ca != cb:
+                    return f"row {i} col#{j}: spark-render={ca!r} oracle-render={cb!r}"
+            return f"row {i}: arity differs"
+    return f"row count {len(sr)} vs {len(dr)}"
+
+
+def hash_protocols(con, name, spark_glob, oracle_table, tmpdir):
+    """Render-and-hash both sides under P1/P2/P3; return list of
+    (protocol, diff-description) mismatches."""
+    bad = []
+    # P1: spark from parquet, oracle from live fetch
+    s_rel = con.sql(f"SELECT * FROM '{spark_glob}'")
+    s_rows, s_cols = s_rel.fetchall(), s_rel.columns
+    o_rel = con.sql(f"SELECT * FROM {oracle_table}")
+    o_rows, o_cols = o_rel.fetchall(), o_rel.columns
+    h1s, r1s = render_hash(s_rows, s_cols)
+    h1o, r1o = render_hash(o_rows, o_cols)
+    if h1s != h1o:
+        bad.append(("P1 asymmetric-fetch", first_render_diff(r1s, r1o)))
+    # P2: oracle round-tripped through parquet, both via the one reader
+    opq = os.path.join(tmpdir, f"{name}_oracle.parquet")
+    con.execute(f"COPY (SELECT * FROM {oracle_table}) TO '{opq}' (FORMAT PARQUET)")
+    o2_rel = con.sql(f"SELECT * FROM '{opq}'")
+    h2o, r2o = render_hash(o2_rel.fetchall(), o2_rel.columns)
+    if h1s != h2o:
+        bad.append(("P2 both-parquet", first_render_diff(r1s, r2o)))
+    # P3: both sides through the pandas conversion (DECIMAL -> float64)
+    s_df = con.sql(f"SELECT * FROM '{spark_glob}'").df()
+    o_df = con.sql(f"SELECT * FROM {oracle_table}").df()
+    h3s, r3s = render_hash([tuple(r) for r in s_df.itertuples(index=False)],
+                           list(s_df.columns))
+    h3o, r3o = render_hash([tuple(r) for r in o_df.itertuples(index=False)],
+                           list(o_df.columns))
+    if h3s != h3o:
+        bad.append(("P3 pandas", first_render_diff(r3s, r3o)))
+    # P4: spark side via pyarrow (a different parquet reader entirely —
+    # its own decimal/timestamp/nan coercions) vs oracle live fetch
+    try:
+        import glob as _glob
+        import pyarrow.parquet as pq
+        tables = [pq.read_table(p) for p in sorted(_glob.glob(spark_glob))]
+        rows4, cols4 = [], []
+        for t in tables:
+            cols4 = t.column_names
+            rows4.extend(tuple(d[c] for c in cols4) for d in t.to_pylist())
+        h4s, r4s = render_hash(rows4, cols4)
+        if h4s != h1o:
+            bad.append(("P4 pyarrow-vs-fetch", first_render_diff(r4s, r1o)))
+    except ImportError:
+        pass
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -75,6 +220,7 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
+    hash_tmp = tempfile.mkdtemp(prefix="graft_oracle_hash_")
     failures, passed, skipped = [], 0, []
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -89,12 +235,16 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             skipped.append(name)
             continue
-        spark_rel = con.sql(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        spark_glob = f"{os.path.join(out_dir, name)}/*.parquet"
+        spark_rel = con.sql(f"SELECT * FROM '{spark_glob}'")
         scols, srows, stypes = canon(
             spark_rel.fetchall(), spark_rel.columns, spark_rel.types)
         try:
-            duck_rel = con.sql(oracle[name])
+            # materialize once: the value compare and the three render
+            # protocols all read this table, so the oracle SQL runs once
+            con.execute("CREATE OR REPLACE TEMP TABLE __oracle AS "
+                        + oracle[name])
+            duck_rel = con.sql("SELECT * FROM __oracle")
             dcols, drows, dtypes = canon(
                 duck_rel.fetchall(), duck_rel.columns, duck_rel.types)
         except Exception as e:
@@ -122,6 +272,14 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             failures.append((name, f"row {bad[0]} [{bad[3]}]:\n  spark={bad[1]}\n  duck ={bad[2]}"))
+            continue
+        # values + declared types agree — now demand the RENDERED text
+        # agrees under every protocol the driver might hash through
+        hbad = hash_protocols(con, name, spark_glob, "__oracle", hash_tmp)
+        if hbad:
+            failures.append((name, "render-hash divergence (values equal, "
+                             "driver hash WILL diverge): " + "; ".join(
+                                 f"[{p}] {d}" for p, d in hbad)))
         else:
             passed += 1
     print(f"PASS {passed}/{len(qdirs)}  (skipped rows-only: {skipped})")
