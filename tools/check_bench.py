@@ -89,6 +89,24 @@ def diff_movers(cur, prev, top=5):
               ", ".join(f"{k}={cq[k]:.2f}s" for k in slow))
 
 
+def spike_report(b, top=5):
+    """Per-pass forensics (r12 artifacts carry a "passes" map): a query
+    whose passes disagree >3x was hit by a co-tenant spike during the
+    run — its min is trustworthy, its max is not a regression signal."""
+    passes = b.get("passes")
+    if not passes:
+        return
+    spiky = sorted(
+        ((k, v) for k, v in passes.items()
+         if len(v) >= 2 and max(v) > 3 * max(min(v), 1e-9)),
+        key=lambda t: -(max(t[1]) / max(min(t[1]), 1e-9)))[:top]
+    if spiky:
+        print(f"\nspike forensics ({len(spiky)} of {len(passes)} queries "
+              "saw a >3x pass spread — co-tenant spikes, min kept):")
+        for k, v in spiky:
+            print(f"  {k:<32} passes=" + ",".join(f"{x:.2f}s" for x in v))
+
+
 def main(path, prior=None):
     b = load_bench(path)
     total = b.get("value", b.get("total"))
@@ -100,6 +118,7 @@ def main(path, prior=None):
     cal = f"{calib}s" if calib else "MISSING (pre-r8 artifact)"
     print(f"total={total:.1f}s n={n} calib={cal} -> load factor ~{load:.1f}x")
     print(f"idle envelope {lo:.0f}-{hi:.0f}s; load-adjusted total {eff:.1f}s")
+    spike_report(b)
     if prior:
         diff_movers(b, load_bench(prior))
     if total <= hi:
