@@ -56,6 +56,118 @@ object Smoke {
       val ok = state.map(_.getLong(1)) == Seq(3L, 2L)
       println(s"[smoke] stream upsert state=$state " + (if (ok) "OK" else "WRONG"))
       if (!ok) { spark.stop(); sys.exit(1) }
+    } else if (args.headOption.contains("topo")) {
+      // Config-driven consumer topology — the reference's config.yaml
+      // deployment shape (/root/reference/README.md:64-88: one topic,
+      // a publication naming the subscribed tables, one sink) wired
+      // end-to-end from a CONFIG FILE, no code: a Kafka-shaped
+      // directory feed (key/value binary — byte-identical to what
+      // spark.read.format("kafka") delivers), the publication filter
+      // on the key's "schema.table" prefix (the subscriber contract),
+      // and the full production sink (dead-letter + late tee + routing
+      // + carry-forward + tombstone retention) behind one checkpoint.
+      // Usage: runMain graft.Smoke topo [config] — with no config a
+      // default is generated and a demo feed synthesized from sf0.001.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      spark.sparkContext.setLogLevel("ERROR")
+      val conf: Map[String, String] = args.lift(1) match {
+        case Some(path) =>
+          scala.io.Source.fromFile(path).getLines()
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+            .flatMap { l =>
+              l.split(":", 2) match {
+                case Array(k, v) => Some(k.trim -> v.trim)
+                case _ => None
+              }
+            }.toMap
+        case None =>
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_topo").toString
+          // demo feed: the sf0.001 changelog as Kafka-shaped bytes,
+          // routed to three logical tables (t0/t1/t2 by user id) — t2
+          // is deliberately NOT published, to prove the filter prunes
+          val ev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+            .withColumn("event_type",
+              when(col("event_id") % 11 === 0, lit("error"))
+                .otherwise(col("event_type")))
+          val env = pipeline.Envelope.toCdcEventsToast(ev).toDF()
+          val uid = split(col("key"), ":").getItem(1).cast("long")
+          val routed = env
+            .withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
+            .withColumn("key",
+              concat(lit("public."), col("tableName"), lit(":"), uid))
+          routed.select(col("key").cast("binary").as("key"),
+              to_json(struct(routed.columns.map(col): _*)).cast("binary")
+                .as("value"))
+            .write.parquet(s"$base/feed")
+          val cfg = Seq(
+            s"feed.dir: $base/feed",
+            "publication.name: demo_pub",
+            "publication.tables: public.t0,public.t1",
+            s"sink.dir: $base/sink",
+            s"checkpoint.dir: $base/ckpt",
+            "late.delay_minutes: 10",
+            "sink.buckets: 4")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/config.yaml"),
+            cfg.mkString("", "\n", "\n").getBytes)
+          println(s"[smoke] topo: generated config at $base/config.yaml")
+          cfg.flatMap(_.split(":", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim); case _ => None
+          }).toMap
+      }
+      val feedDir = conf("feed.dir")
+      val pub = pipeline.Publication.Spec(conf("publication.name"),
+        conf("publication.tables").split(',').map(_.trim).toSeq)
+      val sinkDir = conf("sink.dir")
+      val ckptDir = conf.getOrElse("checkpoint.dir", sinkDir + "__ckpt")
+      val delayUs =
+        conf.getOrElse("late.delay_minutes", "10").toLong * 60L * 1000000L
+      val buckets = conf.getOrElse("sink.buckets", "4").toInt
+      val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType)))
+      val q = spark.readStream.schema(wireSchema).parquet(feedDir)
+        // the subscriber contract: only published tables' messages are
+        // consumed — a scan-prunable predicate on the key prefix, the
+        // wire-level image of Publication.feed's envelope filter
+        .filter(split(col("key").cast("string"), ":").getItem(0)
+          .isin(pub.tables: _*))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            streaming.ChangeLogStream
+              .fullProductionBatch(sinkDir, delayUs, buckets)(b, id)
+            ()
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val logged = ops.LogSink.read(spark, s"$sinkDir/log")
+        .collect().map(_.nRows).sum
+      def cnt(p: String): Long =
+        try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+      val (dead, late) = (cnt(s"$sinkDir/dlq"), cnt(s"$sinkDir/late"))
+      val states = pub.tables.map { t =>
+        val st = spark.read.parquet(s"$sinkDir/state/$t")
+        (t, st.filter(!col("tombstone")).count(),
+          st.filter(col("tombstone")).count())
+      }
+      states.foreach { case (t, live, tomb) =>
+        println(s"[smoke] topo state $t: live=$live tombstones=$tomb")
+      }
+      // conservation over the published subset: every consumed message
+      // is dead, late, or logged into a published table's store
+      val consumed = spark.read.parquet(feedDir)
+        .filter(split(col("key").cast("string"), ":").getItem(0)
+          .isin(pub.tables: _*)).count()
+      val ok = states.forall(_._2 > 0) && consumed == dead + late + logged
+      println(s"[smoke] topo consumed=$consumed dead=$dead late=$late " +
+        s"logged=$logged " + (if (ok) "OK" else "WRONG"))
+      if (!ok) { spark.stop(); sys.exit(1) }
     } else if (args.headOption.contains("sql")) {
       // ad-hoc SQL against the attached corpus: runMain graft.Smoke sql "<query>" [sfDir]
       if (args.length < 2) {

@@ -1071,6 +1071,73 @@ object ChangeLogStream {
     * per-table demux collects only O(tables-in-batch) names, never
     * rows.
     */
+  /** Carry-forward merge WITH Kafka-style tombstone retention — the
+    * two sink laws that previously lived in separate stores
+    * ([[carryForwardUpsertBatch]] removes deleted keys outright;
+    * [[retentionUpsertBatch]] keeps last-writer-wins rows) composed
+    * into ONE merge, because the production topology needs both at
+    * once: TOASTed updates must heal from prior state across batch
+    * boundaries AND a deleted key must leave a tombstone that protects
+    * lagging consumers until the retention horizon passes.
+    *
+    * Store schema: (key, state_lsn, state, tombstone). Live rows carry
+    * the carried-forward state map; tombstone rows carry the delete
+    * LSN and a NULL state. Merge per touched bucket: prior live rows
+    * re-enter as synthetic `snapshot` events, prior tombstones as
+    * `delete` events (so the fence survives batch boundaries — a
+    * replayed pre-delete event cannot resurrect a key its tombstone
+    * still guards), then [[graft.pipeline.ChangeLog.latestStateCarryForward]]
+    * resolves the union and the keys it fenced out become tombstones —
+    * RETAINED only while [[graft.pipeline.ChangeLog.tombstoneRetained]]
+    * says the horizon (from the store's monotone persisted head, the
+    * [[retentionUpsertBatch]] protocol) still protects someone. Same
+    * bucket mechanics, same crash protocol, same idempotency argument
+    * as every other sink here.
+    */
+  def carryForwardRetentionUpsertBatch(tableDir: String,
+      numBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val headPath = tableDir + "__head"
+    val oldHead = graft.pipeline.LsnCheckpoint.read(spark, headPath)
+    val row = batch.agg(max(col("lsn").cast("long"))).head()
+    val head = math.max(oldHead, if (row.isNullAt(0)) -1L else row.getLong(0))
+    if (head > oldHead)
+      graft.pipeline.LsnCheckpoint.write(spark, headPath, head)
+    upsertBatchImpl(tableDir, Seq("key"), "lsn", numBuckets,
+      compact = None,
+      merge = Some(carryForwardRetentionMerge(head)))(batch, batchId)
+  }
+
+  private def carryForwardRetentionMerge(head: Long)(existing: DataFrame,
+      batchRows: DataFrame): DataFrame = {
+    val mapT = "map<string,string>"
+    val env = batchRows.select(col("key"), col("op"), col("lsn"),
+      col("after"), col("unchangedCols"))
+    val withPrior =
+      if (!existing.columns.contains("state_lsn")) env
+      else env
+        .unionByName(existing.filter(!col("tombstone")).select(col("key"),
+          lit("snapshot").as("op"), col("state_lsn").as("lsn"),
+          col("state").as("after"),
+          lit(null).cast("array<string>").as("unchangedCols")))
+        .unionByName(existing.filter(col("tombstone")).select(col("key"),
+          lit("delete").as("op"), col("state_lsn").as("lsn"),
+          lit(null).cast(mapT).as("after"),
+          lit(null).cast("array<string>").as("unchangedCols")))
+    val live = ChangeLog.latestStateCarryForward(withPrior)
+    val tomb = withPrior.filter(col("op") === "delete")
+      .groupBy("key").agg(max("lsn").as("del_lsn"))
+      .join(live.select("key"), Seq("key"), "left_anti")
+      .filter(ChangeLog.tombstoneRetained(
+        col("del_lsn").cast("long"), lit(head)))
+    live
+      .select(col("key"), col("state_lsn"), col("state"),
+        lit(false).as("tombstone"))
+      .unionByName(tomb.select(col("key"),
+        col("del_lsn").as("state_lsn"),
+        lit(null).cast(mapT).as("state"), lit(true).as("tombstone")))
+  }
+
   def fullConsumerBatch(baseDir: String, delayUs: Long, numBuckets: Int = 4)(
       wire: DataFrame, batchId: Long): Unit = {
     val decoded = wire
@@ -1094,6 +1161,62 @@ object ChangeLogStream {
             Seq("key"), "lsn", numBuckets, component = s"$s0.$t")(
             adm.filter(col("schemaName") === s0 && col("tableName") === t),
             batchId)
+        }
+      } finally { adm.unpersist(); () }
+    } finally { decoded.unpersist(); () }
+  }
+
+  /** The FULL production sink — every durable feature of the consumer
+    * active in one foreachBatch body behind one checkpoint:
+    *
+    *   wire bytes → decode (undecodable → dead-letter ledger)
+    *             → event-time admission (recorded watermark; too-late
+    *               rows → late ledger)
+    *             → per-(schema, table) demux
+    *             → each slice through the CARRY-FORWARD + TOMBSTONE-
+    *               RETENTION merge ([[carryForwardRetentionUpsertBatch]]:
+    *               TOASTed cells heal from prior batches, deletes leave
+    *               horizon-guarded tombstones), with one progress
+    *               record per (table, batch) in the durable log.
+    *
+    * [[fullConsumerBatch]] is this topology with the plain last-writer
+    * upsert; this is the one a Postgres-with-TOAST deployment runs.
+    * EXTENDED conservation law (asserted by the spec): every wire
+    * message is in exactly one of {dead ledger, late ledger, Σ logged
+    * per-table rows}; additionally each table's live state equals the
+    * batch carry-forward reference over its admitted slice, tombstones
+    * in the store are exactly the fenced keys the horizon still
+    * retains, and at least one materialized cell is provably CARRIED
+    * (its provenance LSN older than its row's state LSN) across a
+    * batch boundary.
+    */
+  def fullProductionBatch(baseDir: String, delayUs: Long, numBuckets: Int = 4)(
+      wire: DataFrame, batchId: Long): Unit = {
+    val decoded = wire
+      .withColumn("ev", from_json(col("value").cast("string"),
+        graft.model.CdcEvent.envelopeSchema))
+      .persist()
+    try {
+      decoded.filter(col("ev.lsn").isNull)
+        .select(col("key").cast("string").as("msg_key"),
+          col("value").cast("string").as("raw_value"))
+        .write.mode("overwrite").parquet(s"$baseDir/dlq/batch_id=$batchId")
+      val good = decoded.filter(col("ev.lsn").isNotNull).select("ev.*")
+      val (onTime, late) = lateDataSplit(s"$baseDir/wm", delayUs)(good, batchId)
+      late.write.mode("overwrite").parquet(s"$baseDir/late/batch_id=$batchId")
+      val adm = onTime.persist()
+      try {
+        val tables = adm.select("schemaName", "tableName").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        tables.foreach { case (s0, t) =>
+          val slice =
+            adm.filter(col("schemaName") === s0 && col("tableName") === t)
+          val record = graft.ops.LogSink.progressRecord(
+            slice, batchId, "lsn", component = s"$s0.$t")
+          carryForwardRetentionUpsertBatch(
+            s"$baseDir/state/$s0.$t", numBuckets)(slice, batchId)
+          graft.ops.LogSink.append(adm.sparkSession, s"$baseDir/log",
+            Seq(record))
         }
       } finally { adm.unpersist(); () }
     } finally { decoded.unpersist(); () }

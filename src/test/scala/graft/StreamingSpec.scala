@@ -1380,4 +1380,150 @@ class StreamingSpec extends AnyFunSuite {
     assert(nInput === deadKeys.size + lateLsns.size + logged,
       s"conservation broke: $nInput != ${deadKeys.size} + ${lateLsns.size} + $logged")
   }
+
+  test("full PRODUCTION topology: routing + carry-forward + retention + late tee + dead letter, one checkpoint, restart") {
+    // Every durable sink feature active in ONE streaming query
+    // (fullProductionBatch), restarted mid-stream on one checkpoint:
+    //   - wire decode failures (lsn % 7 == 0 loses 8 tail bytes) → DLQ
+    //   - recorded-watermark admission → late ledger
+    //   - per-(schema, table) demux → 3 bucketed stores
+    //   - carry-forward merge: TOAST-marked update cells heal from
+    //     state committed in an EARLIER batch
+    //   - tombstone retention: a delete near the head survives as a
+    //     tombstone; a delete behind the horizon purges
+    // plus the EXTENDED conservation law: every message in exactly one
+    // of {dead, late, Σ logged}; live state equals the batch
+    // carry-forward reference per table; tombstone + purge census
+    // exact; at least one cell provably CARRIED across batches.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod, split, struct, to_json, when, max => smax}
+    import graft.pipeline.{ChangeLog, Envelope}
+    val base = java.nio.file.Files.createTempDirectory("graft_fullprod").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def routed(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val env = Envelope.toCdcEventsToast(events).toDF()
+      val uid = split(col("key"), ":").getItem(1).cast("long")
+      env.withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
+        .withColumn("key", concat(lit("public."), col("tableName"), lit(":"), uid))
+    }
+    // corruption on % 7 (NOT % 3 / % 5 — those are the TOAST marker
+    // residues; the fault set and the marker set must stay disjoint
+    // enough that both paths are exercised)
+    def toWire(env: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      env.select(col("key").cast("binary").as("k2"),
+          to_json(struct(env.columns.map(col): _*)).as("w"), col("lsn"))
+        .select(col("k2").as("key"),
+          when(col("lsn") % 7 === 0, expr("substring(w, 1, length(w) - 8)"))
+            .otherwise(col("w")).cast("binary").as("value"))
+    def writeFiles(rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ChangeLogStream.fullProductionBatch(base, 10L * 60 * 1000000)(
+            toWire(routed(b)), id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def row(id: Long, minute: Int, uid: Long, typ: String, v: Double,
+        props: String) =
+      org.apache.spark.sql.Row(id, ts(minute), uid, typ, v, props)
+    // batch 0: 12 inserts, minutes 11..22 → recorded mark 22:00; id 7
+    // is DEAD (7 % 7 == 0) so user 7 never materializes
+    val first = (1 to 12).map(i =>
+      row(i.toLong, 10 + i, i.toLong, "signup", i * 1.0, """{"k":"7"}"""))
+    // batch 1 (after RESTART): late horizon = 22:00 − 10 min = 12:00
+    val second = Seq(
+      row(29, 5, 2, "click", 29.0, """{"k":"9"}"""),  // LATE (minute 5)
+      row(30, 40, 5, "click", 555.0, """{"k":"9"}"""), // %15: k AND value marked → heal BOTH from lsn 5
+      row(31, 41, 1, "click", 31.0, """{"k":"9"}"""),  // full re-ship
+      row(33, 42, 6, "click", 33.0, """{"k":"9"}"""),  // %3: k marked → k heals
+      row(35, 43, 8, "click", 35.0, """{"k":"9"}"""),  // DEAD (35 % 7 == 0)
+      row(40, 45, 3, "error", 0.0, "{}"),              // delete → PURGED (t0 head 100, horizon 75)
+      row(90, 46, 4, "error", 0.0, "{}"),              // delete → RETAINED (t1 head 95, horizon 72)
+      row(100, 50, 9, "click", 100.0, """{"k":"9"}"""), // %5: value marked → value heals
+      row(95, 51, 10, "click", 95.0, """{"k":"9"}"""))  // %5: value marked → value heals
+    writeFiles(first); run()
+    writeFiles(second); run() // RESTART: new query object, same checkpoint
+    val deadKeys = spark.read.parquet(s"$base/dlq")
+      .select($"msg_key").as[String].collect().toSet
+    assert(deadKeys === Set("public.t1:7", "public.t2:8"), s"dead: $deadKeys")
+    val lateLsns = spark.read.parquet(s"$base/late")
+      .select($"lsn").as[Long].collect().toSet
+    assert(lateLsns === Set(29L))
+    // extended conservation: every wire message in exactly one bucket
+    val logged = graft.ops.LogSink.read(spark, s"$base/log")
+      .collect().map(_.nRows).sum
+    val nInput = (first ++ second).size.toLong
+    assert(nInput === deadKeys.size + lateLsns.size + logged,
+      s"conservation broke: $nInput != ${deadKeys.size} + ${lateLsns.size} + $logged")
+    // per-table: store == the batch carry-forward + retention reference
+    // over exactly the admitted slice (the same law, evaluated once
+    // over the full log — streaming across a restart must agree)
+    val deadOrLate = Set(7L, 35L, 29L)
+    val fullLog = spark.createDataFrame(
+      spark.sparkContext.parallelize(first ++ second), schema)
+    val admitted = routed(fullLog)
+      .filter(!col("lsn").isInCollection(deadOrLate))
+      .select("tableName", "key", "op", "lsn", "after", "unchangedCols")
+      .persist()
+    def expect(t: String): Set[(String, Long, Map[String, String], Boolean)] = {
+      val sl = admitted.filter(col("tableName") === t).drop("tableName")
+      val head = sl.agg(smax("lsn")).as[Long].head()
+      val live = ChangeLog.latestStateCarryForward(sl)
+      val tomb = sl.filter(col("op") === "delete")
+        .groupBy("key").agg(smax("lsn").as("del_lsn"))
+        .join(live.select("key"), Seq("key"), "left_anti")
+        .filter(ChangeLog.tombstoneRetained(col("del_lsn"), lit(head)))
+        .select($"key", $"del_lsn".as("state_lsn"))
+      live.select($"key", $"state_lsn", $"state", lit(false).as("tombstone"))
+        .unionByName(tomb.select($"key", $"state_lsn",
+          lit(null).cast("map<string,string>").as("state"),
+          lit(true).as("tombstone")))
+        .as[(String, Long, Map[String, String], Boolean)].collect().toSet
+    }
+    def store(t: String): Set[(String, Long, Map[String, String], Boolean)] =
+      spark.read.parquet(s"$base/state/public.$t")
+        .select($"key", $"state_lsn", $"state", $"tombstone")
+        .as[(String, Long, Map[String, String], Boolean)].collect().toSet
+    for (t <- Seq("t0", "t1", "t2"))
+      assert(store(t) === expect(t), s"table $t drifted from batch reference")
+    // the healed row, asserted by VALUE (not merely merge == merge):
+    // user 5's update (lsn 30) marked both payload cells unchanged, so
+    // its state must carry the lsn-5 insert's cells — which were
+    // committed in the PREVIOUS batch and healed from the store
+    val healed = store("t2").find(_._1 == "public.t2:5").get
+    assert(healed === (("public.t2:5", 30L,
+      Map("user_id" -> "5", "value" -> "5.0", "k" -> "7"), false)), healed)
+    // cell provenance agrees: both payload cells of key 5 trace to an
+    // LSN OLDER than the row's state LSN (the carried-cell signature)
+    val prov = ChangeLog.cellProvenance(
+        admitted.filter($"tableName" === "t2").drop("tableName"),
+        Seq("value", "k"))
+      .filter($"key" === "public.t2:5")
+      .select($"state_lsn", $"lsn_value", $"lsn_k")
+      .as[(Long, Long, Long)].head()
+    assert(prov === ((30L, 5L, 5L)), s"provenance: $prov")
+    // tombstone + purge census: user 4's delete (lsn 90) survives the
+    // t1 horizon (95 − 95/4 = 72); user 3's (lsn 40) fell behind the
+    // t0 horizon (100 − 25 = 75) and purged ON the delete's own rewrite
+    val storedTombs = Seq("t0", "t1", "t2")
+      .flatMap(t => store(t).filter(_._4).map(r => (t, r._1, r._2))).toSet
+    assert(storedTombs === Set(("t1", "public.t1:4", 90L)), storedTombs)
+    val fencedKeys = Set("public.t0:3", "public.t1:4") // both deletes fence
+    val purged = fencedKeys -- storedTombs.map(_._2)
+    assert(purged === Set("public.t0:3"),
+      s"exactly the behind-horizon tombstone must purge: $purged")
+    admitted.unpersist()
+  }
 }
