@@ -22,7 +22,13 @@ object SampleRates {
     "layout_range_split" -> "041",
     // 5/256 ≈ 2.0% of users feed the MONETARY quintile boundary only
     // (recency/frequency boundaries are EXACT, from value histograms)
-    "events_rfm_monetary" -> "05")
+    "events_rfm_monetary" -> "05",
+    // the profile_quantile_sample_curve sweep brackets the rfm rate:
+    // 2/256 ≈ 0.8% below it, 8/256 = 3.125% at the ceiling. Same salt
+    // ("rfm|") and prefix length as events_rfm_monetary, so the three
+    // samples NEST (lo ⊂ rfm ⊂ hi) — the curve varies exactly one knob
+    "profile_quantile_curve_lo" -> "02",
+    "profile_quantile_curve_hi" -> "08")
 
   def fraction(hex: String): Double =
     java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16.0, hex.length.toDouble)

@@ -125,4 +125,81 @@ object Boundaries {
       < rateHex)
     quantileArray(samp, metric, k, outName)
   }
+
+  /** GROUPED prefix-sum: cumulative `cntCol` in `orderCol` order WITHIN
+    * each `grpCols` group, by the same two-level scan — range-shuffle
+    * on (group…, value) so each group's rows are contiguous across
+    * partitions, per-(group, pid) subtotals collected once (≤ P + G − 1
+    * pairs, because contiguous group ranges overlap at most P − 1
+    * partition seams — planner-sized for any planner-sized G), offsets
+    * shipped back as a literal map keyed "grouppid", local window
+    * partitioned by (group…, pid). The naive alternative —
+    * `Window.partitionBy(group)` — puts each ENTIRE group in one task,
+    * which for low-cardinality groups over money-grade histograms is
+    * the same O(rows/G) single-task funnel the ungrouped helper
+    * retired; here every task sorts O(n/P) regardless of G.
+    *
+    * Precondition: (grpCols…, orderCol) unique per row.
+    */
+  def prefixSumGrouped(df: DataFrame, grpCols: Seq[String], orderCol: String,
+                       cntCol: String, outCol: String,
+                       inclusive: Boolean = true): DataFrame = {
+    require(grpCols.nonEmpty, "use prefixSum for the ungrouped form")
+    val spark = df.sparkSession
+    val parts = math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val rangeCols = grpCols.map(col) :+ col(orderCol)
+    val pidded = graft.CachePool.persist(
+      df.repartitionByRange(parts, rangeCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val gk = concat_ws("\u0001", grpCols.map(c => col(c).cast("string")): _*)
+    val subtotals = pidded
+      .groupBy(col("__pid"), gk.as("__g"))
+      .agg(sum(col(cntCol)).as("__psum"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(0), r.getLong(2)))
+    val offsets: Map[String, Long] = subtotals
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, pid, s) =>
+          val o = acc; acc += s; s"$g\u0001$pid" -> o
+        }
+      }
+    val frameEnd = if (inclusive) 0L else -1L
+    val w = Window.partitionBy(grpCols.map(col) :+ col("__pid"): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val offsetCol: Column =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets),
+        concat_ws("\u0001", gk, col("__pid").cast("string"))), lit(0L))
+    pidded
+      .withColumn(outCol, coalesce(sum(col(cntCol)).over(w), lit(0L)) + offsetCol)
+      .drop("__pid")
+  }
+
+  /** Exact k-quantile boundaries PER GROUP: for each group g and each
+    * i = 1..k−1, boundary = min{ v : cum_g(v) ≥ (i·n_g) div k } — the
+    * [[quantileValues]] construction with the grouped prefix-sum, the
+    * quantile index `i` kept in the output (two indices landing on one
+    * rank both report that rank's value). Returns
+    * (grpCols…, i INT, bv metric-typed).
+    */
+  def quantileValuesGrouped(df: DataFrame, grpCols: Seq[String],
+                            metric: String, k: Int): DataFrame = {
+    val hist = df.groupBy(grpCols.map(col) :+ col(metric): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = prefixSumGrouped(hist, grpCols, metric, "__c", "__cum")
+    val ranks = hist.groupBy(grpCols.map(col): _*)
+      .agg(sum("__c").as("__nn"))
+      .withColumn("i", explode(sequence(lit(1), lit(k - 1))))
+      .withColumn("rk", expr(s"(i * __nn) div $k"))
+      .filter(col("rk") >= 1L)
+      .select(grpCols.map(col) :+ col("i") :+ col("rk"): _*)
+    cum.join(broadcast(ranks),
+        grpCols.map(c => cum(c) === ranks(c)).reduce(_ && _) &&
+          col("__cum") >= col("rk"))
+      .groupBy(grpCols.map(cum(_)) :+ col("i"): _*)
+      .agg(min(col(metric)).as("bv"))
+  }
 }

@@ -239,6 +239,58 @@ object Profiling {
             .as("n_shifted_users"))
     }),
 
+    // GROUPED exact quantiles — quartile boundaries of the per-event
+    // cent value WITHIN each event_type, on Boundaries'
+    // quantileValuesGrouped (r12): the grouped prefix-sum range-shuffles
+    // on (type, value) so even a 5-type × O(rows/5)-distinct-values
+    // histogram never puts a whole group in one task — the trap
+    // `Window.partitionBy(event_type)` would walk into. Cents are exact
+    // integers; output is O(types · 3) rows.
+    "profile_value_quantiles_by_type" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      Boundaries.quantileValuesGrouped(ev, Seq("event_type"), "c", 4)
+        .select(col("event_type"), col("i").cast("int").as("quartile"),
+          col("bv").as("boundary_cents"))
+    }),
+
+    // The sample-rate TUNING CURVE for boundary placement — what
+    // profile_sample_error measures at the one shipped rate, swept
+    // across three REGISTERED rates that bracket it (0.8% / 2.0% /
+    // 3.125%, the SampleRates ceiling). Same salt and prefix length, so
+    // the samples NEST (lo ⊂ rfm ⊂ hi): the curve varies exactly one
+    // knob, and the rate owner reads how many users change quintile at
+    // each budget before picking one. All four boundary walks ride the
+    // distributed prefix-sum; the per-user relation is scanned once
+    // (persisted) and each curve point is a broadcast-array comparison.
+    "profile_quantile_sample_curve" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("m"))
+        .transform(graft.CachePool.persist)
+      val exact = broadcast(Boundaries.quantileArray(per, "m", 5, "eb"))
+      val hexes = Seq(
+        graft.SampleRates.rates("profile_quantile_curve_lo"),
+        graft.SampleRates.rates("events_rfm_monetary"),
+        graft.SampleRates.rates("profile_quantile_curve_hi"))
+      hexes.map { hex =>
+        val sb = broadcast(Boundaries.sampledQuantileArray(
+          per, "user_id", "m", 5, "rfm|", hex, "sb"))
+        per.withColumn("__k", lit(1)).join(exact, "__k").join(sb, "__k")
+          .withColumn("i", explode(sequence(lit(1), lit(4))))
+          .select(lit(hex).as("rate_hex"), col("m"), col("i"),
+            get(col("eb"), col("i") - 1).as("e"),
+            get(col("sb"), col("i") - 1).as("s"))
+          .groupBy(col("rate_hex"),
+            col("i").cast("int").as("quintile_boundary"),
+            col("e").as("exact_boundary"), col("s").as("sampled_boundary"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("m") > least(col("e"), col("s")) &&
+              col("m") <= greatest(col("e"), col("s")), 1L).otherwise(0L))
+              .as("n_shifted_users"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Benford first-digit screen over order values — the classic
     // fabricated-data / broken-ETL detector: naturally-occurring
     // multiplicative amounts follow P(d) = log10(1+1/d); a feed whose
@@ -1037,6 +1089,58 @@ object Profiling {
          |SELECT quintile_boundary, exact_boundary, sampled_boundary, n_users,
          |  n_shifted_users
          |FROM g""".stripMargin
+    },
+
+    // Per-type boundary = the value at rank (i·n_type) div 4 within the
+    // type's sorted values — row_number inside the partition extracts it
+    // (the oracle may sort; the Spark side must not single-task).
+    "profile_value_quantiles_by_type" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+        |  FROM ev),
+        |n AS (SELECT event_type, COUNT(*) AS nn FROM ev GROUP BY 1),
+        |k AS (SELECT event_type, CAST(i AS INT) AS quartile,
+        |    (i * nn) // 4 AS rk
+        |  FROM n, (SELECT unnest(generate_series(1, 3)) AS i) si
+        |  WHERE (i * nn) // 4 >= 1)
+        |SELECT k.event_type, quartile, r.c AS boundary_cents
+        |FROM k JOIN r ON k.event_type = r.event_type AND r.rn = k.rk""".stripMargin,
+
+    "profile_quantile_sample_curve" -> {
+      def boundsSql(src: String) =
+        s"""(SELECT COALESCE(list_sort(array_agg(m)), []) AS bl FROM (
+           |    SELECT m, row_number() OVER (ORDER BY m)
+           |      AS rn FROM $src) rk
+           |  JOIN (SELECT DISTINCT (i * nn) // 5 AS rn
+           |    FROM (SELECT unnest(generate_series(1, 4)) AS i) si,
+           |         (SELECT COUNT(*) AS nn FROM $src) nc
+           |    WHERE (i * nn) // 5 >= 1) rs USING (rn))""".stripMargin
+      def one(hex: String) =
+        s"""SELECT '$hex' AS rate_hex, i AS quintile_boundary,
+           |  e AS exact_boundary, s AS sampled_boundary,
+           |  COUNT(*) AS n_users,
+           |  CAST(SUM(CASE WHEN m > least(e, s) AND m <= greatest(e, s)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_users
+           |FROM (SELECT m, i,
+           |    (${boundsSql("per")})[i] AS e,
+           |    (${boundsSql(s"samp_$hex")})[i] AS s
+           |  FROM per,
+           |    (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS i) hs) x
+           |GROUP BY 1, 2, 3, 4""".stripMargin
+      def samp(hex: String) =
+        s"""samp_$hex AS (SELECT * FROM per
+           |  WHERE substr(md5('rfm|' || CAST(user_id AS VARCHAR)), 1, 2)
+           |    < '$hex')""".stripMargin
+      val hexes = Seq(graft.SampleRates.rates("profile_quantile_curve_lo"),
+        graft.SampleRates.rates("events_rfm_monetary"),
+        graft.SampleRates.rates("profile_quantile_curve_hi"))
+      s"""WITH per AS (SELECT user_id,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS m
+         |  FROM events GROUP BY 1),
+         |${hexes.map(samp).mkString(",\n")}
+         |${hexes.map(one).mkString("\nUNION ALL\n")}""".stripMargin
     },
     // Expected-share CASE is generated from the SAME constant table as
     // the Spark side — identical literal text, identical doubles.

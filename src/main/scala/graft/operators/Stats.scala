@@ -504,6 +504,118 @@ object Stats {
           col("weighted_median_qty"))
     }),
 
+    // Difference-in-differences — the quasi-experimental readout when
+    // assignment isn't randomized per exposure: effect = (treatment
+    // post − pre) − (control post − pre), which nets out both the
+    // time trend shared by the arms and the standing level difference
+    // between them. Period split = the global epoch-day midpoint
+    // ((d1−d0) halved by integer compare — no corpus-dependent date
+    // literal, so the query is SF-portable); cells are per-(variant,
+    // period) purchase-event cent means. All four cell moments are
+    // exact integers; the five shipped doubles are single divisions /
+    // one fixed subtraction tree mirrored verbatim in the oracle. An
+    // empty cell NULLs the effect (null propagation, both engines).
+    // Shape: one scan, a ≤4-row hash agg, a 1-row conditional pivot.
+    "events_ab_did" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
+      val cells = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
+        .filter(col("event_type") === "purchase")
+        .withColumn("post",
+          datediff(to_date(col("ts")), col("d0")) * 2 >
+            datediff(col("d1"), col("d0")))
+        .groupBy(expr("pmod(user_id, 2)").as("variant"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")
+            .cast("decimal(38,0)")).cast("double").as("sc"))
+      def cell(v: Int, p: Boolean, c: org.apache.spark.sql.Column) =
+        min(when(col("variant") === v && col("post") === p, c))
+      val m = col("sc") / col("n") / 100.0
+      cells.agg(
+          cell(0, p = false, col("n")).as("n_ctl_pre"),
+          cell(0, p = true, col("n")).as("n_ctl_post"),
+          cell(1, p = false, col("n")).as("n_trt_pre"),
+          cell(1, p = true, col("n")).as("n_trt_post"),
+          cell(0, p = false, m).as("mean_ctl_pre"),
+          cell(0, p = true, m).as("mean_ctl_post"),
+          cell(1, p = false, m).as("mean_trt_pre"),
+          cell(1, p = true, m).as("mean_trt_post"))
+        .withColumn("did",
+          (col("mean_trt_post") - col("mean_trt_pre")) -
+            (col("mean_ctl_post") - col("mean_ctl_pre")))
+    }),
+
+    // CUPED variance reduction — the industry-standard experiment
+    // sharpener: adjust each user's post-period metric by their OWN
+    // pre-period behavior, Y_adj = Y − θ·(X − E[X]) with θ =
+    // cov(X,Y)/var(X), which removes the between-user variance the
+    // pre-period already explains without biasing the treatment
+    // contrast (X predates assignment). Everything derives from SIX
+    // exact integer moments (n, Σx, Σy, Σxy, Σx², Σy² in cents via
+    // decimal) + two per-variant pairs — one scan, two tiny hash aggs;
+    // adjusted MEANS need no per-row pass: mean_adj_v = ȳ_v − θ(x̄_v −
+    // x̄). The readout is the adjusted lift plus the variance-reduction
+    // ratio ρ² = cov²/(varX·varY) — how much narrower the confidence
+    // interval got for free. Degenerate guard: var(X) = 0 (or a lone
+    // user) NULLs θ and everything downstream, both engines.
+    "events_ab_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
+      val per = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
+        .withColumn("post",
+          datediff(to_date(col("ts")), col("d0")) * 2 >
+            datediff(col("d1"), col("d0")))
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase" && !col("post"),
+            floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("event_type") === "purchase" && col("post"),
+            floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("y"))
+        .transform(graft.CachePool.persist) // global + per-variant pass
+      // sums ride decimal (the Σ(cents·cents) addend passes 2^63 well
+      // before the corpus does), cast to double once at the end
+      def ds(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)")).cast("decimal(38,0)").cast("double")
+      val glob = per.agg(count(lit(1)).as("n"),
+        ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+        ds(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+        ds(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+        ds(col("y").cast("decimal(19,0)") * col("y")).as("syy"))
+        .withColumn("__k", lit(1))
+      val v = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
+        .agg(count(lit(1)).as("vn"), ds(col("x")).as("vsx"),
+          ds(col("y")).as("vsy"))
+      def vc(i: Int, c: org.apache.spark.sql.Column) =
+        min(when(col("variant") === i, c))
+      val piv = v.agg(vc(0, col("vn")).as("n_ctl"), vc(1, col("vn")).as("n_trt"),
+          vc(0, col("vsx")).as("sx_ctl"), vc(1, col("vsx")).as("sx_trt"),
+          vc(0, col("vsy")).as("sy_ctl"), vc(1, col("vsy")).as("sy_trt"))
+        .withColumn("__k", lit(1))
+      val nD = col("n").cast("double")
+      val covxy = (col("sxy") - col("sx") * col("sy") / nD) / (nD - 1.0)
+      val varx = (col("sxx") - col("sx") * col("sx") / nD) / (nD - 1.0)
+      val vary = (col("syy") - col("sy") * col("sy") / nD) / (nD - 1.0)
+      val theta = when(col("n") <= 1L || varx <= 0.0,
+        lit(null).cast("double")).otherwise(covxy / varx)
+      val xbar = col("sx") / nD / 100.0
+      def mAdj(sy: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+               nn: org.apache.spark.sql.Column) =
+        sy / nn.cast("double") / 100.0 -
+          col("theta") * (sx / nn.cast("double") / 100.0 - col("xbar"))
+      glob.join(piv, "__k")
+        .withColumn("theta", theta).withColumn("xbar", xbar)
+        .select(col("n_ctl"), col("n_trt"), col("theta"),
+          (col("sy_trt") / col("n_trt").cast("double") / 100.0 -
+            col("sy_ctl") / col("n_ctl").cast("double") / 100.0).as("lift_raw"),
+          (mAdj(col("sy_trt"), col("sx_trt"), col("n_trt")) -
+            mAdj(col("sy_ctl"), col("sx_ctl"), col("n_ctl"))).as("lift_cuped"),
+          when(col("n") <= 1L || varx <= 0.0 || vary <= 0.0,
+            lit(null).cast("double"))
+            .otherwise(covxy * covxy / (varx * vary)).as("var_reduction"))
+    }),
+
     // Continuous-metric experiment readout: Welch's unequal-variance
     // t² on per-user purchase revenue between the two pmod(user_id,2)
     // variants — the value-lift companion to events_ab_readout's
@@ -1132,6 +1244,101 @@ object Stats {
         |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
         |    END AS z
         |FROM u""".stripMargin,
+
+    // Same midpoint split, same conditional pivot, same one fixed
+    // subtraction tree.
+    "events_ab_did" ->
+      """WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1 FROM events),
+        |cells AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    date_diff('day', d0, CAST(ts AS DATE)) * 2
+        |      > date_diff('day', d0, d1) AS post,
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sc
+        |  FROM events, g WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT
+        |    MIN(CASE WHEN variant = 0 AND NOT post THEN n END) AS n_ctl_pre,
+        |    MIN(CASE WHEN variant = 0 AND post THEN n END) AS n_ctl_post,
+        |    MIN(CASE WHEN variant = 1 AND NOT post THEN n END) AS n_trt_pre,
+        |    MIN(CASE WHEN variant = 1 AND post THEN n END) AS n_trt_post,
+        |    MIN(CASE WHEN variant = 0 AND NOT post THEN sc / n / 100.0 END)
+        |      AS mean_ctl_pre,
+        |    MIN(CASE WHEN variant = 0 AND post THEN sc / n / 100.0 END)
+        |      AS mean_ctl_post,
+        |    MIN(CASE WHEN variant = 1 AND NOT post THEN sc / n / 100.0 END)
+        |      AS mean_trt_pre,
+        |    MIN(CASE WHEN variant = 1 AND post THEN sc / n / 100.0 END)
+        |      AS mean_trt_post
+        |  FROM cells)
+        |SELECT *, (mean_trt_post - mean_trt_pre)
+        |  - (mean_ctl_post - mean_ctl_pre) AS did
+        |FROM p""".stripMargin,
+
+    // Same six moments, same θ / x̄ / adjusted-mean expression trees.
+    "events_ab_cuped" ->
+      """WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1 FROM events),
+        |per AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND NOT (date_diff('day', d0, CAST(ts AS DATE)) * 2
+        |        > date_diff('day', d0, d1))
+        |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS x,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND date_diff('day', d0, CAST(ts AS DATE)) * 2
+        |        > date_diff('day', d0, d1)
+        |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS y
+        |  FROM events, g GROUP BY user_id),
+        |gm AS (SELECT COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * y
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * x
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * y
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+        |  FROM per),
+        |v AS (SELECT ((user_id % 2) + 2) % 2 AS variant, COUNT(*) AS vn,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE) AS vsx,
+        |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE) AS vsy
+        |  FROM per GROUP BY 1),
+        |piv AS (SELECT
+        |    MIN(CASE WHEN variant = 0 THEN vn END) AS n_ctl,
+        |    MIN(CASE WHEN variant = 1 THEN vn END) AS n_trt,
+        |    MIN(CASE WHEN variant = 0 THEN vsx END) AS sx_ctl,
+        |    MIN(CASE WHEN variant = 1 THEN vsx END) AS sx_trt,
+        |    MIN(CASE WHEN variant = 0 THEN vsy END) AS sy_ctl,
+        |    MIN(CASE WHEN variant = 1 THEN vsy END) AS sy_trt
+        |  FROM v),
+        |m AS (SELECT *,
+        |    (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS covxy,
+        |    (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS varx,
+        |    (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS vary
+        |  FROM gm, piv),
+        |t AS (SELECT *,
+        |    CASE WHEN n <= 1 OR varx <= 0.0 THEN NULL
+        |      ELSE covxy / varx END AS theta,
+        |    sx / CAST(n AS DOUBLE) / 100.0 AS xbar
+        |  FROM m)
+        |SELECT n_ctl, n_trt, theta,
+        |  sy_trt / CAST(n_trt AS DOUBLE) / 100.0
+        |    - sy_ctl / CAST(n_ctl AS DOUBLE) / 100.0 AS lift_raw,
+        |  (sy_trt / CAST(n_trt AS DOUBLE) / 100.0
+        |    - theta * (sx_trt / CAST(n_trt AS DOUBLE) / 100.0 - xbar))
+        |  - (sy_ctl / CAST(n_ctl AS DOUBLE) / 100.0
+        |    - theta * (sx_ctl / CAST(n_ctl AS DOUBLE) / 100.0 - xbar))
+        |    AS lift_cuped,
+        |  CASE WHEN n <= 1 OR varx <= 0.0 OR vary <= 0.0 THEN NULL
+        |    ELSE covxy * covxy / (varx * vary) END AS var_reduction
+        |FROM t""".stripMargin,
 
     "events_ab_value_ttest" ->
       """WITH per AS (SELECT user_id,

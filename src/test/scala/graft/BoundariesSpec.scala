@@ -89,6 +89,57 @@ class BoundariesSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("prefixSumGrouped == per-group window cumulative on random grouped histograms") {
+    forSeeds(10) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val groups = (0 until 1 + rnd.nextInt(5)).map(g => s"g$g")
+      val rows = for {
+        g <- groups.toList
+        v <- rnd.shuffle((0 until 1 + rnd.nextInt(60)).toList)
+      } yield (g, v.toLong * 7 - 3, 1L + rnd.nextInt(4))
+      val hist = rows.toDF("g", "v", "c")
+      val got = Boundaries.prefixSumGrouped(hist, Seq("g"), "v", "c", "cum")
+        .orderBy("g", "v").select("g", "v", "cum")
+        .as[(String, Long, Long)].collect().toSeq
+      val want = hist.withColumn("cum", sum("c").over(
+          Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("g", "v").select("g", "v", "cum")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == want)
+      CachePool.releaseAll()
+    }
+  }
+
+  test("quantileValuesGrouped == per-group rank extraction over a full sort") {
+    forSeeds(8) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val groups = (0 until 1 + rnd.nextInt(4)).map(g => s"t$g")
+      val data = groups.map(g =>
+        g -> List.fill(4 + rnd.nextInt(120))(rnd.nextInt(25).toLong)).toMap
+      val df = data.toList.flatMap { case (g, vs) => vs.map(g -> _) }
+        .toDF("g", "m")
+      val got = Boundaries.quantileValuesGrouped(df, Seq("g"), "m", 4)
+        .select("g", "i", "bv").as[(String, Int, Long)].collect().toSet
+      val want = (for {
+        (g, vs) <- data.toSeq
+        sorted = vs.sorted
+        i <- 1 to 3
+        rk = i.toLong * vs.length / 4 if rk >= 1
+      } yield (g, i, sorted((rk - 1).toInt))).toSet
+      assert(got == want, s"got=$got want=$want")
+      CachePool.releaseAll()
+    }
+  }
+
+  test("grouped plans carry no partitionless window either") {
+    val hist = (1 to 90).map(i => (s"g${i % 3}", i.toLong, 1L)).toDF("g", "v", "c")
+    noPartitionlessWindow(Boundaries.prefixSumGrouped(hist, Seq("g"), "v", "c", "cum"))
+    val vals = (1 to 90).map(i => (s"g${i % 3}", (i % 11).toLong)).toDF("g", "m")
+    noPartitionlessWindow(Boundaries.quantileValuesGrouped(vals, Seq("g"), "m", 4))
+    CachePool.releaseAll()
+  }
+
   test("empty input: prefixSum yields zero rows, quantileArray an empty array") {
     val empty = Seq.empty[(Long, Long)].toDF("v", "c")
     assert(Boundaries.prefixSum(empty, "v", "c", "cum").count() == 0L)

@@ -154,9 +154,25 @@ class PlanAuditSpec extends AnyFunSuite {
                             // cross-combined; the low-watermark fence
                             // broadcast into the retained scan — bounded
     "dedup_lexical_semantic_overlap", // three 1-row pair counts cross-
-                            // combined into the single census row;
-                            // composes the declared brute-force
-                            // embedding baseline
+                            // combined into the single census row
+                            // (both pair inputs blocked since r12)
+    "dedup_embedding_lsh_recall", // composes the DECLARED brute-force
+                            // cosine baseline as recall ground truth
+                            // (the dedup_lsh_recall convention; at
+                            // production scale the truth side is a
+                            // fixed probe sample) + 1-row count combine
+    "profile_quantile_sample_curve", // 1-row sorted-boundary-array
+                            // aggregates (≤4 values, one exact + one
+                            // per registered rate) broadcast into the
+                            // per-user assignment — the events_rfm
+                            // shape swept across three rates
+    "events_ab_did",        // 1-row global (d0, d1) day-range aggregate
+                            // broadcast into the period split; 1-row
+                            // cell pivot — bounded
+    "events_ab_cuped",      // 1-row day-range broadcast + two 1-row
+                            // moment relations (global, variant pivot)
+                            // cross-combined into the single readout
+                            // — bounded
     "cdc_state_rollup"      // 1-row total-keys aggregate broadcast into
                             // the O(types) state roll-up — bounded
   )
