@@ -111,19 +111,40 @@ object Boundaries {
       .withColumn("__k", lit(1))
   }
 
-  /** The rate-registered sampled variant: boundary placement from the
-    * deterministic salted-md5 user sample (membership a pure function of
-    * the key — both engines pick the identical sample; rates live in
-    * [[graft.SampleRates]] under the asserted 1/32 ceiling). Same exact
-    * construction, run over the O(rate·n) sample.
+  /** BATCHED quantile arrays — several boundary walks (different
+    * sources, same metric column name and type — e.g. the exact
+    * relation plus its rate-registered salted-md5 samples, rates under
+    * the [[graft.SampleRates]] ceiling) fused into ONE tagged
+    * grouped prefix-sum: each input relation becomes a `__tag` group of
+    * one shared histogram, so the range shuffle, the offset collect and
+    * the rank-extraction join run ONCE for the whole family instead of
+    * once per walk (events_rfm runs three walks, the sample curve four
+    * — per-walk machinery was 3-4× the jobs for identical results).
+    * Per-tag semantics are exactly [[quantileArray]]'s: ranks deduped
+    * within the tag, per-rank boundary = min value at-or-after the
+    * rank, sorted array out. Returns tag → 1-row (outName array, __k).
     */
-  def sampledQuantileArray(df: DataFrame, keyCol: String, metric: String,
-                           k: Int, salt: String, rateHex: String,
-                           outName: String): DataFrame = {
-    val samp = df.filter(substring(
-      md5(concat(lit(salt), col(keyCol).cast("string"))), 1, rateHex.length)
-      < rateHex)
-    quantileArray(samp, metric, k, outName)
+  def taggedQuantileArrays(parts: Seq[(String, DataFrame, String)],
+                           metric: String, k: Int): Map[String, DataFrame] = {
+    val tagged = parts.map { case (t, df, _) =>
+      df.select(col(metric)).withColumn("__tag", lit(t))
+    }.reduce(_ unionByName _)
+    val hist = tagged.groupBy(col("__tag"), col(metric))
+      .agg(count(lit(1)).as("__c"))
+    val cum = prefixSumGrouped(hist, Seq("__tag"), metric, "__c", "__cum")
+    val ranks = hist.groupBy("__tag").agg(sum("__c").as("__nn"))
+      .withColumn("i", explode(sequence(lit(1L), lit((k - 1).toLong))))
+      .select(col("__tag"), expr(s"(i * __nn) div $k").as("rk"))
+      .filter(col("rk") >= 1L).distinct()
+    val qv = graft.CachePool.persist(
+      cum.join(broadcast(ranks), "__tag")
+        .filter(col("__cum") >= col("rk"))
+        .groupBy("__tag", "rk").agg(min(col(metric)).as("bv")))
+    parts.map { case (t, _, outName) =>
+      t -> qv.filter(col("__tag") === t)
+        .agg(sort_array(collect_list(col("bv"))).as(outName))
+        .withColumn("__k", lit(1))
+    }.toMap
   }
 
   /** GROUPED prefix-sum: cumulative `cntCol` in `orderCol` order WITHIN

@@ -144,10 +144,18 @@ object Profiling {
       val msamp = base.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
         < RFM_RATE_HEX)
+      // one tagged walk for all three metrics (r/f lifted to the shared
+      // decimal grid — small integers, exact): one range shuffle + one
+      // offset collect for the family instead of three
+      def mv(src: DataFrame, c: String) =
+        src.select(col(c).cast("decimal(18,2)").as("mv"))
+      val b = Boundaries.taggedQuantileArrays(Seq(
+        ("r", mv(base, "r"), "r_b"), ("f", mv(base, "f"), "f_b"),
+        ("m", mv(msamp, "m"), "m_b")), "mv", 5)
       base.withColumn("__k", lit(1))
-        .join(broadcast(Boundaries.quantileArray(base, "r", 5, "r_b")), "__k")
-        .join(broadcast(Boundaries.quantileArray(base, "f", 5, "f_b")), "__k")
-        .join(broadcast(Boundaries.quantileArray(msamp, "m", 5, "m_b")), "__k")
+        .join(broadcast(b("r")), "__k")
+        .join(broadcast(b("f")), "__k")
+        .join(broadcast(b("m")), "__k")
         .select(
           size(filter(col("r_b"), x => x < col("r"))).as("r_q"),
           size(filter(col("f_b"), x => x < col("f"))).as("f_q"),
@@ -224,9 +232,11 @@ object Profiling {
       val samp = per.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
         < RFM_RATE_HEX)
+      val b = Boundaries.taggedQuantileArrays(Seq(
+        ("exact", per, "eb"), ("samp", samp, "sb")), "m", 5)
       per.withColumn("__k", lit(1))
-        .join(broadcast(Boundaries.quantileArray(per, "m", 5, "eb")), "__k")
-        .join(broadcast(Boundaries.quantileArray(samp, "m", 5, "sb")), "__k")
+        .join(broadcast(b("exact")), "__k")
+        .join(broadcast(b("samp")), "__k")
         .withColumn("i", explode(sequence(lit(1), lit(4))))
         .select(col("m"), col("i"),
           get(col("eb"), col("i") - 1).as("e"),
@@ -268,15 +278,19 @@ object Profiling {
         .agg(sum(col("value").cast("decimal(18,2)"))
           .cast("decimal(18,2)").as("m"))
         .transform(graft.CachePool.persist)
-      val exact = broadcast(Boundaries.quantileArray(per, "m", 5, "eb"))
       val hexes = Seq(
         graft.SampleRates.rates("profile_quantile_curve_lo"),
         graft.SampleRates.rates("events_rfm_monetary"),
         graft.SampleRates.rates("profile_quantile_curve_hi"))
+      def samp(hex: String) = per.filter(substring(
+        md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2) < hex)
+      // one tagged walk covers the exact boundary and all three rates
+      val b = Boundaries.taggedQuantileArrays(
+        ("exact", per, "eb") +: hexes.map(h => (h, samp(h), "sb")), "m", 5)
       hexes.map { hex =>
-        val sb = broadcast(Boundaries.sampledQuantileArray(
-          per, "user_id", "m", 5, "rfm|", hex, "sb"))
-        per.withColumn("__k", lit(1)).join(exact, "__k").join(sb, "__k")
+        per.withColumn("__k", lit(1))
+          .join(broadcast(b("exact")), "__k")
+          .join(broadcast(b(hex)), "__k")
           .withColumn("i", explode(sequence(lit(1), lit(4))))
           .select(lit(hex).as("rate_hex"), col("m"), col("i"),
             get(col("eb"), col("i") - 1).as("e"),
