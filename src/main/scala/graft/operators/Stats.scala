@@ -616,6 +616,33 @@ object Stats {
             .otherwise(covxy * covxy / (varx * vary)).as("var_reduction"))
     }),
 
+    // Quantile treatment effect — where in the spend distribution the
+    // experiment moved: the per-quartile difference between the arms'
+    // EXACT per-user purchase-total quantiles (mean lift can hide a
+    // heavy-tail-only effect that QTE shows directly; the rank-based
+    // companion to the t-test's mean and Mann-Whitney's stochastic
+    // dominance). Both arms' boundary walks ride ONE tagged prefix-sum
+    // (Boundaries.taggedQuantileArrays — range-partitioned, no
+    // single-task window); cents stay exact integers end to end. A
+    // tiny arm whose ranks collapse yields NULL at the missing
+    // quartile, both engines.
+    "events_ab_qte" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("v"))
+        .select(expr("pmod(user_id, 2)").as("variant"), col("v"))
+        .transform(graft.CachePool.persist) // two arm walks, one scan
+      val b = Boundaries.taggedQuantileArrays(Seq(
+        ("ctl", per.filter(col("variant") === 0), "qc"),
+        ("trt", per.filter(col("variant") === 1), "qt")), "v", 4)
+      b("ctl").join(b("trt"), "__k")
+        .withColumn("i", explode(sequence(lit(1), lit(3))))
+        .select(col("i").cast("int").as("quartile"),
+          get(col("qc"), col("i") - 1).as("q_ctl_cents"),
+          get(col("qt"), col("i") - 1).as("q_trt_cents"))
+        .withColumn("qte_cents", col("q_trt_cents") - col("q_ctl_cents"))
+    }),
+
     // Continuous-metric experiment readout: Welch's unequal-variance
     // t² on per-user purchase revenue between the two pmod(user_id,2)
     // variants — the value-lift companion to events_ab_readout's
@@ -1274,6 +1301,32 @@ object Stats {
         |SELECT *, (mean_trt_post - mean_trt_pre)
         |  - (mean_ctl_post - mean_ctl_pre) AS did
         |FROM p""".stripMargin,
+
+    // Per-arm value-at-rank extraction; list index past the collapsed
+    // rank set is NULL on both engines.
+    "events_ab_qte" -> {
+      def boundsSql(variant: Int) =
+        s"""(SELECT COALESCE(list_sort(array_agg(v)), []) AS bl FROM (
+           |    SELECT v, row_number() OVER (ORDER BY v) AS rn
+           |    FROM per WHERE variant = $variant) rk
+           |  JOIN (SELECT DISTINCT (i * nn) // 4 AS rn
+           |    FROM (SELECT unnest(generate_series(1, 3)) AS i) si,
+           |         (SELECT COUNT(*) AS nn FROM per
+           |          WHERE variant = $variant) nc
+           |    WHERE (i * nn) // 4 >= 1) rs USING (rn))""".stripMargin
+      s"""WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+         |      AS BIGINT) AS v
+         |  FROM events GROUP BY user_id),
+         |x AS (SELECT i,
+         |    (${boundsSql(0)})[i] AS q_ctl_cents,
+         |    (${boundsSql(1)})[i] AS q_trt_cents
+         |  FROM (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS i) hs)
+         |SELECT i AS quartile, q_ctl_cents, q_trt_cents,
+         |  q_trt_cents - q_ctl_cents AS qte_cents
+         |FROM x""".stripMargin
+    },
 
     // Same six moments, same θ / x̄ / adjusted-mean expression trees.
     "events_ab_cuped" ->

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -389,6 +390,34 @@ object CdcQueries {
           col("n_delete").cast("double") / col("n_total").cast("double"))
     }),
 
+    // LSN-vs-commit-time COHERENCE census — the replication-feed
+    // health check: within one key's history, the LSN order (the order
+    // the consumer APPLIES) should agree with the source commit
+    // timestamps; an adjacent-in-LSN pair whose timestamp runs
+    // backwards means clock skew, a restored backup, or a producer
+    // reordering bug — the class of feed defect that silently turns
+    // "latest state" into "wrong state" for any consumer keyed on time
+    // instead of LSN. One key-partitioned window pass (the
+    // events_interarrival shuffle shape, key = the CDC entity), O(1)
+    // per-row state, a 1-row integer report; share is one IEEE
+    // division of exact longs, NULL-guarded for the no-pairs corpus.
+    "cdc_lsn_inversions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      ev.agg(count(lit(1)).as("n_events"),
+          sum(when(col("prev_ts").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+          sum(when(col("prev_ts") > col("ts"), 1L).otherwise(0L))
+            .as("n_inversions"),
+          count_distinct(when(col("prev_ts") > col("ts"), col("user_id")))
+            .as("n_keys_affected"))
+        .withColumn("inversion_share",
+          when(col("n_pairs") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_inversions").cast("double") /
+              col("n_pairs").cast("double")))
+    }),
+
     // §2.6 BEGIN/COMMIT done right: the reference LOGS Begin/Commit
     // Xids and then drops them (replicator.go:323-331) — no consumer
     // can ever reassemble a transaction. This is the Debezium
@@ -651,6 +680,27 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN $opSql = 'delete' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS delete_share
          |FROM events GROUP BY 1""".stripMargin,
+    // Same key-partitioned lag; COUNT(DISTINCT CASE...) counts only the
+    // keys whose CASE fires (NULL otherwise) on both engines.
+    "cdc_lsn_inversions" ->
+      """WITH ev AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_ts
+        |  FROM events)
+        |SELECT COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inversions,
+        |  COUNT(DISTINCT CASE WHEN prev_ts > ts THEN user_id END)
+        |    AS n_keys_affected,
+        |  CASE WHEN SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END) = 0
+        |    THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END)
+        |        AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) END AS inversion_share
+        |FROM ev""".stripMargin,
     // txn_id = event_id // 100, the envelope's own derivation
     // (Envelope.scala txnId); event_ids are non-negative so Spark's
     // truncating cast and DuckDB's flooring // agree.

@@ -173,6 +173,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // moment relations (global, variant pivot)
                             // cross-combined into the single readout
                             // — bounded
+    "events_ab_qte",        // two 1-row sorted-boundary-array
+                            // aggregates (≤3 values per arm)
+                            // cross-combined into the 3-row QTE table
+                            // — bounded
     "cdc_state_rollup"      // 1-row total-keys aggregate broadcast into
                             // the O(types) state roll-up — bounded
   )
