@@ -616,6 +616,26 @@ object Stats {
             .otherwise(covxy * covxy / (varx * vary)).as("var_reduction"))
     }),
 
+    // Sample-ratio mismatch — the gate every experiment readout runs
+    // FIRST: under 50/50 assignment the arm sizes follow a binomial
+    // whose 1-df χ² is (n_a−n_b)²/(n_a+n_b); a significant mismatch
+    // means the assignment or logging pipeline is broken and every
+    // downstream readout (t-test, MW, QTE, CUPED above) is void. All
+    // integer until the single division; the 3.84 threshold is the
+    // shared χ²(1, 0.95) literal the t-test verdict already uses.
+    "events_ab_srm" -> ((s, d) => {
+      Tables.events(s, d).select("user_id").distinct()
+        .agg(sum(when(expr("pmod(user_id, 2)") === 0, 1L).otherwise(0L))
+          .as("n_a"),
+          sum(when(expr("pmod(user_id, 2)") === 1, 1L).otherwise(0L))
+            .as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double")./(
+              (col("n_a") + col("n_b")).cast("double")).as("chi2"))
+        .withColumn("srm_detected", col("chi2") > 3.841458820694124)
+    }),
+
     // Quantile treatment effect — where in the spend distribution the
     // experiment moved: the per-quartile difference between the arms'
     // EXACT per-user purchase-total quantiles (mean lift can hide a
@@ -1301,6 +1321,21 @@ object Stats {
         |SELECT *, (mean_trt_post - mean_trt_pre)
         |  - (mean_ctl_post - mean_ctl_pre) AS did
         |FROM p""".stripMargin,
+
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS srm_detected
+        |FROM c""".stripMargin,
 
     // Per-arm value-at-rank extraction; list index past the collapsed
     // rank set is NULL on both engines.
