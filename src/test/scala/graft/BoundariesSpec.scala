@@ -132,6 +132,24 @@ class BoundariesSpec extends AnyFunSuite {
     }
   }
 
+  test("taggedQuantileArrays == one quantileArray per tag") {
+    forSeeds(8) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val parts = (0 until 2 + rnd.nextInt(3)).map { t =>
+        val n = 1 + rnd.nextInt(150)
+        (s"tag$t", List.fill(n)(rnd.nextInt(30).toLong).toDF("m"), s"arr$t")
+      }
+      val batched = Boundaries.taggedQuantileArrays(parts, "m", 5)
+      for ((tag, df, out) <- parts) {
+        val got = batched(tag).select(out).as[Seq[Long]].collect().head
+        val want = Boundaries.quantileArray(df, "m", 5, out)
+          .select(out).as[Seq[Long]].collect().head
+        assert(got == want, s"tag=$tag got=$got want=$want")
+      }
+      CachePool.releaseAll()
+    }
+  }
+
   test("grouped plans carry no partitionless window either") {
     val hist = (1 to 90).map(i => (s"g${i % 3}", i.toLong, 1L)).toDF("g", "v", "c")
     noPartitionlessWindow(Boundaries.prefixSumGrouped(hist, Seq("g"), "v", "c", "cum"))
