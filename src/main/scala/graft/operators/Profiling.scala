@@ -249,6 +249,46 @@ object Profiling {
             .as("n_shifted_users"))
     }),
 
+    // Distribution DRIFT screen, libm-free: total-variation distance
+    // between each event type's pre- and post-midpoint value-band
+    // mixtures — the monitoring number a feed owner alerts on when the
+    // money distribution moves (PSI/KL need ln(), whose last-ulp
+    // differs across engines; TV is the text_split_divergence trick —
+    // Σ|a·B − b·A| over BIGINT cross-products, one final division, and
+    // TV ∈ [0,1] reads directly as "share of mass that moved"). Bands
+    // are fixed $5 buckets of the exact cent grid (engine-identical
+    // integer div; values are non-negative so truncation == floor). A
+    // type alive in only one period yields NULL (no comparison
+    // exists). Cross-products bound: a·B ≤ rows² per type — rescale
+    // the band counts past ~1e9 rows/type (the split-divergence bound).
+    // One scan, two hash aggs keyed by (type, band), O(types) output.
+    "profile_value_drift_tv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
+      val counts = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
+        .withColumn("post",
+          datediff(to_date(col("ts")), col("d0")) * 2 >
+            datediff(col("d1"), col("d0")))
+        .select(col("event_type"), col("post"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 500").as("band"))
+        .groupBy("event_type", "band")
+        .agg(sum(when(!col("post"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("post"), 1L).otherwise(0L)).as("b"))
+      val tot = counts.groupBy("event_type")
+        .agg(sum("a").as("ta"), sum("b").as("tb"))
+      counts.join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(max("ta").as("n_pre"), max("tb").as("n_post"),
+          sum(abs(col("a") * col("tb") - col("b") * col("ta"))).as("cross"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          when(col("n_pre") === 0L || col("n_post") === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("cross").cast("double") /
+              (lit(2.0) * col("n_pre").cast("double") *
+                col("n_post").cast("double"))).as("tv_distance"))
+    }),
+
     // GROUPED exact quantiles — quartile boundaries of the per-event
     // cent value WITHIN each event_type, on Boundaries'
     // quantileValuesGrouped (r12): the grouped prefix-sum range-shuffles
@@ -1104,6 +1144,30 @@ object Profiling {
          |  n_shifted_users
          |FROM g""".stripMargin
     },
+
+    // Same midpoint split, same cross-product TV algebra.
+    "profile_value_drift_tv" ->
+      """WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1 FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 500 AS band,
+        |    CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) * 2
+        |      > date_diff('day', d0, d1) THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) * 2
+        |      > date_diff('day', d0, d1) THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events, g GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(a) AS BIGINT) AS ta,
+        |    CAST(SUM(b) AS BIGINT) AS tb
+        |  FROM c GROUP BY 1),
+        |x AS (SELECT c.event_type, MAX(ta) AS n_pre, MAX(tb) AS n_post,
+        |    CAST(SUM(abs(a * tb - b * ta)) AS BIGINT) AS crs
+        |  FROM c JOIN t ON c.event_type = t.event_type GROUP BY 1)
+        |SELECT event_type, n_pre, n_post,
+        |  CASE WHEN n_pre = 0 OR n_post = 0 THEN NULL
+        |    ELSE CAST(crs AS DOUBLE)
+        |      / (2.0 * CAST(n_pre AS DOUBLE) * CAST(n_post AS DOUBLE)) END
+        |    AS tv_distance
+        |FROM x""".stripMargin,
 
     // Per-type boundary = the value at rank (i·n_type) div 4 within the
     // type's sorted values — row_number inside the partition extracts it

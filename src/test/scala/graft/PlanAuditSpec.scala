@@ -177,6 +177,9 @@ class PlanAuditSpec extends AnyFunSuite {
                             // aggregates (≤3 values per arm)
                             // cross-combined into the 3-row QTE table
                             // — bounded
+    "profile_value_drift_tv", // 1-row day-range aggregate broadcast
+                            // into the period split (the events_ab_did
+                            // shape) — bounded
     "cdc_state_rollup"      // 1-row total-keys aggregate broadcast into
                             // the O(types) state roll-up — bounded
   )
