@@ -90,6 +90,37 @@ object CdcQueries {
           col("state")("k").cast("long").as("k"))
     }),
 
+    // The FULL production-sink row semantics as one batch relation —
+    // what a store materialized by
+    // [[graft.streaming.ChangeLogStream.carryForwardRetentionUpsertBatch]]
+    // converges to over this log: carried-forward live rows PLUS the
+    // delete tombstones the Kafka-style horizon (head − head/4, the
+    // shared ChangeLog.tombstoneHorizon law) still retains for lagging
+    // consumers. CfrModelSpec property-tests the streaming merge
+    // against an in-memory model; this query puts the same row
+    // semantics under the DuckDB oracle. Cost: the carry-forward
+    // passes + one O(deleted keys) anti-join + a 1-row head broadcast.
+    "cdc_retained_state" -> ((s, d) => {
+      val env = Envelope.toCdcEventsToast(Tables.events(s, d)).toDF()
+      val live = ChangeLog.latestStateCarryForward(env)
+        .select(col("key"), col("state_lsn"),
+          col("state")("user_id").cast("long").as("user_id"),
+          col("state")("value").cast("double").as("value"),
+          col("state")("k").cast("long").as("k"))
+        .withColumn("tombstone", lit(false))
+      val head = env.agg(max("lsn").as("head")).withColumn("__k", lit(1))
+      val tomb = env.filter(col("op") === "delete")
+        .groupBy("key").agg(max("lsn").as("del_lsn"))
+        .join(live.select("key"), Seq("key"), "left_anti")
+        .withColumn("__k", lit(1)).join(broadcast(head), "__k")
+        .filter(ChangeLog.tombstoneRetained(col("del_lsn"), col("head")))
+        .select(col("key"), col("del_lsn").as("state_lsn"),
+          lit(null).cast("long").as("user_id"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("long").as("k"), lit(true).as("tombstone"))
+      live.unionByName(tomb)
+    }),
+
     // Cell-level LINEAGE of the carried-forward state: which LSN wrote
     // each column of each key's current row. Under TOAST markers a
     // cell's source is OLDER than the row's state LSN whenever the
@@ -865,6 +896,44 @@ object CdcQueries {
          |  state_lsn, mx.user_id AS user_id, lv.value AS value,
          |  CAST(lk.k AS BIGINT) AS k
          |FROM mx LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)""".stripMargin,
+    // cdc_toast_latest_state's CTEs + the retained-tombstone leg:
+    // fenced keys (a delete with no later live event) survive while
+    // del_lsn > head − head>>2 (LSNs non-negative, so DuckDB's >> is
+    // Spark's shiftright — the layout_fingerprint_order lesson).
+    "cdc_retained_state" ->
+      s"""WITH e AS (SELECT event_id, user_id, value, $opSql AS op,
+         |    json_extract_string(props, '$$.k') AS k
+         |  FROM events),
+         |dels AS (SELECT user_id, MAX(event_id) AS del_lsn FROM e
+         |  WHERE op = 'delete' GROUP BY 1),
+         |live AS (SELECT e.* FROM e LEFT JOIN dels USING (user_id)
+         |  WHERE op <> 'delete' AND (del_lsn IS NULL OR event_id > del_lsn)),
+         |mx AS (SELECT user_id, MAX(event_id) AS state_lsn FROM live GROUP BY 1),
+         |lv AS (SELECT user_id, value FROM (
+         |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM live WHERE NOT (op = 'update' AND event_id % 5 = 0)) t
+         |  WHERE rn = 1),
+         |lk AS (SELECT user_id, k FROM (
+         |    SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM live WHERE NOT (op = 'update' AND event_id % 3 = 0)) t
+         |  WHERE rn = 1),
+         |hd AS (SELECT MAX(event_id) AS head FROM e),
+         |tomb AS (SELECT dels.user_id, del_lsn FROM dels, hd
+         |  WHERE dels.user_id NOT IN (SELECT user_id FROM mx)
+         |    AND del_lsn > head - (head >> 2))
+         |SELECT 'public.users:' || CAST(mx.user_id AS VARCHAR) AS key,
+         |  state_lsn, mx.user_id AS user_id, lv.value AS value,
+         |  CAST(lk.k AS BIGINT) AS k, FALSE AS tombstone
+         |FROM mx LEFT JOIN lv USING (user_id) LEFT JOIN lk USING (user_id)
+         |UNION ALL
+         |SELECT 'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  del_lsn AS state_lsn, CAST(NULL AS BIGINT) AS user_id,
+         |  CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS k,
+         |  TRUE AS tombstone
+         |FROM tomb""".stripMargin,
+
     // Same fence/liveness CTEs as cdc_toast_latest_state; per column,
     // the winning LSN is the latest live event NOT flagged unchanged
     // for it (user_id is never flagged, so its source is state_lsn).

@@ -180,6 +180,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "profile_value_drift_tv", // 1-row day-range aggregate broadcast
                             // into the period split (the events_ab_did
                             // shape) — bounded
+    "cdc_retained_state",   // 1-row head-LSN fence aggregate broadcast
+                            // into the O(deleted keys) tombstone leg
+                            // (the cdc_tombstone_gc shape) — bounded
     "cdc_state_rollup"      // 1-row total-keys aggregate broadcast into
                             // the O(types) state roll-up — bounded
   )
