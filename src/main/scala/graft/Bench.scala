@@ -144,13 +144,17 @@ object Bench {
       // Spike-forensics pass (r12): BENCH_r11 recorded a 14x phantom on
       // one query (a co-tenant spike ate every pass) that cost a judge
       // an hour to disprove. When the two passes disagree by more than
-      // 3x, ONE extra pass runs (bounded retry), and ALL pass times are
-      // kept in bench_full.json so the next reader sees the spike in
-      // the artifact instead of re-measuring.
+      // 3x AND the slow pass is material (> 0.5 s — sub-100ms queries
+      // trip 3x on ordinary JIT/GC jitter, which is noise, not a
+      // spike), ONE extra pass runs (bounded retry), and ALL pass
+      // times are kept in bench_full.json so the next reader sees the
+      // spike in the artifact instead of re-measuring.
       val t1 = pass()
       val t2 = pass()
       var passes = List(t1, t2)
-      if (math.min(t1, t2) > 1.5 || math.max(t1, t2) > 3 * math.min(t1, t2))
+      if (math.min(t1, t2) > 1.5 ||
+          (math.max(t1, t2) > 0.5 &&
+            math.max(t1, t2) > 3 * math.min(t1, t2)))
         passes :+= pass()
       name -> passes
     }

@@ -2,9 +2,11 @@ package graft
 
 /** Registry of every salted-md5 sampling rate used for BOUNDARY
   * PLACEMENT (range-split / quantile passes). The scale contract of a
-  * sampled-boundary pass is that the one ordered, partitionless pass it
-  * feeds sees only `fraction · |relation|` rows — which is only a real
-  * bound when the fraction is planner-sized. `Ceiling` (1/32 ≈ 3.1%) is
+  * sampled-boundary pass is that the ordered machinery it feeds (since
+  * r12: the Boundaries distributed prefix-sum — range-partitioned, no
+  * single task ever holds the relation) sees only
+  * `fraction · |relation|` rows — a real bound only when the fraction
+  * is planner-sized. `Ceiling` (1/32 ≈ 3.1%) is
   * the declared maximum; PlanQualitySpec reads this registry and fails
   * if any rate exceeds it, so a nominally "rate-bounded" pass can never
   * quietly carry a 25% rate again (the round-9 events_rfm lesson).

@@ -71,52 +71,52 @@ object Smoke {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
       spark.sparkContext.setLogLevel("ERROR")
-      val conf: Map[String, String] = args.lift(1) match {
-        case Some(path) =>
-          scala.io.Source.fromFile(path).getLines()
-            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-            .flatMap { l =>
-              l.split(":", 2) match {
-                case Array(k, v) => Some(k.trim -> v.trim)
-                case _ => None
-              }
-            }.toMap
-        case None =>
-          val base = java.nio.file.Files
-            .createTempDirectory("graft_topo").toString
-          // demo feed: the sf0.001 changelog as Kafka-shaped bytes,
-          // routed to three logical tables (t0/t1/t2 by user id) — t2
-          // is deliberately NOT published, to prove the filter prunes
-          val ev = sources.Tables.events(spark, "/root/testdata/sf0.001")
-            .withColumn("event_type",
-              when(col("event_id") % 11 === 0, lit("error"))
-                .otherwise(col("event_type")))
-          val env = pipeline.Envelope.toCdcEventsToast(ev).toDF()
-          val uid = split(col("key"), ":").getItem(1).cast("long")
-          val routed = env
-            .withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
-            .withColumn("key",
-              concat(lit("public."), col("tableName"), lit(":"), uid))
-          routed.select(col("key").cast("binary").as("key"),
-              to_json(struct(routed.columns.map(col): _*)).cast("binary")
-                .as("value"))
-            .write.parquet(s"$base/feed")
-          val cfg = Seq(
-            s"feed.dir: $base/feed",
-            "publication.name: demo_pub",
-            "publication.tables: public.t0,public.t1",
-            s"sink.dir: $base/sink",
-            s"checkpoint.dir: $base/ckpt",
-            "late.delay_minutes: 10",
-            "sink.buckets: 4")
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$base/config.yaml"),
-            cfg.mkString("", "\n", "\n").getBytes)
-          println(s"[smoke] topo: generated config at $base/config.yaml")
-          cfg.flatMap(_.split(":", 2) match {
-            case Array(k, v) => Some(k.trim -> v.trim); case _ => None
-          }).toMap
+      // with no config argument, synthesize a demo feed + config FILE
+      // and fall through to the one file-driven parse path below (a
+      // generated run exercises exactly the code a user-config run does)
+      val configPath: String = args.lift(1).getOrElse {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_topo").toString
+        // demo feed: the sf0.001 changelog as Kafka-shaped bytes,
+        // routed to three logical tables (t0/t1/t2 by user id) — t2
+        // is deliberately NOT published, to prove the filter prunes
+        val ev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+          .withColumn("event_type",
+            when(col("event_id") % 11 === 0, lit("error"))
+              .otherwise(col("event_type")))
+        val env = pipeline.Envelope.toCdcEventsToast(ev).toDF()
+        val uid = split(col("key"), ":").getItem(1).cast("long")
+        val routed = env
+          .withColumn("tableName", concat(lit("t"), pmod(uid, lit(3))))
+          .withColumn("key",
+            concat(lit("public."), col("tableName"), lit(":"), uid))
+        routed.select(col("key").cast("binary").as("key"),
+            to_json(struct(routed.columns.map(col): _*)).cast("binary")
+              .as("value"))
+          .write.parquet(s"$base/feed")
+        val cfg = Seq(
+          s"feed.dir: $base/feed",
+          "publication.name: demo_pub",
+          "publication.tables: public.t0,public.t1",
+          s"sink.dir: $base/sink",
+          s"checkpoint.dir: $base/ckpt",
+          "late.delay_minutes: 10",
+          "sink.buckets: 4")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/config.yaml"),
+          cfg.mkString("", "\n", "\n").getBytes)
+        println(s"[smoke] topo: generated config at $base/config.yaml")
+        s"$base/config.yaml"
       }
+      val conf: Map[String, String] =
+        scala.io.Source.fromFile(configPath).getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split(":", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _ => None
+            }
+          }.toMap
       val feedDir = conf("feed.dir")
       val pub = pipeline.Publication.Spec(conf("publication.name"),
         conf("publication.tables").split(',').map(_.trim).toSeq)

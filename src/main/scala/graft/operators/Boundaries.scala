@@ -87,7 +87,10 @@ object Boundaries {
     * Returns (rk BIGINT, bv metric-typed) rows, one per distinct rank.
     */
   def quantileValues(df: DataFrame, metric: String, k: Int): DataFrame = {
-    val hist = df.groupBy(metric).agg(count(lit(1)).as("__c"))
+    // persisted: the prefix-sum and the rank totals both read it (one
+    // histogram build, not two — r12 review)
+    val hist = graft.CachePool.persist(
+      df.groupBy(metric).agg(count(lit(1)).as("__c")))
     val cum = prefixSum(hist, metric, "__c", "__cum")
     val ranks = hist.agg(sum("__c").as("nn"))
       .withColumn("i", explode(sequence(lit(1L), lit((k - 1).toLong))))
@@ -129,8 +132,9 @@ object Boundaries {
     val tagged = parts.map { case (t, df, _) =>
       df.select(col(metric)).withColumn("__tag", lit(t))
     }.reduce(_ unionByName _)
-    val hist = tagged.groupBy(col("__tag"), col(metric))
-      .agg(count(lit(1)).as("__c"))
+    val hist = graft.CachePool.persist( // prefix-sum + rank totals
+      tagged.groupBy(col("__tag"), col(metric))
+        .agg(count(lit(1)).as("__c")))
     val cum = prefixSumGrouped(hist, Seq("__tag"), metric, "__c", "__cum")
     val ranks = hist.groupBy("__tag").agg(sum("__c").as("__nn"))
       .withColumn("i", explode(sequence(lit(1L), lit((k - 1).toLong))))
@@ -153,7 +157,8 @@ object Boundaries {
     * partitions, per-(group, pid) subtotals collected once (≤ P + G − 1
     * pairs, because contiguous group ranges overlap at most P − 1
     * partition seams — planner-sized for any planner-sized G), offsets
-    * shipped back as a literal map keyed "grouppid", local window
+    * shipped back as a literal map keyed by the group struct JSON
+    * render + "|" + pid (collision-free; see gk below), local window
     * partitioned by (group…, pid). The naive alternative —
     * `Window.partitionBy(group)` — puts each ENTIRE group in one task,
     * which for low-cardinality groups over money-grade histograms is
@@ -172,7 +177,13 @@ object Boundaries {
     val pidded = graft.CachePool.persist(
       df.repartitionByRange(parts, rangeCols: _*)
         .withColumn("__pid", spark_partition_id()))
-    val gk = concat_ws("\u0001", grpCols.map(c => col(c).cast("string")): _*)
+    // collision-free composite group key: JSON-escaped and null-safe
+    // (to_json OMITS null fields, so null-vs-empty and shifted-null
+    // group tuples render distinct strings - a plain separator join
+    // drops NULLs and cannot survive a separator inside a value).
+    // Rendered by Spark on BOTH sides (subtotal collect and offset
+    // lookup), so the driver never re-derives it.
+    val gk = to_json(struct(grpCols.map(col): _*))
     val subtotals = pidded
       .groupBy(col("__pid"), gk.as("__g"))
       .agg(sum(col(cntCol)).as("__psum"))
@@ -183,7 +194,7 @@ object Boundaries {
       .flatMap { case (g, rows) =>
         var acc = 0L
         rows.sortBy(_._2).map { case (_, pid, s) =>
-          val o = acc; acc += s; s"$g\u0001$pid" -> o
+          val o = acc; acc += s; s"$g|$pid" -> o
         }
       }
     val frameEnd = if (inclusive) 0L else -1L
@@ -193,7 +204,7 @@ object Boundaries {
     val offsetCol: Column =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets),
-        concat_ws("\u0001", gk, col("__pid").cast("string"))), lit(0L))
+        concat(gk, lit("|"), col("__pid").cast("string"))), lit(0L))
     pidded
       .withColumn(outCol, coalesce(sum(col(cntCol)).over(w), lit(0L)) + offsetCol)
       .drop("__pid")
@@ -208,8 +219,9 @@ object Boundaries {
     */
   def quantileValuesGrouped(df: DataFrame, grpCols: Seq[String],
                             metric: String, k: Int): DataFrame = {
-    val hist = df.groupBy(grpCols.map(col) :+ col(metric): _*)
-      .agg(count(lit(1)).as("__c"))
+    val hist = graft.CachePool.persist( // prefix-sum + rank totals
+      df.groupBy(grpCols.map(col) :+ col(metric): _*)
+        .agg(count(lit(1)).as("__c")))
     val cum = prefixSumGrouped(hist, grpCols, metric, "__c", "__cum")
     val ranks = hist.groupBy(grpCols.map(col): _*)
       .agg(sum("__c").as("__nn"))

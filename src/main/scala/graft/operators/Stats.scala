@@ -755,13 +755,18 @@ object Stats {
         (col("two_ra") -
           (col("n_a").cast("decimal(19,0)") * (col("n_a") + 1))
             .cast("double")) / 2.0)
+      // varTerm = 0 exactly when EVERY total ties (tie_cubes = n³−n):
+      // z would be 0/0 = NaN in Spark where DuckDB's NULL-propagating
+      // division stays NULL — the same engine split the arm guards
+      // cover, one case further out (r12 review)
+      val varTerm = (n + 1.0) - col("tie_cubes") / (n * (n - 1.0))
       withU.select(col("n_a"), col("n_b"), col("u_a"),
         when(col("n_a") + col("n_b") <= 1L ||
-          col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          col("n_a") === 0L || col("n_b") === 0L ||
+          varTerm <= 0.0, lit(null).cast("double"))
           .otherwise(
             (col("u_a") - nA * nB / 2.0) /
-              sqrt(nA * nB / 12.0 *
-                ((n + 1.0) - col("tie_cubes") / (n * (n - 1.0))))).as("z"))
+              sqrt(nA * nB / 12.0 * varTerm)).as("z"))
     }),
 
     // Attribution-model readout over purchase segments: each purchase
@@ -1283,7 +1288,11 @@ object Stats {
         |      / 2.0 AS u_a
         |  FROM a)
         |SELECT n_a, n_b, u_a,
-        |  CASE WHEN n_a + n_b <= 1 OR n_a = 0 OR n_b = 0 THEN NULL
+        |  CASE WHEN n_a + n_b <= 1 OR n_a = 0 OR n_b = 0
+        |      OR ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |          - tie_cubes / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+        |        <= 0.0 THEN NULL
         |    ELSE (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
         |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
         |        ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)

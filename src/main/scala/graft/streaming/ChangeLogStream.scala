@@ -935,14 +935,22 @@ object ChangeLogStream {
     */
   def loggedUpsertBatch(tableDir: String, logDir: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int = 16,
-      component: String = "upsert-sink")(batch: DataFrame, batchId: Long): Unit = {
-    // compute the progress aggregate BEFORE the upsert evaluates the
-    // batch (so the upsert's own scan is the only other pass), but
-    // APPEND it only after the commit — the log never claims progress
-    // the state table lost
+      component: String = "upsert-sink")(batch: DataFrame, batchId: Long): Unit =
+    loggedBatch(logDir, versionCol, component)(
+      upsertBatch(tableDir, keyCols, versionCol, numBuckets))(batch, batchId)
+
+  /** The K3 log-tee protocol factored out of [[loggedUpsertBatch]] so
+    * every sink variant shares ONE copy of the ordering invariant:
+    * compute the progress aggregate BEFORE the inner sink evaluates
+    * the batch (so the sink's own scan is the only other pass), APPEND
+    * it only after the commit — the log never claims progress the
+    * state table lost.
+    */
+  def loggedBatch(logDir: String, versionCol: String, component: String)(
+      inner: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
     val record =
       graft.ops.LogSink.progressRecord(batch, batchId, versionCol, component)
-    upsertBatch(tableDir, keyCols, versionCol, numBuckets)(batch, batchId)
+    inner(batch, batchId)
     graft.ops.LogSink.append(batch.sparkSession, logDir, Seq(record))
   }
 
@@ -1139,6 +1147,22 @@ object ChangeLogStream {
   }
 
   def fullConsumerBatch(baseDir: String, delayUs: Long, numBuckets: Int = 4)(
+      wire: DataFrame, batchId: Long): Unit =
+    consumerTopology(baseDir, delayUs) { (s0, t) =>
+      loggedUpsertBatch(s"$baseDir/state/$s0.$t", s"$baseDir/log",
+        Seq("key"), "lsn", numBuckets, component = s"$s0.$t")
+    }(wire, batchId)
+
+  /** The shared consumer topology BODY (decode → dead-letter tee →
+    * recorded-watermark admission → late tee → per-(schema, table)
+    * demux), factored so [[fullConsumerBatch]] and
+    * [[fullProductionBatch]] differ ONLY in the per-slice sink — a fix
+    * to the DLQ idempotency or the late-tee path lands in both
+    * automatically. Decode runs once (persisted); the demux collects
+    * only O(tables-in-batch) names, never rows.
+    */
+  private def consumerTopology(baseDir: String, delayUs: Long)(
+      sinkFor: (String, String) => (DataFrame, Long) => Unit)(
       wire: DataFrame, batchId: Long): Unit = {
     val decoded = wire
       .withColumn("ev", from_json(col("value").cast("string"),
@@ -1157,8 +1181,7 @@ object ChangeLogStream {
         val tables = adm.select("schemaName", "tableName").distinct()
           .collect().map(r => (r.getString(0), r.getString(1))).sorted
         tables.foreach { case (s0, t) =>
-          loggedUpsertBatch(s"$baseDir/state/$s0.$t", s"$baseDir/log",
-            Seq("key"), "lsn", numBuckets, component = s"$s0.$t")(
+          sinkFor(s0, t)(
             adm.filter(col("schemaName") === s0 && col("tableName") === t),
             batchId)
         }
@@ -1191,34 +1214,9 @@ object ChangeLogStream {
     * batch boundary.
     */
   def fullProductionBatch(baseDir: String, delayUs: Long, numBuckets: Int = 4)(
-      wire: DataFrame, batchId: Long): Unit = {
-    val decoded = wire
-      .withColumn("ev", from_json(col("value").cast("string"),
-        graft.model.CdcEvent.envelopeSchema))
-      .persist()
-    try {
-      decoded.filter(col("ev.lsn").isNull)
-        .select(col("key").cast("string").as("msg_key"),
-          col("value").cast("string").as("raw_value"))
-        .write.mode("overwrite").parquet(s"$baseDir/dlq/batch_id=$batchId")
-      val good = decoded.filter(col("ev.lsn").isNotNull).select("ev.*")
-      val (onTime, late) = lateDataSplit(s"$baseDir/wm", delayUs)(good, batchId)
-      late.write.mode("overwrite").parquet(s"$baseDir/late/batch_id=$batchId")
-      val adm = onTime.persist()
-      try {
-        val tables = adm.select("schemaName", "tableName").distinct()
-          .collect().map(r => (r.getString(0), r.getString(1))).sorted
-        tables.foreach { case (s0, t) =>
-          val slice =
-            adm.filter(col("schemaName") === s0 && col("tableName") === t)
-          val record = graft.ops.LogSink.progressRecord(
-            slice, batchId, "lsn", component = s"$s0.$t")
-          carryForwardRetentionUpsertBatch(
-            s"$baseDir/state/$s0.$t", numBuckets)(slice, batchId)
-          graft.ops.LogSink.append(adm.sparkSession, s"$baseDir/log",
-            Seq(record))
-        }
-      } finally { adm.unpersist(); () }
-    } finally { decoded.unpersist(); () }
-  }
+      wire: DataFrame, batchId: Long): Unit =
+    consumerTopology(baseDir, delayUs) { (s0, t) =>
+      loggedBatch(s"$baseDir/log", "lsn", component = s"$s0.$t")(
+        carryForwardRetentionUpsertBatch(s"$baseDir/state/$s0.$t", numBuckets))
+    }(wire, batchId)
 }

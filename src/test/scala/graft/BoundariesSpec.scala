@@ -150,6 +150,27 @@ class BoundariesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped offset keys survive adversarial group values (nulls, empties, separators)") {
+    // r12 review: a separator-joined composite key collides (NULL,"x")
+    // with ("x",NULL) and "" with NULL because concat_ws drops nulls;
+    // the JSON-encoded key must keep every such group's offsets apart
+    val rows = Seq(
+      (Option("a|b"), Option("c"), 1L, 1L), (Option("a"), Option("b|c"), 1L, 1L),
+      (Option(""), Option("x"), 1L, 1L), (None, Option("x"), 1L, 1L),
+      (Option("x"), Option(""), 1L, 1L), (Option("x"), None, 1L, 1L),
+      (Option("a|b"), Option("c"), 2L, 3L), (None, Option("x"), 5L, 2L))
+    val df = rows.toDF("g1", "g2", "v", "c")
+    val got = Boundaries.prefixSumGrouped(df, Seq("g1", "g2"), "v", "c", "cum")
+      .select("g1", "g2", "v", "cum")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    val want = rows.groupBy(r => (r._1, r._2)).flatMap { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._3).map { r => acc += r._4; (r._1, r._2, r._3, acc) }
+    }.toSet
+    assert(got == want, s"got=$got want=$want")
+    CachePool.releaseAll()
+  }
+
   test("grouped plans carry no partitionless window either") {
     val hist = (1 to 90).map(i => (s"g${i % 3}", i.toLong, 1L)).toDF("g", "v", "c")
     noPartitionlessWindow(Boundaries.prefixSumGrouped(hist, Seq("g"), "v", "c", "cum"))

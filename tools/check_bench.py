@@ -96,9 +96,11 @@ def spike_report(b, top=5):
     passes = b.get("passes")
     if not passes:
         return
+    # the 0.5s floor matches Bench's retry rule: sub-100ms queries trip
+    # 3x on ordinary JIT/GC jitter, which is noise, not a spike
     spiky = sorted(
         ((k, v) for k, v in passes.items()
-         if len(v) >= 2 and max(v) > 3 * max(min(v), 1e-9)),
+         if len(v) >= 2 and max(v) > 0.5 and max(v) > 3 * max(min(v), 1e-9)),
         key=lambda t: -(max(t[1]) / max(min(t[1]), 1e-9)))[:top]
     if spiky:
         print(f"\nspike forensics ({len(spiky)} of {len(passes)} queries "
