@@ -45,6 +45,20 @@ DuckDB's ryu VARCHAR cast; Decimals via str() (scale-preserving, so
 '3168.30' keeps its cents digit); None as a sentinel; datetimes via
 isoformat after normalizing tz-aware values to UTC and dropping the
 offset; bytes as hex; lists element-wise recursively.
+
+FAITHFULNESS LIMIT (r12 finding — read before trusting a green run):
+P1-P4 replay read/render protocols through the LOCAL duckdb/pyarrow,
+and the driver's DECIMAL render is NOT reproducible through them. In
+round 12 the only two driver-red queries shipped DECIMAL output
+columns and passed all four protocols here; across rounds 10-12 every
+DECIMAL-shipping query hashed red on the driver and no other query
+ever did, even with judge-verified exact, deterministic values. The
+actual defense is the class ban: OutputTypeSpec rejects ALL DecimalType
+output fields, and this script FAILS any result parquet (or oracle
+relation) whose schema declares a DECIMAL column — the check below
+fires before any value compare, so a decimal shipper is caught even
+when its values are perfect. DECIMAL remains fine (and load-bearing)
+as an INTERMEDIATE accumulator; only the shipped cell is banned.
 """
 import datetime
 import hashlib
@@ -239,6 +253,18 @@ def main(sf_dir, out_dir):
         spark_rel = con.sql(f"SELECT * FROM '{spark_glob}'")
         scols, srows, stypes = canon(
             spark_rel.fetchall(), spark_rel.columns, spark_rel.types)
+        # Hard ban on DECIMAL in the shipped schema (r12 finding, see
+        # module docstring): the driver's decimal render is not locally
+        # reproducible, so a decimal shipper must fail HERE even when
+        # every value and all four render protocols agree.
+        dec_cols = [f"{c}: {t}" for c, t in zip(scols, stypes)
+                    if "DECIMAL" in str(t).upper()]
+        if dec_cols:
+            failures.append((name, "DECIMAL-typed result column(s) "
+                             "(driver hash renders DECIMAL inconsistently; "
+                             "rounds 10-12: every decimal shipper red — ship "
+                             f"BIGINT cents or DOUBLE): {dec_cols}"))
+            continue
         try:
             # materialize once: the value compare and the three render
             # protocols all read this table, so the oracle SQL runs once
@@ -288,5 +314,33 @@ def main(sf_dir, out_dir):
     return 1 if failures else 0
 
 
+def selftest():
+    """Decimal canary: a deliberately DECIMAL-shipping toy query must
+    FAIL the pre-flight even though its values and renders are perfect
+    on both sides (the r12 class). Run: check_oracle.py --selftest"""
+    tmp = tempfile.mkdtemp(prefix="graft_oracle_selftest_")
+    sf = os.path.join(tmp, "sf")
+    out = os.path.join(tmp, "out", )
+    qdir = os.path.join(out, "toy_decimal")
+    os.makedirs(sf)
+    os.makedirs(qdir)
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT 1 AS region_id) TO "
+                f"'{os.path.join(sf, 'region.parquet')}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT CAST(3168.30 AS DECIMAL(18,2)) AS m) TO "
+                f"'{os.path.join(qdir, 'part-0.parquet')}' (FORMAT PARQUET)")
+    with open(os.path.join(out, "oracle_sql.json"), "w") as f:
+        json.dump({"toy_decimal":
+                   "SELECT CAST(3168.30 AS DECIMAL(18,2)) AS m"}, f)
+    rc = main(sf, out)
+    if rc == 0:
+        print("SELFTEST FAIL: decimal-shipping toy query passed")
+        return 1
+    print("SELFTEST PASS: decimal-shipping toy query correctly rejected")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
