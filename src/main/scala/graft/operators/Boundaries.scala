@@ -129,6 +129,11 @@ object Boundaries {
     */
   def taggedQuantileArrays(parts: Seq[(String, DataFrame, String)],
                            metric: String, k: Int): Map[String, DataFrame] = {
+    // duplicate tags would silently collapse in the result map while
+    // their rows still union into one shared histogram — a boundary
+    // array over MERGED inputs with no error (r12 advice).
+    require(parts.map(_._1).distinct.size == parts.size,
+      s"tags must be distinct: ${parts.map(_._1).mkString(", ")}")
     val tagged = parts.map { case (t, df, _) =>
       df.select(col(metric)).withColumn("__tag", lit(t))
     }.reduce(_ unionByName _)
@@ -229,8 +234,12 @@ object Boundaries {
       .withColumn("rk", expr(s"(i * __nn) div $k"))
       .filter(col("rk") >= 1L)
       .select(grpCols.map(col) :+ col("i") :+ col("rk"): _*)
+    // null-SAFE group equality (<=>): a NULL-valued group must join its
+    // own ranks, not silently vanish — prefixSumGrouped already handles
+    // NULL groups via the JSON-rendered key, and this join must match
+    // its semantics (r12 advice).
     cum.join(broadcast(ranks),
-        grpCols.map(c => cum(c) === ranks(c)).reduce(_ && _) &&
+        grpCols.map(c => cum(c) <=> ranks(c)).reduce(_ && _) &&
           col("__cum") >= col("rk"))
       .groupBy(grpCols.map(cum(_)) :+ col("i"): _*)
       .agg(min(col(metric)).as("bv"))

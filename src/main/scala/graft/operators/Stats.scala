@@ -641,26 +641,31 @@ object Stats {
     // EXACT per-user purchase-total quantiles (mean lift can hide a
     // heavy-tail-only effect that QTE shows directly; the rank-based
     // companion to the t-test's mean and Mann-Whitney's stochastic
-    // dominance). Both arms' boundary walks ride ONE tagged prefix-sum
-    // (Boundaries.taggedQuantileArrays — range-partitioned, no
-    // single-task window); cents stay exact integers end to end. A
-    // tiny arm whose ranks collapse yields NULL at the missing
-    // quartile, both engines.
+    // dominance). Both arms' boundary walks ride ONE grouped prefix-sum
+    // (Boundaries.quantileValuesGrouped, grouped on the arm —
+    // range-partitioned, no single-task window, and the quantile index
+    // i survives the walk); cents stay exact integers end to end. The
+    // r12 positional-array form mislabeled collapsed-rank tiny arms
+    // (the NULL landed at the TOP quartile instead of the missing one);
+    // the spine left-join below puts the NULL at the quartile whose
+    // rank actually collapsed, both engines. For arms with ≥ 4 users
+    // (every test SF) the values are unchanged.
     "events_ab_qte" -> ((s, d) => {
       val per = Tables.events(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("v"))
         .select(expr("pmod(user_id, 2)").as("variant"), col("v"))
-        .transform(graft.CachePool.persist) // two arm walks, one scan
-      val b = Boundaries.taggedQuantileArrays(Seq(
-        ("ctl", per.filter(col("variant") === 0), "qc"),
-        ("trt", per.filter(col("variant") === 1), "qt")), "v", 4)
-      b("ctl").join(b("trt"), "__k")
-        .withColumn("i", explode(sequence(lit(1), lit(3))))
-        .select(col("i").cast("int").as("quartile"),
-          get(col("qc"), col("i") - 1).as("q_ctl_cents"),
-          get(col("qt"), col("i") - 1).as("q_trt_cents"))
-        .withColumn("qte_cents", col("q_trt_cents") - col("q_ctl_cents"))
+      val q = Boundaries.quantileValuesGrouped(per, Seq("variant"), "v", 4)
+        .transform(graft.CachePool.persist) // ≤ 2 arms × 3 rows, read twice
+      val qc = q.filter(col("variant") === 0)
+        .select(col("i").as("__ic"), col("bv").as("q_ctl_cents"))
+      val qt = q.filter(col("variant") === 1)
+        .select(col("i").as("__it"), col("bv").as("q_trt_cents"))
+      s.range(1, 4).select(col("id").cast("int").as("quartile"))
+        .join(broadcast(qc), col("quartile") === col("__ic"), "left")
+        .join(broadcast(qt), col("quartile") === col("__it"), "left")
+        .select(col("quartile"), col("q_ctl_cents"), col("q_trt_cents"),
+          (col("q_trt_cents") - col("q_ctl_cents")).as("qte_cents"))
     }),
 
     // Continuous-metric experiment readout: Welch's unequal-variance
@@ -1346,31 +1351,34 @@ object Stats {
         |    / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS srm_detected
         |FROM c""".stripMargin,
 
-    // Per-arm value-at-rank extraction; list index past the collapsed
-    // rank set is NULL on both engines.
-    "events_ab_qte" -> {
-      def boundsSql(variant: Int) =
-        s"""(SELECT COALESCE(list_sort(array_agg(v)), []) AS bl FROM (
-           |    SELECT v, row_number() OVER (ORDER BY v) AS rn
-           |    FROM per WHERE variant = $variant) rk
-           |  JOIN (SELECT DISTINCT (i * nn) // 4 AS rn
-           |    FROM (SELECT unnest(generate_series(1, 3)) AS i) si,
-           |         (SELECT COUNT(*) AS nn FROM per
-           |          WHERE variant = $variant) nc
-           |    WHERE (i * nn) // 4 >= 1) rs USING (rn))""".stripMargin
-      s"""WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
-         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-         |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
-         |      AS BIGINT) AS v
-         |  FROM events GROUP BY user_id),
-         |x AS (SELECT i,
-         |    (${boundsSql(0)})[i] AS q_ctl_cents,
-         |    (${boundsSql(1)})[i] AS q_trt_cents
-         |  FROM (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS i) hs)
-         |SELECT i AS quartile, q_ctl_cents, q_trt_cents,
-         |  q_trt_cents - q_ctl_cents AS qte_cents
-         |FROM x""".stripMargin
-    },
+    // Per-arm value-at-rank extraction with the quantile index i kept
+    // through the walk (r13): a collapsed rank (tiny arm) leaves ITS
+    // quartile NULL via the spine left-join — not the top one, which is
+    // where the old positional list-index form shifted it.
+    "events_ab_qte" ->
+      """WITH per AS (SELECT ((user_id % 2) + 2) % 2 AS variant,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |rk AS (SELECT variant, v,
+        |    row_number() OVER (PARTITION BY variant ORDER BY v) AS rn
+        |  FROM per),
+        |rs AS (SELECT variant, CAST(i AS INT) AS i, (i * nn) // 4 AS rk2
+        |  FROM (SELECT variant, COUNT(*) AS nn FROM per GROUP BY 1) n,
+        |       (SELECT unnest(generate_series(1, 3)) AS i) si
+        |  WHERE (i * nn) // 4 >= 1),
+        |q AS (SELECT rs.variant, rs.i, rk.v AS bv
+        |  FROM rs JOIN rk ON rk.variant = rs.variant AND rk.rn = rs.rk2)
+        |SELECT spine.quartile,
+        |  qc.bv AS q_ctl_cents, qt.bv AS q_trt_cents,
+        |  qt.bv - qc.bv AS qte_cents
+        |FROM (SELECT CAST(unnest(generate_series(1, 3)) AS INT)
+        |    AS quartile) spine
+        |LEFT JOIN (SELECT i, bv FROM q WHERE variant = 0) qc
+        |  ON spine.quartile = qc.i
+        |LEFT JOIN (SELECT i, bv FROM q WHERE variant = 1) qt
+        |  ON spine.quartile = qt.i""".stripMargin,
 
     // Same six moments, same θ / x̄ / adjusted-mean expression trees.
     "events_ab_cuped" ->
