@@ -244,4 +244,47 @@ object Boundaries {
       .groupBy(grpCols.map(cum(_)) :+ col("i"): _*)
       .agg(min(col(metric)).as("bv"))
   }
+
+  /** WEIGHTED exact k-quantile boundaries PER GROUP — the
+    * [[quantileValuesGrouped]] construction with row counts replaced by
+    * an integral weight: for each group g and i = 1..k−1,
+    *
+    *   boundary_i = min{ v : k · cumw_g(v) ≥ i · W_g }
+    *
+    * where cumw is the weight prefix-sum over the value histogram and
+    * W_g the group's total weight — all-integer compares, no division,
+    * the direct generalization of the weighted-median rule
+    * `2·cum ≥ total` (this IS that rule at k = 2, i = 1). Convention
+    * note: the UNWEIGHTED family extracts rank (i·n) div k, i.e.
+    * cum ≥ floor(i·n/k); the weighted rule is cum ≥ ceil(i·W/k) —
+    * the ≥-half convention weighted medians use. The two agree
+    * whenever i·n/k is not integral; both are exact quantile
+    * definitions, and each caller's oracle mirrors its own.
+    *
+    * `weightCol` must be integral (LONG) and non-negative; the compare
+    * multiplies cumulative weight by k, so k·W_g must stay below 2^63
+    * (cent-grid weights at 100 TB are ~1e15 × k — far inside).
+    * Input rows need NOT be pre-histogrammed: the helper collapses to
+    * the (group, value) histogram first, so the prefix sum walks
+    * O(distinct values), never the fact table. Returns
+    * (grpCols…, i INT, bv metric-typed), NULL-group-safe like
+    * [[quantileValuesGrouped]].
+    */
+  def weightedQuantileValuesGrouped(df: DataFrame, grpCols: Seq[String],
+                                    metric: String, weightCol: String,
+                                    k: Int): DataFrame = {
+    require(grpCols.nonEmpty, "grouped form only (pass a constant group)")
+    val hist = graft.CachePool.persist( // prefix-sum + weight totals
+      df.groupBy(grpCols.map(col) :+ col(metric): _*)
+        .agg(sum(col(weightCol)).as("__w")))
+    val cum = prefixSumGrouped(hist, grpCols, metric, "__w", "__cum")
+    val tots = hist.groupBy(grpCols.map(col): _*)
+      .agg(sum("__w").as("__tw"))
+      .withColumn("i", explode(sequence(lit(1), lit(k - 1))))
+    cum.join(broadcast(tots),
+        grpCols.map(c => cum(c) <=> tots(c)).reduce(_ && _) &&
+          col("__cum") * k >= col("i") * col("__tw"))
+      .groupBy(grpCols.map(cum(_)) :+ col("i"): _*)
+      .agg(min(col(metric)).as("bv"))
+  }
 }

@@ -475,33 +475,32 @@ object Stats {
             (acc, f) => acc * f).as("survival"))
     }),
 
-    // Exact weighted median WITHOUT ranking rows — the reusable form of
-    // the value-histogram trick (events_power_pareto / events_rfm): per
-    // return flag, the revenue-weighted median quantity. Rows collapse
-    // into the ≤50-value quantity histogram FIRST (one hash agg, weight
-    // = exact price cents), so the cumulative window walks O(groups ×
-    // distinct quantities) rows — never the 100 TB fact table — and the
-    // median is the smallest value whose 2·cum ≥ total (all integer
-    // compares, no division). This is how any exact weighted quantile
-    // should run at scale when the value domain collapses.
+    // Exact weighted median on the shared rank-statistics family: per
+    // return flag, the revenue-weighted median quantity — the smallest
+    // value whose 2·cum(weight) ≥ total (all integer compares, no
+    // division), extracted by Boundaries.weightedQuantileValuesGrouped
+    // at k=2 (this query IS that rule's k=2, i=1 point). r13: the old
+    // hand-rolled Window.partitionBy(l_returnflag) cumulative was fine
+    // at 3 flags × ≤50 distinct quantities but is the same
+    // rank-extraction motif the family unified — the helper
+    // range-shuffles on (flag, quantity), so even a two-group
+    // money-grade histogram never funnels a whole group through one
+    // task, and the histogram collapse happens inside the helper (the
+    // prefix sum walks O(distinct values), never the fact table).
     "agg_weighted_median" -> ((s, d) => {
-      val hist = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"),
-          col("l_quantity").cast("decimal(18,2)").as("q"))
-        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long")).as("w"))
-      val tot = hist.groupBy("l_returnflag")
-        .agg(sum("w").as("total_w"), count(lit(1)).as("n_distinct_q"))
-      val cum = Window.partitionBy("l_returnflag").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      hist.withColumn("cw", sum("w").over(cum))
-        .join(broadcast(tot), "l_returnflag")
-        .filter(col("cw") * 2 >= col("total_w"))
-        .groupBy("l_returnflag")
-        .agg(min(col("q")).cast("double").as("weighted_median_qty"))
+      val rows = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("w"))
+        .transform(graft.CachePool.persist) // median walk + totals
+      val tot = rows.groupBy("l_returnflag")
+        .agg(sum("w").as("total_w"),
+          count_distinct(col("q")).as("n_distinct_q"))
+      Boundaries.weightedQuantileValuesGrouped(
+          rows, Seq("l_returnflag"), "q", "w", 2)
         .join(broadcast(tot), "l_returnflag")
         .select(col("l_returnflag"), col("n_distinct_q"), col("total_w"),
-          col("weighted_median_qty"))
+          col("bv").cast("double").as("weighted_median_qty"))
     }),
 
     // Difference-in-differences — the quasi-experimental readout when

@@ -150,6 +150,77 @@ class BoundariesSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedQuantileValuesGrouped == brute sorted-scan model on random inputs") {
+    forSeeds(8) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4)
+      val groups = (0 until 1 + rnd.nextInt(4)).map(g => s"w$g")
+      // raw (value, weight) rows, NOT pre-histogrammed — the helper must
+      // collapse duplicates itself; weights ≥ 1 on a coarse value grid
+      // so rank collisions and shared boundaries both occur
+      val data = groups.map(g => g -> List.fill(3 + rnd.nextInt(100))(
+        (rnd.nextInt(20).toLong, 1L + rnd.nextInt(9)))).toMap
+      val df = data.toList.flatMap { case (g, vw) =>
+        vw.map { case (v, w) => (g, v, w) } }.toDF("g", "m", "w")
+      val got = Boundaries
+        .weightedQuantileValuesGrouped(df, Seq("g"), "m", "w", k)
+        .select("g", "i", "bv").as[(String, Int, Long)].collect().toSet
+      // brute model: per group, walk the sorted value histogram and take
+      // the first value whose k·cum ≥ i·W, per quantile index i
+      val want = (for {
+        (g, vw) <- data.toSeq
+        hist = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        total = hist.map(_._2).sum
+        i <- 1 until k
+      } yield {
+        var cum = 0L
+        val bv = hist.collectFirst {
+          case (v, w) if { cum += w; cum * k >= i.toLong * total } => v
+        }.get
+        (g, i, bv)
+      }).toSet
+      assert(got == want, s"k=$k got=$got want=$want")
+      CachePool.releaseAll()
+    }
+  }
+
+  test("weightedQuantileValuesGrouped at k=2 is the 2·cum ≥ total weighted median") {
+    // the agg_weighted_median contract: weight 1+2+3+4 = 10, half = 5,
+    // cum reaches 5 exactly at value 30 (1+2+3=6 ≥ 5 ⟹ min v = 30)
+    val df = Seq(("f", 10L, 1L), ("f", 20L, 2L), ("f", 30L, 3L),
+      ("f", 40L, 4L)).toDF("g", "m", "w")
+    val got = Boundaries.weightedQuantileValuesGrouped(df, Seq("g"), "m", "w", 2)
+      .select("g", "i", "bv").as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("f", 1, 30L)))
+    CachePool.releaseAll()
+  }
+
+  test("taggedQuantileArrays rejects duplicate tags") {
+    // duplicate tags would merge rows into one shared histogram while
+    // the result map silently keeps only the last entry (r12 advice)
+    val df = (1 to 10).map(_.toLong).toDF("m")
+    val e = intercept[IllegalArgumentException] {
+      Boundaries.taggedQuantileArrays(
+        Seq(("t", df, "a"), ("t", df, "b")), "m", 5)
+    }
+    assert(e.getMessage.contains("tags must be distinct"))
+  }
+
+  test("quantileValuesGrouped keeps a NULL-valued group (null-safe rank join)") {
+    // r12 advice: the rank-extraction join used null-unsafe equality, so
+    // a NULL group's boundaries silently vanished from the output
+    val df = (List.fill(8)(Option("g")) ::: List.fill(8)(None))
+      .zipWithIndex.map { case (g, i) => (g, (i % 8).toLong) }
+      .toDF("g", "m")
+    val got = Boundaries.quantileValuesGrouped(df, Seq("g"), "m", 4)
+      .select("g", "i", "bv").as[(Option[String], Int, Long)].collect()
+    assert(got.count(_._1.isEmpty) == 3,
+      s"NULL group must report all 3 quartile boundaries: ${got.toSeq}")
+    assert(got.count(_._1.contains("g")) == 3)
+    CachePool.releaseAll()
+  }
+
   test("grouped offset keys survive adversarial group values (nulls, empties, separators)") {
     // r12 review: a separator-joined composite key collides (NULL,"x")
     // with ("x",NULL) and "" with NULL because concat_ws drops nulls;
