@@ -667,6 +667,87 @@ object Stats {
           (col("q_trt_cents") - col("q_ctl_cents")).as("qte_cents"))
     }),
 
+    // Cluster-robust RATIO-metric readout via the delta method — the
+    // readout every experimentation platform ships next to CUPED: the
+    // metric is revenue per SESSION, but the randomization unit is the
+    // USER, so session-level variance would be wrong (sessions of one
+    // user are correlated); the delta method gives the variance of the
+    // ratio R = ΣY_u/ΣN_u from per-USER moment pairs:
+    //   Var(R) ≈ (var(Y) − 2R·cov(Y,N) + R²·var(N)) / (n · N̄²)
+    // (Deng et al.'s metric-analytics linearization, the standard
+    // cluster-at-the-randomization-unit estimator). Sessions are the
+    // family's 30-minute-gap convention (events_session_funnel);
+    // N_u = 1 + gap count needs only the per-user lag — no second
+    // window. All six per-arm moments are exact (cents / counts through
+    // the decimal(19,0)·x → decimal(38,0) route, the CUPED overflow
+    // argument); the shipped doubles are one fixed expression tree
+    // mirrored verbatim in the oracle. Degenerate guards: a lone-user
+    // or session-free arm NULLs its ratio/variance and everything
+    // downstream (n<2, ΣN≤0, total variance ≤0 → NULL, both engines).
+    // Shape: one scan + per-user key-partitioned lag, a per-user hash
+    // agg, a 2-row arm agg, a 1-row pivot.
+    "events_ab_ratio_delta" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val per = Tables.events(s, d)
+        .withColumn("new_session",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) >
+            1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg((sum("new_session") + lit(1L)).as("nses"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("y"))
+      def ds(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)")).cast("decimal(38,0)").cast("double")
+      val arms = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
+        .agg(count(lit(1)).as("n"),
+          ds(col("y")).as("sy"), ds(col("nses")).as("sn"),
+          ds(col("y").cast("decimal(19,0)") * col("y")).as("syy"),
+          ds(col("nses").cast("decimal(19,0)") * col("nses")).as("snn"),
+          ds(col("y").cast("decimal(19,0)") * col("nses")).as("syn"))
+      def side(vr: Int, c: String) = min(when(col("variant") === vr, col(c)))
+      val p = arms.agg(
+        side(0, "n").as("n_ctl"), side(0, "sy").as("sy_c"),
+        side(0, "sn").as("sn_c"), side(0, "syy").as("syy_c"),
+        side(0, "snn").as("snn_c"), side(0, "syn").as("syn_c"),
+        side(1, "n").as("n_trt"), side(1, "sy").as("sy_t"),
+        side(1, "sn").as("sn_t"), side(1, "syy").as("syy_t"),
+        side(1, "snn").as("snn_t"), side(1, "syn").as("syn_t"))
+      type C = org.apache.spark.sql.Column
+      def ratio(sy: C, sn: C) =
+        when(sn <= 0.0, lit(null).cast("double")).otherwise(sy / sn)
+      def varR(n: C, sy: C, sn: C, syy: C, snn: C, syn: C, r: C) = {
+        val nD = n.cast("double")
+        val varY = (syy - sy * sy / nD) / (nD - 1.0)
+        val covYN = (syn - sy * sn / nD) / (nD - 1.0)
+        val varN = (snn - sn * sn / nD) / (nD - 1.0)
+        val meanN = sn / nD
+        when(n < 2L || sn <= 0.0, lit(null).cast("double"))
+          .otherwise((varY - lit(2.0) * r * covYN + r * r * varN) /
+            (nD * meanN * meanN))
+      }
+      val out = p
+        .withColumn("r_c", ratio(col("sy_c"), col("sn_c")))
+        .withColumn("r_t", ratio(col("sy_t"), col("sn_t")))
+        .withColumn("vr_c", varR(col("n_ctl"), col("sy_c"), col("sn_c"),
+          col("syy_c"), col("snn_c"), col("syn_c"), col("r_c")))
+        .withColumn("vr_t", varR(col("n_trt"), col("sy_t"), col("sn_t"),
+          col("syy_t"), col("snn_t"), col("syn_t"), col("r_t")))
+        .withColumn("v_sum", col("vr_c") + col("vr_t"))
+      out.select(col("n_ctl"), col("n_trt"),
+        col("r_c").as("ratio_ctl_cents_per_session"),
+        col("r_t").as("ratio_trt_cents_per_session"),
+        (col("r_t") - col("r_c")).as("lift_cents_per_session"),
+        when(col("v_sum") <= 0.0, lit(null).cast("double"))
+          .otherwise(sqrt(col("v_sum"))).as("se_delta"),
+        when(col("v_sum") <= 0.0, lit(null).cast("double"))
+          .otherwise((col("r_t") - col("r_c")) * (col("r_t") - col("r_c")) /
+            col("v_sum")).as("z2"),
+        (when(col("v_sum") <= 0.0, lit(null).cast("double"))
+          .otherwise((col("r_t") - col("r_c")) * (col("r_t") - col("r_c")) /
+            col("v_sum")) > 3.841458820694124).as("significant"))
+    }),
+
     // Continuous-metric experiment readout: Welch's unequal-variance
     // t² on per-user purchase revenue between the two pmod(user_id,2)
     // variants — the value-lift companion to events_ab_readout's
@@ -1378,6 +1459,77 @@ object Stats {
         |  ON spine.quartile = qc.i
         |LEFT JOIN (SELECT i, bv FROM q WHERE variant = 1) qt
         |  ON spine.quartile = qt.i""".stripMargin,
+
+    // Same 30-minute-gap sessions, same six exact moments per arm, same
+    // delta-method expression tree (r substituted as sy/sn — identical
+    // under the variance guard, which already excludes sn <= 0).
+    "events_ab_ratio_delta" -> {
+      def varRSql(n: String, sy: String, sn: String, syy: String,
+                  snn: String, syn: String) = {
+        val nd = s"CAST($n AS DOUBLE)"
+        val r = s"($sy / $sn)"
+        s"""CASE WHEN $n < 2 OR $sn <= 0.0 THEN NULL ELSE
+           |  ((($syy - $sy * $sy / $nd) / ($nd - 1.0))
+           |   - 2.0 * $r * (($syn - $sy * $sn / $nd) / ($nd - 1.0))
+           |   + $r * $r * (($snn - $sn * $sn / $nd) / ($nd - 1.0)))
+           |  / ($nd * ($sn / $nd) * ($sn / $nd)) END""".stripMargin
+      }
+      s"""WITH g AS (SELECT user_id, event_type, value,
+         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+         |        PARTITION BY user_id ORDER BY event_id)) > 1800 * 1000000
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |per AS (SELECT user_id,
+         |    CAST(SUM(new_session) + 1 AS BIGINT) AS nses,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+         |      AS BIGINT) AS y
+         |  FROM g GROUP BY user_id),
+         |a AS (SELECT ((user_id % 2) + 2) % 2 AS variant, COUNT(*) AS n,
+         |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(CAST(nses AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS DOUBLE) AS sn,
+         |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * y
+         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         |    CAST(CAST(SUM(CAST(CAST(nses AS DECIMAL(19,0)) * nses
+         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS snn,
+         |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * nses
+         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syn
+         |  FROM per GROUP BY 1),
+         |p AS (SELECT
+         |    MIN(CASE WHEN variant = 0 THEN n END) AS n_ctl,
+         |    MIN(CASE WHEN variant = 0 THEN sy END) AS sy_c,
+         |    MIN(CASE WHEN variant = 0 THEN sn END) AS sn_c,
+         |    MIN(CASE WHEN variant = 0 THEN syy END) AS syy_c,
+         |    MIN(CASE WHEN variant = 0 THEN snn END) AS snn_c,
+         |    MIN(CASE WHEN variant = 0 THEN syn END) AS syn_c,
+         |    MIN(CASE WHEN variant = 1 THEN n END) AS n_trt,
+         |    MIN(CASE WHEN variant = 1 THEN sy END) AS sy_t,
+         |    MIN(CASE WHEN variant = 1 THEN sn END) AS sn_t,
+         |    MIN(CASE WHEN variant = 1 THEN syy END) AS syy_t,
+         |    MIN(CASE WHEN variant = 1 THEN snn END) AS snn_t,
+         |    MIN(CASE WHEN variant = 1 THEN syn END) AS syn_t
+         |  FROM a),
+         |x AS (SELECT n_ctl, n_trt,
+         |    CASE WHEN sn_c <= 0.0 THEN NULL ELSE sy_c / sn_c END AS r_c,
+         |    CASE WHEN sn_t <= 0.0 THEN NULL ELSE sy_t / sn_t END AS r_t,
+         |    (${varRSql("n_ctl", "sy_c", "sn_c", "syy_c", "snn_c", "syn_c")})
+         |      + (${varRSql("n_trt", "sy_t", "sn_t", "syy_t", "snn_t", "syn_t")})
+         |      AS v_sum
+         |  FROM p)
+         |SELECT n_ctl, n_trt,
+         |  r_c AS ratio_ctl_cents_per_session,
+         |  r_t AS ratio_trt_cents_per_session,
+         |  r_t - r_c AS lift_cents_per_session,
+         |  CASE WHEN v_sum <= 0.0 THEN NULL ELSE sqrt(v_sum) END AS se_delta,
+         |  CASE WHEN v_sum <= 0.0 THEN NULL
+         |    ELSE (r_t - r_c) * (r_t - r_c) / v_sum END AS z2,
+         |  CASE WHEN v_sum <= 0.0 THEN NULL
+         |    ELSE (r_t - r_c) * (r_t - r_c) / v_sum END
+         |    > 3.841458820694124 AS significant
+         |FROM x""".stripMargin
+    },
 
     // Same six moments, same θ / x̄ / adjusted-mean expression trees.
     "events_ab_cuped" ->

@@ -50,6 +50,56 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size >= 3, "curve must be non-degenerate at this SF")
   }
 
+  test("ratio-delta readout matches a brute-force per-user delta method") {
+    val row = Stats.queries("events_ab_ratio_delta")(spark, sfDir)
+      .collect().head
+    // brute model: sessionize each user by the 30-min gap on event_id
+    // order, then the textbook delta-method ratio variance per arm
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(2).toInstant.getNano / 1000L,
+        r.getString(3), r.getDouble(4)))
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val gaps = sorted.map(_._3).toSeq.sliding(2)
+        .count { w => w.size == 2 && w(1) - w(0) > 1800L * 1000000L }
+      val y = sorted.filter(_._4 == "purchase")
+        .map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+      (u, gaps.toLong + 1L, y)
+    }.toSeq
+    def arm(v: Int) = perUser.filter(p => (p._1 % 2 + 2) % 2 == v)
+    def moments(xs: Seq[(Long, Long, Long)]) = {
+      val n = xs.size.toDouble
+      val sy = xs.map(_._3).sum.toDouble; val sn = xs.map(_._2).sum.toDouble
+      val syy = xs.map(p => BigInt(p._3) * BigInt(p._3)).sum.toDouble
+      val snn = xs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      val syn = xs.map(p => BigInt(p._3) * BigInt(p._2)).sum.toDouble
+      val r = sy / sn
+      val varY = (syy - sy * sy / n) / (n - 1)
+      val covYN = (syn - sy * sn / n) / (n - 1)
+      val varN = (snn - sn * sn / n) / (n - 1)
+      val meanN = sn / n
+      (n.toLong, r, (varY - 2 * r * covYN + r * r * varN) / (n * meanN * meanN))
+    }
+    val (nc, rc, vc) = moments(arm(0))
+    val (nt, rt, vt) = moments(arm(1))
+    def ok(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    assert(row.getLong(0) == nc && row.getLong(1) == nt)
+    assert(ok(row.getDouble(2), rc), s"ratio_ctl ${row.getDouble(2)} vs $rc")
+    assert(ok(row.getDouble(3), rt), s"ratio_trt ${row.getDouble(3)} vs $rt")
+    assert(ok(row.getDouble(4), rt - rc))
+    assert(ok(row.getDouble(5), math.sqrt(vc + vt)))
+    assert(ok(row.getDouble(6), (rt - rc) * (rt - rc) / (vc + vt)))
+    assert(row.getBoolean(7) ==
+      ((rt - rc) * (rt - rc) / (vc + vt) > 3.841458820694124))
+    // the variance must be positive and finite at this SF — a degenerate
+    // readout here would mean the guards mask a broken moment pipeline
+    assert(vc > 0 && vt > 0 && !row.isNullAt(5))
+  }
+
   test("weighted median matches a brute-force sorted-cumulation per group") {
     val got = Stats.queries("agg_weighted_median")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
