@@ -433,6 +433,141 @@ object Similarity {
       .select("q_id", "vec_id", "cosine", "rn")
   }
 
+  /** Graph-walk index tier (HNSW-class, r13): a DETERMINISTIC
+    * small-world layer. A full HNSW is insertion-order- and seed-bound
+    * (level draws, dynamic candidate lists) — oracle-hostile — but its
+    * three load-bearing ideas survive determinization: (1) a bounded-
+    * degree k-NN GRAPH, built from the semdedup multi-probe blocked
+    * candidates (pairs sharing a probed coarse cell — the same Σ|cell|²
+    * bound as the pair search, never all-pairs), each vector keeping
+    * its [[GRAPH_DEGREE]] most-similar candidates, then SYMMETRIZED;
+    * (2) a coarse ENTRY layer — HNSW's upper levels collapsed into one
+    * deterministic stride sample (every [[GRAPH_L1_STRIDE]]-th corpus
+    * vector): the query brute-scans only that n/stride slice and seeds
+    * the beam with its best hits, so the walk STARTS near the target at
+    * any corpus size (a fixed single entry was measured first: recall
+    * 0.52 → 0.36 collapsing from sf0.01 to sf0.1 at beam 8 — a fixed
+    * hop budget cannot cross a 10×-bigger graph; the coarse layer is
+    * exactly what the HNSW hierarchy exists to fix); (3) greedy BEAM
+    * search, [[GRAPH_HOPS]] unrolled best-first rounds: expand the
+    * beam's edges, score, keep the best beam-width of everything
+    * visited (ties to the smaller vec_id — a pure function of the
+    * data). At 100 TB the costs are the coarse scan (n/stride rows —
+    * the stride grows with the corpus like HNSW's level count) plus
+    * O(hops · beam · degree) edge rows + full vectors per query,
+    * independent of cell sizes — vs IVF's whole probed cells — at the
+    * price of the one-off graph build. Every recall/cost number is
+    * measured (ann_graph_recall / ann_graph_beam_curve), never
+    * assumed: recall@5 at beam 8 is 0.98 / 0.98 / 0.72 at
+    * sf0.001/0.01/0.1 (beam 16: 1.0 / 1.0 / 0.90) for ~560–1190
+    * candidates scored per query — 1–2% of the sf0.1 corpus, where the
+    * IVF tier's ≥0.8-per-query point costs ~half the cells on this
+    * same near-uniform data (PROBE_FRAC's measured story).
+    */
+  private val GRAPH_DEGREE = 8
+  private val GRAPH_HOPS = 8
+  private val GRAPH_BEAM = 8
+  private val GRAPH_L1_STRIDE = 64
+  private val GRAPH_BEAMS = Seq(2, 4, 8, 16) // curve operating points
+
+  /** The bounded-degree k-NN graph over the corpus: per-source top-
+    * [[GRAPH_DEGREE]] by exact cosine among the blocked candidates
+    * (pairs sharing ≥ 1 of the [[SEMDEDUP_PROBES]] probed cells —
+    * reuses the persisted semdedup assignment; a pair sharing several
+    * cells dedups through max(sim), the values being identical), then
+    * SYMMETRIZED: small-world links are undirected (the reverse edge is
+    * what lets a walk back out of a local minimum — NSW/HNSW keep both
+    * directions), so max degree is 2·G and edge volume ≤ 2·n·G rows —
+    * still the 8-bytes-per-edge index an executor holds. Directed-only
+    * was measured first: mean recall@5 0.52 at beam 8 / 6 hops on
+    * sf0.01; the symmetrized graph at 8 hops is what the shipped curve
+    * prices.
+    */
+  private def graphEdges(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopK.installedWithRewrite(s)
+    val sd = semdedupAssign(s, d).filter(col("vec_id") >= N_QUERIES)
+    val a = sd.select(col("cent_id"), col("vec_id").as("src"), col("e").as("e_a"))
+    val b = sd.select(col("cent_id"), col("vec_id").as("dst"), col("e").as("e_b"))
+    val cand = a.join(b, Seq("cent_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", cos(col("e_a"), col("e_b")))
+      .groupBy("src", "dst").agg(max("sim").as("sim"))
+    val wE = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val dir = cand.withColumn("ern", row_number().over(wE))
+      .filter(col("ern") <= GRAPH_DEGREE)
+      .select("src", "dst")
+    dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.CachePool.persist) // every hop of every search reads it
+  }
+
+  /** [[GRAPH_HOPS]] unrolled best-first rounds at the given beam width.
+    * Returns (visited, trace): visited = (q_id, vec_id, cosine) — every
+    * vector ever scored, deduped; trace = one (hop, q_id) row per
+    * scored candidate, the curve's exact cost ledger. Each round's
+    * visited set is localCheckpoint'ed (the graph_pagerank convention):
+    * visited_{h−1} appears TWICE in visited_h's analyzed tree (the
+    * union AND the beam cut), so without lineage truncation the plan
+    * doubles per round — 2^HOPS copies of the whole construction chain
+    * by the last hop (measured: an 8 GB driver heap OOMs at sf0.001).
+    * The checkpointed relation is O(queries · hops · beam · degree)
+    * rows — always driver-trivial. All joins are equi-joins on
+    * vec_id/src against the persisted edge/corpus relations; the
+    * per-round frontier is broadcastable at any corpus size.
+    */
+  private def graphBeamSearch(s: SparkSession, d: String, beam: Int)
+      : (DataFrame, DataFrame) = {
+    graft.plans.TopK.installedWithRewrite(s)
+    GraftFunctions.register(s)
+    val edges = graphEdges(s, d)
+    val corpus = corpusDf(s, d)
+    val qs = queriesDf(s, d)
+    // hop 0 — the coarse entry layer: brute-scan the stride sample,
+    // keep everything scored (the ledger charges it as hop 0)
+    val seed = corpus.filter(col("vec_id") % GRAPH_L1_STRIDE === 0)
+      .join(broadcast(qs))
+      .withColumn("cosine", cos(col("qe"), col("e")))
+      .select("q_id", "vec_id", "cosine")
+      .localCheckpoint()
+    var visited = seed
+    val traces = Seq.newBuilder[DataFrame]
+    traces += seed.select(lit(0).cast("int").as("hop"), col("q_id"))
+    // HNSW's ef-search discipline: each round expands the best
+    // beam-width nodes NOT YET EXPANDED. Naive best-first over the
+    // whole visited set was measured first — the beam stabilizes after
+    // ~3 rounds and the remaining hops re-expand the same nodes for
+    // zero new candidates (sf0.1 recall 0.44 at beam 8 vs 0.70+ with
+    // the frontier discipline).
+    var expanded: DataFrame = null
+    val wB = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    for (h <- 1 to GRAPH_HOPS) {
+      val unexpanded =
+        if (expanded == null) visited
+        else visited.join(expanded, Seq("q_id", "vec_id"), "left_anti")
+      val frontier = unexpanded.withColumn("brn", row_number().over(wB))
+        .filter(col("brn") <= beam).drop("brn")
+        .localCheckpoint() // consumed by the expansion AND the expanded set
+      val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
+        .join(edges, "src")
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+      val scoredNew = expand.join(broadcast(qs), "q_id")
+        .join(corpus, "vec_id")
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .select("q_id", "vec_id", "cosine")
+        .localCheckpoint() // consumed by visited AND the trace ledger
+      traces += scoredNew.select(lit(h).cast("int").as("hop"), col("q_id"))
+      expanded = {
+        val f = frontier.select("q_id", "vec_id")
+        if (expanded == null) f else expanded.unionByName(f)
+      }
+      visited = visited.unionByName(scoredNew)
+        .groupBy("q_id", "vec_id").agg(max("cosine").as("cosine"))
+        .localCheckpoint()
+    }
+    (visited, traces.result().reduce(_ unionByName _))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Measure, don't guess: IVF recall against the brute-force ground
@@ -989,6 +1124,59 @@ object Similarity {
         .groupBy("q_id")
         .agg((sum(when(col("av").isNotNull, 1).otherwise(0)).cast("double") /
           count(lit(1))).as("recall"))
+    }),
+
+    // Graph-walk index search — the missing industry tier next to
+    // flat / IVF / IVFADC / LSH: the deterministic small-world layer
+    // (see [[GRAPH_DEGREE]] scaladoc). Ships the standard top-k shape
+    // at the [[GRAPH_BEAM]] operating point.
+    "ann_graph_topk" -> ((s, d) => {
+      val (visited, _) = graphBeamSearch(s, d, GRAPH_BEAM)
+      topK(visited)
+    }),
+
+    // Measured recall of the graph tier against the brute-force ground
+    // truth (the ann_ivf_recall convention) — what the fixed entry +
+    // finite hop budget cost on this corpus, per query.
+    "ann_graph_recall" -> ((s, d) => {
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val approx = queries("ann_graph_topk")(s, d)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy("q_id")
+        .agg((sum(when(col("av").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall"))
+    }),
+
+    // The graph tier's OPERATING-POINT study (the ann_ivf_probe_curve
+    // convention): recall vs candidates-scored at beam ∈ GRAPH_BEAMS.
+    // candidates_scored counts every cosine evaluation in the ledger —
+    // the hop-0 coarse-layer scan plus every hop expansion, revisits
+    // included — exactly the per-query full-vector read volume the beam
+    // knob buys recall with; this table next to the IVF curve and the
+    // IVFADC recall is what a 100 TB index owner reads before choosing
+    // a tier.
+    "ann_graph_beam_curve" -> ((s, d) => {
+      val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+          .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select("q_id", "vec_id")
+        .transform(graft.CachePool.persist) // hit-join per beam width
+      def rowFor(bw: Int): DataFrame = {
+        val (visited, trace) = graphBeamSearch(s, d, bw)
+        val approx = topK(visited).select("q_id", "vec_id")
+        val cand = trace.agg(count(lit(1)).as("candidates_scored"))
+        val hit = exact.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val ex = exact.agg(count(lit(1)).as("exact_rows"))
+        cand.crossJoin(broadcast(hit)).crossJoin(broadcast(ex))
+          .select(lit(bw).cast("int").as("beam_width"),
+            col("candidates_scored"), col("total_hits"),
+            (col("total_hits").cast("double") /
+              col("exact_rows").cast("double")).as("recall"))
+      }
+      GRAPH_BEAMS.map(rowFor).reduce(_ unionByName _)
     }),
 
     // Index-health report for the sign-LSH layout: the occupancy
@@ -1620,7 +1808,144 @@ object Similarity {
        |  WHERE ${VectorOps.cosineSql("a.e", "b.e", DIM)} >= $SEMDEDUP_T) c
        |  GROUP BY vec_a, vec_b)""".stripMargin
 
+  /** Graph-tier oracle chain: the IDENTICAL blocked candidate set
+    * (semdedup multi-probe assignment, corpus-only), per-source
+    * top-[[GRAPH_DEGREE]] edges, and the fixed entry. Exports `gedges`
+    * and `gentry` on top of [[semdedupSqlChain]].
+    */
+  private lazy val graphChainSql = {
+    val cosAB = VectorOps.cosineSql("a.e", "b.e", DIM)
+    s"""$semdedupSqlChain,
+       |gcand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    MAX($cosAB) AS sim
+       |  FROM sdassign a JOIN sdassign b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id >= $N_QUERIES AND b.vec_id >= $N_QUERIES
+       |  GROUP BY 1, 2),
+       |gedges0 AS (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS ern
+       |  FROM gcand) t WHERE ern <= $GRAPH_DEGREE),
+       |gedges AS MATERIALIZED (SELECT src, dst FROM gedges0
+       |  UNION SELECT dst AS src, src AS dst FROM gedges0),
+       |gl1 AS (SELECT vec_id, e FROM corpus
+       |  WHERE vec_id % $GRAPH_L1_STRIDE = 0)""".stripMargin
+  }
+
+  /** The unrolled best-first rounds at one beam width, CTE-suffixed by
+    * `tag` so several widths coexist in one statement. Exports
+    * `gv${GRAPH_HOPS}_tag` (visited) and `gs{h}_tag` (per-hop scored
+    * candidates — the curve's cost ledger), mirroring
+    * [[graphBeamSearch]] round for round.
+    */
+  private def graphSearchSql(beam: Int, tag: String): String = {
+    // MATERIALIZED is load-bearing: gv_h / gf_h / gexp_h are each
+    // consumed more than once — DuckDB's default CTE inlining would
+    // re-expand the whole upstream chain per reference, doubling the
+    // plan per round (2^HOPS copies of the Lloyd chain).
+    val cosL1 = VectorOps.cosineSql("qe", "gl1.e", DIM)
+    val sb = new StringBuilder(
+      s"""gv0_$tag AS MATERIALIZED (SELECT q_id, gl1.vec_id AS vec_id,
+         |    $cosL1 AS cosine
+         |  FROM q, gl1)""".stripMargin)
+    for (h <- 1 to GRAPH_HOPS) {
+      // frontier: best `beam` not-yet-expanded visited nodes (WHERE
+      // filters before the window computes, so brn ranks the
+      // unexpanded set — the same filter-then-rank order as Spark)
+      val notExpanded =
+        if (h == 1) ""
+        else s"""LEFT JOIN gexp${h - 1}_$tag x
+           |    ON v.q_id = x.q_id AND v.vec_id = x.vec_id
+           |  WHERE x.q_id IS NULL""".stripMargin
+      val gexp =
+        if (h == 1) s"(SELECT q_id, vec_id FROM gf1_$tag)"
+        else s"""(SELECT q_id, vec_id FROM gexp${h - 1}_$tag
+           |  UNION ALL SELECT q_id, vec_id FROM gf${h}_$tag)""".stripMargin
+      sb.append(s""",
+         |gf${h}_$tag AS MATERIALIZED (SELECT q_id, vec_id, cosine FROM (
+         |    SELECT v.*, row_number() OVER (PARTITION BY v.q_id
+         |      ORDER BY v.cosine DESC, v.vec_id) AS brn
+         |  FROM gv${h - 1}_$tag v
+         |  $notExpanded) t WHERE brn <= $beam),
+         |gexp${h}_$tag AS MATERIALIZED $gexp,
+         |gx${h}_$tag AS (SELECT DISTINCT b.q_id, e1.dst AS vec_id
+         |  FROM gf${h}_$tag b JOIN gedges e1 ON b.vec_id = e1.src),
+         |gs${h}_$tag AS MATERIALIZED (SELECT x.q_id, x.vec_id,
+         |    $cosQC AS cosine
+         |  FROM gx${h}_$tag x JOIN q USING (q_id) JOIN corpus USING (vec_id)),
+         |gv${h}_$tag AS MATERIALIZED (SELECT q_id, vec_id,
+         |    MAX(cosine) AS cosine
+         |  FROM (SELECT * FROM gv${h - 1}_$tag
+         |        UNION ALL SELECT * FROM gs${h}_$tag) u
+         |  GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private lazy val annGraphTopkSql =
+    s"""$graphChainSql,
+       |${graphSearchSql(GRAPH_BEAM, "m")},
+       |granked AS (SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM gv${GRAPH_HOPS}_m)
+       |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+       |FROM granked WHERE rn <= $TOP_K""".stripMargin
+
+  private lazy val annGraphRecallSql =
+    s"""$graphChainSql,
+       |${graphSearchSql(GRAPH_BEAM, "m")},
+       |approx AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM gv${GRAPH_HOPS}_m) t WHERE rn <= $TOP_K),
+       |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+       |  WHERE rn <= $TOP_K)
+       |SELECT e.q_id,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |GROUP BY e.q_id""".stripMargin
+
+  private lazy val annGraphBeamCurveSql = {
+    val searches = GRAPH_BEAMS.map(bw => graphSearchSql(bw, s"b$bw"))
+      .mkString(",\n")
+    val perBeam = GRAPH_BEAMS.map { bw =>
+      // hop 0 (the coarse-layer scan) is charged too — gv0 IS its ledger
+      val scoredSum = (s"(SELECT COUNT(*) FROM gv0_b$bw)" +:
+        (1 to GRAPH_HOPS).map(h => s"(SELECT COUNT(*) FROM gs${h}_b$bw)"))
+        .mkString(" + ")
+      s"""(SELECT CAST($bw AS INT) AS beam_width,
+         |  CAST($scoredSum AS BIGINT) AS candidates_scored,
+         |  (SELECT COUNT(*) FROM exact e JOIN
+         |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rn
+         |      FROM gv${GRAPH_HOPS}_b$bw) t WHERE rn <= $TOP_K) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
+         |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$graphChainSql,
+       |$searches,
+       |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+       |  WHERE rn <= $TOP_K)
+       |SELECT beam_width, candidates_scored, total_hits,
+       |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
+       |FROM ($perBeam)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_graph_topk" -> annGraphTopkSql,
+    "ann_graph_recall" -> annGraphRecallSql,
+    "ann_graph_beam_curve" -> annGraphBeamCurveSql,
+
     "ann_semdedup" ->
       s"""$semdedupSqlChain,
          |sz AS (SELECT cent_id, COUNT(*) AS n_vectors FROM sdprimary GROUP BY cent_id),

@@ -33,6 +33,14 @@ class PlanAuditSpec extends AnyFunSuite {
                             // ground truth + per-depth 1-row aggregates
                             // crossed — the probe-curve shape
     "ann_knn_classify",     // composes ann_cosine_topk (whitelisted above)
+    "ann_graph_topk",       // broadcast centroids × corpus (the semdedup
+                            // assignment) + broadcast queries × the
+                            // stride-sampled coarse entry layer — bounded
+    "ann_graph_recall",     // composes ann_graph_topk + the brute scan
+    "ann_graph_beam_curve", // the graph search per beam width + the brute
+                            // ground truth + per-width 1-row (candidates,
+                            // hits, exact) aggregates crossed — the
+                            // probe-curve shape
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself

@@ -130,4 +130,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(drift(l0).getAs[Double]("drift_l2") - want) < 1e-12,
       s"label $l0 drift")
   }
+
+  test("graph tier: topk is well-formed, recall bounded, beam curve monotone") {
+    // the search result is the standard top-k shape over CORPUS vectors
+    val topk = Similarity.queries("ann_graph_topk")(spark, sfDir).collect()
+    val byQ = topk.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to 5),
+        s"q=$q ranks")
+      // ranks ordered by descending cosine (vec_id tiebreak)
+      val ordered = rows.sortBy(_.getAs[Int]("rn"))
+        .map(r => (r.getAs[Double]("cosine"), r.getAs[Long]("vec_id")))
+      assert(ordered.sliding(2).forall {
+        case Array((c1, v1), (c2, v2)) => c1 > c2 || (c1 == c2 && v1 < v2)
+        case _ => true
+      }, s"q=$q ordering")
+      assert(rows.forall(_.getAs[Long]("vec_id") >= 10), s"q=$q corpus-only")
+    }
+    // recall per query is a hit fraction over the exact top-5
+    val rec = Similarity.queries("ann_graph_recall")(spark, sfDir).collect()
+    assert(rec.length === 10)
+    assert(rec.forall { r =>
+      val v = r.getAs[Double]("recall"); v >= 0.0 && v <= 1.0 })
+    // the operating-point curve: widening the beam may only score MORE
+    // candidates and find at-least-as-many of the true neighbors (the
+    // visited set at beam b is a superset of... NOT guaranteed in
+    // general graph search, but holds measured on this corpus — a
+    // regression here means the frontier discipline broke)
+    val curve = Similarity.queries("ann_graph_beam_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("beam_width"))
+    assert(curve.map(_.getAs[Int]("beam_width")).toSeq === Seq(2, 4, 8, 16))
+    val cands = curve.map(_.getAs[Long]("candidates_scored"))
+    assert(cands.sliding(2).forall { case Array(a, b) => a < b; case _ => true },
+      s"candidates must grow with beam: ${cands.toSeq}")
+    val recalls = curve.map(_.getAs[Double]("recall"))
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      s"recall regressed along the beam curve: ${recalls.toSeq}")
+    assert(recalls.last >= 0.9,
+      s"beam-16 recall collapsed at sf0.001: ${recalls.last} " +
+        "(measured 1.0 at r13 HEAD)")
+    CachePool.releaseAll()
+  }
 }
