@@ -108,65 +108,19 @@ object Smoke {
         println(s"[smoke] topo: generated config at $base/config.yaml")
         s"$base/config.yaml"
       }
-      val conf: Map[String, String] =
-        scala.io.Source.fromFile(configPath).getLines()
-          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-          .flatMap { l =>
-            l.split(":", 2) match {
-              case Array(k, v) => Some(k.trim -> v.trim)
-              case _ => None
-            }
-          }.toMap
-      val feedDir = conf("feed.dir")
-      val pub = pipeline.Publication.Spec(conf("publication.name"),
-        conf("publication.tables").split(',').map(_.trim).toSeq)
-      val sinkDir = conf("sink.dir")
-      val ckptDir = conf.getOrElse("checkpoint.dir", sinkDir + "__ckpt")
-      val delayUs =
-        conf.getOrElse("late.delay_minutes", "10").toLong * 60L * 1000000L
-      val buckets = conf.getOrElse("sink.buckets", "4").toInt
-      val wireSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("key",
-          org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.BinaryType)))
-      val q = spark.readStream.schema(wireSchema).parquet(feedDir)
-        // the subscriber contract: only published tables' messages are
-        // consumed — a scan-prunable predicate on the key prefix, the
-        // wire-level image of Publication.feed's envelope filter
-        .filter(split(col("key").cast("string"), ":").getItem(0)
-          .isin(pub.tables: _*))
-        .writeStream
-        .foreachBatch {
-          (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            streaming.ChangeLogStream
-              .fullProductionBatch(sinkDir, delayUs, buckets)(b, id)
-            ()
-        }
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val logged = ops.LogSink.read(spark, s"$sinkDir/log")
-        .collect().map(_.nRows).sum
-      def cnt(p: String): Long =
-        try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
-      val (dead, late) = (cnt(s"$sinkDir/dlq"), cnt(s"$sinkDir/late"))
-      val states = pub.tables.map { t =>
-        val st = spark.read.parquet(s"$sinkDir/state/$t")
-        (t, st.filter(!col("tombstone")).count(),
-          st.filter(col("tombstone")).count())
-      }
-      states.foreach { case (t, live, tomb) =>
-        println(s"[smoke] topo state $t: live=$live tombstones=$tomb")
+      // the SAME library path TopologySpec gates: parse → run → census
+      val cfg = streaming.Topology.parse(configPath)
+      streaming.Topology.run(spark, cfg)
+      val c = streaming.Topology.census(spark, cfg)
+      c.states.foreach { st =>
+        println(s"[smoke] topo state ${st.table}: live=${st.live} " +
+          s"tombstones=${st.tombstones}")
       }
       // conservation over the published subset: every consumed message
       // is dead, late, or logged into a published table's store
-      val consumed = spark.read.parquet(feedDir)
-        .filter(split(col("key").cast("string"), ":").getItem(0)
-          .isin(pub.tables: _*)).count()
-      val ok = states.forall(_._2 > 0) && consumed == dead + late + logged
-      println(s"[smoke] topo consumed=$consumed dead=$dead late=$late " +
-        s"logged=$logged " + (if (ok) "OK" else "WRONG"))
+      val ok = c.states.forall(_.live > 0) && c.conserved
+      println(s"[smoke] topo consumed=${c.consumed} dead=${c.dead} " +
+        s"late=${c.late} logged=${c.logged} " + (if (ok) "OK" else "WRONG"))
       if (!ok) { spark.stop(); sys.exit(1) }
     } else if (args.headOption.contains("sql")) {
       // ad-hoc SQL against the attached corpus: runMain graft.Smoke sql "<query>" [sfDir]

