@@ -477,11 +477,15 @@ object Similarity {
     * cells dedups through max(sim), the values being identical), then
     * SYMMETRIZED: small-world links are undirected (the reverse edge is
     * what lets a walk back out of a local minimum — NSW/HNSW keep both
-    * directions), so max degree is 2·G and edge volume ≤ 2·n·G rows —
-    * still the 8-bytes-per-edge index an executor holds. Directed-only
-    * was measured first: mean recall@5 0.52 at beam 8 / 6 hops on
-    * sf0.01; the symmetrized graph at 8 hops is what the shipped curve
-    * prices.
+    * directions). Total edge volume is ≤ 2·n·G rows (still the
+    * 8-bytes-per-edge index an executor holds) but PER-NODE degree is
+    * G ≤ deg ≤ G + in-degree, and the in-degree is data-dependent — a
+    * hub chosen by many others exceeds 2·G (ann_graph_degree measures
+    * the histogram; HNSW prunes hub back-links for exactly this
+    * reason, a refinement this deterministic layer skips and the
+    * census makes visible instead). Directed-only was measured first:
+    * mean recall@5 0.52 at beam 8 / 6 hops on sf0.01; the symmetrized
+    * graph at 8 hops is what the shipped curve prices.
     */
   private def graphEdges(s: SparkSession, d: String): DataFrame = {
     graft.plans.TopK.installedWithRewrite(s)
@@ -1177,6 +1181,21 @@ object Similarity {
               col("exact_rows").cast("double")).as("recall"))
       }
       GRAPH_BEAMS.map(rowFor).reduce(_ unionByName _)
+    }),
+
+    // Index-health report for the graph tier (the ann_bucket_balance
+    // convention applied to the small-world layer): the degree
+    // histogram of the symmetrized graph. Degree G means a pure mutual
+    // top-G node; anything above G is in-degree — and since in-degree
+    // is data-dependent, a hub chosen by many others exceeds 2·G (the
+    // probe-time hotspot class HNSW prunes back-links for; measured
+    // max 18 at G=8 on sf0.001). A vector missing from the source side
+    // entirely is isolated — unreachable by any walk, wasted index
+    // rows. Two hash aggs over the persisted edge relation,
+    // O(distinct degrees) out.
+    "ann_graph_degree" -> ((s, d) => {
+      graphEdges(s, d).groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_vectors"))
     }),
 
     // Index-health report for the sign-LSH layout: the occupancy
@@ -1945,6 +1964,11 @@ object Similarity {
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_recall" -> annGraphRecallSql,
     "ann_graph_beam_curve" -> annGraphBeamCurveSql,
+    "ann_graph_degree" ->
+      s"""$graphChainSql
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
+         |  SELECT src, COUNT(*) AS degree FROM gedges GROUP BY 1) d
+         |GROUP BY 1""".stripMargin,
 
     "ann_semdedup" ->
       s"""$semdedupSqlChain,

@@ -503,6 +503,23 @@ object Stats {
           col("bv").cast("double").as("weighted_median_qty"))
     }),
 
+    // The k>2 face of the same operator: revenue-weighted quantity
+    // QUARTILES per return flag — where each quarter of the MONEY sits
+    // on the quantity axis (the distribution question "what order sizes
+    // carry the revenue", which the unweighted quartiles get wrong
+    // whenever price correlates with quantity). Same helper, same
+    // all-integer k·cum ≥ i·W rule, boundaries shipped as DOUBLE.
+    "agg_weighted_quartiles" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("w"))
+      Boundaries.weightedQuantileValuesGrouped(
+          rows, Seq("l_returnflag"), "q", "w", 4)
+        .select(col("l_returnflag"), col("i").cast("int").as("quartile"),
+          col("bv").cast("double").as("boundary_qty"))
+    }),
+
     // Difference-in-differences — the quasi-experimental readout when
     // assignment isn't randomized per exposure: effect = (treatment
     // post − pre) − (control post − pre), which nets out both the
@@ -746,6 +763,72 @@ object Stats {
         (when(col("v_sum") <= 0.0, lit(null).cast("double"))
           .otherwise((col("r_t") - col("r_c")) * (col("r_t") - col("r_c")) /
             col("v_sum")) > 3.841458820694124).as("significant"))
+    }),
+
+    // GROUP-SEQUENTIAL monitoring — the peeking-safe daily readout: a
+    // platform that re-tests the conversion z² every day at the fixed
+    // 3.84 line inflates false positives severalfold; the sequential
+    // boundary spends alpha across looks instead. Per day d: cumulative
+    // assigned users (first event ≤ d) and converters (first purchase
+    // ≤ d) per arm from per-user first-day histograms + one
+    // key-partitioned cumulative window over the ≤O(days) grid; the
+    // two-proportion pooled z² is compared to the O'Brien-Fleming-
+    // family bound z²(t) = C²/t at information fraction t = cumulative
+    // users / final users (Lan-DeMets continuous-monitoring
+    // approximation; C = 2.0243 for overall α ≈ 0.05 — C² is the
+    // shared literal 4.09778049 so both engines carry the identical
+    // double). Everything is exact integers until the divisions;
+    // day-0 arms with no users or degenerate pooled p NULL out, both
+    // engines. Shape: one scan, per-user agg, two ≤days-sized
+    // histograms, a 2·days grid window, a 1-row final-total broadcast.
+    "events_ab_sequential" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = ev.agg(min(to_date(col("ts"))).as("d0")).withColumn("__k", lit(1))
+      val withDay = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
+        .withColumn("day", datediff(to_date(col("ts")), col("d0")))
+      val per = withDay
+        .groupBy(expr("pmod(user_id, 2)").as("variant"), col("user_id"))
+        .agg(min(col("day")).as("fe"),
+          min(when(col("event_type") === "purchase", col("day"))).as("fp"))
+        .transform(graft.CachePool.persist) // assigned + converter hists
+      val aHist = per.groupBy(col("variant"), col("fe").as("day"))
+        .agg(count(lit(1)).as("na_d"))
+      val cHist = per.filter(col("fp").isNotNull)
+        .groupBy(col("variant"), col("fp").as("day"))
+        .agg(count(lit(1)).as("nc_d"))
+      val days = withDay.select("day").distinct()
+      val grid = days.crossJoin(broadcast(
+        s.range(0, 2).select(col("id").as("variant"))))
+      val wCum = Window.partitionBy("variant").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.join(aHist, Seq("variant", "day"), "left")
+        .join(cHist, Seq("variant", "day"), "left")
+        .withColumn("na", sum(coalesce(col("na_d"), lit(0L))).over(wCum))
+        .withColumn("nc", sum(coalesce(col("nc_d"), lit(0L))).over(wCum))
+      def side(vr: Int, c: String) = min(when(col("variant") === vr, col(c)))
+      val byDay = cum.groupBy("day").agg(
+        side(0, "na").as("n_a"), side(0, "nc").as("conv_a"),
+        side(1, "na").as("n_b"), side(1, "nc").as("conv_b"))
+      val tot = byDay.agg(max(col("n_a") + col("n_b")).as("n_final"))
+        .withColumn("__k", lit(1))
+      val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+      val p = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se2 = p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))
+      val z2 = when(col("n_a") === 0L || col("n_b") === 0L,
+        lit(null).cast("double"))
+        .otherwise(when(se2 <= 0.0, lit(null).cast("double"))
+          .otherwise((pa - pb) * (pa - pb) / se2))
+      val infoFrac = (col("n_a") + col("n_b")).cast("double") /
+        col("n_final").cast("double")
+      val bound = lit(4.09778049) / infoFrac
+      byDay.withColumn("__k", lit(1)).join(broadcast(tot), "__k")
+        .select(col("day").cast("int").as("day"),
+          col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          z2.as("z2"), bound.as("bound_z2"), (z2 > bound).as("crossed"))
     }),
 
     // Continuous-metric experiment readout: Welch's unequal-variance
@@ -1344,6 +1427,81 @@ object Stats {
         |  WHERE cw * 2 >= total_w GROUP BY 1)
         |SELECT l_returnflag, n_distinct_q, total_w, weighted_median_qty
         |FROM tot JOIN med USING (l_returnflag)""".stripMargin,
+
+    // Same weighted-rank rule at k=4: boundary_i = min q whose
+    // 4·cum(weight) ≥ i·total within the flag.
+    "agg_weighted_quartiles" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, q,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw
+        |  FROM h),
+        |t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw
+        |  FROM h GROUP BY 1),
+        |k AS (SELECT l_returnflag, CAST(i AS INT) AS quartile, tw
+        |  FROM t, (SELECT unnest(generate_series(1, 3)) AS i) si)
+        |SELECT k.l_returnflag, quartile,
+        |  CAST(MIN(q) AS DOUBLE) AS boundary_qty
+        |FROM k JOIN c ON k.l_returnflag = c.l_returnflag
+        |  AND c.cw * 4 >= k.quartile * k.tw
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same first-day histograms, same cumulative grid, same pooled-z²
+    // and C²/t boundary expression trees (C² = the shared 4.09778049
+    // literal).
+    "events_ab_sequential" ->
+      """WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |per AS (SELECT ((user_id % 2) + 2) % 2 AS variant, user_id,
+        |    MIN(date_diff('day', d0, CAST(ts AS DATE))) AS fe,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN date_diff('day', d0, CAST(ts AS DATE)) END) AS fp
+        |  FROM events, g GROUP BY 1, 2),
+        |ah AS (SELECT variant, fe AS day, COUNT(*) AS na_d
+        |  FROM per GROUP BY 1, 2),
+        |ch AS (SELECT variant, fp AS day, COUNT(*) AS nc_d
+        |  FROM per WHERE fp IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT date_diff('day', d0, CAST(ts AS DATE))
+        |    AS day FROM events, g),
+        |grid AS (SELECT day, variant FROM days,
+        |  (SELECT unnest(generate_series(0, 1)) AS variant) v),
+        |cum AS (SELECT variant, day,
+        |    CAST(SUM(COALESCE(na_d, 0)) OVER w AS BIGINT) AS na,
+        |    CAST(SUM(COALESCE(nc_d, 0)) OVER w AS BIGINT) AS nc
+        |  FROM grid LEFT JOIN ah USING (variant, day)
+        |    LEFT JOIN ch USING (variant, day)
+        |  WINDOW w AS (PARTITION BY variant ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |bd AS (SELECT day,
+        |    MIN(CASE WHEN variant = 0 THEN na END) AS n_a,
+        |    MIN(CASE WHEN variant = 0 THEN nc END) AS conv_a,
+        |    MIN(CASE WHEN variant = 1 THEN na END) AS n_b,
+        |    MIN(CASE WHEN variant = 1 THEN nc END) AS conv_b
+        |  FROM cum GROUP BY 1),
+        |tot AS (SELECT MAX(n_a + n_b) AS n_final FROM bd),
+        |x AS (SELECT bd.*, n_final,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    CAST(n_a + n_b AS DOUBLE) / CAST(n_final AS DOUBLE) AS t
+        |  FROM bd, tot),
+        |y AS (SELECT *,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |      WHEN p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE)) <= 0.0 THEN NULL
+        |      ELSE (pa - pb) * (pa - pb)
+        |        / (p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
+        |          + 1.0 / CAST(n_b AS DOUBLE))) END AS z2,
+        |    4.09778049 / t AS bound_z2
+        |  FROM x)
+        |SELECT CAST(day AS INT) AS day, n_a, n_b, conv_a, conv_b,
+        |  z2, bound_z2, z2 > bound_z2 AS crossed
+        |FROM y""".stripMargin,
 
     // Same doubled-rank histogram algebra; pmod ↔ ((x % 2) + 2) % 2 is
     // the family's variant convention.

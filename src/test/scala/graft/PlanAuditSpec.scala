@@ -37,6 +37,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // assignment) + broadcast queries × the
                             // stride-sampled coarse entry layer — bounded
     "ann_graph_recall",     // composes ann_graph_topk + the brute scan
+    "ann_graph_degree",     // composes the graph construction (the
+                            // semdedup broadcast assignment) — the edge
+                            // histogram itself is two hash aggs
+    "events_ab_sequential", // 1-row day-zero + final-total broadcasts and
+                            // the 2-row variant dim crossed onto the
+                            // ≤days spine — all bounded
     "ann_graph_beam_curve", // the graph search per beam width + the brute
                             // ground truth + per-width 1-row (candidates,
                             // hits, exact) aggregates crossed — the
