@@ -131,6 +131,47 @@ object Smoke {
       val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       GraftSession.attach(spark, sfDir)
       spark.sql(args(1)).show(20, truncate = false)
+    } else if (args.headOption.contains("reuse")) {
+      // Cache-reuse pricer (r12 verdict, stretch #7): the dedup family's
+      // shared-postings reuse was documented prose in SKILL.md; this
+      // mode turns it into numbers. Run <target> COLD (fresh CachePool),
+      // then again AFTER <warmers> have populated the family
+      // intermediates, and report Spark JOB COUNTS + wall seconds for
+      // both. Job counts are plan properties — the persisted
+      // intermediate's build jobs disappear from the warm run — so the
+      // job delta is deterministic where wall time is co-tenant noisy;
+      // read the delta first, the seconds second.
+      // usage: runMain graft.Smoke reuse <target> <w1>[,<w2>...] [sfDir]
+      if (args.length < 3) {
+        System.err.println(
+          "usage: graft.Smoke reuse <target> <w1>[,<w2>...] [sfDir]")
+        spark.stop(); sys.exit(2)
+      }
+      spark.sparkContext.setLogLevel("ERROR")
+      val sfDir = if (args.length > 3) args(3)
+        else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      sources.Tables.lineitem(spark, sfDir).limit(1).collect() // JVM warmup
+      def measured(name: String, tag: String): (Int, Double) = {
+        spark.sparkContext.setJobGroup(tag, tag)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        Thread.sleep(500) // status store is listener-fed; let it drain
+        (spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length, t)
+      }
+      CachePool.releaseAll()
+      val (jCold, tCold) = measured(args(1), "reuse_cold")
+      CachePool.releaseAll()
+      args(2).split(',').foreach(w =>
+        SparkEntry.queries(w)(spark, sfDir).count())
+      val (jWarm, tWarm) = measured(args(1), "reuse_warm")
+      println(f"[smoke] reuse ${args(1)}%s cold: jobs=$jCold%d time=$tCold%.3f s")
+      println(f"[smoke] reuse ${args(1)}%s warm after ${args(2)}%s: " +
+        f"jobs=$jWarm%d time=$tWarm%.3f s")
+      println(s"[smoke] reuse job-delta=${jCold - jWarm} " +
+        (if (jWarm < jCold) "REUSE-CONFIRMED" else "NO-REUSE"))
+      CachePool.releaseAll()
     } else if (args.headOption.contains("time")) {
       // Isolation timing: runMain graft.Smoke time <q1>[,<q2>...] [sfDir]
       // Bench-identical protocol (warmup, min of two passes, adaptive
