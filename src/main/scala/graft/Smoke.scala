@@ -157,8 +157,17 @@ object Smoke {
         SparkEntry.queries(name)(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.clearJobGroup()
-        Thread.sleep(500) // status store is listener-fed; let it drain
-        (spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length, t)
+        // the status store is fed by the ASYNC listener bus — a fixed
+        // sleep can undercount under load; poll until two consecutive
+        // reads agree (bounded at 10 s)
+        def jobCount = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(tag).length
+        var (prev, cur, waited) = (-1, jobCount, 0L)
+        while (prev != cur && waited < 10000L) {
+          Thread.sleep(250); waited += 250
+          prev = cur; cur = jobCount
+        }
+        (cur, t)
       }
       CachePool.releaseAll()
       val (jCold, tCold) = measured(args(1), "reuse_cold")

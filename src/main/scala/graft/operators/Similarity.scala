@@ -1852,8 +1852,9 @@ object Similarity {
 
   /** Graph-tier oracle chain: the IDENTICAL blocked candidate set
     * (semdedup multi-probe assignment, corpus-only), per-source
-    * top-[[GRAPH_DEGREE]] edges, and the fixed entry. Exports `gedges`
-    * and `gentry` on top of [[semdedupSqlChain]].
+    * top-[[GRAPH_DEGREE]] edges symmetrized, and the stride-sampled
+    * coarse entry layer. Exports `gedges` and `gl1` on top of
+    * [[semdedupSqlChain]].
     */
   private lazy val graphChainSql = {
     val cosAB = VectorOps.cosineSql("a.e", "b.e", DIM)

@@ -776,16 +776,23 @@ object Stats {
     // family bound z²(t) = C²/t at information fraction t = cumulative
     // users / final users (Lan-DeMets continuous-monitoring
     // approximation; C = 2.0243 for overall α ≈ 0.05 — C² is the
-    // shared literal 4.09778049 so both engines carry the identical
+    // shared literal 4.09779049 so both engines carry the identical
     // double). Everything is exact integers until the divisions;
     // day-0 arms with no users or degenerate pooled p NULL out, both
-    // engines. Shape: one scan, per-user agg, two ≤days-sized
-    // histograms, a 2·days grid window, a 1-row final-total broadcast.
+    // engines. Shape: two fact-table scans (the day-zero fence + one
+    // persisted day-stamped projection that the per-user agg and the
+    // day spine both read), two ≤days-sized histograms, a 2·days grid
+    // window, a 1-row final-total broadcast.
     "events_ab_sequential" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val g = ev.agg(min(to_date(col("ts"))).as("d0")).withColumn("__k", lit(1))
+      // persisted: the per-user pass AND the day spine both read the
+      // day-stamped projection, so the fact table is scanned twice in
+      // total (the day-zero fence + this materialization), not thrice
       val withDay = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
         .withColumn("day", datediff(to_date(col("ts")), col("d0")))
+        .select("user_id", "event_type", "day")
+        .transform(graft.CachePool.persist)
       val per = withDay
         .groupBy(expr("pmod(user_id, 2)").as("variant"), col("user_id"))
         .agg(min(col("day")).as("fe"),
@@ -824,7 +831,7 @@ object Stats {
           .otherwise((pa - pb) * (pa - pb) / se2))
       val infoFrac = (col("n_a") + col("n_b")).cast("double") /
         col("n_final").cast("double")
-      val bound = lit(4.09778049) / infoFrac
+      val bound = lit(4.09779049) / infoFrac
       byDay.withColumn("__k", lit(1)).join(broadcast(tot), "__k")
         .select(col("day").cast("int").as("day"),
           col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
@@ -1452,7 +1459,7 @@ object Stats {
         |GROUP BY 1, 2""".stripMargin,
 
     // Same first-day histograms, same cumulative grid, same pooled-z²
-    // and C²/t boundary expression trees (C² = the shared 4.09778049
+    // and C²/t boundary expression trees (C² = the shared 4.09779049
     // literal).
     "events_ab_sequential" ->
       """WITH g AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
@@ -1497,7 +1504,7 @@ object Stats {
         |      ELSE (pa - pb) * (pa - pb)
         |        / (p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
         |          + 1.0 / CAST(n_b AS DOUBLE))) END AS z2,
-        |    4.09778049 / t AS bound_z2
+        |    4.09779049 / t AS bound_z2
         |  FROM x)
         |SELECT CAST(day AS INT) AS day, n_a, n_b, conv_a, conv_b,
         |  z2, bound_z2, z2 > bound_z2 AS crossed

@@ -106,9 +106,15 @@ object Topology {
     val logged = graft.ops.LogSink.read(spark, s"${cfg.sinkDir}/log")
       .collect().map(_.nRows).sum
     val states = cfg.publication.tables.map { t =>
-      val st = spark.read.parquet(s"${cfg.sinkDir}/state/$t")
-      TableState(t, st.filter(!col("tombstone")).count(),
-        st.filter(col("tombstone")).count())
+      // a PUBLISHED table the feed never mentioned has no store at all
+      // (the sink only writes touched buckets) — that is live=0, not a
+      // crash: the operator reading this census needs the zero row to
+      // notice the silent table
+      try {
+        val st = spark.read.parquet(s"${cfg.sinkDir}/state/$t")
+        TableState(t, st.filter(!col("tombstone")).count(),
+          st.filter(col("tombstone")).count())
+      } catch { case _: Throwable => TableState(t, 0L, 0L) }
     }
     val consumed = spark.read.parquet(cfg.feedDir)
       .filter(publishedFilter(cfg)).count()

@@ -109,5 +109,17 @@ class TopologySpec extends AnyFunSuite {
     // and the restarted pass consumed ONLY the new files: logged grew by
     // exactly batch 2's admitted rows (4 consumed − 1 dead − 1 late = 2)
     assert(c2.logged === c1.logged + 2, s"restart re-consumed old files: $c1 → $c2")
+
+    // a PUBLISHED table the feed never mentions has no store on disk
+    // (only touched buckets are written) — the census must report it as
+    // live=0 so the operator notices the silent table, not crash (r13
+    // review finding)
+    val cfg9 = cfg.copy(publication = graft.pipeline.Publication.Spec(
+      "spec_pub", cfg.publication.tables :+ "public.t9"))
+    val c9 = Topology.census(spark, cfg9)
+    val t9 = c9.states.find(_.table == "public.t9")
+    assert(t9.contains(Topology.TableState("public.t9", 0L, 0L)),
+      s"silent published table census: $t9")
+    assert(c9.consumed === c2.consumed, "t9 never appears in the feed")
   }
 }

@@ -332,9 +332,17 @@ def selftest():
     with open(os.path.join(out, "oracle_sql.json"), "w") as f:
         json.dump({"toy_decimal":
                    "SELECT CAST(3168.30 AS DECIMAL(18,2)) AS m"}, f)
-    rc = main(sf, out)
-    if rc == 0:
-        print("SELFTEST FAIL: decimal-shipping toy query passed")
+    # capture the output: a nonzero rc for any OTHER reason (path issue,
+    # oracle SQL error) must not count as the canary firing
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(sf, out)
+    print(buf.getvalue(), end="")
+    if rc == 0 or "DECIMAL-typed result column" not in buf.getvalue():
+        print("SELFTEST FAIL: the decimal ban did not fire "
+              f"(rc={rc}; see output above)")
         return 1
     print("SELFTEST PASS: decimal-shipping toy query correctly rejected")
     return 0
