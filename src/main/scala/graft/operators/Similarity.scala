@@ -1206,6 +1206,30 @@ object Similarity {
       GRAPH_BEAMS.map(rowFor).reduce(_ unionByName _)
     }),
 
+    // The BUILD half of the graph tier's cost story (the search half is
+    // ann_graph_beam_curve): the one-off construction price a 100 TB
+    // index owner weighs against the per-query savings. Ships the
+    // blocked candidate-pair BOUND Σ|cell|² (the exact number of
+    // pairwise cosines the k-NN build may evaluate — the quantity the
+    // "never all-pairs" claim is measured by, vs n² for brute), the
+    // cell count, the realized symmetrized edge volume, and the
+    // isolated-vector count (unreachable by any walk — wasted rows).
+    // All counts exact integers off the persisted assignment/edge
+    // relations; 1-row report.
+    "ann_graph_build_cost" -> ((s, d) => {
+      val sd = semdedupAssign(s, d).filter(col("vec_id") >= N_QUERIES)
+      val cells = sd.groupBy("cent_id").agg(count(lit(1)).as("c"))
+      val bound = cells.agg(sum(col("c") * col("c")).as("candidate_pair_bound"),
+        count(lit(1)).as("n_cells")).withColumn("__k", lit(1))
+      val eStats = graphEdges(s, d).agg(count(lit(1)).as("n_edges"),
+        count_distinct(col("src")).as("n_connected")).withColumn("__k", lit(1))
+      val nc = corpusDf(s, d).agg(count(lit(1)).as("n_corpus"))
+        .withColumn("__k", lit(1))
+      nc.join(broadcast(bound), "__k").join(broadcast(eStats), "__k")
+        .select(col("n_corpus"), col("n_cells"), col("candidate_pair_bound"),
+          col("n_edges"), (col("n_corpus") - col("n_connected")).as("n_isolated"))
+    }),
+
     // Index-health report for the graph tier (the ann_bucket_balance
     // convention applied to the small-world layer): the degree
     // histogram of the symmetrized graph. Degree G means a pure mutual
@@ -1993,6 +2017,18 @@ object Similarity {
          |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
          |  SELECT src, COUNT(*) AS degree FROM gedges GROUP BY 1) d
          |GROUP BY 1""".stripMargin,
+    "ann_graph_build_cost" ->
+      s"""$graphChainSql,
+         |cells AS (SELECT cent_id, COUNT(*) AS c FROM sdassign
+         |  WHERE vec_id >= $N_QUERIES GROUP BY 1),
+         |b AS (SELECT CAST(SUM(c * c) AS BIGINT) AS candidate_pair_bound,
+         |    COUNT(*) AS n_cells FROM cells),
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_connected FROM gedges),
+         |n AS (SELECT COUNT(*) AS n_corpus FROM corpus)
+         |SELECT n_corpus, n_cells, candidate_pair_bound, n_edges,
+         |  n_corpus - n_connected AS n_isolated
+         |FROM n, b, e""".stripMargin,
 
     "ann_semdedup" ->
       s"""$semdedupSqlChain,

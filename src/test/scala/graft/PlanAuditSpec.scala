@@ -40,6 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_graph_degree",     // composes the graph construction (the
                             // semdedup broadcast assignment) — the edge
                             // histogram itself is two hash aggs
+    "ann_graph_build_cost", // same construction + three 1-row count
+                            // aggregates crossed — bounded
     "events_ab_sequential", // 1-row day-zero + final-total broadcasts and
                             // the 2-row variant dim crossed onto the
                             // ≤days spine — all bounded
