@@ -1230,6 +1230,40 @@ object Similarity {
           col("n_edges"), (col("n_corpus") - col("n_connected")).as("n_isolated"))
     }),
 
+    // Global clustering coefficient of the k-NN graph — the structure
+    // number that EXPLAINS the tier's recall story: 3·triangles/wedges
+    // measures how often two neighbors of a vector are neighbors of
+    // each other. Real embedding corpora (low intrinsic dimension)
+    // cluster strongly and navigate easily; near-uniform R^64 clusters
+    // weakly, which is exactly why the beam curve needs the coarse
+    // entry layer — this query turns that explanation into a measured
+    // number. Scale shape: the graph has bounded out-degree, so the
+    // triangle join is two hash joins over the persisted O(n·G) edge
+    // relation (O(n·G²) candidate wedges — never an unbounded
+    // self-join); wedges come from one degree aggregation, all counts
+    // exact integers, 1-row report.
+    "ann_graph_clustering" -> ((s, d) => {
+      val und = graphEdges(s, d).filter(col("src") < col("dst"))
+        .transform(graft.CachePool.persist) // three triangle probes
+      val e1 = und.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = und.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = und.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles")).withColumn("__k", lit(1))
+      val deg = graphEdges(s, d).groupBy("src").agg(count(lit(1)).as("dg"))
+      val dw = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+        .withColumn("__k", lit(1))
+      und.agg(count(lit(1)).as("n_edges")).withColumn("__k", lit(1))
+        .join(broadcast(dw), "__k").join(broadcast(tri), "__k")
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") === 0L, lit(null).cast("double"))
+            .otherwise(lit(3.0) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double")).as("global_clustering"))
+    }),
+
     // Index-health report for the graph tier (the ann_bucket_balance
     // convention applied to the small-world layer): the degree
     // histogram of the symmetrized graph. Degree G means a pure mutual
@@ -2017,6 +2051,23 @@ object Similarity {
          |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
          |  SELECT src, COUNT(*) AS degree FROM gedges GROUP BY 1) d
          |GROUP BY 1""".stripMargin,
+    "ann_graph_clustering" ->
+      s"""$graphChainSql,
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM gedges
+         |  WHERE src < dst),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM und e1
+         |  JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM gedges GROUP BY 1),
+         |dw AS (SELECT COUNT(*) AS n_nodes,
+         |    CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges = 0 THEN NULL
+         |    ELSE 3.0 * CAST(n_triangles AS DOUBLE)
+         |      / CAST(n_wedges AS DOUBLE) END AS global_clustering
+         |FROM ne, dw, tri""".stripMargin,
     "ann_graph_build_cost" ->
       s"""$graphChainSql,
          |cells AS (SELECT cent_id, COUNT(*) AS c FROM sdassign

@@ -42,6 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
                             // histogram itself is two hash aggs
     "ann_graph_build_cost", // same construction + three 1-row count
                             // aggregates crossed — bounded
+    "ann_graph_clustering", // same construction; the triangle pass is
+                            // equi-joins over the bounded-degree edges,
+                            // then three 1-row aggregates crossed
     "events_ab_sequential", // 1-row day-zero + final-total broadcasts and
                             // the 2-row variant dim crossed onto the
                             // ≤days spine — all bounded
