@@ -19,6 +19,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object CachePool {
   private val refs = new ConcurrentLinkedQueue[DataFrame]()
+  // JVM-lifetime release hooks: operator families that memoize
+  // DataFrame-shaped intermediates OUTSIDE the pool (e.g. the graph
+  // tier's per-(dir, beam) search memo) register a clear() here so one
+  // releaseAll() drops every cache layer coherently — otherwise a memo
+  // outlives the persisted relations it was built from, the reuse
+  // pricer reports a fake-cold first run, and regenerated data at the
+  // same path can serve stale results within one JVM (r13 advice).
+  private val resetHooks = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a hook to run on every [[releaseAll]] (never drained). */
+  def onRelease(hook: () => Unit): Unit = resetHooks.add(hook)
 
   /** Persist (MEMORY_AND_DISK) and register for later release.
     *
@@ -44,12 +55,15 @@ object CachePool {
     df
   }
 
-  /** Unpersist every registered DataFrame (non-blocking). */
+  /** Unpersist every registered DataFrame (non-blocking) and run the
+    * registered reset hooks (memo clears in operator families).
+    */
   def releaseAll(): Unit = {
     var df = refs.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = refs.poll()
     }
+    resetHooks.forEach(h => h())
   }
 }

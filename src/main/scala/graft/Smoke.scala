@@ -131,6 +131,14 @@ object Smoke {
       val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       GraftSession.attach(spark, sfDir)
       spark.sql(args(1)).show(20, truncate = false)
+    } else if (args.headOption.contains("show")) {
+      // result inspection: runMain graft.Smoke show <query> [sfDir]
+      if (args.length < 2) {
+        System.err.println("usage: graft.Smoke show <query> [sfDir]")
+        spark.stop(); sys.exit(2)
+      }
+      val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      SparkEntry.queries(args(1))(spark, sfDir).show(100, truncate = false)
     } else if (args.headOption.contains("reuse")) {
       // Cache-reuse pricer (r12 verdict, stretch #7): the dedup family's
       // shared-postings reuse was documented prose in SKILL.md; this

@@ -258,8 +258,10 @@ object Boundaries {
     * note: the UNWEIGHTED family extracts rank (i·n) div k, i.e.
     * cum ≥ floor(i·n/k); the weighted rule is cum ≥ ceil(i·W/k) —
     * the ≥-half convention weighted medians use. The two agree
-    * whenever i·n/k is not integral; both are exact quantile
-    * definitions, and each caller's oracle mirrors its own.
+    * whenever i·n/k IS integral (floor = ceil there); when it is not,
+    * the weighted rule sits one rank higher (e.g. n=10, k=4, i=1:
+    * rank 2 vs rank 3). Both are exact quantile definitions, and each
+    * caller's oracle mirrors its own rule.
     *
     * `weightCol` must be integral (LONG) and non-negative; the compare
     * multiplies cumulative weight by k, so k·W_g must stay below 2^63

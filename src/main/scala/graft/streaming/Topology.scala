@@ -101,8 +101,19 @@ object Topology {
 
   /** Post-run census over the sink directories. */
   def census(spark: SparkSession, cfg: Config): Census = {
+    // Only the MISSING-STORE case reads as zero (an untouched sink dir
+    // is normal: the sink writes touched buckets only). Any other
+    // failure — IO, permissions, corrupt footer — propagates: swallowing
+    // it here would disguise a real error as a "silent table" or a
+    // bogus conservation failure (r13 advice).
+    def missingPath(e: org.apache.spark.sql.AnalysisException): Boolean =
+      e.getCondition == "PATH_NOT_FOUND" ||
+        e.getCondition == "UNABLE_TO_INFER_SCHEMA"
     def cnt(p: String): Long =
-      try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+      try spark.read.parquet(p).count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if missingPath(e) => 0L
+      }
     val logged = graft.ops.LogSink.read(spark, s"${cfg.sinkDir}/log")
       .collect().map(_.nRows).sum
     val states = cfg.publication.tables.map { t =>
@@ -114,7 +125,10 @@ object Topology {
         val st = spark.read.parquet(s"${cfg.sinkDir}/state/$t")
         TableState(t, st.filter(!col("tombstone")).count(),
           st.filter(col("tombstone")).count())
-      } catch { case _: Throwable => TableState(t, 0L, 0L) }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if missingPath(e) =>
+          TableState(t, 0L, 0L)
+      }
     }
     val consumed = spark.read.parquet(cfg.feedDir)
       .filter(publishedFilter(cfg)).count()

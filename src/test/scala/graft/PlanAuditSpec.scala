@@ -52,6 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // ground truth + per-width 1-row (candidates,
                             // hits, exact) aggregates crossed — the
                             // probe-curve shape
+    "ann_graph_prune_curve", // the identical curve over the hub-pruned
+                            // edges — same bounded 1-row crosses
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself

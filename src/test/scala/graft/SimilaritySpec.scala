@@ -153,23 +153,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rec.length === 10)
     assert(rec.forall { r =>
       val v = r.getAs[Double]("recall"); v >= 0.0 && v <= 1.0 })
-    // the operating-point curve: widening the beam may only score MORE
-    // candidates and find at-least-as-many of the true neighbors (the
-    // visited set at beam b is a superset of... NOT guaranteed in
-    // general graph search, but holds measured on this corpus — a
-    // regression here means the frontier discipline broke)
+    // the operating-point curve: widening the beam should score more
+    // candidates and roughly monotone recall. Greedy graph search does
+    // NOT guarantee strict monotonicity in general (r13 advice), so the
+    // gate is softened to what a frontier-discipline regression would
+    // actually break: candidates NON-decreasing, recall allowed one
+    // small dip (≤ 0.1 per step), plus the hard beam-16 floor.
     val curve = Similarity.queries("ann_graph_beam_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Int]("beam_width"))
     assert(curve.map(_.getAs[Int]("beam_width")).toSeq === Seq(2, 4, 8, 16))
     val cands = curve.map(_.getAs[Long]("candidates_scored"))
-    assert(cands.sliding(2).forall { case Array(a, b) => a < b; case _ => true },
-      s"candidates must grow with beam: ${cands.toSeq}")
+    assert(cands.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      s"candidates shrank with beam (fixture sf0.001, seed-free): ${cands.toSeq}")
     val recalls = curve.map(_.getAs[Double]("recall"))
-    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
-      s"recall regressed along the beam curve: ${recalls.toSeq}")
+    assert(recalls.sliding(2).forall {
+      case Array(a, b) => b >= a - 0.1; case _ => true },
+      s"recall dropped >0.1 along the beam curve: ${recalls.toSeq}")
     assert(recalls.last >= 0.9,
       s"beam-16 recall collapsed at sf0.001: ${recalls.last} " +
-        "(measured 1.0 at r13 HEAD)")
+        "(measured 1.0 at r14 HEAD)")
+    CachePool.releaseAll()
+  }
+
+  test("graph tier: entry stride derives from the corpus count at two SFs") {
+    // the r13 weak flag: a FIXED stride made the hop-0 scan O(n). The
+    // derivation contract is stride = ceil(n / budget), so the entry
+    // layer stays ≈budget rows at ANY corpus size. Checked at two SFs
+    // with different corpus sizes so a re-hardcoded stride cannot pass.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val n = Tables.embeddings(spark, dir).filter(col("vec_id") >= 10).count()
+      val want = math.max(1L,
+        math.ceil(n.toDouble / Similarity.graphEntryBudget).toLong)
+      assert(Similarity.graphStride(spark, dir) === want,
+        s"stride at $dir (n=$n)")
+      // realized entry-layer size is within the budget and not degenerate
+      val entries = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= 10 && col("vec_id") % want === 0).count()
+      assert(entries <= Similarity.graphEntryBudget, s"entries=$entries at $dir")
+      assert(entries >= Similarity.graphEntryBudget / 2,
+        s"entry layer degenerate at $dir: $entries")
+    }
+    CachePool.releaseAll()
+  }
+
+  test("graph tier: hub prune caps symmetrized degree and recall survives") {
+    // the A/B arm really is the same curve over a degree-capped graph:
+    // every prune-curve row may only LOSE candidates vs the unpruned
+    // row, and beam-16 recall holds the same floor (measured: identical
+    // recall at sf0.001, the cap barely binds at max degree 18 vs 16)
+    val base = Similarity.queries("ann_graph_beam_curve")(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("beam_width") ->
+        (r.getAs[Long]("candidates_scored"), r.getAs[Double]("recall"))).toMap
+    val pruned = Similarity.queries("ann_graph_prune_curve")(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("beam_width") ->
+        (r.getAs[Long]("candidates_scored"), r.getAs[Double]("recall"))).toMap
+    assert(pruned.keySet === base.keySet)
+    for ((bw, (pc, pr)) <- pruned) {
+      val (bc, _) = base(bw)
+      assert(pc <= bc, s"prune added candidates at beam $bw: $pc > $bc")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+    assert(pruned(16)._2 >= 0.9,
+      s"pruned beam-16 recall collapsed: ${pruned(16)._2}")
     CachePool.releaseAll()
   }
 }
