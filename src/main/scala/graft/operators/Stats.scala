@@ -832,10 +832,24 @@ object Stats {
       val infoFrac = (col("n_a") + col("n_b")).cast("double") /
         col("n_final").cast("double")
       val bound = lit(4.09779049) / infoFrac
+      // FUTILITY line (r13 verdict #6): the beta-spending companion that
+      // lets the daily readout STOP a hopeless experiment, not only call
+      // a winner. Whitehead-family boundary linear in √t meeting the
+      // efficacy line at t = 1: z_fut(t) = (C + z_β)·√t − z_β/√t with
+      // C = 2.0243 (the efficacy constant above) and z_β = Φ⁻¹(0.8) =
+      // 0.8416212335729143 (power 0.8 — the one extra literal both
+      // engines share). Early looks have z_fut < 0 — futility inactive,
+      // bound NULL — and NULL z² propagates, the `crossed` convention.
+      val zbeta = lit(0.8416212335729143)
+      val sqrtT = sqrt(infoFrac)
+      val fz = (lit(2.0243) + zbeta) * sqrtT - zbeta / sqrtT
+      val boundF = when(fz > 0.0, fz * fz).otherwise(lit(null).cast("double"))
       byDay.withColumn("__k", lit(1)).join(broadcast(tot), "__k")
         .select(col("day").cast("int").as("day"),
           col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-          z2.as("z2"), bound.as("bound_z2"), (z2 > bound).as("crossed"))
+          z2.as("z2"), bound.as("bound_z2"), (z2 > bound).as("crossed"),
+          boundF.as("bound_futility_z2"),
+          (z2 < boundF).as("crossed_futility"))
     }),
 
     // Continuous-metric experiment readout: Welch's unequal-variance
@@ -1504,10 +1518,14 @@ object Stats {
         |      ELSE (pa - pb) * (pa - pb)
         |        / (p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
         |          + 1.0 / CAST(n_b AS DOUBLE))) END AS z2,
-        |    4.09779049 / t AS bound_z2
+        |    4.09779049 / t AS bound_z2,
+        |    (2.0243 + 0.8416212335729143) * sqrt(t)
+        |      - 0.8416212335729143 / sqrt(t) AS fz
         |  FROM x)
         |SELECT CAST(day AS INT) AS day, n_a, n_b, conv_a, conv_b,
-        |  z2, bound_z2, z2 > bound_z2 AS crossed
+        |  z2, bound_z2, z2 > bound_z2 AS crossed,
+        |  CASE WHEN fz > 0.0 THEN fz * fz END AS bound_futility_z2,
+        |  z2 < (CASE WHEN fz > 0.0 THEN fz * fz END) AS crossed_futility
         |FROM y""".stripMargin,
 
     // Same doubled-rank histogram algebra; pmod ↔ ((x % 2) + 2) % 2 is

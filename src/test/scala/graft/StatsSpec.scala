@@ -431,4 +431,42 @@ class StatsSpec extends AnyFunSuite {
       s"user $uid: brute-force late count $late")
     oo.unpersist()
   }
+
+  test("sequential readout: futility line rises to meet efficacy at t=1, bounds exclusive") {
+    val rows = Stats.queries("events_ab_sequential")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("day"))
+    assert(rows.nonEmpty)
+    def fOpt(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+    // the futility bound is active only once the line is positive, and
+    // is non-decreasing in information time (the efficacy bound is
+    // non-increasing): an experiment that cannot win gets stopped later
+    // looks, never earlier ones
+    val futs = rows.flatMap(r => fOpt(r, "bound_futility_z2"))
+    assert(futs.sliding(2).forall {
+      case Array(a, b) => a <= b + 1e-12; case _ => true },
+      s"futility bound must be non-decreasing: ${futs.toSeq}")
+    // boundaries meet at the final look (t = 1): z_fut(1) = C so
+    // fut bound = C^2 = the efficacy bound's 4.09779049 / 1
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("bound_futility_z2") -
+      last.getAs[Double]("bound_z2")) < 1e-8, "bounds must meet at t=1")
+    // mutual exclusivity: futility sits strictly below efficacy for
+    // t < 1, so no day can cross both
+    rows.foreach { r =>
+      val both = !r.isNullAt(r.fieldIndex("crossed")) &&
+        r.getAs[Boolean]("crossed") &&
+        !r.isNullAt(r.fieldIndex("crossed_futility")) &&
+        r.getAs[Boolean]("crossed_futility")
+      assert(!both, s"day ${r.getAs[Int]("day")} crossed both bounds")
+      // crossed_futility really is z2 < bound_futility_z2
+      (fOpt(r, "z2"), fOpt(r, "bound_futility_z2")) match {
+        case (Some(z), Some(f)) =>
+          assert(r.getAs[Boolean]("crossed_futility") === (z < f))
+        case _ =>
+          assert(r.isNullAt(r.fieldIndex("crossed_futility")))
+      }
+    }
+    CachePool.releaseAll()
+  }
 }

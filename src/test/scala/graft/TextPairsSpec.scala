@@ -184,4 +184,48 @@ class TextPairsSpec extends AnyFunSuite {
     }.sum
     assert(math.abs(Q - QB) < 1e-9, s"Q $Q vs brute $QB")
   }
+
+  test("bpe merges: the distributed rewrite matches a sequential greedy model") {
+    // the semantic spec of BPE's merge step is the OBVIOUS sequential
+    // scan (left-to-right, a match consumes both tokens); the query
+    // implements it distributively via gaps-and-islands parity. Replay
+    // all rounds with the sequential model and demand the identical
+    // merge table — pair choice (tie order included), counts, token
+    // census, compression.
+    val got = operators.TextAnalysis.queries("text_bpe_merges")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("merge_round"))
+      .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("n_pair"),
+        r.getAs[Long]("n_tokens_after"), r.getAs[Double]("compression_ratio")))
+    assert(got.map(_._1).toSeq === (1 to got.length))
+    var docs: Seq[Array[String]] = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0).split(" ", -1))
+    val n0 = docs.map(_.length.toLong).sum
+    for ((round, w1, w2, nPair, nAfter, ratio) <- got) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      docs.foreach(_.sliding(2).foreach {
+        case Array(a, b) =>
+          counts.update((a, b), counts.getOrElse((a, b), 0L) + 1L)
+        case _ => ()
+      })
+      val ((mw1, mw2), mn) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      assert((mw1, mw2, mn) === ((w1, w2, nPair)), s"round $round pair")
+      docs = docs.map { d =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == w1 && d(i + 1) == w2) {
+            out += s"$w1 $w2"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.toArray
+      }
+      val mAfter = docs.map(_.length.toLong).sum
+      assert(mAfter === nAfter, s"round $round token census")
+      assert(math.abs(ratio - mAfter.toDouble / n0.toDouble) < 1e-15,
+        s"round $round compression")
+    }
+    CachePool.releaseAll()
+  }
 }
