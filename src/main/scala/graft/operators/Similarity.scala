@@ -326,41 +326,52 @@ object Similarity {
     pqTrainedSeq(s, d).toDF("s", "plabel", "cw")
   }
 
+  /** The Lloyd refinement loop itself, factored out of [[centroidSeq]]
+    * so the incremental-maintenance A/B ([[incCents]]) trains its two
+    * centroid sets through the IDENTICAL code path — any numeric or
+    * ordering change here changes every consumer at once, which is the
+    * point. `assignInput` is the corpus the passes assign (never
+    * shuffled — one broadcast join per pass); `seeds` is the initial
+    * (cent_id, ce) relation.
+    */
+  private def lloydRefine(s: SparkSession, assignInput: DataFrame,
+                          seeds: DataFrame): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    graft.plans.TopK.installedWithRewrite(s)
+    var cents = seeds
+    for (_ <- 1 to REFINE_ITERS) {
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = assignInput.join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select(col("cent_id"), col("e"))
+      // Scale 10, not 18: the decimal→double cast is only portable
+      // while the SUM's unscaled value stays under 2^53 (Spark
+      // single-rounds the BigDecimal; DuckDB converts int128 then
+      // divides by 10^scale — two roundings, 1 ulp apart beyond
+      // that). |value| ≤ ~10 and ≤ ~50k rows/centroid keep
+      // sum·10^10 < 9·10^15, so the conversion is EXACT in both
+      // engines at every test SF (rescale if corpora grow 100×).
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "val")))
+        .groupBy("cent_id", "dim")
+        .agg((sum(col("val").cast("decimal(38,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("mval"))
+        .collect()
+      val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      cents = rebuilt.toDF("cent_id", "ce")
+    }
+    cents.as[(Long, Seq[Double])].collect().toSeq
+  }
+
   private def centroidSeq(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
     centroidCache.getOrElseUpdate(
-      d, {
-        import s.implicits._
-        graft.plans.TopK.installedWithRewrite(s)
-        val corpus = corpusDf(s, d)
-        var cents = emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
-          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-        for (_ <- 1 to REFINE_ITERS) {
-          val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-          val assigned = corpus.join(broadcast(cents))
-            .withColumn("ccos", cos(col("e"), col("ce")))
-            .withColumn("arn", row_number().over(wA))
-            .filter(col("arn") === 1)
-            .select(col("cent_id"), col("e"))
-          // Scale 10, not 18: the decimal→double cast is only portable
-          // while the SUM's unscaled value stays under 2^53 (Spark
-          // single-rounds the BigDecimal; DuckDB converts int128 then
-          // divides by 10^scale — two roundings, 1 ulp apart beyond
-          // that). |value| ≤ ~10 and ≤ ~50k rows/centroid keep
-          // sum·10^10 < 9·10^15, so the conversion is EXACT in both
-          // engines at every test SF (rescale if corpora grow 100×).
-          val means = assigned
-            .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "val")))
-            .groupBy("cent_id", "dim")
-            .agg((sum(col("val").cast("decimal(38,10)")).cast("double") /
-              count(lit(1)).cast("double")).as("mval"))
-            .collect()
-          val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
-            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          }
-          cents = rebuilt.toDF("cent_id", "ce")
-        }
-        cents.as[(Long, Seq[Double])].collect().toSeq
-      })
+      d, lloydRefine(s, corpusDf(s, d),
+        emb(s, d).filter(col("vec_id") % CENT_STRIDE === 0)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))))
 
   private def centroidsDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -370,6 +381,70 @@ object Similarity {
   /** Probe budget for this corpus' index — see [[PROBE_FRAC]]. */
   private def nprobe(s: SparkSession, d: String): Int =
     math.max(PROBE_MIN, math.ceil(PROBE_FRAC * centroidSeq(s, d).size).toInt)
+
+  /** Incremental-maintenance fence (the `dedup_incremental`
+    * snapshot-vs-corpus convention carried to the vector tier): the
+    * newest ~1/[[INC_BATCH_DIV]] of the corpus BY vec_id plays the
+    * incoming append batch; everything at or below the fence is the
+    * standing corpus the index was trained on. Ids, not hashes, because
+    * a vector corpus is APPEND-heavy — the batch is literally the
+    * newest ids, which is also what makes the fence a pure scalar both
+    * engines derive from the same two aggregates (max, count).
+    */
+  private val INC_BATCH_DIV = 10
+
+  private val incFenceCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def incFence(s: SparkSession, d: String): Long =
+    incFenceCache.getOrElseUpdate(d, {
+      val r = corpusDf(s, d)
+        .agg(max(col("vec_id")), count(lit(1))).head()
+      r.getLong(0) - math.ceil(r.getLong(1).toDouble / INC_BATCH_DIV).toLong
+    })
+
+  /** Nearest-standing-centroid assignment — the incremental append's
+    * whole per-batch cost: ONE broadcast join (the centroid set is
+    * O(k·d) doubles at any corpus size) + a per-vector argmax, no
+    * shuffle of the vectors, no Lloyd pass. Exposed for `foreachBatch`
+    * ingestion (StreamingSpec composes it with
+    * [[graft.operators.Dedup.incrementalMatches]]); the named query
+    * uses the same function for both of its assignment arms.
+    * Ties break to the smaller cent_id — the family's argmax rule.
+    */
+  def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    vectors.join(broadcast(cents))
+      .withColumn("ccos", cos(col("e"), col("ce")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
+  /** The incremental A/B's two centroid sets, memoized per dir like
+    * [[centroidCache]] (collected planner-sized values): STANDING =
+    * Lloyd over the standing corpus only (what a deployed index has),
+    * FULL = the same seeds re-refined over standing ∪ batch (what a
+    * full rebuild would produce). Both arms share the SEED set (the
+    * standing stride sample) deliberately: k is held fixed and cell
+    * ids correspond 1:1, so "drift" is the honest question — which
+    * vectors would change cells if we re-trained — not an id-matching
+    * puzzle between two unrelated seedings.
+    */
+  private val incCentCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+
+  private def incCents(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) =
+    incCentCache.getOrElseUpdate(d, {
+      val fence = incFence(s, d)
+      val standing = corpusDf(s, d).filter(col("vec_id") <= fence)
+      val seeds = standing.filter(col("vec_id") % CENT_STRIDE === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      (lloydRefine(s, standing, seeds),
+        lloydRefine(s, corpusDf(s, d), seeds))
+    })
 
   /** ann_semdedup near-dup bar — the same threshold the dedup family's
     * brute-force query (Dedup.COSINE_NEAR) uses, so recall is measured
@@ -576,6 +651,8 @@ object Similarity {
   graft.CachePool.onRelease { () =>
     graphSearchCache.clear()
     graphStrideCache.clear()
+    incFenceCache.clear()
+    incCentCache.clear()
   }
 
   /** [[GRAPH_HOPS]] unrolled best-first rounds at the given beam width.
@@ -1370,6 +1447,41 @@ object Similarity {
         .groupBy("degree").agg(count(lit(1)).as("n_vectors"))
     }),
 
+    // Incremental ANN index maintenance — the `dedup_incremental` of
+    // the vector tier. A 100 TB vector corpus is APPEND-heavy: nobody
+    // re-runs Lloyd per ingest batch. The incoming batch (the newest
+    // ~decile by vec_id — see [[incFence]]) is assigned to the
+    // STANDING coarse cells via [[assignToCells]] (one broadcast
+    // argmax per batch, no shuffle of the corpus, no training), and
+    // this report prices what that shortcut COSTS: per standing cell,
+    // how many batch vectors it absorbs, and how many vectors — batch
+    // and standing — would sit in a DIFFERENT cell if Lloyd were
+    // re-run over standing ∪ batch from the same seeds (fixed k, cell
+    // ids correspond 1:1 — see [[incCents]]). Σ(n_batch_moved +
+    // n_standing_moved) / n is the drift number a production index
+    // watches to schedule rebuilds. All counts exact integers; both
+    // Lloyd arms are the memoized planner-sized collects, the
+    // assignment arms two broadcast argmaxes over one corpus scan.
+    "ann_incremental" -> ((s, d) => {
+      import s.implicits._
+      val fence = incFence(s, d)
+      val (stdC, fullC) = incCents(s, d)
+      val corpus = corpusDf(s, d)
+      val inc = assignToCells(corpus, stdC.toDF("cent_id", "ce"))
+        .withColumnRenamed("cent_id", "cent_inc")
+      val full = assignToCells(corpus, fullC.toDF("cent_id", "ce"))
+        .withColumnRenamed("cent_id", "cent_full")
+      val isBatch = col("vec_id") > fence
+      val moved = col("cent_full") =!= col("cent_inc")
+      inc.join(full, "vec_id")
+        .groupBy(col("cent_inc").as("cent_id"))
+        .agg(
+          count(when(!isBatch, lit(1))).as("n_standing"),
+          count(when(isBatch, lit(1))).as("n_batch"),
+          count(when(isBatch && moved, lit(1))).as("n_batch_moved"),
+          count(when(!isBatch && moved, lit(1))).as("n_standing_moved"))
+    }),
+
     // Index-health report for the sign-LSH layout: the occupancy
     // histogram (bucket size → how many buckets hold that many vectors).
     // THE skew diagnostic for any hash-partitioned ANN index — a heavy
@@ -1831,6 +1943,66 @@ object Similarity {
     sb.toString
   }
 
+  /** The incremental A/B's oracle chain — [[centsSqlChain]] generalized
+    * to (assignment input, CTE suffix); BOTH arms seed from the
+    * `standing` CTE's stride sample, mirroring [[incCents]]. Kept
+    * separate from centsSqlChain so the established oracles stay
+    * byte-identical.
+    */
+  private def incCentsChainSql(input: String, sfx: String): String = {
+    val sb = new StringBuilder(
+      s"""cents_${sfx}_0 AS (SELECT vec_id AS cent_id, e AS ce
+         |  FROM standing WHERE vec_id % $CENT_STRIDE = 0)""".stripMargin)
+    for (i <- 1 to REFINE_ITERS) {
+      sb.append(s""",
+         |assign_${sfx}_$i AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT $input.vec_id, $input.e, cent_id,
+         |    row_number() OVER (PARTITION BY $input.vec_id
+         |      ORDER BY ${VectorOps.cosineSql(s"$input.e", "ce", DIM)} DESC, cent_id) AS arn
+         |  FROM $input, cents_${sfx}_${i - 1}) t WHERE arn = 1),
+         |means_${sfx}_$i AS (SELECT cent_id, dim,
+         |  CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mval
+         |  FROM (SELECT cent_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+         |    FROM assign_${sfx}_$i) u
+         |  GROUP BY cent_id, dim),
+         |cents_${sfx}_$i AS (SELECT cent_id, array_agg(mval ORDER BY dim) AS ce
+         |  FROM means_${sfx}_$i GROUP BY cent_id)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** ann_incremental oracle: the fence scalar, the two Lloyd arms from
+    * the shared standing seeds, the two argmax assignments of the SAME
+    * full corpus, and the per-cell drift census — each stage the
+    * engine-mirrored shape its Spark twin uses.
+    */
+  private lazy val annIncrementalSql = {
+    def argmax(cents: String, outCol: String) =
+      s"""(SELECT vec_id, cent_id AS $outCol FROM (
+         |  SELECT corpus.vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", DIM)} DESC, cent_id) AS arn
+         |  FROM corpus, $cents) t WHERE arn = 1)""".stripMargin
+    s"""$baseSql,
+       |fen AS (SELECT MAX(vec_id) - CAST(ceil(COUNT(*) / $INC_BATCH_DIV.0) AS BIGINT) AS fence
+       |  FROM corpus),
+       |standing AS (SELECT vec_id, e FROM corpus
+       |  WHERE vec_id <= (SELECT fence FROM fen)),
+       |${incCentsChainSql("standing", "std")},
+       |${incCentsChainSql("corpus", "full")},
+       |inc AS ${argmax(s"cents_std_$REFINE_ITERS", "cent_inc")},
+       |ful AS ${argmax(s"cents_full_$REFINE_ITERS", "cent_full")}
+       |SELECT cent_inc AS cent_id,
+       |  COUNT(*) FILTER (WHERE vec_id <= (SELECT fence FROM fen)) AS n_standing,
+       |  COUNT(*) FILTER (WHERE vec_id > (SELECT fence FROM fen)) AS n_batch,
+       |  COUNT(*) FILTER (WHERE vec_id > (SELECT fence FROM fen)
+       |    AND cent_full <> cent_inc) AS n_batch_moved,
+       |  COUNT(*) FILTER (WHERE vec_id <= (SELECT fence FROM fen)
+       |    AND cent_full <> cent_inc) AS n_standing_moved
+       |FROM inc JOIN ful USING (vec_id)
+       |GROUP BY cent_inc""".stripMargin
+  }
+
   private lazy val annIvfSql =
     s"""$baseSql,
          |$centsSqlChain,
@@ -2156,6 +2328,7 @@ object Similarity {
   private lazy val annGraphPruneCurveSql = graphCurveSql("gpruned")
 
   val oracles: Map[String, String] = Map(
+    "ann_incremental" -> annIncrementalSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_recall" -> annGraphRecallSql,
     "ann_graph_beam_curve" -> annGraphBeamCurveSql,

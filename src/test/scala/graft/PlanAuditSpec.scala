@@ -37,6 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // assignment) + broadcast queries × the
                             // stride-sampled coarse entry layer — bounded
     "ann_graph_recall",     // composes ann_graph_topk + the brute scan
+    "ann_incremental",      // broadcast centroids × corpus, three times
+                            // (the two Lloyd arms' assignment passes +
+                            // the drift census's argmax pair) — each the
+                            // ann_ivf_topk shape, LINEAR in the corpus
     "ann_graph_degree",     // composes the graph construction (the
                             // semdedup broadcast assignment) — the edge
                             // histogram itself is two hash aggs

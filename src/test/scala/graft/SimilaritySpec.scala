@@ -217,4 +217,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"pruned beam-16 recall collapsed: ${pruned(16)._2}")
     CachePool.releaseAll()
   }
+
+  test("ann_incremental: fence partitions the corpus, drift bounded, batch is the newest decile") {
+    // conservation laws of the drift census: the per-cell standing/batch
+    // counts must partition the corpus exactly along the fence rule
+    // (batch = newest ceil(n/10) ids), movers can never exceed their
+    // cohort, and the incremental assignment must place every vector
+    // (no cell lost, no vector double-counted).
+    val rows = Similarity.queries("ann_incremental")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10).count()
+    val batchWant = math.ceil(n.toDouble / 10).toLong
+    assert(rows.map(_.getAs[Long]("n_batch")).sum === batchWant,
+      "batch cohort must be the newest ~decile")
+    assert(rows.map(_.getAs[Long]("n_standing")).sum === n - batchWant)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_batch_moved") <= r.getAs[Long]("n_batch"),
+        s"cell ${r.getAs[Long]("cent_id")}: movers exceed cohort")
+      assert(r.getAs[Long]("n_standing_moved") <= r.getAs[Long]("n_standing"),
+        s"cell ${r.getAs[Long]("cent_id")}: movers exceed cohort")
+    }
+    // cells are the standing seeds' descendants: distinct and non-empty
+    val ids = rows.map(_.getAs[Long]("cent_id"))
+    assert(ids.distinct.length === ids.length)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_standing") + r.getAs[Long]("n_batch") > 0L))
+    CachePool.releaseAll()
+  }
 }

@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{ChangeLogStream, RawEvent, Scd2Out, StateOut}
 
+/** Incoming ingestion record for the incremental-ANN microbatch test:
+  * a document with its embedding, the unit a multimodal training
+  * pipeline appends.
+  */
+case class IngestDoc(doc_id: Long, text: String, emb: Seq[Double])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
@@ -1525,5 +1531,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(purged === Set("public.t0:3"),
       s"exactly the behind-horizon tombstone must purge: $purged")
     admitted.unpersist()
+  }
+
+  test("incremental ANN ingestion: dedup screen + standing-cell assignment, split-invariant and conserving") {
+    // the vector tier's append path (ann_incremental's streaming twin):
+    // each microbatch of (doc, embedding) is screened against the
+    // STANDING doc corpus for near-dups (Dedup.incrementalMatches — the
+    // established ingestion screen), and the survivors are assigned to
+    // the STANDING coarse cells (Similarity.assignToCells) — one
+    // broadcast argmax per batch, no Lloyd re-run, no index rebuild.
+    // The appended index must be invariant to HOW the stream splits
+    // into microbatches, and every incoming doc must be accounted for:
+    // either screened out as a dup or assigned to exactly one cell.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val standingDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cent_id", "ce")
+    // 101/104 are exact dups of standing docs (the screen must drop
+    // them); the rest are unique and point at a known centroid
+    val incoming = Seq(
+      IngestDoc(101L, "alpha beta gamma delta epsilon zeta", Seq(0.9, 0.1, 0.0, 0.0)),
+      IngestDoc(102L, "red green blue cyan magenta yellow", Seq(0.8, 0.2, 0.0, 0.0)),
+      IngestDoc(103L, "six seven eight nine ten eleven", Seq(0.1, 0.9, 0.0, 0.0)),
+      IngestDoc(104L, "one two three four five six", Seq(0.0, 1.0, 0.0, 0.0)),
+      IngestDoc(105L, "gold silver bronze iron copper tin", Seq(0.2, 0.7, 0.0, 0.0)))
+    def ingest(df: DataFrame): DataFrame = {
+      val dups = graft.operators.Dedup
+        .incrementalMatches(standingDocs, df.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id")).distinct()
+      val survivors = df.join(dups, Seq("doc_id"), "left_anti")
+      graft.operators.Similarity.assignToCells(
+        survivors.select(col("doc_id").as("vec_id"), col("emb").as("e")), cents)
+    }
+    val appended = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[IngestDoc]
+    val q = in.toDF().writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = ingest(b).as[(Long, Long)].collect()
+        appended.synchronized { appended ++= rows }
+        ()
+      }.start()
+    try {
+      in.addData(incoming(0), incoming(1)); q.processAllAvailable()
+      in.addData(incoming(2)); q.processAllAvailable()
+      in.addData(incoming(3), incoming(4)); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = ingest(spark.createDataset(incoming).toDF())
+      .as[(Long, Long)].collect().toSet
+    assert(appended.toSet === oneShot,
+      "microbatch splits must not change the appended index")
+    assert(oneShot === Set((102L, 10L), (103L, 20L), (105L, 20L)))
+    // conservation: every incoming doc either matched the screen or
+    // landed in exactly one cell
+    assert(oneShot.map(_._1) ++ Set(101L, 104L) ===
+      incoming.map(_.doc_id).toSet)
+    CachePool.releaseAll()
   }
 }
