@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -583,6 +584,52 @@ object Multimodal {
           sum(col("na") * col("nb")).as("n_doc_pairs"))
     }),
 
+    // Cross-modal pair curation — the caption-consistency audit an
+    // image-text pipeline runs before contrastive training. Each doc is
+    // an (image, caption) pair; the screen flags the two group shapes
+    // that poison a contrastive batch: the SAME image carrying several
+    // distinct captions (which caption is "the" positive?) and the SAME
+    // caption attached to several distinct images (false negatives when
+    // they meet in one batch). Image identity is the REAL decoded aHash
+    // (the multimodal_phash fingerprint); caption identity is the text
+    // family's exact-dedup fingerprint md5(lower(trim(text))) — one
+    // definition per modality, shared with each family's own queries.
+    // Per flagged group: total docs, distinct variants on the varying
+    // side, and two WITNESS ids guaranteed to differ on that side (the
+    // smallest doc of each of the two first-ranked variants — not just
+    // min/max, which could share a variant in a ≥3-variant group).
+    // Scale shape (the multimodal_frame_dupes discipline): payload
+    // bytes never cross a shuffle — the aHash is computed scan-local
+    // and only (doc_id, fp) rows move; the doc_id join is co-sized with
+    // the corpus; both screens are hash aggs + one bounded per-group
+    // window over the variant REPRESENTATIVES (≤ variants rows/group).
+    "multimodal_caption_screen" -> ((s, d) => {
+      val ph = phashFeatures(patternAssets(s, d)).toDF()
+        .select(col("doc_id"),
+          concat_ws(":", col("hash_hi"), col("hash_lo")).as("image_fp"))
+      val cap = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("caption_fp"))
+      val joined = ph.join(cap, "doc_id")
+        .transform(graft.CachePool.persist) // decode once: both screens
+      def screen(groupCol: String, varCol: String, band: String): DataFrame = {
+        val reps = joined.groupBy(col(groupCol).as("group_key"), col(varCol))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        val w = Window.partitionBy("group_key").orderBy(col("rep"))
+        reps.withColumn("rn", row_number().over(w))
+          .groupBy("group_key")
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_variants"),
+            min(when(col("rn") === 1, col("rep"))).as("example_a"),
+            min(when(col("rn") === 2, col("rep"))).as("example_b"))
+          .filter(col("n_variants") > 1)
+          .select(lit(band).as("band"), col("group_key"), col("n_docs"),
+            col("n_variants"), col("example_a"), col("example_b"))
+      }
+      screen("image_fp", "caption_fp", "same_image_diff_caption")
+        .unionByName(
+          screen("caption_fp", "image_fp", "same_caption_diff_image"))
+    }),
+
     // Resize/thumbnail: batched decode→transform chain; the stub's
     // features are SQL-expressible so the result is fully oracle-checked
     // (thumb hash = md5 of the boxed byte window).
@@ -726,6 +773,35 @@ object Multimodal {
          |SELECT hamming, COUNT(*) AS n_hash_pairs,
          |  CAST(SUM(dp) AS BIGINT) AS n_doc_pairs
          |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
+    // The cross-modal screen's oracle: the closed-form aHash chain
+    // (image identity) joined to the exact-dedup caption fingerprint,
+    // then each band's variant-representative ranking mirrored.
+    "multimodal_caption_screen" ->
+      s"""$PHASH_HASHES_CTE,
+         |fp AS (SELECT h.doc_id,
+         |    CAST(hash_hi AS VARCHAR) || ':' || CAST(hash_lo AS VARCHAR)
+         |      AS image_fp,
+         |    md5(lower(trim(d.text))) AS caption_fp
+         |  FROM hashes h JOIN documents d USING (doc_id)),
+         |img_reps AS (SELECT image_fp AS group_key, caption_fp,
+         |    MIN(doc_id) AS rep, COUNT(*) AS n FROM fp GROUP BY 1, 2),
+         |img_rank AS (SELECT *, row_number() OVER (
+         |    PARTITION BY group_key ORDER BY rep) AS rn FROM img_reps),
+         |img AS (SELECT 'same_image_diff_caption' AS band, group_key,
+         |    CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_variants,
+         |    MIN(CASE WHEN rn = 1 THEN rep END) AS example_a,
+         |    MIN(CASE WHEN rn = 2 THEN rep END) AS example_b
+         |  FROM img_rank GROUP BY group_key HAVING COUNT(*) > 1),
+         |cap_reps AS (SELECT caption_fp AS group_key, image_fp,
+         |    MIN(doc_id) AS rep, COUNT(*) AS n FROM fp GROUP BY 1, 2),
+         |cap_rank AS (SELECT *, row_number() OVER (
+         |    PARTITION BY group_key ORDER BY rep) AS rn FROM cap_reps),
+         |cap AS (SELECT 'same_caption_diff_image' AS band, group_key,
+         |    CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_variants,
+         |    MIN(CASE WHEN rn = 1 THEN rep END) AS example_a,
+         |    MIN(CASE WHEN rn = 2 THEN rep END) AS example_b
+         |  FROM cap_rank GROUP BY group_key HAVING COUNT(*) > 1)
+         |SELECT * FROM img UNION ALL SELECT * FROM cap""".stripMargin,
     "multimodal_resize" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    octet_length(encode(text)) % 64 + 1 AS w,

@@ -341,4 +341,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === brute, s"banded: $got vs brute: $brute")
     assert(brute.nonEmpty, "the corpus must contain near-dup hash pairs")
   }
+
+  test("caption screen: groups match a brute recompute, witnesses differ on the varying side") {
+    import org.apache.spark.sql.functions.{col, lower, md5, trim}
+    val sfDir = "/root/testdata/sf0.001"
+    // collected ground truth: (doc_id, image_fp, caption_fp)
+    val img = Multimodal.phashFeatures(Multimodal.patternAssets(spark, sfDir))
+      .collect().map(p => p.doc_id -> s"${p.hash_hi}:${p.hash_lo}").toMap
+    val cap = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def brute(group: Long => String, varies: Long => String) =
+      img.keys.groupBy(group).filter(_._2.map(varies).toSet.size > 1)
+        .map { case (k, ids) =>
+          k -> ((ids.size.toLong, ids.map(varies).toSet.size.toLong))
+        }
+    val wantImg = brute(img, cap)
+    val wantCap = brute(cap, img)
+    val rows = Multimodal.queries("multimodal_caption_screen")(spark, sfDir)
+      .collect()
+    for (band <- Seq("same_image_diff_caption", "same_caption_diff_image")) {
+      val want = if (band.startsWith("same_image")) wantImg else wantCap
+      val varies: Long => String = if (band.startsWith("same_image")) cap else img
+      val got = rows.filter(_.getAs[String]("band") == band)
+      assert(got.map(r => r.getAs[String]("group_key") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_variants")))).toMap === want,
+        s"$band groups/counts drifted from brute recompute")
+      for (r <- got) {
+        val (a, b) = (r.getAs[Long]("example_a"), r.getAs[Long]("example_b"))
+        assert(varies(a) != varies(b),
+          s"$band ${r.getAs[String]("group_key")}: witnesses $a/$b share the varying fingerprint")
+      }
+    }
+    assert(wantImg.nonEmpty, "corpus must contain colliding images")
+    CachePool.releaseAll()
+  }
 }
