@@ -85,52 +85,113 @@ object TextAnalysis {
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, String, String, Long, Long, Double)]]
 
+  /** The tokenized long relation a BPE pass starts from. */
+  private def bpeStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .localCheckpoint(eager = false)
+      .transform(graft.CachePool.persist)
+
+  /** One BPE rewrite round over a `paired` relation (stream + lead):
+    * greedy-left-to-right non-overlapping merge of every (w1, w2)
+    * adjacency via the gaps-and-islands parity, then dense re-rank.
+    * Shared by the trainer ([[bpeMerges]], which PICKS the pair first)
+    * and the held-out APPLY pass ([[bpeHeldout]], whose pair is given
+    * by the trained table) — one rewrite definition, so the two paths
+    * cannot drift.
+    */
+  private def bpeRewrite(paired: DataFrame, w1: String, w2: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val matches = paired
+      .filter(col("tok") === lit(w1) && col("nxt") === lit(w2))
+      .select("doc_id", "pos")
+    val isl = matches
+      .withColumn("isl", col("pos") - row_number().over(wDoc))
+    val kept = isl
+      .withColumn("krn", row_number().over(
+        Window.partitionBy("doc_id", "isl").orderBy("pos")))
+      .filter(col("krn") % 2 === 1)
+      .select("doc_id", "pos")
+      .localCheckpoint(eager = false) // replace-join + consumed anti
+    val consumed = kept.select(col("doc_id"), (col("pos") + 1).as("pos"))
+    val stream = paired.select("doc_id", "pos", "tok")
+    val untouched = stream
+      .join(kept.unionByName(consumed), Seq("doc_id", "pos"), "left_anti")
+    untouched
+      .unionByName(kept.withColumn("tok", lit(s"$w1 $w2")))
+      .select(col("doc_id"), col("pos").as("opos"), col("tok"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
+          - lit(1)).cast("int"))
+      .select("doc_id", "pos", "tok")
+      .localCheckpoint(eager = false)
+      .transform(graft.CachePool.persist)
+  }
+
+  /** [[BPE_ROUNDS]] trainer rounds over the given doc relation. */
+  private def bpeTrain(s: SparkSession, docs: DataFrame)
+      : Seq[(Int, String, String, Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    var stream = bpeStream(docs)
+    val n0 = stream.count()
+    val out = Seq.newBuilder[(Int, String, String, Long, Long, Double)]
+    for (r <- 1 to BPE_ROUNDS) {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val paired = stream
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val top = paired.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
+        .collect()(0)
+      val (w1, w2, nPair) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      stream = bpeRewrite(paired, w1, w2)
+      val nAfter = stream.count()
+      out += ((r, w1, w2, nPair, nAfter, nAfter.toDouble / n0.toDouble))
+    }
+    out.result()
+  }
+
   private def bpeMerges(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long, Double)] =
-    bpeCache.getOrElseUpdate(d, {
+    bpeCache.getOrElseUpdate(d, bpeTrain(s, docsPar(s, d)))
+
+  /** Train-split hash bucket (the text_train_split rule): first 4 hex
+    * chars of md5("split|" + doc_id); < "e666" is the ~90% train side.
+    */
+  private def splitHash: Column =
+    substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4)
+
+  /** Held-out generalization readout of the trained tokenizer: merges
+    * are TRAINED on the train split only, then APPLIED in trained order
+    * to the held-out (val + test) streams — no re-counting, no peeking;
+    * the per-round held-out compression next to the train compression
+    * is the generalization gap a vocab-sizing pass actually reads
+    * (a merge table that only compresses its own training text is
+    * memorization, not a tokenizer). Same memoized-rounds machinery as
+    * [[bpeMerges]]; the apply round is [[bpeRewrite]] with the pair
+    * given, so train and apply share one rewrite definition.
+    */
+  private val bpeHeldCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, Double, Long, Double)]]
+
+  private def bpeHeldout(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Double, Long, Double)] =
+    bpeHeldCache.getOrElseUpdate(d, {
       import org.apache.spark.sql.expressions.Window
-      var stream = docsPar(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .localCheckpoint(eager = false)
-        .transform(graft.CachePool.persist)
-      val n0 = stream.count()
-      val out = Seq.newBuilder[(Int, String, String, Long, Long, Double)]
-      for (r <- 1 to BPE_ROUNDS) {
+      val merges = bpeTrain(s, docsPar(s, d).filter(splitHash < "e666"))
+      var stream = bpeStream(docsPar(s, d).filter(splitHash >= "e666"))
+      val h0 = stream.count()
+      val out = Seq.newBuilder[(Int, String, String, Double, Long, Double)]
+      for ((r, w1, w2, _, _, trainRatio) <- merges) {
         val wDoc = Window.partitionBy("doc_id").orderBy("pos")
         val paired = stream
           .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-        val top = paired.filter(col("nxt").isNotNull)
-          .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
-          .collect()(0)
-        val (w1, w2, nPair) =
-          (top.getString(0), top.getString(1), top.getLong(2))
-        val matches = paired
-          .filter(col("tok") === lit(w1) && col("nxt") === lit(w2))
-          .select("doc_id", "pos")
-        val isl = matches
-          .withColumn("isl", col("pos") - row_number().over(wDoc))
-        val kept = isl
-          .withColumn("krn", row_number().over(
-            Window.partitionBy("doc_id", "isl").orderBy("pos")))
-          .filter(col("krn") % 2 === 1)
-          .select("doc_id", "pos")
-          .localCheckpoint(eager = false) // replace-join + consumed anti
-        val consumed = kept.select(col("doc_id"), (col("pos") + 1).as("pos"))
-        val untouched = stream
-          .join(kept.unionByName(consumed), Seq("doc_id", "pos"), "left_anti")
-        val merged = untouched
-          .unionByName(kept.withColumn("tok", lit(s"$w1 $w2")))
-        stream = merged
-          .select(col("doc_id"), col("pos").as("opos"), col("tok"))
-          .withColumn("pos",
-            (row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
-              - lit(1)).cast("int"))
-          .select("doc_id", "pos", "tok")
-          .localCheckpoint(eager = false)
-          .transform(graft.CachePool.persist)
-        val nAfter = stream.count()
-        out += ((r, w1, w2, nPair, nAfter, nAfter.toDouble / n0.toDouble))
+        stream = bpeRewrite(paired, w1, w2)
+        val hAfter = stream.count()
+        out += ((r, w1, w2, trainRatio, hAfter,
+          hAfter.toDouble / h0.toDouble))
       }
       out.result()
     })
@@ -667,6 +728,18 @@ object TextAnalysis {
       import s.implicits._
       bpeMerges(s, d).toDF("merge_round", "w1", "w2", "n_pair",
         "n_tokens_after", "compression_ratio")
+    }),
+
+    // Held-out tokenizer generalization (see [[bpeHeldout]]): the merge
+    // table trained on the ~90% train split, applied in trained order
+    // to the held-out streams. train_compression vs heldout_compression
+    // per round is the generalization gap — the number that tells a
+    // vocab-sizing pass whether another merge round still buys
+    // compression on text the trainer never saw.
+    "text_bpe_heldout" -> ((s, d) => {
+      import s.implicits._
+      bpeHeldout(s, d).toDF("merge_round", "w1", "w2",
+        "train_compression", "n_tokens_after", "heldout_compression")
     }),
 
     // Skip-gram co-occurrence counts: (center, context) token pairs at
@@ -1327,41 +1400,60 @@ object TextAnalysis {
     * rewrite; default inlining would re-expand the chain 2^rounds — the
     * graph-search-oracle gotcha).
     */
-  private lazy val bpeMergesSql: String = {
+  /** The per-round CTE chain, generalized to (source docs CTE/table,
+    * name prefix, pair source): `trainPfx = None` emits its OWN winner
+    * CTE `${p}t$r` per round (the trainer); `Some(tp)` consumes the
+    * already-trained `${tp}t$r` pairs instead (the held-out APPLY pass
+    * — no counting, no peeking). Emits ${p}s0..${p}s$BPE_ROUNDS.
+    */
+  private def bpeChainSql(src: String, p: String,
+                          trainPfx: Option[String]): String = {
     val sb = new StringBuilder(
-      """WITH s0 AS MATERIALIZED (SELECT doc_id,
-        |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
-        |    unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s0)""".stripMargin)
+      s"""${p}s0 AS MATERIALIZED (SELECT doc_id,
+         |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+         |    unnest(string_split(text, ' ')) AS tok
+         |  FROM $src)""".stripMargin)
     for (r <- 1 to BPE_ROUNDS) {
+      val tp = trainPfx.getOrElse(p)
       sb.append(s""",
-        |p$r AS MATERIALIZED (SELECT doc_id, pos, tok,
+        |${p}p$r AS MATERIALIZED (SELECT doc_id, pos, tok,
         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-        |  FROM s${r - 1}),
-        |t$r AS MATERIALIZED (SELECT tok AS w1, nxt AS w2,
+        |  FROM ${p}s${r - 1})""".stripMargin)
+      if (trainPfx.isEmpty) sb.append(s""",
+        |${p}t$r AS MATERIALIZED (SELECT tok AS w1, nxt AS w2,
         |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM p$r WHERE nxt IS NOT NULL
-        |  GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 1),
-        |m$r AS (SELECT doc_id, pos FROM p$r, t$r
+        |  FROM ${p}p$r WHERE nxt IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 1)""".stripMargin)
+      sb.append(s""",
+        |${p}m$r AS (SELECT ${p}p$r.doc_id, ${p}p$r.pos FROM ${p}p$r, ${tp}t$r
         |  WHERE tok = w1 AND nxt = w2),
-        |k$r AS MATERIALIZED (SELECT doc_id, pos FROM (
+        |${p}k$r AS MATERIALIZED (SELECT doc_id, pos FROM (
         |  SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, isl
         |      ORDER BY pos) AS krn
         |  FROM (SELECT doc_id, pos,
         |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-        |    FROM m$r) i) t WHERE krn % 2 = 1),
-        |s$r AS MATERIALIZED (SELECT doc_id,
+        |    FROM ${p}m$r) i) t WHERE krn % 2 = 1),
+        |${p}s$r AS MATERIALIZED (SELECT doc_id,
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY opos) - 1
         |      AS INT) AS pos, tok
         |  FROM (
-        |    SELECT u.doc_id, u.pos AS opos, u.tok FROM s${r - 1} u
-        |      LEFT JOIN k$r k1 ON u.doc_id = k1.doc_id AND u.pos = k1.pos
-        |      LEFT JOIN k$r k2 ON u.doc_id = k2.doc_id AND u.pos = k2.pos + 1
+        |    SELECT u.doc_id, u.pos AS opos, u.tok FROM ${p}s${r - 1} u
+        |      LEFT JOIN ${p}k$r k1 ON u.doc_id = k1.doc_id AND u.pos = k1.pos
+        |      LEFT JOIN ${p}k$r k2 ON u.doc_id = k2.doc_id AND u.pos = k2.pos + 1
         |    WHERE k1.pos IS NULL AND k2.pos IS NULL
         |    UNION ALL
         |    SELECT k.doc_id, k.pos AS opos,
-        |      (SELECT w1 || ' ' || w2 FROM t$r) AS tok FROM k$r k) z),
+        |      (SELECT w1 || ' ' || w2 FROM ${tp}t$r) AS tok FROM ${p}k$r k) z)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private lazy val bpeMergesSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH ${bpeChainSql("documents", "", None)},
+         |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s0)""".stripMargin)
+    for (r <- 1 to BPE_ROUNDS) {
+      sb.append(s""",
         |r$r AS (SELECT $r AS rnd, w1, w2, n AS n_pair,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s$r) AS n_tokens_after
         |  FROM t$r)""".stripMargin)
@@ -1373,6 +1465,41 @@ object TextAnalysis {
       |  n_tokens_after,
       |  CAST(n_tokens_after AS DOUBLE)
       |    / CAST((SELECT n FROM n0) AS DOUBLE) AS compression_ratio
+      |FROM ($unions)""".stripMargin)
+    sb.toString
+  }
+
+  /** Held-out oracle: the trainer chain over the train split, the
+    * apply chain over the held-out split consuming the trained pairs,
+    * and the per-round compression pair mirrored from both chains'
+    * exact counts.
+    */
+  private lazy val bpeHeldoutSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH tdocs AS (SELECT doc_id, text FROM documents
+         |  WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'),
+         |hdocs AS (SELECT doc_id, text FROM documents
+         |  WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'),
+         |${bpeChainSql("tdocs", "t", None)},
+         |${bpeChainSql("hdocs", "h", Some("t"))},
+         |tn0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ts0),
+         |hn0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hs0)""".stripMargin)
+    for (r <- 1 to BPE_ROUNDS) {
+      sb.append(s""",
+        |hr$r AS (SELECT $r AS rnd, w1, w2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ts$r) AS tn_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hs$r) AS hn_after
+        |  FROM tt$r)""".stripMargin)
+    }
+    val unions = (1 to BPE_ROUNDS).map(r => s"SELECT * FROM hr$r")
+      .mkString("\n  UNION ALL ")
+    sb.append(s"""
+      |SELECT CAST(rnd AS INT) AS merge_round, w1, w2,
+      |  CAST(tn_after AS DOUBLE)
+      |    / CAST((SELECT n FROM tn0) AS DOUBLE) AS train_compression,
+      |  hn_after AS n_tokens_after,
+      |  CAST(hn_after AS DOUBLE)
+      |    / CAST((SELECT n FROM hn0) AS DOUBLE) AS heldout_compression
       |FROM ($unions)""".stripMargin)
     sb.toString
   }
@@ -1821,6 +1948,7 @@ object TextAnalysis {
         |      FROM documents WHERE len(string_split(text, ' ')) >= 2) t
         |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_heldout" -> bpeHeldoutSql,
     // Identical ratio expression shape (doubles before multiplying,
     // same parenthesization) — see the query comment for why the ratio
     // replaces log-PMI.

@@ -228,4 +228,59 @@ class TextPairsSpec extends AnyFunSuite {
     }
     CachePool.releaseAll()
   }
+
+  test("bpe heldout: apply pass replays the sequential model on text the trainer never saw") {
+    // train with the sequential greedy model on the train split, apply
+    // its merges in order to the held-out split, and demand the query's
+    // per-round pair choice, held-out census, and both compression
+    // ratios — the no-peeking property: the pair must come from TRAIN
+    // counts alone.
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+      md.take(2).map("%02x".format(_)).mkString // first 4 hex chars
+    }
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    var train = all.filter(t => splitOf(t._1) < "e666").map(_._2).toSeq
+    var held = all.filter(t => splitOf(t._1) >= "e666").map(_._2).toSeq
+    assert(train.nonEmpty && held.nonEmpty, "both splits must be populated")
+    val tn0 = train.map(_.length.toLong).sum
+    val hn0 = held.map(_.length.toLong).sum
+    def rewrite(docs: Seq[Array[String]], w1: String, w2: String) =
+      docs.map { d =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == w1 && d(i + 1) == w2) {
+            out += s"$w1 $w2"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.toArray
+      }
+    val got = operators.TextAnalysis.queries("text_bpe_heldout")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("merge_round"))
+    for (r <- got) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      train.foreach(_.sliding(2).foreach {
+        case Array(a, b) =>
+          counts.update((a, b), counts.getOrElse((a, b), 0L) + 1L)
+        case _ => ()
+      })
+      val ((w1, w2), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert((w1, w2) ===
+        ((r.getAs[String]("w1"), r.getAs[String]("w2"))),
+        s"round ${r.getAs[Int]("merge_round")}: pair must come from TRAIN counts")
+      train = rewrite(train, w1, w2)
+      held = rewrite(held, w1, w2)
+      assert(held.map(_.length.toLong).sum === r.getAs[Long]("n_tokens_after"),
+        s"round ${r.getAs[Int]("merge_round")} held-out census")
+      assert(math.abs(r.getAs[Double]("train_compression") -
+        train.map(_.length.toLong).sum.toDouble / tn0.toDouble) < 1e-15)
+      assert(math.abs(r.getAs[Double]("heldout_compression") -
+        held.map(_.length.toLong).sum.toDouble / hn0.toDouble) < 1e-15)
+    }
+    CachePool.releaseAll()
+  }
 }
