@@ -446,6 +446,20 @@ object Similarity {
         lloydRefine(s, corpusDf(s, d), seeds))
     })
 
+  /** [[SEMDEDUP_PROBES]]-nearest-cell multi-probe assignment against an
+    * arbitrary centroid set — [[semdedupAssign]]'s shape with the
+    * centroids a parameter, for the incremental arms.
+    */
+  private def probeAssign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    graft.plans.TopK.installedWithRewrite(vectors.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    vectors.join(broadcast(cents))
+      .withColumn("ccos", cos(col("e"), col("ce")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= SEMDEDUP_PROBES)
+      .select(col("vec_id"), col("e"), col("cent_id"))
+  }
+
   /** ann_semdedup near-dup bar — the same threshold the dedup family's
     * brute-force query (Dedup.COSINE_NEAR) uses, so recall is measured
     * against the identical pair definition.
@@ -591,24 +605,41 @@ object Similarity {
     * mean recall@5 0.52 at beam 8 / 6 hops on sf0.01; the symmetrized
     * graph at 8 hops is what the shipped curve prices.
     */
-  private def graphEdgesSym(s: SparkSession, d: String): DataFrame = {
-    graft.plans.TopK.installedWithRewrite(s)
-    val sd = semdedupAssign(s, d).filter(col("vec_id") >= N_QUERIES)
-    val a = sd.select(col("cent_id"), col("vec_id").as("src"), col("e").as("e_a"))
-    val b = sd.select(col("cent_id"), col("vec_id").as("dst"), col("e").as("e_b"))
+  /** Blocked top-[[GRAPH_DEGREE]] directed edges: sources from
+    * `srcAssign`, targets from `dstAssign` (pairs sharing a probed
+    * cell). Factored out of the full-corpus build so the incremental
+    * APPEND arm ([[queries]]' ann_incremental_graph) constructs its
+    * batch edges through the identical candidate/top-G path.
+    */
+  private def topGEdges(srcAssign: DataFrame, dstAssign: DataFrame)
+      : DataFrame = {
+    val a = srcAssign
+      .select(col("cent_id"), col("vec_id").as("src"), col("e").as("e_a"))
+    val b = dstAssign
+      .select(col("cent_id"), col("vec_id").as("dst"), col("e").as("e_b"))
     val cand = a.join(b, Seq("cent_id"))
       .filter(col("src") =!= col("dst"))
       .withColumn("sim", cos(col("e_a"), col("e_b")))
       .groupBy("src", "dst").agg(max("sim").as("sim"))
     val wE = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    val dir = cand.withColumn("ern", row_number().over(wE))
+    cand.withColumn("ern", row_number().over(wE))
       .filter(col("ern") <= GRAPH_DEGREE)
       .select("src", "dst", "sim")
-    // cosine is symmetric, so the reverse edge carries the same sim;
-    // group-max dedups an edge already present in both directions
+  }
+
+  /** Undirect a directed edge relation: cosine is symmetric, so the
+    * reverse edge carries the same sim; group-max dedups an edge
+    * already present in both directions.
+    */
+  private def symmetrize(dir: DataFrame): DataFrame =
     dir.unionByName(
         dir.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .groupBy("src", "dst").agg(max("sim").as("sim"))
+
+  private def graphEdgesSym(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopK.installedWithRewrite(s)
+    val sd = semdedupAssign(s, d).filter(col("vec_id") >= N_QUERIES)
+    symmetrize(topGEdges(sd, sd))
       .transform(graft.CachePool.persist) // every hop of every search reads it
   }
 
@@ -646,10 +677,23 @@ object Similarity {
     * the same path can never serve stale results (r13 advice).
     */
   private val graphSearchCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Boolean), (DataFrame, DataFrame)]
+    .empty[(String, Int, String), (DataFrame, DataFrame)]
+
+  /** Memoized edge RELATIONS per (dir, tag) for the incremental arms —
+    * the DataFrame (already CachePool-persisted inside its builder) is
+    * reused by the search memo AND the edge census without a second
+    * construction; cleared with the search memo below.
+    */
+  private val graphEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def memoEdges(d: String, tag: String, fn: () => DataFrame)
+      : DataFrame =
+    graphEdgeCache.getOrElseUpdate((d, tag), fn())
 
   graft.CachePool.onRelease { () =>
     graphSearchCache.clear()
+    graphEdgeCache.clear()
     graphStrideCache.clear()
     incFenceCache.clear()
     incCentCache.clear()
@@ -675,12 +719,23 @@ object Similarity {
     */
   private def graphBeamSearch(s: SparkSession, d: String, beam: Int,
                               pruned: Boolean = false)
+      : (DataFrame, DataFrame) =
+    graphBeamSearchOver(s, d, beam,
+      if (pruned) "pruned" else "plain",
+      () => if (pruned) graphEdgesPruned(s, d) else graphEdges(s, d))
+
+  /** The search over an arbitrary (src, dst) edge relation, memo-keyed
+    * by `tag` (a pure function of dir + construction recipe, like the
+    * pruned flag it generalizes). `edgesFn` is by-name so a memo hit
+    * never constructs the edge relation at all.
+    */
+  private def graphBeamSearchOver(s: SparkSession, d: String, beam: Int,
+                                  tag: String, edgesFn: () => DataFrame)
       : (DataFrame, DataFrame) = {
-    graphSearchCache.getOrElseUpdate((d, beam, pruned), {
+    graphSearchCache.getOrElseUpdate((d, beam, tag), {
       graft.plans.TopK.installedWithRewrite(s)
       GraftFunctions.register(s)
-      val edges =
-        if (pruned) graphEdgesPruned(s, d) else graphEdges(s, d)
+      val edges = edgesFn()
       val corpus = corpusDf(s, d)
       val qs = queriesDf(s, d)
       // hop 0 — the coarse entry layer: brute-scan the derived-stride
@@ -1482,6 +1537,74 @@ object Similarity {
           count(when(!isBatch && moved, lit(1))).as("n_standing_moved"))
     }),
 
+    // The GRAPH half of the incremental-maintenance A/B (ann_incremental
+    // prices the IVF cells): append the batch into the standing
+    // small-world graph the way HNSW inserts — each batch vector probes
+    // the STANDING coarse cells, takes its top-G most-similar blocked
+    // candidates (standing and already-appended batch alike), and adds
+    // those edges in BOTH directions; standing nodes keep every edge
+    // they had and only GAIN back-links (which may push them past G —
+    // the honest incremental behavior the degree census made visible).
+    // The rebuilt arm re-trains the cells over standing ∪ batch (same
+    // seeds) and rebuilds all edges from scratch. Both graphs are then
+    // searched at the shipped beam over the same derived-stride entry
+    // layer against the same brute ground truth: the 2-row report is
+    // edge volume + candidates scored + recall per arm — the number
+    // that decides how long an append-only index can defer a rebuild.
+    "ann_incremental_graph" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.TopK.installedWithRewrite(s)
+      val fence = incFence(s, d)
+      val (stdC, fullC) = incCents(s, d)
+      val corpus = corpusDf(s, d)
+      val exact = topK(corpus.join(broadcast(queriesDf(s, d)))
+          .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select("q_id", "vec_id")
+        .transform(graft.CachePool.persist) // hit-join per arm
+      def appendedEdges(): DataFrame = {
+        val cents = stdC.toDF("cent_id", "ce")
+        val standAssign = probeAssign(corpus.filter(col("vec_id") <= fence), cents)
+          .transform(graft.CachePool.persist) // standing edges + batch targets
+        val batchAssign = probeAssign(corpus.filter(col("vec_id") > fence), cents)
+          .transform(graft.CachePool.persist) // batch edges, both sides
+        val standing = symmetrize(topGEdges(standAssign, standAssign))
+        val bTop = topGEdges(batchAssign,
+          standAssign.unionByName(batchAssign))
+        standing.unionByName(bTop)
+          .unionByName(bTop.select(col("dst").as("src"),
+            col("src").as("dst"), col("sim")))
+          .groupBy("src", "dst").agg(max("sim").as("sim"))
+          .select("src", "dst")
+          .transform(graft.CachePool.persist)
+      }
+      def rebuiltEdges(): DataFrame = {
+        val assign = probeAssign(corpus, fullC.toDF("cent_id", "ce"))
+          .transform(graft.CachePool.persist)
+        symmetrize(topGEdges(assign, assign)).select("src", "dst")
+          .transform(graft.CachePool.persist)
+      }
+      def armRow(arm: String, tag: String, edgesFn: () => DataFrame)
+          : DataFrame = {
+        val edges = () => memoEdges(d, tag, edgesFn)
+        val (visited, trace) =
+          graphBeamSearchOver(s, d, GRAPH_BEAM, tag, edges)
+        val approx = topK(visited).select("q_id", "vec_id")
+        val ne = edges().agg(count(lit(1)).as("n_edges"))
+        val cand = trace.agg(count(lit(1)).as("candidates_scored"))
+        val hit = exact.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+        val ex = exact.agg(count(lit(1)).as("exact_rows"))
+        ne.crossJoin(broadcast(cand)).crossJoin(broadcast(hit))
+          .crossJoin(broadcast(ex))
+          .select(lit(arm).as("arm"), col("n_edges"),
+            col("candidates_scored"), col("total_hits"),
+            (col("total_hits").cast("double") /
+              col("exact_rows").cast("double")).as("recall"))
+      }
+      armRow("appended", "inc_append", () => appendedEdges())
+        .unionByName(armRow("rebuilt", "inc_rebuild", () => rebuiltEdges()))
+    }),
+
     // Index-health report for the sign-LSH layout: the occupancy
     // histogram (bucket size → how many buckets hold that many vectors).
     // THE skew diagnostic for any hash-partitioned ANN index — a heavy
@@ -2003,6 +2126,89 @@ object Similarity {
        |GROUP BY cent_inc""".stripMargin
   }
 
+  /** ann_incremental_graph oracle: the two incremental Lloyd arms, the
+    * multi-probe assignments, the standing-build + batch-append edge
+    * set vs the full rebuild, and one beam search per arm over the
+    * shared entry layer — every stage the engine-mirrored shape its
+    * Spark twin uses ([[graphSearchSql]] runs the search itself).
+    */
+  private lazy val annIncrementalGraphSql = {
+    def probe(src: String, cents: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, e, cent_id FROM (
+         |  SELECT $src.vec_id, $src.e, cent_id,
+         |    row_number() OVER (PARTITION BY $src.vec_id
+         |      ORDER BY ${VectorOps.cosineSql(s"$src.e", "ce", DIM)} DESC, cent_id) AS arn
+         |  FROM $src, $cents) t WHERE arn <= $SEMDEDUP_PROBES)""".stripMargin
+    val cosAB = VectorOps.cosineSql("a.e", "b.e", DIM)
+    def topG(aCte: String, bCte: String, name: String) =
+      s"""$name AS (SELECT src, dst, sim FROM (SELECT src, dst, sim,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY sim DESC, dst) AS ern
+         |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst, MAX($cosAB) AS sim
+         |    FROM $aCte a JOIN $bCte b
+         |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         |    GROUP BY 1, 2) c) t WHERE ern <= $GRAPH_DEGREE)""".stripMargin
+    def armSelect(arm: String, edges: String, tag: String) = {
+      val scoredSum = (s"(SELECT COUNT(*) FROM gv0_$tag)" +:
+        (1 to GRAPH_HOPS).map(h => s"(SELECT COUNT(*) FROM gs${h}_$tag)"))
+        .mkString(" + ")
+      s"""(SELECT '$arm' AS arm,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $edges) AS n_edges,
+         |  CAST($scoredSum AS BIGINT) AS candidates_scored,
+         |  (SELECT COUNT(*) FROM exact e JOIN
+         |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rn
+         |      FROM gv${GRAPH_HOPS}_$tag) t WHERE rn <= $TOP_K) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
+         |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
+    }
+    s"""$baseSql,
+       |fen AS (SELECT MAX(vec_id) - CAST(ceil(COUNT(*) / $INC_BATCH_DIV.0) AS BIGINT) AS fence
+       |  FROM corpus),
+       |standing AS (SELECT vec_id, e FROM corpus
+       |  WHERE vec_id <= (SELECT fence FROM fen)),
+       |batch AS (SELECT vec_id, e FROM corpus
+       |  WHERE vec_id > (SELECT fence FROM fen)),
+       |${incCentsChainSql("standing", "std")},
+       |${incCentsChainSql("corpus", "full")},
+       |${probe("standing", s"cents_std_$REFINE_ITERS", "sassign")},
+       |${probe("batch", s"cents_std_$REFINE_ITERS", "bassign")},
+       |aassign AS (SELECT * FROM sassign UNION ALL SELECT * FROM bassign),
+       |${topG("sassign", "sassign", "sedges0")},
+       |ssym AS (SELECT src, dst, MAX(sim) AS sim FROM (
+       |  SELECT src, dst, sim FROM sedges0
+       |  UNION ALL SELECT dst AS src, src AS dst, sim FROM sedges0) u
+       |  GROUP BY 1, 2),
+       |${topG("bassign", "aassign", "btop")},
+       |appended AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst FROM ssym
+       |  UNION ALL SELECT src, dst FROM btop
+       |  UNION ALL SELECT dst AS src, src AS dst FROM btop) u
+       |  GROUP BY 1, 2),
+       |${probe("corpus", s"cents_full_$REFINE_ITERS", "fassign")},
+       |${topG("fassign", "fassign", "fedges0")},
+       |rebuilt AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst FROM fedges0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM fedges0) u
+       |  GROUP BY 1, 2),
+       |gl1 AS (SELECT vec_id, e FROM corpus
+       |  WHERE vec_id % (SELECT greatest(1, CAST(ceil(
+       |    COUNT(*) / $GRAPH_ENTRY_BUDGET.0) AS BIGINT)) FROM corpus) = 0),
+       |${graphSearchSql(GRAPH_BEAM, "ia", "appended")},
+       |${graphSearchSql(GRAPH_BEAM, "ir", "rebuilt")},
+       |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+       |  WHERE rn <= $TOP_K)
+       |SELECT arm, n_edges, candidates_scored, total_hits,
+       |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
+       |FROM (${armSelect("appended", "appended", "ia")}
+       |  UNION ALL
+       |${armSelect("rebuilt", "rebuilt", "ir")})""".stripMargin
+  }
+
   private lazy val annIvfSql =
     s"""$baseSql,
          |$centsSqlChain,
@@ -2329,6 +2535,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_incremental" -> annIncrementalSql,
+    "ann_incremental_graph" -> annIncrementalGraphSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_recall" -> annGraphRecallSql,
     "ann_graph_beam_curve" -> annGraphBeamCurveSql,

@@ -41,6 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // (the two Lloyd arms' assignment passes +
                             // the drift census's argmax pair) — each the
                             // ann_ivf_topk shape, LINEAR in the corpus
+    "ann_incremental_graph", // the same broadcast assignment shapes per
+                            // arm + the graph search's bounded 1-row
+                            // (edges, candidates, hits, exact) crosses
+                            // — the ann_graph_beam_curve shape
     "ann_graph_degree",     // composes the graph construction (the
                             // semdedup broadcast assignment) — the edge
                             // histogram itself is two hash aggs

@@ -243,4 +243,27 @@ class SimilaritySpec extends AnyFunSuite {
       r.getAs[Long]("n_standing") + r.getAs[Long]("n_batch") > 0L))
     CachePool.releaseAll()
   }
+
+  test("ann_incremental_graph: two arms, sane ledgers, recall holds on the appended graph") {
+    val rows = Similarity.queries("ann_incremental_graph")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(rows.keySet === Set("appended", "rebuilt"))
+    for ((arm, r) <- rows) {
+      assert(r.getAs[Long]("n_edges") > 0L, s"$arm: empty graph")
+      assert(r.getAs[Long]("candidates_scored") > 0L, s"$arm: empty ledger")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"$arm recall $rec")
+      assert(r.getAs[Long]("total_hits") <= 50L, s"$arm hits exceed exact rows")
+    }
+    // the append may only ADD links on top of the standing build (plus
+    // batch sources), so its graph is never smaller than the rebuild's
+    // standing portion would suggest; on this corpus the measured story
+    // is: appended >= rebuilt edge volume, recall does not collapse
+    assert(rows("appended").getAs[Long]("n_edges") >=
+      rows("rebuilt").getAs[Long]("n_edges") - 2L * 8L, // tolerance: G per arm boundary
+      "append lost edge volume vs rebuild")
+    assert(rows("appended").getAs[Double]("recall") >= 0.9,
+      s"sf0.001 appended recall collapsed: ${rows("appended").getAs[Double]("recall")}")
+    CachePool.releaseAll()
+  }
 }
