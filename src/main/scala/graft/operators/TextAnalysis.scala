@@ -26,6 +26,11 @@ object TextAnalysis {
   private val CHUNK_STRIDE = 48 // chunk stride (W - overlap)
   private val PMI_MIN_PAIR = 5 // collocation floor: drop hapax pairs
   private val BPE_ROUNDS = 6   // unrolled tokenizer-training merge rounds
+  // repetition-screen thresholds (the Gopher-family operating point,
+  // token-level): most-frequent-bigram occupancy and duplicate-trigram
+  // fraction — shared with the oracle so one definition flags both sides
+  private val REP_TOP_BIGRAM_T = 0.18
+  private val REP_DUP_TRIGRAM_T = 0.30
   private val TFIDF_DF_CAP = 50 // max df for a cosine-join term (skew guard)
   private val VOCAB_COVER_TOP = 10 // top-V vocab for the coverage screen
   // keyword-search query: one rare discriminating token + two common
@@ -728,6 +733,51 @@ object TextAnalysis {
       import s.implicits._
       bpeMerges(s, d).toDF("merge_round", "w1", "w2", "n_pair",
         "n_tokens_after", "compression_ratio")
+    }),
+
+    // The N-GRAM half of the repetition family (text_repetition ships
+    // the word-level signals): per doc, the occupancy of the single
+    // most frequent bigram and the fraction of trigram occurrences
+    // that are repeats — the Gopher-class signals that catch looping
+    // PHRASES ("buy now buy now") which per-word ratios miss because
+    // every word can be individually common. Per-source census: docs
+    // flagged by each signal, by either, and the mean duplicate-trigram
+    // fraction (per-doc ratios grid-quantized to 2^-30 then summed as
+    // exact integers — the text_quality_sample convention — so the mean
+    // is engine-identical). Scale shape: one explode per n-gram width,
+    // map-combinable hash aggs keyed by doc, O(sources) out; the flag
+    // compares are exact-integer divisions both engines mirror.
+    "text_repetition_ngrams" -> ((s, d) => {
+      val Q = 1073741824.0
+      val docs = docsPar(s, d).filter(size(toks) >= 4)
+        .select(col("doc_id"), col("source"), toks.as("t"))
+      val bi = docs.select(col("doc_id"), col("source"),
+        (size(col("t")) - 1).as("n_bi"),
+        explode(transform(sequence(lit(0), size(col("t")) - lit(2)),
+          i => concat_ws("|", col("t")(i), col("t")(i + lit(1))))).as("g"))
+      val topBi = bi.groupBy("doc_id", "source", "n_bi", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source", "n_bi").agg(max("c").as("top_c"))
+      val tri = docs.select(col("doc_id"), (size(col("t")) - 2).as("n_tri"),
+        explode(transform(sequence(lit(0), size(col("t")) - lit(3)),
+          i => concat_ws("|", col("t")(i), col("t")(i + lit(1)),
+            col("t")(i + lit(2))))).as("g"))
+      val triStats = tri.groupBy("doc_id", "n_tri")
+        .agg(countDistinct(col("g")).as("d_tri"))
+      val tbFrac = col("top_c").cast("double") / col("n_bi")
+      val dtFrac = (col("n_tri") - col("d_tri")).cast("double") / col("n_tri")
+      topBi.join(triStats, "doc_id")
+        .select(col("source"), tbFrac.as("tb"), dtFrac.as("dt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("tb") > REP_TOP_BIGRAM_T, lit(1)))
+            .as("n_bigram_flagged"),
+          count(when(col("dt") > REP_DUP_TRIGRAM_T, lit(1)))
+            .as("n_trigram_flagged"),
+          count(when(col("tb") > REP_TOP_BIGRAM_T ||
+            col("dt") > REP_DUP_TRIGRAM_T, lit(1))).as("n_flagged"),
+          (sum(floor(col("dt") * Q + 0.5).cast("long")).cast("double") /
+            (count(lit(1)).cast("double") * Q)).as("mean_dup_trigram"))
     }),
 
     // Held-out tokenizer generalization (see [[bpeHeldout]]): the merge
@@ -1949,6 +1999,32 @@ object TextAnalysis {
         |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_heldout" -> bpeHeldoutSql,
+    "text_repetition_ngrams" ->
+      s"""WITH dk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+         |bi AS (SELECT doc_id, source, len(t) - 1 AS n_bi,
+         |    t[i] || '|' || t[i + 1] AS g
+         |  FROM dk, unnest(range(1, len(t))) AS u(i)),
+         |topbi AS (SELECT doc_id, source, n_bi, MAX(c) AS top_c FROM (
+         |  SELECT doc_id, source, n_bi, g, COUNT(*) AS c
+         |  FROM bi GROUP BY 1, 2, 3, 4) x GROUP BY 1, 2, 3),
+         |tri AS (SELECT doc_id, len(t) - 2 AS n_tri,
+         |    t[i] || '|' || t[i + 1] || '|' || t[i + 2] AS g
+         |  FROM dk, unnest(range(1, len(t) - 1)) AS u(i)),
+         |tristats AS (SELECT doc_id, MAX(n_tri) AS n_tri,
+         |    COUNT(DISTINCT g) AS d_tri FROM tri GROUP BY 1),
+         |per AS (SELECT tb.source,
+         |    CAST(top_c AS DOUBLE) / n_bi AS tb,
+         |    CAST(ts.n_tri - d_tri AS DOUBLE) / ts.n_tri AS dt
+         |  FROM topbi tb JOIN tristats ts USING (doc_id))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (WHERE tb > $REP_TOP_BIGRAM_T) AS n_bigram_flagged,
+         |  COUNT(*) FILTER (WHERE dt > $REP_DUP_TRIGRAM_T) AS n_trigram_flagged,
+         |  COUNT(*) FILTER (WHERE tb > $REP_TOP_BIGRAM_T
+         |    OR dt > $REP_DUP_TRIGRAM_T) AS n_flagged,
+         |  CAST(SUM(CAST(FLOOR(dt * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1073741824.0) AS mean_dup_trigram
+         |FROM per GROUP BY source""".stripMargin,
     // Identical ratio expression shape (doubles before multiplying,
     // same parenthesization) — see the query comment for why the ratio
     // replaces log-PMI.

@@ -229,6 +229,50 @@ class TextPairsSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("repetition n-gram screen matches a brute per-doc recompute") {
+    // the flag definitions are simple enough to state twice: recompute
+    // every doc's top-bigram occupancy and duplicate-trigram fraction
+    // from the collected texts, apply the same thresholds, and demand
+    // the identical per-source census (flags AND the quantized mean)
+    val Q = 1073741824.0
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 4)
+    case class Acc(var n: Long = 0, var bi: Long = 0, var tri: Long = 0,
+                   var either: Long = 0, var dtSum: Long = 0)
+    val bySrc = scala.collection.mutable.Map[String, Acc]()
+    for ((src, t) <- docs) {
+      val bigrams = t.sliding(2).map(_.mkString("|")).toSeq
+      val trigrams = t.sliding(3).map(_.mkString("|")).toSeq
+      val tb = bigrams.groupBy(identity).values.map(_.size).max.toDouble /
+        bigrams.size
+      val dt = (trigrams.size - trigrams.distinct.size).toDouble /
+        trigrams.size
+      val a = bySrc.getOrElseUpdate(src, Acc())
+      a.n += 1
+      if (tb > 0.18) a.bi += 1
+      if (dt > 0.30) a.tri += 1
+      if (tb > 0.18 || dt > 0.30) a.either += 1
+      a.dtSum += math.floor(dt * Q + 0.5).toLong
+    }
+    val got = operators.TextAnalysis
+      .queries("text_repetition_ngrams")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigram_flagged"),
+          r.getAs[Long]("n_trigram_flagged"), r.getAs[Long]("n_flagged"),
+          r.getAs[Double]("mean_dup_trigram")))).toMap
+    assert(got.keySet === bySrc.keySet.toSet)
+    for ((src, a) <- bySrc) {
+      val (n, bi, tri, either, mean) = got(src)
+      assert((n, bi, tri, either) === ((a.n, a.bi, a.tri, a.either)),
+        s"source $src census")
+      assert(mean === a.dtSum.toDouble / (a.n.toDouble * Q),
+        s"source $src mean")
+    }
+    CachePool.releaseAll()
+  }
+
   test("bpe heldout: apply pass replays the sequential model on text the trainer never saw") {
     // train with the sequential greedy model on the train split, apply
     // its merges in order to the held-out split, and demand the query's
