@@ -735,6 +735,39 @@ object TextAnalysis {
         "n_tokens_after", "compression_ratio")
     }),
 
+    // Training-mixture weights — the data-mixing step between curation
+    // and training: temperature-sample the sources so low-resource ones
+    // are seen more than their natural share (the T5/XLM-R recipe,
+    // p_i ∝ n_i^α). α is pinned to 0.5 because sqrt is an IEEE
+    // correctly-rounded primitive in BOTH engines (pow(x, 0.3) is not
+    // — a one-ulp licence the oracle compare can't grant). Per source:
+    // exact doc/token counts, the natural share, the temperature share,
+    // and effective_epochs = temp_share·T/n_i — how many times the
+    // sampler re-reads that source per budget-T token epoch (>1 means
+    // upsampling, the number a dedup-aware curriculum watches). The
+    // Σ√n_i normalizer is an ascending-source seedless reduceLeft over
+    // the collected O(sources) aggregates (the powerIterate convention)
+    // mirrored token-for-token by the oracle's ordered list_reduce.
+    "text_mixture_weights" -> ((s, d) => {
+      val per = docsPar(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).cast("long").as("n_tokens"))
+        .transform(graft.CachePool.persist) // scalar collect + result rows
+      val rows = per.select("source", "n_tokens").collect()
+        .sortBy(_.getString(0))
+      val tTot = rows.map(_.getLong(1)).reduceLeft(_ + _) // exact BIGINT
+      val sumSqrt = rows.map(r => math.sqrt(r.getLong(1).toDouble))
+        .reduceLeft(_ + _)
+      per
+        .withColumn("nat_share",
+          col("n_tokens").cast("double") / lit(tTot.toDouble))
+        .withColumn("temp_share",
+          sqrt(col("n_tokens").cast("double")) / lit(sumSqrt))
+        .withColumn("effective_epochs",
+          col("temp_share") * lit(tTot.toDouble) /
+            col("n_tokens").cast("double"))
+    }),
+
     // The N-GRAM half of the repetition family (text_repetition ships
     // the word-level signals): per doc, the occupancy of the single
     // most frequent bigram and the fraction of trigram occurrences
@@ -1999,6 +2032,22 @@ object TextAnalysis {
         |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_heldout" -> bpeHeldoutSql,
+    "text_mixture_weights" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+        |ss AS (SELECT list_reduce(
+        |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+        |    (x, y) -> x + y) AS s FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+        |    AS nat_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT s FROM ss) AS temp_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT s FROM ss)
+        |    * CAST((SELECT t FROM tot) AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS effective_epochs
+        |FROM per""".stripMargin,
     "text_repetition_ngrams" ->
       s"""WITH dk AS (SELECT doc_id, source, string_split(text, ' ') AS t
          |  FROM documents WHERE len(string_split(text, ' ')) >= 4),

@@ -273,6 +273,38 @@ class TextPairsSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("mixture weights: exact brute recompute, shares normalize, temperature flattens") {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> (rs.length.toLong,
+          rs.map(_.getString(1).split(" ", -1).length.toLong).sum)
+      }
+    val tTot = per.values.map(_._2).sum
+    val sumSqrt = per.toSeq.sortBy(_._1)
+      .map(t => math.sqrt(t._2._2.toDouble)).reduceLeft(_ + _)
+    val got = operators.TextAnalysis
+      .queries("text_mixture_weights")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet === per.keySet.toSet)
+    for ((src, (nd, nt)) <- per) {
+      val r = got(src)
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")) === ((nd, nt)))
+      assert(r.getAs[Double]("nat_share") === nt.toDouble / tTot.toDouble)
+      assert(r.getAs[Double]("temp_share") === math.sqrt(nt.toDouble) / sumSqrt)
+      // temperature flattening: a below-pivot source is UPSAMPLED
+      val upsampled = r.getAs[Double]("effective_epochs") > 1.0
+      val pivot = tTot.toDouble / sumSqrt
+      assert(upsampled === (math.sqrt(nt.toDouble) < pivot),
+        s"$src: upsampling must flip exactly at the sqrt pivot")
+    }
+    val sumNat = got.values.map(_.getAs[Double]("nat_share")).sum
+    val sumTemp = got.values.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(sumNat - 1.0) < 1e-12 && math.abs(sumTemp - 1.0) < 1e-12)
+    CachePool.releaseAll()
+  }
+
   test("bpe heldout: apply pass replays the sequential model on text the trainer never saw") {
     // train with the sequential greedy model on the train split, apply
     // its merges in order to the held-out split, and demand the query's
