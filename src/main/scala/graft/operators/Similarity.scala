@@ -575,6 +575,10 @@ object Similarity {
   private val GRAPH_PRUNE_CAP = 2 * GRAPH_DEGREE
   private val GRAPH_BEAMS = Seq(2, 4, 8, 16) // curve operating points
 
+  // MMR re-rank design point: greedy picks from a first-stage shortlist
+  private val MMR_SHORTLIST = 20
+  private val MMR_K = 5
+
   /** Per-dir derived entry stride (one tiny count job, memoized — the
     * centroidCache convention; cleared with the search memo on
     * CachePool.releaseAll).
@@ -1940,6 +1944,62 @@ object Similarity {
         .orderBy(col("borda").desc, col("doc_id")).limit(20)
     }),
 
+    // MMR diversification re-rank (Carbonell & Goldstein '98) — the
+    // RAG-retrieval stage after fusion: a top-k that is all
+    // near-duplicates of the best hit wastes the context window, so
+    // each pick maximizes λ·relevance − (1−λ)·max-similarity-to-picked.
+    // λ is pinned to 0.5 (both halves exact in binary, so the shipped
+    // score is one subtraction of engine-identical cosines).
+    // [[MMR_K]] greedy rounds unrolled over the per-query
+    // [[MMR_SHORTLIST]] (the candidate set a first-stage ranker
+    // already bounded — MMR is always a SHORTLIST re-rank, never a
+    // corpus scan): each round is one bounded per-query window + two
+    // equi-joins on q_id against ≤K picked rows, every relation
+    // O(queries · shortlist), and the picked set is lazily
+    // checkpointed per round (it appears twice in the next round's
+    // tree — the plan-doubling gotcha).
+    "search_mmr_rerank" -> ((s, d) => {
+      graft.plans.TopK.installedWithRewrite(s)
+      val wS = Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))
+      val short = corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+        .withColumn("rel", cos(col("qe"), col("e")))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= MMR_SHORTLIST)
+        .select("q_id", "vec_id", "rel", "e")
+        .transform(graft.CachePool.persist) // every pick round reads it
+      // the seed is checkpointed too: every round's anti-join puts
+      // `picked` (short-derived) against `short` itself, and the lazy
+      // checkpoint's fresh attribute ids are what keep the self-join
+      // resolvable (the iterative-loop gotcha's second face)
+      var picked = short.limit(0)
+        .select(col("q_id"), lit(0).cast("int").as("mmr_rank"),
+          col("vec_id"), col("rel"), lit(0.0).as("mmr"))
+        .localCheckpoint(eager = false)
+      val wP = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))
+      for (r <- 1 to MMR_K) {
+        val remaining = short
+          .join(picked.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+          .localCheckpoint(eager = false) // consumed by sims AND cand
+        val pickedVecs = picked.select("q_id", "vec_id")
+          .join(short.select(col("q_id"), col("vec_id"), col("e").as("pe")),
+            Seq("q_id", "vec_id"))
+          .select("q_id", "pe")
+        val sims = remaining.select("q_id", "vec_id", "e")
+          .join(pickedVecs, Seq("q_id"))
+          .withColumn("ps", cos(col("e"), col("pe")))
+          .groupBy("q_id", "vec_id").agg(max("ps").as("max_sim"))
+        val cand = remaining.join(sims, Seq("q_id", "vec_id"), "left")
+          .withColumn("mmr", lit(0.5) * col("rel") -
+            lit(0.5) * coalesce(col("max_sim"), lit(0.0)))
+        val pick = cand.withColumn("prn", row_number().over(wP))
+          .filter(col("prn") === 1)
+          .select(col("q_id"), lit(r).cast("int").as("mmr_rank"),
+            col("vec_id"), col("rel"), col("mmr"))
+        picked = picked.unionByName(pick).localCheckpoint(eager = false)
+      }
+      picked.withColumnRenamed("rel", "relevance")
+    }),
+
     // Top principal component by POWER ITERATION — the one-vector slice
     // of PCA that answers the embedding-ops questions a full
     // decomposition is overkill for: how anisotropic is the space (the
@@ -2354,6 +2414,49 @@ object Similarity {
        |FROM ($perDepth)""".stripMargin
   }
 
+  /** MMR oracle: the shortlist, then [[MMR_K]] unrolled greedy rounds —
+    * remaining minus picked, max-sim to the picked vectors, the λ=0.5
+    * score, one argmax per query per round.
+    */
+  private lazy val searchMmrSql = {
+    val cosPS = VectorOps.cosineSql("r.e", "ps.pe", DIM)
+    val sb = new StringBuilder(
+      s"""$baseSql,
+         |sc0 AS (SELECT q_id, corpus.vec_id AS vec_id, $cosQC AS rel, corpus.e
+         |  FROM q, corpus),
+         |short AS MATERIALIZED (SELECT q_id, vec_id, rel, e FROM (
+         |  SELECT q_id, vec_id, rel, e, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, vec_id) AS srn FROM sc0) t
+         |  WHERE srn <= $MMR_SHORTLIST),
+         |picked_0 AS (SELECT q_id, CAST(0 AS INT) AS mmr_rank, vec_id, rel,
+         |  CAST(0 AS DOUBLE) AS mmr FROM short WHERE 1 = 0)""".stripMargin)
+    for (r <- 1 to MMR_K) {
+      sb.append(s""",
+        |rem_$r AS (SELECT s.* FROM short s
+        |  LEFT JOIN picked_${r - 1} p
+        |    ON s.q_id = p.q_id AND s.vec_id = p.vec_id
+        |  WHERE p.vec_id IS NULL),
+        |sim_$r AS (SELECT r.q_id, r.vec_id, MAX($cosPS) AS max_sim
+        |  FROM rem_$r r JOIN (SELECT p.q_id, s.e AS pe
+        |      FROM picked_${r - 1} p JOIN short s
+        |        ON p.q_id = s.q_id AND p.vec_id = s.vec_id) ps
+        |    ON r.q_id = ps.q_id GROUP BY 1, 2),
+        |cand_$r AS (SELECT r.q_id, r.vec_id, r.rel,
+        |    0.5 * r.rel - 0.5 * COALESCE(max_sim, CAST(0 AS DOUBLE)) AS mmr
+        |  FROM rem_$r r LEFT JOIN sim_$r USING (q_id, vec_id)),
+        |pick_$r AS (SELECT q_id, CAST($r AS INT) AS mmr_rank, vec_id, rel, mmr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY mmr DESC, vec_id) AS prn FROM cand_$r) t
+        |  WHERE prn = 1),
+        |picked_$r AS MATERIALIZED (SELECT * FROM picked_${r - 1}
+        |  UNION ALL SELECT * FROM pick_$r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT q_id, mmr_rank, vec_id, rel AS relevance, mmr
+      |FROM picked_$MMR_K""".stripMargin)
+    sb.toString
+  }
+
   /** SemDeDup oracle chain: the IDENTICAL refined centroids, then a
     * final assignment over ALL vectors (queries included) and the
     * within-cluster pair join — same kernel, same threshold, same
@@ -2536,6 +2639,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_incremental" -> annIncrementalSql,
     "ann_incremental_graph" -> annIncrementalGraphSql,
+    "search_mmr_rerank" -> searchMmrSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_recall" -> annGraphRecallSql,
     "ann_graph_beam_curve" -> annGraphBeamCurveSql,

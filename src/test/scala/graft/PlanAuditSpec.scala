@@ -45,6 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
                             // arm + the graph search's bounded 1-row
                             // (edges, candidates, hits, exact) crosses
                             // — the ann_graph_beam_curve shape
+    "search_mmr_rerank",    // broadcast query set × corpus scan for the
+                            // first-stage shortlist (the ann_cosine_topk
+                            // shape); the greedy rounds are equi-joins
+                            // over ≤ shortlist rows per query
     "ann_graph_degree",     // composes the graph construction (the
                             // semdedup broadcast assignment) — the edge
                             // histogram itself is two hash aggs

@@ -266,4 +266,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"sf0.001 appended recall collapsed: ${rows("appended").getAs[Double]("recall")}")
     CachePool.releaseAll()
   }
+
+  test("search_mmr_rerank replays the greedy MMR model exactly") {
+    // brute model: cosine shortlist per query, then greedy λ=0.5 picks
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = Similarity.queries("search_mmr_rerank")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    assert(got.keySet === (0L until 10L).toSet)
+    for ((q, rows) <- got) {
+      val qe = vecs(q)
+      val short = vecs.filter(_._1 >= 10).toSeq
+        .map { case (id, e) => (id, cosine(qe, e)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      for (r <- 1 to 5) {
+        val best = short.filterNot(c => picked.exists(_._1 == c._1))
+          .map { case (id, rel) =>
+            val maxSim = if (picked.isEmpty) 0.0
+              else picked.map(p => cosine(vecs(id), vecs(p._1))).max
+            (id, rel, 0.5 * rel - 0.5 * maxSim)
+          }.minBy { case (id, _, m) => (-m, id) }
+        val g = rows.find(_.getAs[Int]("mmr_rank") == r).get
+        assert((g.getAs[Long]("vec_id"), g.getAs[Double]("relevance"),
+          g.getAs[Double]("mmr")) === ((best._1, best._2, best._3)),
+          s"q=$q rank=$r")
+        picked += ((best._1, best._3))
+      }
+    }
+    CachePool.releaseAll()
+  }
 }
