@@ -400,7 +400,10 @@ object Similarity {
     incFenceCache.getOrElseUpdate(d, {
       val r = corpusDf(s, d)
         .agg(max(col("vec_id")), count(lit(1))).head()
-      r.getLong(0) - math.ceil(r.getLong(1).toDouble / INC_BATCH_DIV).toLong
+      // empty corpus (truncated table / empty partition): MAX is NULL;
+      // any fence works since both cohorts are empty — use -1
+      if (r.isNullAt(0)) -1L
+      else r.getLong(0) - math.ceil(r.getLong(1).toDouble / INC_BATCH_DIV).toLong
     })
 
   /** Nearest-standing-centroid assignment — the incremental append's

@@ -141,19 +141,25 @@ object TextAnalysis {
     var stream = bpeStream(docs)
     val n0 = stream.count()
     val out = Seq.newBuilder[(Int, String, String, Long, Long, Double)]
-    for (r <- 1 to BPE_ROUNDS) {
+    var r = 1
+    var exhausted = false // empty corpus / no adjacent pairs left
+    while (r <= BPE_ROUNDS && !exhausted) {
       val wDoc = Window.partitionBy("doc_id").orderBy("pos")
       val paired = stream
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
       val top = paired.filter(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
-        .collect()(0)
-      val (w1, w2, nPair) =
-        (top.getString(0), top.getString(1), top.getLong(2))
-      stream = bpeRewrite(paired, w1, w2)
-      val nAfter = stream.count()
-      out += ((r, w1, w2, nPair, nAfter, nAfter.toDouble / n0.toDouble))
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (w1, w2, nPair) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        stream = bpeRewrite(paired, w1, w2)
+        val nAfter = stream.count()
+        out += ((r, w1, w2, nPair, nAfter, nAfter.toDouble / n0.toDouble))
+      }
+      r += 1
     }
     out.result()
   }
@@ -755,9 +761,13 @@ object TextAnalysis {
         .transform(graft.CachePool.persist) // scalar collect + result rows
       val rows = per.select("source", "n_tokens").collect()
         .sortBy(_.getString(0))
-      val tTot = rows.map(_.getLong(1)).reduceLeft(_ + _) // exact BIGINT
-      val sumSqrt = rows.map(r => math.sqrt(r.getLong(1).toDouble))
-        .reduceLeft(_ + _)
+      // empty-corpus guards: the scalars never reach a shipped row
+      // when `per` is empty, they just must not throw / divide by zero
+      val tTot = if (rows.isEmpty) 1L
+        else rows.map(_.getLong(1)).reduceLeft(_ + _) // exact BIGINT
+      val sumSqrt = if (rows.isEmpty) 1.0
+        else rows.map(r => math.sqrt(r.getLong(1).toDouble))
+          .reduceLeft(_ + _)
       per
         .withColumn("nat_share",
           col("n_tokens").cast("double") / lit(tTot.toDouble))
