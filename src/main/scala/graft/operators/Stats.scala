@@ -903,6 +903,83 @@ object Stats {
         (t2 > 3.841458820694124).as("significant"))
     }),
 
+    // Holm–Bonferroni step-down across the experiment's METRIC FAMILY —
+    // the multiple-comparisons correction every platform applies before
+    // calling a multi-metric experiment: four per-user metrics (revenue
+    // cents, events, purchases, active days — all exact integers from
+    // ONE per-user pass) each get the Welch z² of events_ab_value_ttest,
+    // then the metrics are ranked by evidence and compared step-down
+    // against χ²₁ quantiles at α/(m−i+1) — shipped as shared literals
+    // ((Φ⁻¹(1−α/(2(m−i+1))))², the z-scale route that keeps CDFs out of
+    // both engines, the repo's 3.8415 convention). A metric is rejected
+    // only while every stronger metric was: the cumulative AND is a
+    // running MIN over the 4-row metric relation (bounded partitionless
+    // window, whitelisted). Moment portability: Σm² ≤ n·max(m)² ≈ 10¹³
+    // at sf0.1 — decimal-exact and < 2^53 as a double with 100× room.
+    // Degenerate guards per metric as in the t-test; a NULL z² sorts
+    // last and is never rejected. Shape: one per-user hash agg, a 2-row
+    // variant agg, a 1-row pivot, a 4-row unpivot + rank.
+    "events_ab_holm" -> ((s, d) => {
+      val metrics = Seq("rev" -> "revenue_cents", "nev" -> "events_per_user",
+        "npur" -> "purchases_per_user", "nday" -> "active_days")
+      val per = Tables.events(s, d).groupBy("user_id").agg(
+        coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("rev"),
+        count(lit(1)).as("nev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("npur"),
+        countDistinct(to_date(col("ts"))).as("nday"))
+      val aggCols = count(lit(1)).as("n") +: metrics.flatMap { case (m, _) =>
+        Seq(sum(col(m).cast("decimal(38,0)")).cast("double").as(s"s1_$m"),
+          sum((col(m).cast("decimal(19,0)") * col(m)).cast("decimal(38,0)"))
+            .cast("double").as(s"s2_$m"))
+      }
+      val v = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      def side(vr: Int, c: String) = min(when(col("variant") === vr, col(c)))
+      val pcols = Seq(side(0, "n").as("n_a"), side(1, "n").as("n_b")) ++
+        metrics.flatMap { case (m, _) =>
+          Seq(side(0, s"s1_$m").as(s"s1a_$m"), side(0, s"s2_$m").as(s"s2a_$m"),
+            side(1, s"s1_$m").as(s"s1b_$m"), side(1, s"s2_$m").as(s"s2b_$m"))
+        }
+      val p = v.agg(pcols.head, pcols.tail: _*)
+      def z2For(m: String) = {
+        val meanA = col(s"s1a_$m") / col("n_a")
+        val meanB = col(s"s1b_$m") / col("n_b")
+        val varA = (col(s"s2a_$m") - col(s"s1a_$m") * col(s"s1a_$m") /
+          col("n_a")) / (col("n_a") - 1)
+        val varB = (col(s"s2b_$m") - col(s"s1b_$m") * col(s"s1b_$m") /
+          col("n_b")) / (col("n_b") - 1)
+        val se2 = varA / col("n_a") + varB / col("n_b")
+        when(col("n_a") < 2 || col("n_b") < 2 || se2 === 0.0,
+          lit(null).cast("double"))
+          .otherwise((meanA - meanB) * (meanA - meanB) / se2)
+      }
+      val wide = p.select(metrics.map { case (m, nm) =>
+        z2For(m).as(s"z2_$m") }: _*)
+      val stackArgs = metrics.map { case (m, nm) => s"'$nm', z2_$m" }
+        .mkString(", ")
+      val long = wide.selectExpr(
+        s"stack(${metrics.size}, $stackArgs) AS (metric, z2)")
+      // Holm thresholds: (Φ⁻¹(1 − 0.05/(2·(m−i+1))))² for i = 1..4
+      val thresholds = Seq(6.23853263690954, 5.731139281939075,
+        5.0238861873148934, 3.8414588206941236)
+      val wR = Window.orderBy(col("z2").desc_nulls_last, col("metric"))
+      val wCum = Window.orderBy(col("holm_rank"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val thr = thresholds.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (t, i)) => when(col("holm_rank") === i + 1, lit(t))
+          .otherwise(acc)
+      }
+      val pass = when(col("z2").isNotNull && col("z2") > col("threshold"),
+        lit(1)).otherwise(lit(0))
+      long.withColumn("holm_rank", row_number().over(wR))
+        .withColumn("threshold", thr)
+        .withColumn("rejected", min(pass).over(wCum) === 1)
+        .select(col("metric"), col("z2"), col("holm_rank"),
+          col("threshold"), col("rejected"))
+    }),
+
     // Mann–Whitney U — the rank-based nonparametric companion to the
     // Welch test above: compares the A/B revenue DISTRIBUTIONS without
     // the normality lean, which is exactly where heavy-tailed revenue
@@ -1171,6 +1248,70 @@ object Stats {
     val za = 1.959963984540054 // Φ⁻¹(0.975)
     val zb = 0.8416212335729143 // Φ⁻¹(0.8)
     2.0 * (za + zb) * (za + zb)
+  }
+
+  /** events_ab_holm oracle: the identical per-user metric pass, variant
+    * moments, pivot, one Welch z² block per metric (the value-ttest
+    * tree verbatim), UNION-unpivot, rank, and the running-MIN step-down
+    * — thresholds are the same shared literals the Spark side ships.
+    */
+  private lazy val eventsAbHolmSql = {
+    val mets = Seq("rev" -> "revenue_cents", "nev" -> "events_per_user",
+      "npur" -> "purchases_per_user", "nday" -> "active_days")
+    val thresholds = Seq(6.23853263690954, 5.731139281939075,
+      5.0238861873148934, 3.8414588206941236)
+    val s1s2 = mets.map { case (m, _) =>
+      s"""CAST(SUM(CAST($m AS DECIMAL(38,0))) AS DOUBLE) AS s1_$m,
+         |    CAST(SUM(CAST($m AS DECIMAL(19,0)) * $m) AS DOUBLE) AS s2_$m""".stripMargin
+    }.mkString(",\n    ")
+    val pivots = mets.map { case (m, _) =>
+      s"""MIN(CASE WHEN variant = 0 THEN s1_$m END) AS s1a_$m,
+         |    MIN(CASE WHEN variant = 0 THEN s2_$m END) AS s2a_$m,
+         |    MIN(CASE WHEN variant = 1 THEN s1_$m END) AS s1b_$m,
+         |    MIN(CASE WHEN variant = 1 THEN s2_$m END) AS s2b_$m""".stripMargin
+    }.mkString(",\n    ")
+    val rows = mets.map { case (m, nm) =>
+      val varA = s"(s2a_$m - s1a_$m * s1a_$m / n_a) / (n_a - 1)"
+      val varB = s"(s2b_$m - s1b_$m * s1b_$m / n_b) / (n_b - 1)"
+      val se2 = s"($varA) / n_a + ($varB) / n_b"
+      val diff = s"(s1a_$m / n_a - s1b_$m / n_b)"
+      s"""SELECT '$nm' AS metric,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR $se2 = 0 THEN NULL
+         |    ELSE $diff * $diff / ($se2) END AS z2
+         |FROM p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    // `e0` forces a DOUBLE literal: DuckDB parses a bare 17-digit
+    // decimal literal as DECIMAL(17,16), whose cast to double lands one
+    // ulp off the correctly-rounded string parse Spark's lit() does
+    val thrCase = thresholds.zipWithIndex.map { case (t, i) =>
+      s"WHEN ${i + 1} THEN ${t}e0"
+    }.mkString(" ")
+    s"""WITH per AS (SELECT user_id,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS rev,
+       |    COUNT(*) AS nev,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS npur,
+       |    COUNT(DISTINCT CAST(ts AS DATE)) AS nday
+       |  FROM events GROUP BY user_id),
+       |v AS (SELECT ((user_id % 2) + 2) % 2 AS variant, COUNT(*) AS n,
+       |    $s1s2
+       |  FROM per GROUP BY 1),
+       |p AS (SELECT
+       |    MIN(CASE WHEN variant = 0 THEN n END) AS n_a,
+       |    MIN(CASE WHEN variant = 1 THEN n END) AS n_b,
+       |    $pivots
+       |  FROM v),
+       |u AS ($rows),
+       |r AS (SELECT metric, z2, row_number() OVER (
+       |    ORDER BY z2 DESC NULLS LAST, metric) AS holm_rank FROM u),
+       |t AS (SELECT metric, z2, CAST(holm_rank AS INT) AS holm_rank,
+       |    CASE holm_rank $thrCase END AS threshold FROM r)
+       |SELECT metric, z2, holm_rank, threshold,
+       |  MIN(CASE WHEN z2 IS NOT NULL AND z2 > threshold THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY holm_rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |    AS rejected
+       |FROM t""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1778,6 +1919,8 @@ object Stats {
         |  CASE WHEN n <= 1 OR varx <= 0.0 OR vary <= 0.0 THEN NULL
         |    ELSE covxy * covxy / (varx * vary) END AS var_reduction
         |FROM t""".stripMargin,
+
+    "events_ab_holm" -> eventsAbHolmSql,
 
     "events_ab_value_ttest" ->
       """WITH per AS (SELECT user_id,

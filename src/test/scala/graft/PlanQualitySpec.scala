@@ -368,7 +368,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "search_hybrid_fusion" ->
         "O(K): rank passes over two TakeOrdered top-50 shortlists",
       "text_heaps_curve" ->
-        "O(10): first-seen decile census cumulative")
+        "O(10): first-seen decile census cumulative",
+      "events_ab_holm" ->
+        "O(metrics): rank + step-down over the 4-row metric relation")
     val c = spark.conf
     val saved = c.get("spark.sql.adaptive.enabled")
     try {

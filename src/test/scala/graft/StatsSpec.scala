@@ -469,4 +469,36 @@ class StatsSpec extends AnyFunSuite {
     }
     CachePool.releaseAll()
   }
+
+  test("holm step-down: ranks by evidence, gates downstream rejections, ties to the t-test") {
+    val rows = Stats.queries("events_ab_holm")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("holm_rank"))
+    assert(rows.map(_.getAs[String]("metric")).toSet ===
+      Set("revenue_cents", "events_per_user", "purchases_per_user",
+        "active_days"))
+    val thresholds = Seq(6.23853263690954, 5.731139281939075,
+      5.0238861873148934, 3.8414588206941236)
+    // rank order: z2 descending, nulls last
+    val z2s = rows.map(r => Option(r.getAs[java.lang.Double]("z2"))
+      .map(_.doubleValue))
+    assert(z2s.collect { case Some(v) => v }.toSeq ===
+      z2s.collect { case Some(v) => v }.toSeq.sorted.reverse)
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq === thresholds)
+    // step-down: rejected_i == AND over j<=i of (z2_j > T_j)
+    var gate = true
+    for ((r, i) <- rows.zipWithIndex) {
+      gate = gate && z2s(i).exists(_ > thresholds(i))
+      assert(r.getAs[Boolean]("rejected") === gate,
+        s"rank ${i + 1} step-down gate")
+    }
+    // the revenue metric's z2 is the value-ttest's t2 up to the cents
+    // rescale (t2 is scale-invariant mathematically; IEEE only approx)
+    val t2 = Stats.queries("events_ab_value_ttest")(spark, sfDir)
+      .collect()(0).getAs[Double]("t_stat2")
+    val zRev = rows.find(_.getAs[String]("metric") == "revenue_cents")
+      .flatMap(r => Option(r.getAs[java.lang.Double]("z2"))).get
+    assert(math.abs(zRev - t2) <= 1e-9 * math.max(1.0, t2.abs),
+      s"holm revenue z2 $zRev vs ttest t2 $t2")
+    CachePool.releaseAll()
+  }
 }
