@@ -741,19 +741,22 @@ object TextAnalysis {
         "n_tokens_after", "compression_ratio")
     }),
 
-    // Training-mixture weights — the data-mixing step between curation
-    // and training: temperature-sample the sources so low-resource ones
-    // are seen more than their natural share (the T5/XLM-R recipe,
-    // p_i ∝ n_i^α). α is pinned to 0.5 because sqrt is an IEEE
-    // correctly-rounded primitive in BOTH engines (pow(x, 0.3) is not
-    // — a one-ulp licence the oracle compare can't grant). Per source:
-    // exact doc/token counts, the natural share, the temperature share,
-    // and effective_epochs = temp_share·T/n_i — how many times the
-    // sampler re-reads that source per budget-T token epoch (>1 means
-    // upsampling, the number a dedup-aware curriculum watches). The
-    // Σ√n_i normalizer is an ascending-source seedless reduceLeft over
-    // the collected O(sources) aggregates (the powerIterate convention)
-    // mirrored token-for-token by the oracle's ordered list_reduce.
+    // TOKEN-budget mixture weights — the Curation family's
+    // `text_source_temperature` flattens by DOC counts; training
+    // budgets are token-denominated, and the two disagree exactly when
+    // per-doc length varies by source (a long-doc source is
+    // under-weighted by doc counts). Same α = 0.5 sqrt rationale
+    // (correctly-rounded in both engines, unlike pow); new here: token
+    // shares and effective_epochs = temp_share·T/n_i — how many times
+    // the sampler re-reads that source per budget-T token epoch (>1 is
+    // upsampling, the number a dedup-aware curriculum watches, since
+    // upsampled sources repeat before the budget is spent). The Σ√n_i
+    // normalizer is an ascending-source seedless reduceLeft over the
+    // collected O(sources) aggregates (the powerIterate convention)
+    // mirrored token-for-token by the oracle's ordered list_reduce —
+    // where text_source_temperature's doc-count route could stay on
+    // its integer grid, token counts are large enough that the grid
+    // would clip, so the fold IS the portability mechanism here.
     "text_mixture_weights" -> ((s, d) => {
       val per = docsPar(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
