@@ -1558,6 +1558,14 @@ object Similarity {
     // layer against the same brute ground truth: the 2-row report is
     // edge volume + candidates scored + recall per arm — the number
     // that decides how long an append-only index can defer a rebuild.
+    // Measured (r14): sf0.001 0.98 vs 0.98; sf0.1 the APPENDED graph
+    // reaches recall 0.84 vs the rebuild's 0.64 at beam 8 (20172 vs
+    // 19050 edges, 6647 vs 6240 candidates) — the batch back-links
+    // exceed the rebuild's mutual-top-G degree cap and act as extra
+    // navigable shortcuts on near-uniform data, so the append defers
+    // its rebuild for free at this scale. On a clustered real corpus
+    // the same census warns the other way (hub overload), which is
+    // what the per-arm edge/candidate columns are for.
     "ann_incremental_graph" -> ((s, d) => {
       import s.implicits._
       graft.plans.TopK.installedWithRewrite(s)

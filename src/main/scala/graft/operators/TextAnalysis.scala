@@ -134,8 +134,12 @@ object TextAnalysis {
       .transform(graft.CachePool.persist)
   }
 
-  /** [[BPE_ROUNDS]] trainer rounds over the given doc relation. */
-  private def bpeTrain(s: SparkSession, docs: DataFrame)
+  /** [[BPE_ROUNDS]] trainer rounds over the given doc relation.
+    * private[graft] so the property spec can drive it with adversarial
+    * synthetic streams (single-token runs — the overlapping-match case
+    * the parity rewrite exists for) beyond the corpus replay.
+    */
+  private[graft] def bpeTrain(s: SparkSession, docs: DataFrame)
       : Seq[(Int, String, String, Long, Long, Double)] = {
     import org.apache.spark.sql.expressions.Window
     var stream = bpeStream(docs)

@@ -273,6 +273,51 @@ class TextPairsSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("bpe rewrite property: random runs over a 2-token alphabet match the sequential model") {
+    // adversarial inputs for the gaps-and-islands parity rewrite: long
+    // single-token runs make EVERY match overlap its neighbor (w1 = w2,
+    // "a a a a" → "a a"+"a a", never three) — the case the corpus replay
+    // barely exercises. Deterministic seed; 60 docs of random a/b runs.
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val toks = Seq.fill(2 + rnd.nextInt(14))(
+        if (rnd.nextBoolean()) "a" else "b")
+      (i.toLong, toks.mkString(" "))
+    }
+    import spark.implicits._
+    val got = operators.TextAnalysis
+      .bpeTrain(spark, docs.toDF("doc_id", "text"))
+    assert(got.nonEmpty)
+    var model: Seq[Array[String]] = docs.map(_._2.split(" ", -1))
+    val n0 = model.map(_.length.toLong).sum
+    for ((round, w1, w2, nPair, nAfter, ratio) <- got) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      model.foreach(_.sliding(2).foreach {
+        case Array(a, b) =>
+          counts.update((a, b), counts.getOrElse((a, b), 0L) + 1L)
+        case _ => ()
+      })
+      val ((mw1, mw2), mn) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      assert((mw1, mw2, mn) === ((w1, w2, nPair)), s"round $round pair")
+      model = model.map { d =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == w1 && d(i + 1) == w2) {
+            out += s"$w1 $w2"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.toArray
+      }
+      assert(model.map(_.length.toLong).sum === nAfter,
+        s"round $round census (overlap parity)")
+      assert(math.abs(ratio -
+        model.map(_.length.toLong).sum.toDouble / n0.toDouble) < 1e-15)
+    }
+    CachePool.releaseAll()
+  }
+
   test("mixture weights: exact brute recompute, shares normalize, temperature flattens") {
     val per = Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
