@@ -267,6 +267,44 @@ class SimilaritySpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("assignToCells property: random vectors argmax-match the brute model, ties to smaller cent") {
+    // the incremental append's one moving part, driven with synthetic
+    // vectors INCLUDING exact ties (a vector at equal cosine to two
+    // centroids must land in the smaller cent_id — the family's argmax
+    // rule); deterministic seed, dims small so ties are constructible
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // orthogonal centroids so the tie vectors below tie EXACTLY
+    // between their two intended cells and nothing else
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)), (20L, Seq(0.0, 1.0, 0.0)),
+      (30L, Seq(0.0, 0.0, 1.0)))
+    val vecs = (0 until 50).map { i =>
+      (100L + i, Seq.fill(3)(rnd.nextDouble() * 2 - 1))
+    } ++ Seq(
+      (900L, Seq(1.0, 1.0, 0.0)), // exact tie between cents 10 and 20
+      (901L, Seq(0.0, 1.0, 1.0))) // exact tie between cents 20 and 30
+    val got = Similarity.assignToCells(
+        vecs.toDF("vec_id", "e"), cents.toDF("cent_id", "ce"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((id, e) <- vecs) {
+      val want = cents.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+      assert(got(id) === want, s"vec $id")
+    }
+    assert(got(900L) === 10L && got(901L) === 20L,
+      "exact-tie vectors must land in the smaller cent_id")
+    assert(got.size === vecs.size, "every vector assigned exactly once")
+    CachePool.releaseAll()
+  }
+
   test("search_mmr_rerank replays the greedy MMR model exactly") {
     // brute model: cosine shortlist per query, then greedy λ=0.5 picks
     def cosine(a: Array[Double], b: Array[Double]): Double = {
