@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,11 @@ import graft.sources.Tables
   * broadcast of either side needed at 100 TB).
   */
 object RelationalExt {
+
+  /** Per-step conversion window of the sequential funnel: 48 h in
+    * exact microseconds, shared with the oracle SQL.
+    */
+  private val FUNNEL_WINDOW_US = 48L * 3600L * 1000000L
 
   /** Mergeable quantile sketch (DataSketches KLL) as a typed Aggregator:
     * the quantile analog of the HLL rollup — per-group sketches are
@@ -272,6 +277,50 @@ object RelationalExt {
           coalesce(col("first_signup").isNotNull &&
             col("first_click") > col("first_signup") &&
             col("first_purchase") > col("first_click"), lit(false)))
+    }),
+
+    // Strict SEQUENTIAL funnel with a per-step conversion window — the
+    // ordered-funnel semantics analytics platforms actually sell, which
+    // events_funnel's loose first-of-each comparison only approximates
+    // (a user whose first click predates their first signup still
+    // converts if a LATER click follows the signup — the loose form
+    // drops them; conversely a click years after signup shouldn't
+    // count — the loose form keeps it). Anchoring is greedy and
+    // documented: step 1 anchors at the FIRST signup; step 2 at the
+    // first click strictly after it within [[FUNNEL_WINDOW_US]];
+    // step 3 at the first purchase strictly after THAT click within
+    // the same window. Event-TIME ordering (µs), ties excluded by the
+    // strict > (deterministic). Expressed without self-joins: two
+    // stacked cumulative conditional minima over ONE per-user
+    // time-sorted window (the anchor visible at any row is exactly the
+    // global anchor whenever one precedes it), then one conditional-
+    // min hash agg on the same partitioning — one exchange total at
+    // any funnel depth, the events_funnel scale story with the honest
+    // semantics.
+    "events_funnel_sequential" -> ((s, d) => {
+      val T = FUNNEL_WINDOW_US
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val clickQ = (c: Column) => col("event_type") === "click" &&
+        c.isNotNull && col("us") > c && col("us") <= c + T
+      val purchQ = (c: Column) => col("event_type") === "purchase" &&
+        c.isNotNull && col("us") > c && col("us") <= c + T
+      val p1 = ev.withColumn("ss",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      val p2 = p1.withColumn("cq",
+        min(when(clickQ(col("ss")), col("us"))).over(w))
+      p2.groupBy("user_id").agg(
+          min(when(col("event_type") === "signup", col("us")))
+            .as("signup_us"),
+          min(when(clickQ(col("ss")), col("us"))).as("click_us"),
+          min(when(purchQ(col("cq")), col("us"))).as("purchase_us"))
+        .withColumn("reached_step",
+          (when(col("signup_us").isNotNull, 1).otherwise(0) +
+            when(col("click_us").isNotNull, 1).otherwise(0) +
+            when(col("purchase_us").isNotNull, 1).otherwise(0)).cast("int"))
     }),
 
     // Cohort retention: users grouped by first-activity week, counted
@@ -775,6 +824,32 @@ object RelationalExt {
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_id <= 5000) t WHERE rn = 1""".stripMargin,
+    "events_funnel_sequential" -> {
+      val T = FUNNEL_WINDOW_US
+      val cum = """OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |p1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+         |    $cum AS ss FROM ev),
+         |p2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ss IS NOT NULL
+         |      AND us > ss AND us <= ss + $T THEN us END)
+         |    $cum AS cq FROM p1),
+         |g AS (SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'signup' THEN us END) AS signup_us,
+         |    MIN(CASE WHEN event_type = 'click' AND ss IS NOT NULL
+         |      AND us > ss AND us <= ss + $T THEN us END) AS click_us,
+         |    MIN(CASE WHEN event_type = 'purchase' AND cq IS NOT NULL
+         |      AND us > cq AND us <= cq + $T THEN us END) AS purchase_us
+         |  FROM p2 GROUP BY user_id)
+         |SELECT user_id, signup_us, click_us, purchase_us,
+         |  CAST((CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS INT) AS reached_step
+         |FROM g""".stripMargin
+    },
+
     "events_funnel" ->
       """SELECT user_id,
         |  MIN(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,

@@ -516,4 +516,34 @@ class ProfilingSpec extends AnyFunSuite {
     // a deterministic verdict and must hold
     assert(rows.values.forall(_._2), s"sketch bound violated: $rows")
   }
+
+  test("sequential funnel matches a brute per-user greedy replay") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val T = 48L * 3600L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val got = graft.operators.RelationalExt
+      .queries("events_funnel_sequential")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.lang.Long]("signup_us")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("click_us")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("purchase_us")).map(_.longValue),
+          r.getAs[Int]("reached_step")))).toMap
+    assert(got.keySet === ev.keySet.toSet)
+    for ((u, rows) <- ev) {
+      val sorted = rows.toSeq.sortBy(t => (t._3, t._2))
+      val s1 = sorted.filter(_._4 == "signup").map(_._3).minOption
+      val c = s1.flatMap(a => sorted.filter(t => t._4 == "click" &&
+        t._3 > a && t._3 <= a + T).map(_._3).minOption)
+      val p = c.flatMap(a => sorted.filter(t => t._4 == "purchase" &&
+        t._3 > a && t._3 <= a + T).map(_._3).minOption)
+      val reach = Seq(s1, c, p).count(_.isDefined)
+      assert(got(u) === ((s1, c, p, reach)), s"user $u greedy replay")
+    }
+    CachePool.releaseAll()
+  }
 }
