@@ -257,6 +257,11 @@ object Dedup {
   private val componentsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  // The uniform memo-lifetime convention (r14 advice): per-dir memos
+  // clear on CachePool.releaseAll, so a release boundary resets every
+  // cache layer coherently (see the Similarity hook for the rationale).
+  graft.CachePool.onRelease(() => componentsMemo.clear())
+
   private def componentsFor(s: SparkSession, d: String, kind: String,
       pairsOf: (SparkSession, String) => DataFrame): DataFrame =
     componentsMemo.getOrElseUpdate((d, kind), {

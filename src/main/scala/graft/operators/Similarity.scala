@@ -177,11 +177,13 @@ object Similarity {
   /** Refined centroids are a pure function of the DATA (deterministic
     * seeds, deterministic Lloyd passes), and both IVF queries (plus the
     * recall query, twice) construct them — memoize the k·d collected
-    * values per dir so the passes run once per JVM. Keyed by dir ONLY:
-    * session-identity keys would leak an entry per dead session, while
-    * dir entries are bounded by the number of distinct corpora touched
-    * (each O(centroids · dim) doubles). A losing racer recomputes the
-    * same values — wasted work, never wrong results.
+    * values per dir so the passes run once per release window (the
+    * memo clears on CachePool.releaseAll — the uniform per-dir memo
+    * convention). Keyed by dir ONLY: session-identity keys would leak
+    * an entry per dead session, while dir entries are bounded by the
+    * number of distinct corpora touched (each O(centroids · dim)
+    * doubles). A losing racer recomputes the same values — wasted work,
+    * never wrong results.
     */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
@@ -396,7 +398,7 @@ object Similarity {
   private val incFenceCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def incFence(s: SparkSession, d: String): Long =
+  private[graft] def incFence(s: SparkSession, d: String): Long =
     incFenceCache.getOrElseUpdate(d, {
       val r = corpusDf(s, d)
         .agg(max(col("vec_id")), count(lit(1))).head()
@@ -414,8 +416,18 @@ object Similarity {
     * [[graft.operators.Dedup.incrementalMatches]]); the named query
     * uses the same function for both of its assignment arms.
     * Ties break to the smaller cent_id — the family's argmax rule.
+    *
+    * Contract: `cents` must be NON-EMPTY. The unconditioned cross join
+    * would otherwise return zero rows for every vector — a silent
+    * conservation failure in any "every doc accounted for" ingestion
+    * path (r14 advice) — so an empty centroid set fails fast here. The
+    * check is one tiny action on a planner-sized relation (centroid
+    * sets are O(k·d) collected values by construction).
     */
   def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    require(!cents.isEmpty,
+      "assignToCells: empty centroid set — every vector would silently " +
+        "drop out of the assignment join; train or seed centroids first")
     GraftFunctions.register(vectors.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     vectors.join(broadcast(cents))
@@ -698,12 +710,91 @@ object Similarity {
       : DataFrame =
     graphEdgeCache.getOrElseUpdate((d, tag), fn())
 
+  /** The incremental arms' building blocks, factored out of the
+    * `ann_incremental_graph` closure (r14 advice) so that (a) the spec
+    * asserts STRUCTURAL invariants — the appended graph is a superset
+    * of the symmetrized standing build, and every extra edge touches a
+    * batch node — instead of a corpus-tuned volume tolerance, and (b)
+    * the streaming ingestion test can compare a per-microbatch edge
+    * append against the exact batch relations. All memoized per dir
+    * via [[memoEdges]]; the multi-probe assignments are persisted
+    * because the standing build and the batch append both consume them.
+    */
+  private def incStandAssign(s: SparkSession, d: String): DataFrame =
+    memoEdges(d, "inc_sassign", () => {
+      import s.implicits._
+      probeAssign(
+          corpusDf(s, d).filter(col("vec_id") <= incFence(s, d)),
+          incCents(s, d)._1.toDF("cent_id", "ce"))
+        .transform(graft.CachePool.persist)
+    })
+
+  private def incBatchAssign(s: SparkSession, d: String): DataFrame =
+    memoEdges(d, "inc_bassign", () => {
+      import s.implicits._
+      probeAssign(
+          corpusDf(s, d).filter(col("vec_id") > incFence(s, d)),
+          incCents(s, d)._1.toDF("cent_id", "ce"))
+        .transform(graft.CachePool.persist)
+    })
+
+  /** Symmetrized top-G build over the STANDING corpus only — what a
+    * deployed graph index holds before the append batch arrives.
+    */
+  private[graft] def incStandingSymEdges(s: SparkSession, d: String)
+      : DataFrame =
+    memoEdges(d, "inc_standing", () =>
+      symmetrize(topGEdges(incStandAssign(s, d), incStandAssign(s, d)))
+        .transform(graft.CachePool.persist))
+
+  /** HNSW-style batch insertion: standing edges plus each batch
+    * vector's top-G blocked candidates (standing ∪ batch targets), both
+    * directions. Standing nodes only GAIN back-links.
+    */
+  private[graft] def incAppendedEdges(s: SparkSession, d: String)
+      : DataFrame =
+    memoEdges(d, "inc_append", () => {
+      val bTop = topGEdges(incBatchAssign(s, d),
+        incStandAssign(s, d).unionByName(incBatchAssign(s, d)))
+      incStandingSymEdges(s, d).unionByName(bTop)
+        .unionByName(bTop.select(col("dst").as("src"),
+          col("src").as("dst"), col("sim")))
+        .groupBy("src", "dst").agg(max("sim").as("sim"))
+        .select("src", "dst")
+        .transform(graft.CachePool.persist)
+    })
+
+  /** The full-rebuild arm: cells re-trained over standing ∪ batch from
+    * the same seeds, all edges rebuilt from scratch.
+    */
+  private[graft] def incRebuiltEdges(s: SparkSession, d: String)
+      : DataFrame =
+    memoEdges(d, "inc_rebuild", () => {
+      import s.implicits._
+      val assign = probeAssign(corpusDf(s, d),
+          incCents(s, d)._2.toDF("cent_id", "ce"))
+        .transform(graft.CachePool.persist)
+      symmetrize(topGEdges(assign, assign)).select("src", "dst")
+        .transform(graft.CachePool.persist)
+    })
+
+  // Memo-lifetime convention (r14 advice): ALL per-dir pure-function
+  // memos clear on release — one rule, no stale-vs-fresh split. A
+  // release boundary resets every derived per-corpus value (centroids,
+  // PQ codebooks, covariance, fences, strides, edge/search relations)
+  // coherently; within a family window (the only place reuse matters —
+  // Verify/Bench release at family boundaries) each memo still runs its
+  // training once.
   graft.CachePool.onRelease { () =>
     graphSearchCache.clear()
     graphEdgeCache.clear()
     graphStrideCache.clear()
     incFenceCache.clear()
     incCentCache.clear()
+    centroidCache.clear()
+    covCache.clear()
+    pqCache.clear()
+    pqTrainedCache.clear()
   }
 
   /** [[GRAPH_HOPS]] unrolled best-first rounds at the given beam width.
@@ -1567,44 +1658,17 @@ object Similarity {
     // the same census warns the other way (hub overload), which is
     // what the per-arm edge/candidate columns are for.
     "ann_incremental_graph" -> ((s, d) => {
-      import s.implicits._
       graft.plans.TopK.installedWithRewrite(s)
-      val fence = incFence(s, d)
-      val (stdC, fullC) = incCents(s, d)
-      val corpus = corpusDf(s, d)
-      val exact = topK(corpus.join(broadcast(queriesDf(s, d)))
+      val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
           .withColumn("cosine", cos(col("qe"), col("e"))))
         .select("q_id", "vec_id")
         .transform(graft.CachePool.persist) // hit-join per arm
-      def appendedEdges(): DataFrame = {
-        val cents = stdC.toDF("cent_id", "ce")
-        val standAssign = probeAssign(corpus.filter(col("vec_id") <= fence), cents)
-          .transform(graft.CachePool.persist) // standing edges + batch targets
-        val batchAssign = probeAssign(corpus.filter(col("vec_id") > fence), cents)
-          .transform(graft.CachePool.persist) // batch edges, both sides
-        val standing = symmetrize(topGEdges(standAssign, standAssign))
-        val bTop = topGEdges(batchAssign,
-          standAssign.unionByName(batchAssign))
-        standing.unionByName(bTop)
-          .unionByName(bTop.select(col("dst").as("src"),
-            col("src").as("dst"), col("sim")))
-          .groupBy("src", "dst").agg(max("sim").as("sim"))
-          .select("src", "dst")
-          .transform(graft.CachePool.persist)
-      }
-      def rebuiltEdges(): DataFrame = {
-        val assign = probeAssign(corpus, fullC.toDF("cent_id", "ce"))
-          .transform(graft.CachePool.persist)
-        symmetrize(topGEdges(assign, assign)).select("src", "dst")
-          .transform(graft.CachePool.persist)
-      }
       def armRow(arm: String, tag: String, edgesFn: () => DataFrame)
           : DataFrame = {
-        val edges = () => memoEdges(d, tag, edgesFn)
         val (visited, trace) =
-          graphBeamSearchOver(s, d, GRAPH_BEAM, tag, edges)
+          graphBeamSearchOver(s, d, GRAPH_BEAM, tag, edgesFn)
         val approx = topK(visited).select("q_id", "vec_id")
-        val ne = edges().agg(count(lit(1)).as("n_edges"))
+        val ne = edgesFn().agg(count(lit(1)).as("n_edges"))
         val cand = trace.agg(count(lit(1)).as("candidates_scored"))
         val hit = exact.join(approx, Seq("q_id", "vec_id"))
           .agg(count(lit(1)).as("total_hits"))
@@ -1616,8 +1680,9 @@ object Similarity {
             (col("total_hits").cast("double") /
               col("exact_rows").cast("double")).as("recall"))
       }
-      armRow("appended", "inc_append", () => appendedEdges())
-        .unionByName(armRow("rebuilt", "inc_rebuild", () => rebuiltEdges()))
+      armRow("appended", "inc_append", () => incAppendedEdges(s, d))
+        .unionByName(armRow("rebuilt", "inc_rebuild",
+          () => incRebuiltEdges(s, d)))
     }),
 
     // Index-health report for the sign-LSH layout: the occupancy

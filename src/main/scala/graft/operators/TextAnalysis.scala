@@ -90,6 +90,17 @@ object TextAnalysis {
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, String, String, Long, Long, Double)]]
 
+  // Memo-lifetime convention (r14 advice): EVERY per-dir pure-function
+  // memo in the operator families clears on CachePool.releaseAll — a
+  // release boundary resets all derived per-corpus state coherently, so
+  // regenerated data at the same path can never serve a stale merge
+  // table within one JVM. Within a family window (Verify/Bench release
+  // only at family boundaries) the memo still amortizes the training.
+  graft.CachePool.onRelease { () =>
+    bpeCache.clear()
+    bpeHeldCache.clear()
+  }
+
   /** The tokenized long relation a BPE pass starts from. */
   private def bpeStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -189,24 +200,27 @@ object TextAnalysis {
     * given, so train and apply share one rewrite definition.
     */
   private val bpeHeldCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(Int, String, String, Double, Long, Double)]]
+    .empty[String, Seq[(Int, String, String, Double, Long, Option[Double])]]
 
   private def bpeHeldout(s: SparkSession, d: String)
-      : Seq[(Int, String, String, Double, Long, Double)] =
+      : Seq[(Int, String, String, Double, Long, Option[Double])] =
     bpeHeldCache.getOrElseUpdate(d, {
       import org.apache.spark.sql.expressions.Window
       val merges = bpeTrain(s, docsPar(s, d).filter(splitHash < "e666"))
       var stream = bpeStream(docsPar(s, d).filter(splitHash >= "e666"))
       val h0 = stream.count()
-      val out = Seq.newBuilder[(Int, String, String, Double, Long, Double)]
+      val out = Seq.newBuilder[(Int, String, String, Double, Long, Option[Double])]
       for ((r, w1, w2, _, _, trainRatio) <- merges) {
         val wDoc = Window.partitionBy("doc_id").orderBy("pos")
         val paired = stream
           .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
         stream = bpeRewrite(paired, w1, w2)
         val hAfter = stream.count()
+        // h0 == 0 (every doc hashed into the train split): 0/0 would be
+        // NaN here and engine-dependent in the oracle — NULL on both
+        // sides instead, the family's empty-denominator convention
         out += ((r, w1, w2, trainRatio, hAfter,
-          hAfter.toDouble / h0.toDouble))
+          if (h0 == 0L) None else Some(hAfter.toDouble / h0.toDouble)))
       }
       out.result()
     })
@@ -1598,8 +1612,9 @@ object TextAnalysis {
       |  CAST(tn_after AS DOUBLE)
       |    / CAST((SELECT n FROM tn0) AS DOUBLE) AS train_compression,
       |  hn_after AS n_tokens_after,
-      |  CAST(hn_after AS DOUBLE)
-      |    / CAST((SELECT n FROM hn0) AS DOUBLE) AS heldout_compression
+      |  CASE WHEN (SELECT n FROM hn0) = 0 THEN NULL
+      |    ELSE CAST(hn_after AS DOUBLE)
+      |      / CAST((SELECT n FROM hn0) AS DOUBLE) END AS heldout_compression
       |FROM ($unions)""".stripMargin)
     sb.toString
   }

@@ -255,13 +255,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rec >= 0.0 && rec <= 1.0, s"$arm recall $rec")
       assert(r.getAs[Long]("total_hits") <= 50L, s"$arm hits exceed exact rows")
     }
-    // the append may only ADD links on top of the standing build (plus
-    // batch sources), so its graph is never smaller than the rebuild's
-    // standing portion would suggest; on this corpus the measured story
-    // is: appended >= rebuilt edge volume, recall does not collapse
-    assert(rows("appended").getAs[Long]("n_edges") >=
-      rows("rebuilt").getAs[Long]("n_edges") - 2L * 8L, // tolerance: G per arm boundary
-      "append lost edge volume vs rebuild")
+    // STRUCTURAL invariants of the append (r14 advice — the old
+    // rebuilt-minus-2G volume tolerance had no structural guarantee and
+    // was brittle to corpus changes): the appended graph is a SUPERSET
+    // of the symmetrized standing build (standing nodes never lose an
+    // edge), and every edge beyond that superset touches a batch node
+    // (the append can only add batch links + their back-links).
+    val fence = Similarity.incFence(spark, sfDir)
+    val standing = Similarity.incStandingSymEdges(spark, sfDir)
+      .select("src", "dst")
+    val appended = Similarity.incAppendedEdges(spark, sfDir)
+    assert(standing.join(appended, Seq("src", "dst"), "left_anti").isEmpty,
+      "append dropped a standing edge — must be a superset of the standing build")
+    val extras = appended.join(standing, Seq("src", "dst"), "left_anti")
+    assert(extras.filter(col("src") <= fence && col("dst") <= fence).isEmpty,
+      "an appended edge links two standing nodes — only batch insertions may add edges")
+    // and the report's n_edges is exactly the appended relation's size
+    assert(rows("appended").getAs[Long]("n_edges") === appended.count(),
+      "report edge volume diverges from the appended relation")
     assert(rows("appended").getAs[Double]("recall") >= 0.9,
       s"sf0.001 appended recall collapsed: ${rows("appended").getAs[Double]("recall")}")
     CachePool.releaseAll()
