@@ -66,6 +66,18 @@ class PlanAuditSpec extends AnyFunSuite {
                             // probe-curve shape
     "ann_graph_prune_curve", // the identical curve over the hub-pruned
                             // edges — same bounded 1-row crosses
+    "ann_graph_layered_curve", // the beam-curve shape with the middle
+                            // segment's walk added — same bounded crosses
+    "cdc_registry_asof",    // the as-of registry join broadcasts an
+                            // O(relations·versions) log (2 rows here);
+                            // the envelope's constant tableName folds
+                            // the equi key away, leaving a bounded BNLJ
+                            // over a planner-sized dim — the __k class
+    "ann_clustered_beam_curve",  // the four uniform-cohort shapes above
+    "ann_clustered_prune_curve", // re-run verbatim over the clustered
+    "ann_clustered_incremental_graph", // cohort (one implementation —
+    "ann_clustered_semdedup_recall",   // see CLUSTERED_SFX) — same
+                            // bounded broadcasts and 1-row crosses
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself

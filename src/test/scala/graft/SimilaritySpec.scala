@@ -278,6 +278,64 @@ class SimilaritySpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("clustered cohort: synthesis creates real clusters and the four A/B arms hold") {
+    // 1. the cohort itself (the r15 synthesis convention): anchor+e must
+    // produce REAL clusters — mean within-label cosine separates from
+    // mean cross-label cosine by a wide margin; ids are conserved.
+    GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("e0"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val anchors = base.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1).select(col("label"), col("e0").as("ae"))
+    val clu = base.join(broadcast(anchors), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("ae"), col("e0"), _ + _).as("e"))
+    assert(clu.count() === base.count(), "cohort must conserve every id")
+    val a = clu.select(col("vec_id").as("va"), col("label").as("la"), col("e").as("ea"))
+    val b = clu.select(col("vec_id").as("vb"), col("label").as("lb"), col("e").as("eb"))
+    val stats = a.join(b, col("va") < col("vb"))
+      .withColumn("c", GraftFunctions.cosineSim(col("ea"), col("eb")))
+      .groupBy(col("la") === col("lb")).agg(avg("c")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(stats(true) > stats(false) + 0.3,
+      s"synthesis failed to cluster: within ${stats(true)} vs cross ${stats(false)}")
+
+    // 2. the four clustered arms: well-formed, and the navigability
+    // story holds — on clustered data the walk reaches its floor at the
+    // SMALLEST beam (measured 1.0 across the curve at sf0.001/0.1)
+    val curve = Similarity.queries("ann_clustered_beam_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("beam_width"))
+    assert(curve.map(_.getAs[Int]("beam_width")).toSeq === Seq(2, 4, 8, 16))
+    assert(curve.head.getAs[Double]("recall") >= 0.9,
+      s"clustered beam-2 recall ${curve.head.getAs[Double]("recall")} " +
+        "(measured 1.0 — clustered data is the tier's EASY case)")
+    val pruned = Similarity.queries("ann_clustered_prune_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("beam_width"))
+    // structural A/B: the prune may only LOSE candidates per beam width
+    for ((bse, prn) <- curve.zip(pruned)) {
+      assert(prn.getAs[Long]("candidates_scored") <=
+        bse.getAs[Long]("candidates_scored"),
+        s"prune added candidates at beam ${bse.getAs[Int]("beam_width")}")
+      assert(prn.getAs[Double]("recall") >= bse.getAs[Double]("recall") - 0.1,
+        "pruned recall collapsed vs unpruned")
+    }
+    val inc = Similarity.queries("ann_clustered_incremental_graph")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(inc.keySet === Set("appended", "rebuilt"))
+    assert(inc("appended").getAs[Double]("recall") >= 0.9,
+      "clustered append recall collapsed")
+    val rec = Similarity.queries("ann_clustered_semdedup_recall")(spark, sfDir)
+      .collect().head
+    assert(rec.getAs[Long]("n_captured") <= rec.getAs[Long]("n_true_pairs"))
+    assert(rec.getAs[Double]("recall") >= 0.95,
+      s"clustered blocking recall ${rec.getAs[Double]("recall")} " +
+        "(measured 1.0 at sf0.001, 0.9992 at sf0.1)")
+    CachePool.releaseAll()
+  }
+
   test("assignToCells property: random vectors argmax-match the brute model, ties to smaller cent") {
     // the incremental append's one moving part, driven with synthetic
     // vectors INCLUDING exact ties (a vector at equal cosine to two
