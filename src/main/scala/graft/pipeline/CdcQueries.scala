@@ -184,6 +184,39 @@ object CdcQueries {
           col("txnId"))
     }),
 
+    // D4 replay semantics (r14 verdict #5): each event's after-image
+    // projected through the relation-registry schema version current AT
+    // ITS LSN — the reference decodes tuples positionally against the
+    // registry built from RelationMessages (replicator.go:320-322), so
+    // a column is visible exactly from the LSN its RelationMessage
+    // registered it. The registry log here is the deterministic
+    // two-version fixture (v0 at lsn 0: user_id+value; v1 at the
+    // corpus-midpoint fence: +k) — the fence is one planner-sized
+    // aggregate, the registry broadcast is O(versions), the payload
+    // never shuffles. Pre-fence events must NOT surface k even though
+    // the tuple carries it (the registry cannot name it); post-fence
+    // events must. The STREAMING half — a RelationMessage landing
+    // between microbatches refreshing the projection without restart —
+    // is StreamingSpec's registry-refresh test over the same
+    // RelationRegistry functions.
+    "cdc_registry_asof" -> ((s, d) => {
+      import s.implicits._
+      val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+      val mx = env.agg(max(col("lsn"))).head()
+      val fence = if (mx.isNullAt(0)) 0L else mx.getLong(0) / 2
+      val log = Seq(
+        ("users", 0L, Seq("user_id", "value")),
+        ("users", fence, Seq("user_id", "value", "k")))
+        .toDF("relation", "lsn", "columns")
+      RelationRegistry.projectAsOf(env, log)
+        .select(col("op"), col("lsn"), col("key"),
+          size(col("columns")).as("n_cols"),
+          array_join(col("columns"), ",").as("schema_cols"),
+          element_at(col("after"), "user_id").cast("long").as("after_user_id"),
+          element_at(col("after"), "value").cast("double").as("after_value"),
+          element_at(col("after"), "k").as("after_k"))
+    }),
+
     // D9/D10 wire-format round trip: envelope → JSON → envelope must be
     // the identity on every scalar field (checked against the source).
     "cdc_json_roundtrip" -> ((s, d) => {
@@ -983,6 +1016,26 @@ object CdcQueries {
       s"""SELECT event_id AS lsn, $opSql AS op,
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
          |  event_id // 100 AS txnId
+         |FROM events""".stripMargin,
+    // the as-of registry projection: k is visible exactly from the
+    // midpoint fence (the v1 RelationMessage's LSN); fence = max//2
+    // truncates identically in both engines on non-negative lsns
+    "cdc_registry_asof" ->
+      s"""WITH mx AS (SELECT COALESCE(MAX(event_id), 0) // 2 AS fence
+         |  FROM events)
+         |SELECT $opSql AS op, event_id AS lsn,
+         |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
+         |  CAST(CASE WHEN event_id >= (SELECT fence FROM mx)
+         |    THEN 3 ELSE 2 END AS INT) AS n_cols,
+         |  CASE WHEN event_id >= (SELECT fence FROM mx)
+         |    THEN 'user_id,value,k' ELSE 'user_id,value' END AS schema_cols,
+         |  CASE WHEN event_type = 'error' THEN NULL
+         |    ELSE user_id END AS after_user_id,
+         |  CASE WHEN event_type = 'error' THEN NULL
+         |    ELSE value END AS after_value,
+         |  CASE WHEN event_type = 'error'
+         |      OR event_id < (SELECT fence FROM mx) THEN NULL
+         |    ELSE json_extract_string(props, '$$.k') END AS after_k
          |FROM events""".stripMargin,
     "cdc_publication_routing" ->
       s"""SELECT 'users' AS tableName,

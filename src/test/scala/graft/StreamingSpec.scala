@@ -14,6 +14,9 @@ import graft.streaming.{ChangeLogStream, RawEvent, Scd2Out, StateOut}
   */
 case class IngestDoc(doc_id: Long, text: String, emb: Seq[Double])
 
+/** Incoming vector for the streaming graph-edge append test. */
+case class IngestVec(vec_id: Long, e: Seq[Double])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
@@ -1590,6 +1593,139 @@ class StreamingSpec extends AnyFunSuite {
     // landed in exactly one cell
     assert(oneShot.map(_._1) ++ Set(101L, 104L) ===
       incoming.map(_.doc_id).toSet)
+    CachePool.releaseAll()
+  }
+
+  test("relation registry refresh: a mid-stream RelationMessage reprojects without restart") {
+    // D4 under streaming (r14 verdict #5): the reference updates its
+    // relation store per WAL RelationMessage (replicator.go:320-322)
+    // and decodes every subsequent tuple against the store's CURRENT
+    // schema. Here the registry is an append-only parquet log the
+    // foreachBatch handler RE-READS per microbatch (a refreshed
+    // broadcast dimension): a v2 RelationMessage written between
+    // microbatches must widen the NEXT batch's projection — post-change
+    // events surface k, pre-change events must NOT (the registry could
+    // not name it), with no stream restart anywhere.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, map_keys, element_at}
+    import graft.pipeline.{Envelope, RelationRegistry}
+    implicit val sqlCtx = spark.sqlContext
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft_registry").toFile.getAbsolutePath
+    Seq(("users", 0L, Seq("user_id", "value")))
+      .toDF("relation", "lsn", "columns")
+      .write.mode("append").parquet(regDir)
+    val out = scala.collection.mutable.Map
+      .empty[Long, (Seq[String], Option[String])]
+    val in = MemoryStream[RawEvent]
+    val q = in.toDF().writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // re-read the registry log INSIDE the batch — the refresh point
+        val schemas = RelationRegistry.currentSchemas(
+          spark.read.parquet(regDir))
+        val rows = RelationRegistry
+          .projectThroughRegistry(Envelope.toCdcEventsStreaming(b).toDF(),
+            schemas)
+          .select(col("lsn"), map_keys(col("after")).as("cols"),
+            element_at(col("after"), "k").as("k"))
+          .as[(Long, Seq[String], Option[String])].collect()
+        out.synchronized { rows.foreach(r => out(r._1) = (r._2, r._3)) }
+        ()
+      }.start()
+    try {
+      // both tuples CARRY k in props; only the registry decides
+      // whether the projection can name it
+      def kev(id: Long, minute: Int, uid: Long, typ: String) =
+        RawEvent(id, ts(minute), uid, typ, 1.0, s"""{"k":"$id"}""")
+      in.addData(kev(1, 5, 1, "signup"), kev(2, 6, 2, "click"))
+      q.processAllAvailable()
+      // the RelationMessage: users re-registered WITH k
+      Seq(("users", 100L, Seq("user_id", "value", "k")))
+        .toDF("relation", "lsn", "columns")
+        .write.mode("append").parquet(regDir)
+      in.addData(kev(3, 7, 1, "click"), kev(4, 8, 3, "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    for (l <- Seq(1L, 2L)) {
+      assert(out(l)._1 === Seq("user_id", "value"),
+        s"pre-change event $l must project through the OLD column set")
+      assert(out(l)._2.isEmpty, s"pre-change event $l surfaced k")
+    }
+    for (l <- Seq(3L, 4L)) {
+      assert(out(l)._1 === Seq("user_id", "value", "k"),
+        s"post-change event $l must project through the NEW column set")
+      assert(out(l)._2 === Some(l.toString),
+        s"post-change event $l must carry k's VALUE through the projection")
+    }
+    CachePool.releaseAll()
+  }
+
+  test("incremental graph ingestion: streamed edge append equals the batch appended arm") {
+    // the missing half of the ingestion composition (r14 verdict #4):
+    // the CELL assignment streamed per microbatch since r14, but the
+    // top-G edge construction only ran in the batch A/B. Here the
+    // append batch (the newest decile by the same fence) arrives
+    // through foreachBatch, Similarity.appendGraphEdges builds its
+    // edges against the standing assignment, and the resulting edge
+    // store must EQUAL ann_incremental_graph's appended arm. The whole
+    // decile ships as ONE microbatch for the equality leg — the batch
+    // arm lets batch vectors link to each other, which a split stream
+    // cannot reproduce (an early vector cannot see a later one); the
+    // split case is covered by the structural leg below.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val fence = graft.operators.Similarity.incFence(spark, d)
+    val (cents, standAssign) = graft.operators.Similarity.incStandingState(spark, d)
+    val standingSym = graft.operators.Similarity.incStandingSymEdges(spark, d)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val batchVecs = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") > fence)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => IngestVec(id, e) }
+    assert(batchVecs.nonEmpty, "fence must leave a non-empty batch")
+    def runStream(splits: Seq[Seq[IngestVec]]): Set[(Long, Long)] = {
+      val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+      var standing = standAssign
+      val in = MemoryStream[IngestVec]
+      val q = in.toDF().writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val (newEdges, bAssign) = graft.operators.Similarity
+            .appendGraphEdges(b.select("vec_id", "e"), standing, cents)
+          edges.synchronized {
+            edges ++= newEdges.select("src", "dst")
+              .as[(Long, Long)].collect()
+          }
+          // fold the batch into the standing assignment (collected —
+          // test-sized; a deployment would append to a parquet store)
+          standing = standing.unionByName(bAssign).localCheckpoint()
+          ()
+        }.start()
+      try {
+        splits.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      edges.toSet
+    }
+    // equality leg: one microbatch == the batch A/B's appended arm
+    val streamed = runStream(Seq(batchVecs.toSeq))
+    val appendedArm = graft.operators.Similarity.incAppendedEdges(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(standingSym ++ streamed === appendedArm,
+      "streamed edge store diverged from ann_incremental_graph's appended arm")
+    // structural leg: a 2-way split still only ADDS batch-touching
+    // edges on top of the standing build (no standing-standing edge,
+    // nothing lost), even though early vectors cannot see later ones
+    val (h1, h2) = batchVecs.splitAt(batchVecs.length / 2)
+    val split = runStream(Seq(h1.toSeq, h2.toSeq))
+    val extras = split -- standingSym
+    assert(extras.nonEmpty, "split stream appended nothing")
+    val batchIds = batchVecs.map(_.vec_id).toSet
+    assert(extras.forall(e => batchIds(e._1) || batchIds(e._2)),
+      "a split-stream edge links two standing nodes")
     CachePool.releaseAll()
   }
 }
