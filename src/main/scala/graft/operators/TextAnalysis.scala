@@ -115,8 +115,16 @@ object TextAnalysis {
     * by the trained table) — one rewrite definition, so the two paths
     * cannot drift.
     */
-  private def bpeRewrite(paired: DataFrame, w1: String, w2: String)
-      : DataFrame = {
+  /** One rewrite round's outputs: the re-ranked stream TAGGED with
+    * which rows are this round's merged tokens (`is_merged`), plus the
+    * kept OLD positions — exactly what the pair-delta trainer needs to
+    * update counts sparsely (only adjacencies touching a merged island
+    * change) without a second derivation of the match set.
+    */
+  private case class BpeRound(stream: DataFrame, kept: DataFrame)
+
+  private def bpeRewriteTagged(paired: DataFrame, w1: String, w2: String)
+      : BpeRound = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val matches = paired
@@ -129,26 +137,38 @@ object TextAnalysis {
         Window.partitionBy("doc_id", "isl").orderBy("pos")))
       .filter(col("krn") % 2 === 1)
       .select("doc_id", "pos")
-      .localCheckpoint(eager = false) // replace-join + consumed anti
+      .localCheckpoint(eager = false) // replace-join + consumed anti + deltas
     val consumed = kept.select(col("doc_id"), (col("pos") + 1).as("pos"))
     val stream = paired.select("doc_id", "pos", "tok")
     val untouched = stream
       .join(kept.unionByName(consumed), Seq("doc_id", "pos"), "left_anti")
-    untouched
-      .unionByName(kept.withColumn("tok", lit(s"$w1 $w2")))
-      .select(col("doc_id"), col("pos").as("opos"), col("tok"))
+    val rewritten = untouched.withColumn("is_merged", lit(false))
+      .unionByName(kept.withColumn("tok", lit(s"$w1 $w2"))
+        .withColumn("is_merged", lit(true)))
+      .select(col("doc_id"), col("pos").as("opos"), col("tok"),
+        col("is_merged"))
       .withColumn("pos",
         (row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
           - lit(1)).cast("int"))
-      .select("doc_id", "pos", "tok")
+      .select("doc_id", "pos", "tok", "is_merged")
       .localCheckpoint(eager = false)
       .transform(graft.CachePool.persist)
+    BpeRound(rewritten, kept)
   }
 
-  /** [[BPE_ROUNDS]] trainer rounds over the given doc relation.
-    * private[graft] so the property spec can drive it with adversarial
-    * synthetic streams (single-token runs — the overlapping-match case
-    * the parity rewrite exists for) beyond the corpus replay.
+  private def bpeRewrite(paired: DataFrame, w1: String, w2: String)
+      : DataFrame =
+    bpeRewriteTagged(paired, w1, w2).stream.select("doc_id", "pos", "tok")
+
+  /** [[BPE_ROUNDS]] trainer rounds over the given doc relation — the
+    * full-RECOUNT reference: every round re-aggregates all adjacent
+    * pairs. Since r15 the shipped path is [[bpeTrainDelta]] (identical
+    * merge table, sparse count updates); this implementation stays as
+    * the semantic reference the equality spec replays both corpora and
+    * adversarial streams through. private[graft] so the property spec
+    * can drive it with adversarial synthetic streams (single-token
+    * runs — the overlapping-match case the parity rewrite exists for)
+    * beyond the corpus replay.
     */
   private[graft] def bpeTrain(s: SparkSession, docs: DataFrame)
       : Seq[(Int, String, String, Long, Long, Double)] = {
@@ -179,9 +199,100 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Pair-DELTA trainer (r14 verdict #3) — the production shape: round
+    * 1 counts every adjacency once; rounds 2..N update the standing
+    * (tok, nxt) count relation by DELTA. The only adjacencies that
+    * change when (w1, w2) merges are those touching a merged island —
+    * removed: old pairs whose left position sits in
+    * {kept ∪ consumed} ∪ ({kept ∪ consumed} − 1); added: new pairs
+    * where either side IS this round's merged token (the is_merged tag
+    * [[bpeRewriteTagged]] carries for exactly this purpose — content
+    * tests can't identify them, since two different merge paths can
+    * serialize to the same string). Equality with the full recount is
+    * exact, not approximate: untouched old adjacencies biject onto
+    * new non-merged adjacencies (no token is ever deleted — a match
+    * leaves its merged survivor in place), so the updated multiset of
+    * counts is identical, and the winner under (n DESC, w1, w2) is
+    * identical — TextPairsSpec asserts bit-equality against
+    * [[bpeTrain]] on the corpus replay and on adversarial single-token
+    * runs. Scale shape per round: the rewrite's window passes are
+    * unchanged (the next round needs the lead() relation anyway), but
+    * the full-corpus pair AGGREGATION is gone — the removed/added
+    * aggregations touch O(merged islands) rows, and the standing
+    * counts relation is updated through a co-partitioned full-outer
+    * join (counts is already hash-partitioned on the join keys from
+    * its last shuffle, so only the O(islands) delta side moves).
+    * Measured at sf0.1 (6 rounds, ~271 k-row token stream, winners at
+    * ~350 occurrences): the recount trainer feeds all ~271 k adjacency
+    * rows into the pair aggregation every round; the delta trainer does
+    * that once, then five delta sets of ~1.5-2 k rows each (≤ 5·kept
+    * adjacencies per round — ~0.7% of a full pass).
+    */
+  private[graft] def bpeTrainDelta(s: SparkSession, docs: DataFrame)
+      : Seq[(Int, String, String, Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var stream = bpeStream(docs)
+    val n0 = stream.count()
+    var paired = stream.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .localCheckpoint(eager = false) // winner pick + rewrite + removed set
+      .transform(graft.CachePool.persist)
+    var counts = paired.filter(col("nxt").isNotNull)
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+      .transform(graft.CachePool.persist)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= BPE_ROUNDS && !exhausted) {
+      val top = counts.orderBy(col("n").desc, col("tok"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (w1, w2, nPair) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val rw = bpeRewriteTagged(paired, w1, w2)
+        // removed: every OLD adjacency whose either endpoint is a kept
+        // or consumed position — adjacency (p, p+1) is keyed by p, so
+        // the affected-p set is {t, t−1 : t ∈ kept ∪ consumed}
+        val touched = rw.kept
+          .unionByName(rw.kept.select(col("doc_id"), (col("pos") + 1).as("pos")))
+        val affectedP = touched
+          .unionByName(touched.select(col("doc_id"), (col("pos") - 1).as("pos")))
+          .distinct()
+        val removed = paired.filter(col("nxt").isNotNull)
+          .join(affectedP, Seq("doc_id", "pos"), "left_semi")
+          .groupBy("tok", "nxt").agg((-count(lit(1))).as("dn"))
+        // added: every NEW adjacency with a merged token on either side
+        val newPaired = rw.stream
+          .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+          .withColumn("nxtm", lead(col("is_merged"), 1).over(wDoc))
+          .localCheckpoint(eager = false) // added set + next round's pick/rewrite
+          .transform(graft.CachePool.persist)
+        val added = newPaired
+          .filter(col("nxt").isNotNull && (col("is_merged") || col("nxtm")))
+          .groupBy("tok", "nxt").agg(count(lit(1)).as("dn"))
+        val delta = removed.unionByName(added)
+          .groupBy("tok", "nxt").agg(sum(col("dn")).as("dn"))
+        counts = counts.join(delta, Seq("tok", "nxt"), "full_outer")
+          .select(col("tok"), col("nxt"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint(eager = false)
+          .transform(graft.CachePool.persist)
+        stream = rw.stream.select("doc_id", "pos", "tok")
+        paired = newPaired.select("doc_id", "pos", "tok", "nxt")
+        val nAfter = stream.count()
+        out += ((r, w1, w2, nPair, nAfter, nAfter.toDouble / n0.toDouble))
+      }
+      r += 1
+    }
+    out.result()
+  }
+
   private def bpeMerges(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long, Double)] =
-    bpeCache.getOrElseUpdate(d, bpeTrain(s, docsPar(s, d)))
+    bpeCache.getOrElseUpdate(d, bpeTrainDelta(s, docsPar(s, d)))
 
   /** Train-split hash bucket (the text_train_split rule): first 4 hex
     * chars of md5("split|" + doc_id); < "e666" is the ~90% train side.
@@ -206,7 +317,7 @@ object TextAnalysis {
       : Seq[(Int, String, String, Double, Long, Option[Double])] =
     bpeHeldCache.getOrElseUpdate(d, {
       import org.apache.spark.sql.expressions.Window
-      val merges = bpeTrain(s, docsPar(s, d).filter(splitHash < "e666"))
+      val merges = bpeTrainDelta(s, docsPar(s, d).filter(splitHash < "e666"))
       var stream = bpeStream(docsPar(s, d).filter(splitHash >= "e666"))
       val h0 = stream.count()
       val out = Seq.newBuilder[(Int, String, String, Double, Long, Option[Double])]

@@ -318,6 +318,33 @@ class TextPairsSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("bpe pair-delta trainer: bit-identical merge table to the full recount at two SFs + adversarial runs") {
+    // the r14 verdict #3 contract: delta-maintained counts must produce
+    // EXACTLY the recount trainer's merge table — same winners, same
+    // pair counts, same census, same ratios — on two real corpus sizes
+    // and on the adversarial single-token-run streams where every match
+    // overlaps its neighbor (consecutive kept islands are the hardest
+    // delta case: removed and added adjacencies share endpoints).
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val recount = operators.TextAnalysis.bpeTrain(spark, docs)
+      val delta = operators.TextAnalysis.bpeTrainDelta(spark, docs)
+      assert(delta === recount, s"merge tables diverged at $dir")
+      CachePool.releaseAll()
+    }
+    val rnd = new scala.util.Random(13)
+    val runs = (0 until 60).map { i =>
+      val toks = Seq.fill(2 + rnd.nextInt(14))(
+        if (rnd.nextBoolean()) "a" else "b")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(operators.TextAnalysis.bpeTrainDelta(spark, runs) ===
+      operators.TextAnalysis.bpeTrain(spark, runs),
+      "merge tables diverged on adversarial single-token runs")
+    CachePool.releaseAll()
+  }
+
   test("mixture weights: exact brute recompute, shares normalize, temperature flattens") {
     val per = Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
