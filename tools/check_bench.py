@@ -3,22 +3,24 @@
 
 Recorded bench totals on this box inflate up to ~3x under co-tenant
 load on UNCHANGED code (r5: 365 s recorded vs 58.6 s idle; r7: 221 s vs
-73 s). The JSON line's `calib_sec` field — a fixed CPU-bound micro-task
-timed best-of-three after the run — inflates by the same steal factor,
-so it is the noise denominator: scale the idle expectation by
-max(1, calib_sec / IDLE_CALIB) BEFORE declaring a regression.
+73 s). Since r15 the JSON line carries PER-FAMILY calibration bands
+(`calib_fams`: {family: [min_ms, max_ms]} over probes run at every
+family boundary and every 8 queries inside a family) plus per-family
+totals (`fam_tot`), so each family is scaled by ITS window's observed
+load — a mid-run wave that a single post-run `calib_sec` could not see
+(the r12-r14 phantom-regression class) shows up as that family's max
+probe. The global `calib_sec` remains the fallback for older artifacts.
 
 Usage:
     python3 tools/check_bench.py <bench.json|-> [prior_bench.json]
 accepts a raw Bench stdout line, a driver BENCH_r{N}.json (the line is
 inside its "tail"), target/bench_full.json, or '-' for stdin.
 
-With a second artifact, also diffs per-query times (both sides scaled
-to idle by their own calib factor) and prints the top movers — the
-r9-verdict item-6 class of drift (a query whose cost quietly doubled
-between rounds) surfaces here instead of waiting for a judge to
-eyeball 264 numbers. Queries present on only one side are listed as
-added/removed, never diffed.
+With a second artifact, also diffs per-query times (each side scaled by
+its own family-window load when available, else the global factor) and
+prints the top movers. A mover inside a family whose window saw load
+(max probe > 1.5x idle on either side) is tagged `window loaded` rather
+than `<-- LOOK`: re-time at idle before believing it.
 """
 import json
 import re
@@ -60,14 +62,44 @@ def load_bench(path):
     return extract(raw)
 
 
+def fam_of(name):
+    fam = name.split("_")[0]
+    return "q" if re.fullmatch(r"q\d+", fam) else fam
+
+
+def fam_loads(b):
+    """Per-family (min_load, max_load) factors from calib_fams, or None."""
+    cf = b.get("calib_fams")
+    if not cf:
+        return None
+    return {g: (max(1.0, lo / 1000.0 / IDLE_CALIB),
+                max(1.0, hi / 1000.0 / IDLE_CALIB))
+            for g, (lo, hi) in cf.items()}
+
+
+def global_load(b):
+    calib = b.get("calib_sec")
+    return max(1.0, calib / IDLE_CALIB) if calib else 1.0
+
+
+def scaled_queries(b):
+    """Each query divided by its family window's MIN-probe load (the
+    load-robust floor — a min probe only inflates when load was
+    sustained across the whole window), falling back to the global
+    factor. Returns (scaled map, description string, loads-or-None)."""
+    loads = fam_loads(b)
+    g = global_load(b)
+    q = b.get("queries", {})
+    if loads is None:
+        return {k: v / g for k, v in q.items()}, f"global /{g:.2f}", None
+    out = {k: v / loads.get(fam_of(k), (g, g))[0] for k, v in q.items()}
+    return out, "per-family min-probe", loads
+
+
 def diff_movers(cur, prev, top=5):
     """Per-query drift, both sides scaled to idle by their own calib."""
-    def scaled(b):
-        calib = b.get("calib_sec")
-        load = max(1.0, calib / IDLE_CALIB) if calib else 1.0
-        return {k: v / load for k, v in b.get("queries", {}).items()}, load
-    cq, cl = scaled(cur)
-    pq, pl = scaled(prev)
+    cq, cdesc, cloads = scaled_queries(cur)
+    pq, pdesc, ploads = scaled_queries(prev)
     if not cq or not pq:
         print("per-query diff: one side carries no queries map "
               "(truncated tail?) — skipping")
@@ -78,10 +110,17 @@ def diff_movers(cur, prev, top=5):
     movers = sorted(
         ((k, pq[k], cq[k], cq[k] - pq[k]) for k in both),
         key=lambda t: -abs(t[3]))[:top]
-    print(f"\nper-query drift (idle-scaled: cur /{cl:.2f}, prev /{pl:.2f}; "
+    print(f"\nper-query drift (cur: {cdesc}, prev: {pdesc}; "
           f"{len(both)} shared, +{len(added)} added, -{len(removed)} removed)")
     for k, p, c, d in movers:
-        flag = " <-- LOOK" if abs(d) > 0.5 and c > 2 * max(p, 0.05) else ""
+        fam = fam_of(k)
+        windows_loaded = any(
+            ld is not None and ld.get(fam, (1.0, 1.0))[1] > 1.5
+            for ld in (cloads, ploads))
+        flag = ""
+        if abs(d) > 0.5 and c > 2 * max(p, 0.05):
+            flag = ("  (family window loaded — re-time idle before believing)"
+                    if windows_loaded else " <-- LOOK")
         print(f"  {k:<32} {p:6.2f}s -> {c:6.2f}s  ({d:+.2f}s){flag}")
     if added:
         slow = sorted(added, key=lambda k: -cq[k])[:top]
@@ -109,32 +148,62 @@ def spike_report(b, top=5):
             print(f"  {k:<32} passes=" + ",".join(f"{x:.2f}s" for x in v))
 
 
+def family_report(b):
+    """Per-family window verdict: total, probe band, and the family's
+    own load-adjusted total. Returns the family-scaled effective total
+    (max-probe excusal bound: 'could this window's observed load
+    explain the excess?'), or None without calib_fams/fam_tot."""
+    loads = fam_loads(b)
+    ft = b.get("fam_tot")
+    if loads is None or not ft:
+        return None
+    eff = 0.0
+    noisy = []
+    for g in sorted(ft):
+        lo, hi = loads.get(g, (1.0, 1.0))
+        eff += ft[g] / hi
+        if hi > 1.5:
+            noisy.append(f"{g} (x{hi:.1f}, {ft[g]:.1f}s)")
+    if noisy:
+        print("loaded family windows (max probe > 1.5x idle): "
+              + ", ".join(noisy))
+    else:
+        print("all family windows quiet (max probe <= 1.5x idle) — "
+              "every per-query number in this artifact is trustworthy")
+    return eff
+
+
 def main(path, prior=None):
     b = load_bench(path)
     total = b.get("value", b.get("total"))
     n = b.get("n_queries") or len(b.get("queries", {}))
     calib = b.get("calib_sec")
-    load = max(1.0, calib / IDLE_CALIB) if calib else 1.0
+    load = global_load(b)
     lo, hi = PER_QUERY_BAND[0] * n, PER_QUERY_BAND[1] * n
-    eff = total / load
     cal = f"{calib}s" if calib else "MISSING (pre-r8 artifact)"
-    print(f"total={total:.1f}s n={n} calib={cal} -> load factor ~{load:.1f}x")
-    print(f"idle envelope {lo:.0f}-{hi:.0f}s; load-adjusted total {eff:.1f}s")
+    print(f"total={total:.1f}s n={n} calib={cal} -> global load ~{load:.1f}x")
+    print(f"idle envelope {lo:.0f}-{hi:.0f}s; "
+          f"global load-adjusted total {total / load:.1f}s")
+    fam_eff = family_report(b)
+    if fam_eff is not None:
+        print(f"family-scaled effective total {fam_eff:.1f}s "
+              "(each family / its window's max-probe load)")
     spike_report(b)
     if prior:
         diff_movers(b, load_bench(prior))
+    eff = fam_eff if fam_eff is not None else total / load
     if total <= hi:
         print("VERDICT: PASS (within idle envelope, no adjustment needed)")
         return 0
     if eff <= hi:
-        print("VERDICT: PASS-INFLATED (load explains the excess; "
-              "re-measure idle before reading any per-query number)")
+        print("VERDICT: PASS-INFLATED (window-local load explains the "
+              "excess; re-measure idle before reading any per-query number)")
         return 0
-    if calib is None:
+    if calib is None and fam_eff is None:
         print("VERDICT: UNRESOLVED (over envelope, but no calib anchor to "
               "separate load from regression — re-measure idle)")
         return 1
-    print("VERDICT: REGRESSION (excess NOT explained by calib load factor)")
+    print("VERDICT: REGRESSION (excess NOT explained by observed load)")
     return 1
 
 
