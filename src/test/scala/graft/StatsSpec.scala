@@ -470,6 +470,54 @@ class StatsSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("sequential readout: a hopeless experiment crosses futility, never efficacy") {
+    // synthetic null-effect corpus (r14 verdict #7 — the fixture corpus
+    // only exercises the efficacy side's crossing behavior): 10 arrival
+    // days, 80 users/day split evenly by pmod(user_id, 2), conversion
+    // EXACTLY 1/2 in both arms every day → z² = 0 at every look. The
+    // futility line activates once (C+z_β)·√t > z_β/√t ⇔ t > z_β/(C+z_β)
+    // ≈ 0.2937, i.e. from day 2 (t = 0.3) — from there every look must
+    // stop for futility, and the efficacy bound must never fire.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hopeless").toFile.getAbsolutePath
+    var eid = 0L
+    val rows = (for {
+      day <- 0 until 10
+      u <- 0 until 80
+      uid = (day * 80 + u).toLong
+      ts = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+      // converts iff uid % 4 < 2: exactly half of each parity class
+      ev <- Seq(("signup", 1.0)) ++
+        (if (uid % 4 < 2) Seq(("purchase", 2.0)) else Nil)
+    } yield {
+      eid += 1
+      (eid, ts, uid, ev._1, ev._2, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("events_ab_sequential")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("day"))
+    assert(got.length === 10)
+    for (r <- got) {
+      // balanced arms, identical rates: z² must be exactly 0
+      assert(r.getAs[Double]("z2") === 0.0, s"day ${r.getAs[Int]("day")} z2")
+      assert(!r.getAs[Boolean]("crossed"),
+        s"day ${r.getAs[Int]("day")}: a null effect crossed EFFICACY")
+      val day = r.getAs[Int]("day")
+      if (day < 2) {
+        // t = 0.1, 0.2 — the futility line is still negative: inactive
+        assert(r.isNullAt(r.fieldIndex("bound_futility_z2")),
+          s"day $day: futility bound active before t ≈ 0.2937")
+        assert(r.isNullAt(r.fieldIndex("crossed_futility")))
+      } else {
+        assert(r.getAs[Boolean]("crossed_futility"),
+          s"day $day: hopeless experiment must stop for futility")
+      }
+    }
+    CachePool.releaseAll()
+  }
+
   test("holm step-down: ranks by evidence, gates downstream rejections, ties to the t-test") {
     val rows = Stats.queries("events_ab_holm")(spark, sfDir)
       .collect().sortBy(_.getAs[Int]("holm_rank"))
