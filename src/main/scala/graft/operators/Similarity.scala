@@ -1766,7 +1766,10 @@ object Similarity {
     // cluster strongly and navigate easily; near-uniform R^64 clusters
     // weakly, which is exactly why the beam curve needs the coarse
     // entry layer — this query turns that explanation into a measured
-    // number. Scale shape: the graph has bounded out-degree, so the
+    // number, and the r15 clustered twin closes the loop: 0.035 uniform
+    // vs 0.133 clustered at sf0.1 (0.064 vs 0.298 at sf0.01) — the
+    // ~4× structure gap behind ann_clustered_beam_curve's saturation
+    // (recall 1.0 from beam 4) on the same walk that gets 0.68 here. Scale shape: the graph has bounded out-degree, so the
     // triangle join is two hash joins over the persisted O(n·G) edge
     // relation (O(n·G²) candidate wedges — never an unbounded
     // self-join); wedges come from one degree aggregation, all counts
@@ -1925,6 +1928,15 @@ object Similarity {
 
     "ann_clustered_semdedup_recall" -> ((s, d) =>
       queries("ann_semdedup_recall")(s, clusteredDir(d))),
+
+    // The EXPLANATION for the clustered walk's saturation, as a
+    // measured number (the ann_graph_clustering convention): the global
+    // clustering coefficient of the k-NN graph over the clustered
+    // cohort, next to the uniform cohort's. Real embedding corpora
+    // cluster strongly and navigate easily — this pair of numbers is
+    // that sentence with data attached.
+    "ann_clustered_graph_clustering" -> ((s, d) =>
+      queries("ann_graph_clustering")(s, clusteredDir(d))),
 
     // Index-health report for the sign-LSH layout: the occupancy
     // histogram (bucket size → how many buckets hold that many vectors).
@@ -3054,6 +3066,25 @@ object Similarity {
   }
   private lazy val annIncrementalGraphSql = annIncrementalGraphSqlOver(baseSql)
 
+  /** The clustering-coefficient oracle, cohort-parameterized. */
+  private def graphClusteringSqlOver(base: String) =
+    s"""${graphChainSqlOver(base)},
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM gedges
+       |  WHERE src < dst),
+       |tri AS (SELECT COUNT(*) AS n_triangles FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM gedges GROUP BY 1),
+       |dw AS (SELECT COUNT(*) AS n_nodes,
+       |    CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |  CASE WHEN n_wedges = 0 THEN NULL
+       |    ELSE 3.0 * CAST(n_triangles AS DOUBLE)
+       |      / CAST(n_wedges AS DOUBLE) END AS global_clustering
+       |FROM ne, dw, tri""".stripMargin
+
   /** The blocked-vs-brute recall oracle, cohort-parameterized. */
   private def semdedupRecallSqlOver(base: String) =
     s"""${semdedupSqlChainOver(base)},
@@ -3087,23 +3118,9 @@ object Similarity {
          |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
          |  SELECT src, COUNT(*) AS degree FROM gedges GROUP BY 1) d
          |GROUP BY 1""".stripMargin,
-    "ann_graph_clustering" ->
-      s"""$graphChainSql,
-         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM gedges
-         |  WHERE src < dst),
-         |tri AS (SELECT COUNT(*) AS n_triangles FROM und e1
-         |  JOIN und e2 ON e1.b = e2.a
-         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-         |deg AS (SELECT src, COUNT(*) AS dg FROM gedges GROUP BY 1),
-         |dw AS (SELECT COUNT(*) AS n_nodes,
-         |    CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
-         |  FROM deg),
-         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
-         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
-         |  CASE WHEN n_wedges = 0 THEN NULL
-         |    ELSE 3.0 * CAST(n_triangles AS DOUBLE)
-         |      / CAST(n_wedges AS DOUBLE) END AS global_clustering
-         |FROM ne, dw, tri""".stripMargin,
+    "ann_graph_clustering" -> graphClusteringSqlOver(baseSql),
+    "ann_clustered_graph_clustering" ->
+      graphClusteringSqlOver(clusteredBaseSql),
     "ann_graph_build_cost" ->
       s"""$graphChainSql,
          |cells AS (SELECT cent_id, COUNT(*) AS c FROM sdassign

@@ -73,11 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the envelope's constant tableName folds
                             // the equi key away, leaving a bounded BNLJ
                             // over a planner-sized dim — the __k class
-    "ann_clustered_beam_curve",  // the four uniform-cohort shapes above
+    "ann_clustered_beam_curve",  // the uniform-cohort shapes above
     "ann_clustered_prune_curve", // re-run verbatim over the clustered
     "ann_clustered_incremental_graph", // cohort (one implementation —
     "ann_clustered_semdedup_recall",   // see CLUSTERED_SFX) — same
-                            // bounded broadcasts and 1-row crosses
+    "ann_clustered_graph_clustering",  // bounded broadcasts and 1-row
+                            // crosses
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself
