@@ -48,9 +48,12 @@ object Similarity {
   // do capture: nprobe=1 gives 0.22–0.36, well above the 1/cells
   // baseline). Per-query recall ≥ 0.8 costs ~19/40 cells at sf0.1 and
   // 8/10 at sf0.01 with 5 Lloyd passes; 0.55·cells clears sf0.1 with
-  // margin. On clustered REAL embedding corpora the same target needs
-  // a small O(1) probe count — the fraction is the honest price of
-  // uniform data, not an IVF constant. (Farthest-point seeding was
+  // margin. On clustered corpora the same target needs a small O(1)
+  // probe count — MEASURED r15 (ann_clustered_ivf_probe_curve): the
+  // clustered cohort reaches recall 1.0 at nprobe = 1 at sf0.01 and
+  // nprobe = 4 at sf0.1, where this uniform corpus sits at 0.38 / 0.50
+  // at the same budgets — the fraction is the honest price of uniform
+  // data, not an IVF constant. (Farthest-point seeding was
   // also measured: no better than stride+Lloyd here.) The floor of 10
   // makes a ≤18-cell index degenerate to scanning every cell — the
   // correct regime for tiny corpora, where coarse quantization has
@@ -1929,6 +1932,14 @@ object Similarity {
     "ann_clustered_semdedup_recall" -> ((s, d) =>
       queries("ann_semdedup_recall")(s, clusteredDir(d))),
 
+    // The IVF half of the cohort A/B: [[PROBE_FRAC]]'s comment claims
+    // "on clustered real corpora the same recall target needs a small
+    // O(1) probe count — the fraction is the honest price of uniform
+    // data, not an IVF constant". This measures that claim with the
+    // identical probe curve.
+    "ann_clustered_ivf_probe_curve" -> ((s, d) =>
+      queries("ann_ivf_probe_curve")(s, clusteredDir(d))),
+
     // The EXPLANATION for the clustered walk's saturation, as a
     // measured number (the ann_graph_clustering convention): the global
     // clustering coefficient of the k-NN graph over the clustered
@@ -3066,6 +3077,44 @@ object Similarity {
   }
   private lazy val annIncrementalGraphSql = annIncrementalGraphSqlOver(baseSql)
 
+  /** The IVF probe-curve oracle, cohort-parameterized. */
+  private def ivfProbeCurveSqlOver(base: String): String = {
+    val perNp = Seq(1, 2, 4, 8).map { np =>
+      s"""(SELECT CAST($np AS INT) AS nprobe,
+         |  (SELECT COUNT(*) FROM scored8 WHERE prn <= $np) AS candidates,
+         |  (SELECT COUNT(*) FROM exact e JOIN
+         |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rn
+         |      FROM scored8 WHERE prn <= $np) t WHERE rn <= $TOP_K) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
+         |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$base,
+       |$centsSqlChain,
+       |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
+       |assign AS (SELECT vec_id, e, cent_id FROM (
+       |  SELECT corpus.vec_id, corpus.e, cent_id,
+       |    row_number() OVER (PARTITION BY corpus.vec_id
+       |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", 64)} DESC, cent_id) AS arn
+       |  FROM corpus, cents) t WHERE arn = 1),
+       |probe8 AS (SELECT q_id, qe, cent_id, prn FROM (
+       |  SELECT q_id, qe, cent_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
+       |  FROM q, cents) t WHERE prn <= 8),
+       |scored8 AS (SELECT q_id, vec_id, prn, $cosQC AS cosine
+       |  FROM probe8 JOIN assign USING (cent_id)),
+       |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
+       |  WHERE rn <= $TOP_K)
+       |SELECT nprobe, candidates, total_hits,
+       |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
+       |FROM ($perNp)""".stripMargin
+  }
+
   /** The clustering-coefficient oracle, cohort-parameterized. */
   private def graphClusteringSqlOver(base: String) =
     s"""${graphChainSqlOver(base)},
@@ -3359,42 +3408,8 @@ object Similarity {
          |SELECT q_id, q_label, vec_id, label, cosine, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= $TOP_K""".stripMargin,
     "ann_ivf_topk" -> annIvfSql,
-    "ann_ivf_probe_curve" -> {
-      val perNp = Seq(1, 2, 4, 8).map { np =>
-        s"""(SELECT CAST($np AS INT) AS nprobe,
-           |  (SELECT COUNT(*) FROM scored8 WHERE prn <= $np) AS candidates,
-           |  (SELECT COUNT(*) FROM exact e JOIN
-           |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-           |        row_number() OVER (PARTITION BY q_id
-           |          ORDER BY cosine DESC, vec_id) AS rn
-           |      FROM scored8 WHERE prn <= $np) t WHERE rn <= $TOP_K) a
-           |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
-           |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
-      }.mkString("\n  UNION ALL\n")
-      s"""$baseSql,
-         |$centsSqlChain,
-         |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
-         |assign AS (SELECT vec_id, e, cent_id FROM (
-         |  SELECT corpus.vec_id, corpus.e, cent_id,
-         |    row_number() OVER (PARTITION BY corpus.vec_id
-         |      ORDER BY ${VectorOps.cosineSql("corpus.e", "ce", 64)} DESC, cent_id) AS arn
-         |  FROM corpus, cents) t WHERE arn = 1),
-         |probe8 AS (SELECT q_id, qe, cent_id, prn FROM (
-         |  SELECT q_id, qe, cent_id,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY ${VectorOps.cosineSql("qe", "ce", 64)} DESC, cent_id) AS prn
-         |  FROM q, cents) t WHERE prn <= 8),
-         |scored8 AS (SELECT q_id, vec_id, prn, $cosQC AS cosine
-         |  FROM probe8 JOIN assign USING (cent_id)),
-         |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
-         |exact AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cosine DESC, vec_id) AS rn FROM bscored) t
-         |  WHERE rn <= $TOP_K)
-         |SELECT nprobe, candidates, total_hits,
-         |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
-         |FROM ($perNp)""".stripMargin
-    },
+    "ann_ivf_probe_curve" -> ivfProbeCurveSqlOver(baseSql),
+    "ann_clustered_ivf_probe_curve" -> ivfProbeCurveSqlOver(clusteredBaseSql),
     // identical cosine doubles ⇒ identical FLOOR banding
     "ann_similarity_histogram" ->
       s"""$baseSql

@@ -78,7 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_clustered_incremental_graph", // cohort (one implementation —
     "ann_clustered_semdedup_recall",   // see CLUSTERED_SFX) — same
     "ann_clustered_graph_clustering",  // bounded broadcasts and 1-row
-                            // crosses
+    "ann_clustered_ivf_probe_curve",   // crosses
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself
