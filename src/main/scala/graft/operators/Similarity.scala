@@ -272,8 +272,14 @@ object Similarity {
     * at 0.8 whose fifth neighbor the ADC ordering ranks below the
     * shortlist: widening 100 → 200 bought 0.90 → 0.92 and a third
     * Lloyd pass bought nothing (both measured) — the honest remaining
-    * price of 8-byte codes on uniform data. All numbers are measured
-    * per run by the recall query, never assumed.
+    * price of 8-byte codes on uniform data. The r16 clustered-cohort
+    * arm (`ann_clustered_ivfadc_recall` / `_refine_curve`) closes the
+    * sizing question from the other side: on clustered
+    * (real-embedding-shaped) data the SAME codebooks reach recall 1.0
+    * at every query at both test SFs, saturating at refine depth 100 —
+    * the uniform corpus was the binding case, not the codebook size.
+    * All numbers are measured per run by the recall queries, never
+    * assumed.
     */
   private val ADC_SHORTLIST = 200
 
@@ -841,7 +847,28 @@ object Similarity {
   private[graft] def incStandingState(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    (incCents(s, d)._1.toDF("cent_id", "ce"), incStandAssign(s, d))
+    val cents = incCents(s, d)._1
+    // the one-time non-emptiness validation for the whole stream
+    // lifetime (r16 advice: the check was previously one Spark job per
+    // microbatch inside appendGraphEdges; the centroids are invariant
+    // across the stream, and here the collected Seq makes it FREE)
+    require(cents.nonEmpty,
+      "incStandingState: empty standing centroid set — every appended " +
+        "batch vector would silently drop out of the blocked candidate join")
+    (cents.toDF("cent_id", "ce"), incStandAssign(s, d))
+  }
+
+  /** One-time non-emptiness gate for an EXTERNAL standing-centroid
+    * relation (the [[incStandingState]] path validates its own, for
+    * free, off the collected Seq). Run this ONCE before starting a
+    * stream — it costs one small Spark job, which is exactly why
+    * [[appendGraphEdges]] no longer re-checks per microbatch.
+    */
+  def validatedCentroids(cents: DataFrame): DataFrame = {
+    require(!cents.isEmpty,
+      "validatedCentroids: empty centroid set — every vector would " +
+        "silently drop out of the blocked candidate join")
+    cents
   }
 
   /** HNSW-style streaming edge append — the `foreachBatch` twin of the
@@ -855,13 +882,14 @@ object Similarity {
     * Per-batch cost: one broadcast join against O(k·d) centroids + a
     * cell-blocked top-G — no corpus shuffle, no Lloyd pass, no rebuild.
     * Like [[assignToCells]], `cents` must be non-empty (same silent-
-    * drop failure mode).
+    * drop failure mode) — validated ONCE at stream construction
+    * ([[incStandingState]] checks its own for free; external centroids
+    * go through [[validatedCentroids]]), NOT here: the centroids are
+    * invariant across the stream's lifetime and an isEmpty check is one
+    * Spark job per microbatch (r16 advice).
     */
   def appendGraphEdges(batch: DataFrame, standingAssign: DataFrame,
                        cents: DataFrame): (DataFrame, DataFrame) = {
-    require(!cents.isEmpty,
-      "appendGraphEdges: empty centroid set — every batch vector would " +
-        "silently drop out of the blocked candidate join")
     val bAssign = probeAssign(batch, cents)
     val bTop = topGEdges(bAssign, standingAssign.unionByName(bAssign))
     (bTop.unionByName(bTop.select(col("dst").as("src"),
@@ -1726,8 +1754,13 @@ object Similarity {
     // beam 16: 0.90 @ 11862 vs 0.84 @ 10922; sf0.001/0.01 beam 8:
     // 0.98 vs 0.92. At test scale the derived stride is small (≤ 63),
     // so hop-0 entries already land near the target and the 3 middle
-    // hops just spend budget on a sparser graph. The shipped tier
-    // therefore stays FLAT; this arm is the measured insurance for the
+    // hops just spend budget on a sparser graph. The r16 clustered arm
+    // (ann_clustered_layered_curve) moves the verdict one rung: on
+    // structured data the hierarchy MATCHES flat's saturated recall
+    // (1.0 from beam 8 at sf0.1) while scoring 16–21% fewer candidates
+    // — it stops losing as soon as the corpus has cluster structure.
+    // The shipped tier still stays FLAT (uniform wash, one relation
+    // fewer), and this arm remains the measured insurance for the
     // regime the hierarchy exists for — stride ~3·10⁷ at 10⁹ vectors,
     // where 32 flat entries are ~7 hops from anywhere and the middle
     // segment is what makes the walk start close. Kept as a standing
@@ -1948,6 +1981,64 @@ object Similarity {
     // that sentence with data attached.
     "ann_clustered_graph_clustering" -> ((s, d) =>
       queries("ann_graph_clustering")(s, clusteredDir(d))),
+
+    // The PQ/IVFADC half of the cohort A/B (r15 verdict #1) — the one
+    // production-gating tier whose verdict ("near-uniform data is PQ's
+    // worst case; this data needs larger codebooks before an 8-byte
+    // tier ships") rested only on the uniform corpus. Clustered data
+    // is precisely where codebooks concentrate, so the four
+    // measurements that size the 8-byte tier re-run over the clustered
+    // cohort: reconstruction error per subspace, the shipped top-k
+    // search, its recall against brute force, and the refine-depth
+    // curve. Measured (sf0.1, oracle-checked at sf0.01): the
+    // END-TO-END verdict flips — recall 1.0 at EVERY query on the
+    // clustered cohort at both SFs, vs mean 0.92 with four queries at
+    // 0.8 uniform at sf0.1. Reconstruction MSE reads the other way in
+    // absolute terms (mse_trained 0.043–0.050 clustered vs 0.030–0.032
+    // uniform at sf0.1; 0.021–0.023 vs 0.013–0.015 at sf0.01) because
+    // anchor-blending roughly doubles per-element energy — RELATIVE to
+    // that 2× energy the codebooks quantize clustered data ~25%
+    // tighter, and what the tier actually ships on is the rank order,
+    // where cluster structure makes ADC decisive. The refine curve
+    // saturates at depth 100 on clustered sf0.1 (0.64/0.86/0.98/1.0/
+    // 1.0 at 10/25/50/100/200) where uniform plateaus at 0.90–0.92 —
+    // the honest codebook sizing is now two-sided: k ≤ 256 8-byte
+    // codes are production-ready on clustered (real-embedding-shaped)
+    // corpora at HALF the shipped shortlist; only the synthetic
+    // uniform worst case leaves recall on the table.
+    "ann_clustered_pq_trained_error" -> ((s, d) =>
+      queries("ann_pq_trained_error")(s, clusteredDir(d))),
+
+    "ann_clustered_ivfadc_topk" -> ((s, d) =>
+      queries("ann_ivfadc_topk")(s, clusteredDir(d))),
+
+    "ann_clustered_ivfadc_recall" -> ((s, d) =>
+      queries("ann_ivfadc_recall")(s, clusteredDir(d))),
+
+    "ann_clustered_ivfadc_refine_curve" -> ((s, d) =>
+      queries("ann_ivfadc_refine_curve")(s, clusteredDir(d))),
+
+    // The HIERARCHY arm of the cohort A/B (r15 verdict #5): the layered
+    // walk lost to flat on uniform data at every test SF, but hub
+    // structure and long-range entry hops — the regime the middle layer
+    // exists for — live on clustered corpora. Same code, same hop
+    // budget, second cohort; read column-wise against
+    // ann_clustered_beam_curve. Measured at sf0.1: at saturation the
+    // hierarchy now WINS on cost — recall 1.0 from beam 8 on both arms,
+    // with the layered walk scoring 16–21% fewer candidates (beam 8:
+    // 6504 vs flat's 8275; beam 16: 9587 vs 11474), because the middle
+    // segment walks a graph 1/√stride the size before touching base
+    // edges; below saturation flat still leads slightly (beam 2: 0.90
+    // @3010 vs 0.96 @3526). At sf0.01 BOTH arms plateau at 0.90 at
+    // every beam — the same 45/50 hits, a cohort reachability ceiling
+    // (five true neighbors sit across a cluster boundary no walk
+    // crosses at that SF), not a hierarchy artifact. The verdict
+    // ladder: uniform = flat wins, clustered test-SF = hierarchy
+    // matches recall at lower cost, large-stride (~3·10⁷ at 10⁹
+    // vectors) = the regime it exists for, still a re-measure.
+    "ann_clustered_layered_curve" -> ((s, d) =>
+      graphCurveOver(s, clusteredDir(d),
+        bw => graphLayeredSearch(s, clusteredDir(d), bw))),
 
     // Index-health report for the sign-LSH layout: the occupancy
     // histogram (bucket size → how many buckets hold that many vectors).
@@ -2451,13 +2542,15 @@ object Similarity {
        |q AS (SELECT vec_id AS q_id, e AS qe FROM ev WHERE vec_id < 10),
        |corpus AS (SELECT vec_id, e FROM ev WHERE vec_id >= 10)""".stripMargin
 
-  private lazy val annBruteSql =
-    s"""$baseSql,
+  private def annBruteSqlOver(base: String) =
+    s"""$base,
        |scored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
        |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+
+  private lazy val annBruteSql = annBruteSqlOver(baseSql)
 
   /** The oracle's centroid refinement chain — the IDENTICAL Lloyd
     * passes as [[centroidsDf]]: decimal-exact elementwise sums divided
@@ -2699,8 +2792,8 @@ object Similarity {
     * the two cannot drift. Exports `adc` (q_id, qe, vec_id, adc) plus
     * everything upstream (corpus, cents, recon, assign, probe).
     */
-  private lazy val annIvfadcChainSql =
-    s"""$baseSql,
+  private def annIvfadcChainSqlOver(base: String) =
+    s"""$base,
        |$centsSqlChain,
        |cents AS (SELECT cent_id, ce FROM cents_$REFINE_ITERS),
        |$pqTrainSqlChain,
@@ -2731,8 +2824,8 @@ object Similarity {
        |  FROM probe JOIN assign USING (cent_id)
        |  JOIN recon ON assign.vec_id = recon.vec_id)""".stripMargin
 
-  private lazy val annIvfadcSql =
-    s"""$annIvfadcChainSql,
+  private def annIvfadcSqlOver(base: String) =
+    s"""${annIvfadcChainSqlOver(base)},
        |shortlist AS (SELECT q_id, qe, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc DESC, vec_id) AS srn FROM adc) t
@@ -2744,7 +2837,9 @@ object Similarity {
        |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= $TOP_K""".stripMargin
 
-  private lazy val annIvfadcRefineCurveSql = {
+  private lazy val annIvfadcSql = annIvfadcSqlOver(baseSql)
+
+  private def annIvfadcRefineCurveSqlOver(base: String) = {
     val depths = Seq(10, 25, 50, 100, 200)
     val perDepth = depths.map { dp =>
       s"""(SELECT CAST($dp AS INT) AS refine_depth,
@@ -2756,7 +2851,7 @@ object Similarity {
          |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
          |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""$annIvfadcChainSql,
+    s"""${annIvfadcChainSqlOver(base)},
        |srt AS (SELECT q_id, qe, vec_id,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc DESC, vec_id) AS srn FROM adc),
@@ -2772,6 +2867,44 @@ object Similarity {
        |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
        |FROM ($perDepth)""".stripMargin
   }
+
+  private lazy val annIvfadcRefineCurveSql =
+    annIvfadcRefineCurveSqlOver(baseSql)
+
+  /** IVFADC recall oracle over a parameterized cohort base — the exact
+    * pair of chains the uniform `ann_ivfadc_recall` entry inlines.
+    */
+  private def ivfadcRecallSqlOver(base: String) =
+    s"""WITH exact AS (${annBruteSqlOver(base)}),
+       |approx AS (${annIvfadcSqlOver(base)})
+       |SELECT e.q_id,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |GROUP BY e.q_id""".stripMargin
+
+  /** Trained-PQ reconstruction-error oracle over a parameterized cohort
+    * base (the `ann_pq_trained_error` body, cohort-routed).
+    */
+  private def pqTrainedErrorSqlOver(base: String) =
+    s"""$base,
+       |$pqTrainSqlChain,
+       |cand AS (SELECT vsub.vec_id, vsub.s,
+       |    list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
+       |      i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)
+       |      AS dist
+       |  FROM vsub JOIN pqcb cb ON vsub.s = cb.s),
+       |best AS (SELECT vec_id, s, MIN(dist) AS dist FROM cand
+       |  GROUP BY vec_id, s),
+       |agg AS (SELECT s, COUNT(*) AS n_vectors,
+       |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE)
+       |      AS mse_trained
+       |  FROM best GROUP BY s),
+       |nc AS (SELECT s, COUNT(*) AS n_codewords FROM pqcb GROUP BY s)
+       |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_trained
+       |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin
 
   /** MMR oracle: the shortlist, then [[MMR_K]] unrolled greedy rounds —
     * remaining minus picked, max-sim to the picked vectors, the λ=0.5
@@ -3012,7 +3145,7 @@ object Similarity {
     * chained into a (GRAPH_HOPS − GRAPH_MID_HOPS) segment over the base
     * edges, the second seeded from the first's visited set.
     */
-  private lazy val annGraphLayeredCurveSql = {
+  private def annGraphLayeredCurveSqlOver(base: String) = {
     val cosAB = VectorOps.cosineSql("a.e", "b.e", DIM)
     val cosL2 = VectorOps.cosineSql("qe", "gl2.e", DIM)
     val m = "(SELECT m FROM gmstr)"
@@ -3063,7 +3196,7 @@ object Similarity {
          |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS total_hits,
          |  (SELECT COUNT(*) FROM exact) AS exact_rows)""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""$graphChainSql,
+    s"""${graphChainSqlOver(base)},
        |$midChain,
        |$searches,
        |bscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
@@ -3075,6 +3208,10 @@ object Similarity {
        |  CAST(total_hits AS DOUBLE) / CAST(exact_rows AS DOUBLE) AS recall
        |FROM ($perBeam)""".stripMargin
   }
+
+  private lazy val annGraphLayeredCurveSql =
+    annGraphLayeredCurveSqlOver(baseSql)
+
   private lazy val annIncrementalGraphSql = annIncrementalGraphSqlOver(baseSql)
 
   /** The IVF probe-curve oracle, cohort-parameterized. */
@@ -3162,6 +3299,8 @@ object Similarity {
     "ann_graph_beam_curve" -> annGraphBeamCurveSql,
     "ann_graph_prune_curve" -> annGraphPruneCurveSql,
     "ann_graph_layered_curve" -> annGraphLayeredCurveSql,
+    "ann_clustered_layered_curve" ->
+      annGraphLayeredCurveSqlOver(clusteredBaseSql),
     "ann_graph_degree" ->
       s"""$graphChainSql
          |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
@@ -3281,24 +3420,9 @@ object Similarity {
          |nc AS (SELECT s, COUNT(*) AS n_codewords FROM cb GROUP BY s)
          |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_pq
          |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
-    "ann_pq_trained_error" ->
-      s"""$baseSql,
-         |$pqTrainSqlChain,
-         |cand AS (SELECT vsub.vec_id, vsub.s,
-         |    list_reduce(list_transform(range(1, ${PQ_SUB + 1}),
-         |      i -> (sub[i] - cw[i]) * (sub[i] - cw[i])), (x, y) -> x + y)
-         |      AS dist
-         |  FROM vsub JOIN pqcb cb ON vsub.s = cb.s),
-         |best AS (SELECT vec_id, s, MIN(dist) AS dist FROM cand
-         |  GROUP BY vec_id, s),
-         |agg AS (SELECT s, COUNT(*) AS n_vectors,
-         |    CAST(SUM(CAST(FLOOR(dist * 1073741824.0 + 0.5) AS BIGINT))
-         |      AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE)
-         |      AS mse_trained
-         |  FROM best GROUP BY s),
-         |nc AS (SELECT s, COUNT(*) AS n_codewords FROM pqcb GROUP BY s)
-         |SELECT agg.s AS subspace, n_vectors, n_codewords, mse_trained
-         |FROM agg JOIN nc ON agg.s = nc.s""".stripMargin,
+    "ann_pq_trained_error" -> pqTrainedErrorSqlOver(baseSql),
+    "ann_clustered_pq_trained_error" ->
+      pqTrainedErrorSqlOver(clusteredBaseSql),
     // Walsh–Hadamard rotation mirrored term-for-term: list_reduce is
     // the same left-associative fold as Spark's aggregate (the extra
     // 0.0 seed on the Spark side is IEEE-neutral), bit_count(i & j)
@@ -3426,16 +3550,12 @@ object Similarity {
          |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
          |GROUP BY e.q_id""".stripMargin,
     "ann_ivfadc_topk" -> annIvfadcSql,
+    "ann_clustered_ivfadc_topk" -> annIvfadcSqlOver(clusteredBaseSql),
     "ann_ivfadc_refine_curve" -> annIvfadcRefineCurveSql,
-    "ann_ivfadc_recall" ->
-      s"""WITH exact AS ($annBruteSql),
-         |approx AS ($annIvfadcSql)
-         |SELECT e.q_id,
-         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / COUNT(*) AS recall
-         |FROM exact e LEFT JOIN approx a
-         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
-         |GROUP BY e.q_id""".stripMargin,
+    "ann_clustered_ivfadc_refine_curve" ->
+      annIvfadcRefineCurveSqlOver(clusteredBaseSql),
+    "ann_ivfadc_recall" -> ivfadcRecallSqlOver(baseSql),
+    "ann_clustered_ivfadc_recall" -> ivfadcRecallSqlOver(clusteredBaseSql),
     "ann_lsh_bucket" ->
       s"""$baseSql,
          |cb AS (SELECT vec_id, e, ${VectorOps.signBucketSql("e", LSH_DIMS)} AS bucket FROM corpus),
