@@ -184,37 +184,63 @@ object CdcQueries {
           col("txnId"))
     }),
 
-    // D4 replay semantics (r14 verdict #5): each event's after-image
-    // projected through the relation-registry schema version current AT
-    // ITS LSN — the reference decodes tuples positionally against the
-    // registry built from RelationMessages (replicator.go:320-322), so
-    // a column is visible exactly from the LSN its RelationMessage
-    // registered it. The registry log here is the deterministic
-    // two-version fixture (v0 at lsn 0: user_id+value; v1 at the
-    // corpus-midpoint fence: +k) — the fence is one planner-sized
-    // aggregate, the registry broadcast is O(versions), the payload
-    // never shuffles. Pre-fence events must NOT surface k even though
-    // the tuple carries it (the registry cannot name it); post-fence
-    // events must. The STREAMING half — a RelationMessage landing
-    // between microbatches refreshing the projection without restart —
-    // is StreamingSpec's registry-refresh test over the same
-    // RelationRegistry functions.
+    // D4 replay semantics (r14 verdict #5, fixture widened r16 verdict
+    // #3): each event's after-image projected through the relation-
+    // registry schema version current AT ITS LSN — the reference
+    // decodes tuples positionally against the registry built from
+    // RelationMessages (replicator.go:320-322), so a column is visible
+    // exactly from the LSN its RelationMessage registered it. Events
+    // route to TWO relations (the cdc_publication_routing demux:
+    // lifecycle ops → users, activity ops → activity) and the registry
+    // log carries the full semantic surface, every branch derived from
+    // corpus fences (max/3, 2·max/3 — planner-sized aggregates):
+    //   users    v0 @0 (user_id,value); @f1 BOTH (user_id,value,k) and
+    //            a narrower re-registration (user_id,value) — the
+    //            same-lsn wider-schema tie-break must pick k; @f2 BOTH
+    //            (user_id,value,k,flag) and (user_id,value) — the SAME
+    //            tie-break at the registry head, so currentSchemas'
+    //            resolution is oracle-checked too (cur_cols column).
+    //            `flag` is registered but absent from every payload —
+    //            the widened-schema NULL case.
+    //   activity registered only FROM f1 — activity events below f1
+    //            have NO applicable version and surface with a NULL
+    //            projection (the r16 left-join semantics; the r15 inner
+    //            join silently dropped them).
+    // The registry broadcast is O(versions); the payload never
+    // shuffles (interval join — see RelationRegistry.projectAsOf). The
+    // STREAMING half — a RelationMessage landing between microbatches
+    // refreshing the projection without restart — is StreamingSpec's
+    // registry-refresh test over the same RelationRegistry functions.
     "cdc_registry_asof" -> ((s, d) => {
       import s.implicits._
       val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+        .withColumn("tableName",
+          when(col("op").isin("insert", "delete"), "users")
+            .otherwise("activity"))
       val mx = env.agg(max(col("lsn"))).head()
-      val fence = if (mx.isNullAt(0)) 0L else mx.getLong(0) / 2
+      val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+      val (f1, f2) = (m / 3, 2 * (m / 3))
       val log = Seq(
         ("users", 0L, Seq("user_id", "value")),
-        ("users", fence, Seq("user_id", "value", "k")))
+        ("users", f1, Seq("user_id", "value", "k")),
+        ("users", f1, Seq("user_id", "value")),
+        ("users", f2, Seq("user_id", "value", "k", "flag")),
+        ("users", f2, Seq("user_id", "value")),
+        ("activity", f1, Seq("user_id", "k")))
         .toDF("relation", "lsn", "columns")
+      val cur = RelationRegistry.currentSchemas(log)
+        .select(col("relation").as("cur_relation"),
+          size(col("columns")).as("cur_cols"))
       RelationRegistry.projectAsOf(env, log)
-        .select(col("op"), col("lsn"), col("key"),
+        .join(broadcast(cur), col("tableName") === col("cur_relation"), "left")
+        .select(col("op"), col("lsn"), col("key"), col("tableName"),
           size(col("columns")).as("n_cols"),
           array_join(col("columns"), ",").as("schema_cols"),
           element_at(col("after"), "user_id").cast("long").as("after_user_id"),
           element_at(col("after"), "value").cast("double").as("after_value"),
-          element_at(col("after"), "k").as("after_k"))
+          element_at(col("after"), "k").as("after_k"),
+          element_at(col("after"), "flag").as("after_flag"),
+          col("cur_cols"))
     }),
 
     // D9/D10 wire-format round trip: envelope → JSON → envelope must be
@@ -1017,26 +1043,48 @@ object CdcQueries {
          |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
          |  event_id // 100 AS txnId
          |FROM events""".stripMargin,
-    // the as-of registry projection: k is visible exactly from the
-    // midpoint fence (the v1 RelationMessage's LSN); fence = max//2
-    // truncates identically in both engines on non-negative lsns
+    // the as-of registry projection, widened fixture (r16): an
+    // INDEPENDENT formulation — where Spark resolves versions through
+    // the interval join, the oracle writes each relation's schema
+    // timeline as explicit fence CASEs. Fences = max//3 and 2*(max//3),
+    // truncating identically in both engines on non-negative lsns.
+    // users: 2 cols below f1, 3 from f1 (same-lsn tie-break to the
+    // wider registration), 4 from f2 ('flag' registered but absent →
+    // always-NULL after_flag); activity (the non-lifecycle ops):
+    // registered only from f1 — below it the projection is NULL across
+    // the board (the left-join keep-with-NULL semantics). cur_cols is
+    // the registry-HEAD width per relation (currentSchemas' same-lsn
+    // tie-break at f2 must also pick the wider: 4 / 2).
     "cdc_registry_asof" ->
-      s"""WITH mx AS (SELECT COALESCE(MAX(event_id), 0) // 2 AS fence
-         |  FROM events)
-         |SELECT $opSql AS op, event_id AS lsn,
-         |  'public.users:' || CAST(user_id AS VARCHAR) AS key,
-         |  CAST(CASE WHEN event_id >= (SELECT fence FROM mx)
-         |    THEN 3 ELSE 2 END AS INT) AS n_cols,
-         |  CASE WHEN event_id >= (SELECT fence FROM mx)
-         |    THEN 'user_id,value,k' ELSE 'user_id,value' END AS schema_cols,
-         |  CASE WHEN event_type = 'error' THEN NULL
-         |    ELSE user_id END AS after_user_id,
-         |  CASE WHEN event_type = 'error' THEN NULL
-         |    ELSE value END AS after_value,
-         |  CASE WHEN event_type = 'error'
-         |      OR event_id < (SELECT fence FROM mx) THEN NULL
-         |    ELSE json_extract_string(props, '$$.k') END AS after_k
-         |FROM events""".stripMargin,
+      s"""WITH f AS (SELECT COALESCE(MAX(event_id), 0) // 3 AS f1,
+         |    2 * (COALESCE(MAX(event_id), 0) // 3) AS f2 FROM events),
+         |e AS (SELECT event_id AS lsn, user_id, value,
+         |    json_extract_string(props, '$$.k') AS k, $opSql AS op
+         |  FROM events),
+         |r AS (SELECT *, CASE WHEN op IN ('insert', 'delete')
+         |    THEN 'users' ELSE 'activity' END AS tableName FROM e)
+         |SELECT op, lsn,
+         |  'public.users:' || CAST(user_id AS VARCHAR) AS key, tableName,
+         |  CAST(CASE WHEN tableName = 'users' THEN
+         |      CASE WHEN lsn >= (SELECT f2 FROM f) THEN 4
+         |           WHEN lsn >= (SELECT f1 FROM f) THEN 3 ELSE 2 END
+         |    WHEN lsn >= (SELECT f1 FROM f) THEN 2 END AS INT) AS n_cols,
+         |  CASE WHEN tableName = 'users' THEN
+         |      CASE WHEN lsn >= (SELECT f2 FROM f) THEN 'user_id,value,k,flag'
+         |           WHEN lsn >= (SELECT f1 FROM f) THEN 'user_id,value,k'
+         |           ELSE 'user_id,value' END
+         |    WHEN lsn >= (SELECT f1 FROM f) THEN 'user_id,k' END AS schema_cols,
+         |  CASE WHEN op = 'delete'
+         |      OR (tableName = 'activity' AND lsn < (SELECT f1 FROM f))
+         |    THEN NULL ELSE user_id END AS after_user_id,
+         |  CASE WHEN op = 'delete' OR tableName = 'activity'
+         |    THEN NULL ELSE value END AS after_value,
+         |  CASE WHEN op <> 'delete' AND lsn >= (SELECT f1 FROM f)
+         |    THEN k END AS after_k,
+         |  CAST(NULL AS VARCHAR) AS after_flag,
+         |  CAST(CASE WHEN tableName = 'users' THEN 4 ELSE 2 END AS INT)
+         |    AS cur_cols
+         |FROM r""".stripMargin,
     "cdc_publication_routing" ->
       s"""SELECT 'users' AS tableName,
          |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'delete' END AS op,

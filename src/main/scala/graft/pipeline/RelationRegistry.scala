@@ -62,22 +62,49 @@ object RelationRegistry {
 
   /** Batch replay: attach the schema version current at each event's
     * LSN (max registered lsn ≤ event lsn, ties to the wider schema) and
-    * project the after-image through it. The registry log is
-    * O(relations · versions) — broadcast; one row survives per event.
+    * project the after-image through it.
+    *
+    * Formulated as an INTERVAL join (r16, was a window over the joined
+    * events): the registry log — O(relations · versions), always
+    * broadcast — is first deduplicated per (relation, lsn) keeping the
+    * wider schema (the re-registration tie-break), then each version
+    * gets its validity interval [lsn, next version's lsn) via one lead()
+    * over the tiny registry relation. An event then matches EXACTLY ONE
+    * interval, so no window ever runs over the event side — the r15
+    * formulation shuffled every event to rank registry candidates and,
+    * worse, partitioned that window by (lsn, key), silently collapsing
+    * distinct events that shared both (an LSN-uniqueness assumption the
+    * API never stated). This shape needs no uniqueness assumption at
+    * all and keeps the payload map shuffle-free.
+    *
+    * Events with NO applicable version — an unregistered relation, or
+    * an lsn before the relation's first RelationMessage — are KEPT with
+    * a NULL `columns`/`after` (the r15 inner join dropped them without
+    * a trace, the same silent-conservation failure assignToCells
+    * guards against). Callers that require full coverage can assert
+    * `columns IS NOT NULL`; the reference itself crashes on an
+    * unregistered relation id (replicator.go:330-333), which a pipeline
+    * re-expresses as a dead-letter filter, not a vanished row.
     */
   def projectAsOf(events: DataFrame, log: DataFrame): DataFrame = {
-    val reg = log.select(col("relation"), col("lsn").as("reg_lsn"),
-      col("columns"))
-    val w = Window.partitionBy("lsn", "key")
-      .orderBy(col("reg_lsn").desc, size(col("columns")).desc)
-    events.drop("columns") // superseded by the as-of registry version
-      .join(broadcast(reg),
-        col("tableName") === col("relation") && col("reg_lsn") <= col("lsn"))
-      .withColumn("asof_rn", row_number().over(w))
-      .filter(col("asof_rn") === 1)
+    val wDup = Window.partitionBy("relation", "reg_lsn")
+      .orderBy(size(col("columns")).desc)
+    val wNext = Window.partitionBy("relation").orderBy("reg_lsn")
+    val versions = log
+      .select(col("relation"), col("lsn").as("reg_lsn"), col("columns"))
+      .withColumn("dup_rn", row_number().over(wDup))
+      .filter(col("dup_rn") === 1)
+      .withColumn("next_lsn", lead(col("reg_lsn"), 1).over(wNext))
+      .select("relation", "reg_lsn", "next_lsn", "columns")
+    val ev = events.drop("columns") // superseded by the as-of version
+    ev.join(broadcast(versions),
+        ev("tableName") === versions("relation") &&
+          versions("reg_lsn") <= ev("lsn") &&
+          (versions("next_lsn").isNull || ev("lsn") < versions("next_lsn")),
+        "left")
       .withColumn("after",
         map_from_arrays(col("columns"),
           transform(col("columns"), c => element_at(col("after"), c))))
-      .drop("relation", "reg_lsn", "asof_rn")
+      .drop("relation", "reg_lsn", "next_lsn")
   }
 }

@@ -275,4 +275,48 @@ class PipelineSpec extends AnyFunSuite {
       assert(agg.getLong(0) > agg.getLong(1))
     gc.unpersist()
   }
+
+  test("projectAsOf: interval semantics, no silent drops, no identity collapse") {
+    import graft.pipeline.RelationRegistry
+    // Four hand-built events covering every r16 branch:
+    //  lsn 5  t1 — before t1's first registration (10) → NULL projection, KEPT
+    //  lsn 10 t1 — exactly at v0's lsn → v0 (a,b)
+    //  lsn 15 t1 ×2 — SAME (lsn, key), different payloads: both must
+    //     survive (the r15 window partitioned by (lsn, key) collapsed
+    //     these to one row)
+    //  lsn 25 t1 — at v1's lsn, where TWO registrations share lsn 20:
+    //     the wider (a,b,c) must win the tie-break
+    //  lsn 30 t9 — relation never registered → NULL projection, KEPT
+    val events = Seq(
+      (5L, "k1", "t1", Map("a" -> "1", "b" -> "2", "c" -> "3")),
+      (10L, "k1", "t1", Map("a" -> "4", "b" -> "5", "c" -> "6")),
+      (15L, "k1", "t1", Map("a" -> "7", "b" -> "8", "c" -> "9")),
+      (15L, "k1", "t1", Map("a" -> "70", "b" -> "80", "c" -> "90")),
+      (25L, "k1", "t1", Map("a" -> "10", "b" -> "11", "c" -> "12")),
+      (30L, "k1", "t9", Map("a" -> "13")))
+      .toDF("lsn", "key", "tableName", "after")
+    val log = Seq(
+      ("t1", 10L, Seq("a", "b")),
+      ("t1", 20L, Seq("a", "b", "c")),
+      ("t1", 20L, Seq("a"))) // same-lsn narrower re-registration
+      .toDF("relation", "lsn", "columns")
+    val out = RelationRegistry.projectAsOf(events, log)
+      .select(col("lsn"), col("tableName"),
+        size(col("columns")).as("n"),
+        element_at(col("after"), "c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -99 else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(out.length === 6, "every event survives — no silent drop")
+    val byLsn = out.groupBy(_._1)
+    // pre-registration and unregistered-relation events: NULL projection
+    assert(byLsn(5L).head._3 === -99 && byLsn(5L).head._4 === null)
+    assert(byLsn(30L).head._3 === -99 && byLsn(30L).head._4 === null)
+    // v0 window: 2 columns, c NOT visible even though the payload has it
+    assert(byLsn(10L).head._3 === 2 && byLsn(10L).head._4 === null)
+    // the two (lsn=15, key=k1) events both survive, payloads distinct
+    assert(byLsn(15L).length === 2)
+    // v1 window with the same-lsn tie-break: wider schema (3 cols) wins
+    assert(byLsn(25L).head._3 === 3 && byLsn(25L).head._4 === "12")
+  }
 }
