@@ -14,13 +14,24 @@ probe. The global `calib_sec` remains the fallback for older artifacts.
 Usage:
     python3 tools/check_bench.py <bench.json|-> [prior_bench.json]
 accepts a raw Bench stdout line, a driver BENCH_r{N}.json (the line is
-inside its "tail"), target/bench_full.json, or '-' for stdin.
+inside its "tail"), target/bench_full.json, a `graft.Smoke time`
+transcript (the `[time]` lines carry the same calib probe since r16,
+so an idle re-time file is a first-class comparison side), or '-' for
+stdin.
 
 With a second artifact, also diffs per-query times (each side scaled by
 its own family-window load when available, else the global factor) and
 prints the top movers. A mover inside a family whose window saw load
 (max probe > 1.5x idle on either side) is tagged `window loaded` rather
 than `<-- LOOK`: re-time at idle before believing it.
+
+Excusal bound (r16, was max-probe through r15): a family's excess is
+excused by its window's MAX probe only when the window's MIN probe is
+ALSO elevated (> 1.5x idle) — i.e. the load was sustained across the
+window, not one transient boundary spike. Bench attributes each
+boundary probe to BOTH adjacent families, so a single spike used to
+inflate two families' excusal bounds; now a spiky-but-not-sustained
+window is excused only by its min probe (~1x at idle = no excusal).
 """
 import json
 import re
@@ -49,6 +60,24 @@ def extract(text):
     raise SystemExit("unbalanced bench JSON line")
 
 
+def parse_time_transcript(text):
+    """A `graft.Smoke time` transcript (r16: `[time]` lines carry the
+    bench calib probe before and after the timed set) as a bench-shaped
+    dict: the min probe is the run's calib_sec, so the transcript scales
+    and diffs exactly like a Bench artifact."""
+    probes = [int(m) for m in re.findall(
+        r"\[time\] calib (\d+) ms", text)]
+    queries = {m[0]: float(m[1]) for m in re.findall(
+        r"\[time\] (?!calib\b)(\S+)\s+([0-9.]+) s", text)}
+    if not queries:
+        return None
+    out = {"total": sum(queries.values()), "queries": queries,
+           "n_queries": len(queries), "_transcript": True}
+    if probes:
+        out["calib_sec"] = min(probes) / 1000.0
+    return out
+
+
 def load_bench(path):
     raw = sys.stdin.read() if path == "-" else open(path).read()
     try:
@@ -59,6 +88,10 @@ def load_bench(path):
             return outer  # target/bench_full.json shape
     except ValueError:
         pass
+    if "[time]" in raw:
+        t = parse_time_transcript(raw)
+        if t is not None:
+            return t
     return extract(raw)
 
 
@@ -150,24 +183,34 @@ def spike_report(b, top=5):
 
 def family_report(b):
     """Per-family window verdict: total, probe band, and the family's
-    own load-adjusted total. Returns the family-scaled effective total
-    (max-probe excusal bound: 'could this window's observed load
-    explain the excess?'), or None without calib_fams/fam_tot."""
+    own load-adjusted total. Returns the family-scaled effective total.
+    Excusal bound (r16): a window's MAX probe only excuses its excess
+    when its MIN probe is also elevated (sustained load — every probe
+    in the window saw it); a transient single-probe spike (which Bench
+    attributes to BOTH adjacent families) excuses nothing beyond the
+    min-probe floor. Returns None without calib_fams/fam_tot."""
     loads = fam_loads(b)
     ft = b.get("fam_tot")
     if loads is None or not ft:
         return None
     eff = 0.0
     noisy = []
+    spiky = []
     for g in sorted(ft):
         lo, hi = loads.get(g, (1.0, 1.0))
-        eff += ft[g] / hi
-        if hi > 1.5:
-            noisy.append(f"{g} (x{hi:.1f}, {ft[g]:.1f}s)")
+        sustained = lo > 1.5
+        eff += ft[g] / (hi if sustained else lo)
+        if sustained:
+            noisy.append(f"{g} (x{lo:.1f}-x{hi:.1f}, {ft[g]:.1f}s)")
+        elif hi > 1.5:
+            spiky.append(f"{g} (x{hi:.1f} spike, {ft[g]:.1f}s)")
     if noisy:
-        print("loaded family windows (max probe > 1.5x idle): "
-              + ", ".join(noisy))
-    else:
+        print("sustained-loaded family windows (min probe > 1.5x idle, "
+              "excused by max probe): " + ", ".join(noisy))
+    if spiky:
+        print("transient-spike windows (max probe > 1.5x but min quiet — "
+              "NOT excused beyond the min-probe floor): " + ", ".join(spiky))
+    if not noisy and not spiky:
         print("all family windows quiet (max probe <= 1.5x idle) — "
               "every per-query number in this artifact is trustworthy")
     return eff
@@ -187,11 +230,18 @@ def main(path, prior=None):
     fam_eff = family_report(b)
     if fam_eff is not None:
         print(f"family-scaled effective total {fam_eff:.1f}s "
-              "(each family / its window's max-probe load)")
+              "(sustained windows / max probe, spiky windows / min probe)")
     spike_report(b)
     if prior:
         diff_movers(b, load_bench(prior))
     eff = fam_eff if fam_eff is not None else total / load
+    if b.get("_transcript"):
+        # a hand-picked `Smoke time` set is not envelope-judgeable (the
+        # per-query band describes the full board's mix, not a slow-query
+        # sample) — transcripts adjudicate as a diff side, not alone
+        print("VERDICT: N/A (re-time transcript — pass it as the second "
+              "artifact to diff against a bench run)")
+        return 0
     if total <= hi:
         print("VERDICT: PASS (within idle envelope, no adjustment needed)")
         return 0
