@@ -1728,4 +1728,100 @@ class StreamingSpec extends AnyFunSuite {
       "a split-stream edge links two standing nodes")
     CachePool.releaseAll()
   }
+
+  test("durable graph ingestion: parquet stores, mid-stream restart, replay — equals the batch arms") {
+    // The deployment shape of the test above (r15 verdict #2): the
+    // standing assignment and the edge store are PARQUET, appended by
+    // GraphIngest.appendBatch inside foreachBatch — no driver-side
+    // index state — and the query is killed and resumed mid-stream on
+    // its checkpoint (the AvailableNow restart convention). Three legs:
+    //   1. whole decile as one microbatch → store edges must EQUAL
+    //      ann_incremental_graph's appended arm (the durable path is
+    //      the proven streamed path);
+    //   2. two files with a stop between them (restart) → stores must
+    //      EQUAL the deterministic two-fold batch reference (nothing
+    //      lost or duplicated across the restart), and the assign
+    //      store must hold exactly the batch's multi-probe rows;
+    //   3. a manual re-invocation of the LAST batch (the real
+    //      crash-after-write, before-checkpoint-commit window — the
+    //      checkpoint guarantees batch N replays before N+1 ever runs)
+    //      must leave both stores value-equal: the replay sees its own
+    //      assign rows in the store, and topGEdges' per-(src,dst)
+    //      group-max collapses the doubled targets to identical edges.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.GraphIngest
+    val d = "/root/testdata/sf0.001"
+    val fence = graft.operators.Similarity.incFence(spark, d)
+    val (cents, standAssign) = graft.operators.Similarity.incStandingState(spark, d)
+    val standingSym = graft.operators.Similarity.incStandingSymEdges(spark, d)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val batchDf = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") > fence)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+      .persist()
+    val mid = batchDf.agg(org.apache.spark.sql.functions
+      .percentile_approx(col("vec_id"), org.apache.spark.sql.functions
+        .lit(0.5), org.apache.spark.sql.functions.lit(1000)))
+      .head().getLong(0)
+    val (h1, h2) = (batchDf.filter(col("vec_id") <= mid),
+      batchDf.filter(col("vec_id") > mid))
+    assert(h1.count() > 0 && h2.count() > 0, "both halves must be non-empty")
+    def runIngest(base: String, files: Seq[DataFrame]): Unit = {
+      val (inDir, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/store")
+      files.foreach { f =>
+        // one coalesced file per run: the file source (no
+        // maxFilesPerTrigger) takes ALL unseen files as one microbatch,
+        // so each run() is exactly one batch
+        f.coalesce(1).write.mode("append").parquet(inDir)
+        val q = spark.readStream
+          .schema("vec_id LONG, e ARRAY<DOUBLE>").parquet(inDir)
+          .writeStream
+          .foreachBatch(GraphIngest.appendBatch(store, cents, standAssign) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination() // then the query object dies — next run restarts
+      }
+    }
+    def storeEdges(base: String): Set[(Long, Long)] =
+      GraphIngest.edges(spark, s"$base/store")
+        .as[(Long, Long)].collect().toSet
+    // ── leg 1: one microbatch == the batch A/B's appended arm ──
+    val base1 = java.nio.file.Files.createTempDirectory("graft_gingest1").toString
+    runIngest(base1, Seq(batchDf))
+    val appendedArm = graft.operators.Similarity.incAppendedEdges(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(standingSym ++ storeEdges(base1) === appendedArm,
+      "durable one-batch store diverged from the appended arm")
+    // ── leg 2: restart between the halves == the two-fold reference ──
+    val base2 = java.nio.file.Files.createTempDirectory("graft_gingest2").toString
+    runIngest(base2, Seq(h1, h2)) // query stops + restarts on one checkpoint
+    val (e1, a1) = graft.operators.Similarity
+      .appendGraphEdges(h1, standAssign, cents)
+    val standing2 = standAssign.unionByName(a1).localCheckpoint()
+    val (e2, _) = graft.operators.Similarity
+      .appendGraphEdges(h2, standing2, cents)
+    val refEdges = e1.select("src", "dst").unionByName(e2.select("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(storeEdges(base2) === refEdges,
+      "restart-crossing store diverged from the deterministic fold reference")
+    // the assign store recovers the batch's exact multi-probe rows
+    val storedAssign = spark.read.parquet(s"$base2/store/assign")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+    val refAssign = graft.operators.Similarity
+      .appendGraphEdges(batchDf, standAssign, cents)._2
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(storedAssign === refAssign,
+      "assign store diverged from the batch multi-probe assignment")
+    // ── leg 3: replaying the last batch (crash-after-write) is a no-op ──
+    GraphIngest.appendBatch(s"$base2/store", cents, standAssign)(h2, 1L)
+    assert(storeEdges(base2) === refEdges, "replay changed the edge store")
+    assert(spark.read.parquet(s"$base2/store/assign")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+      === refAssign, "replay changed the assign store")
+    batchDf.unpersist()
+    CachePool.releaseAll()
+  }
 }
