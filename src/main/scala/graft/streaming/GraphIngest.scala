@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 
@@ -81,5 +82,56 @@ object GraphIngest {
       .parquet(s"$storeDir/edges/batch=$batchId")
     bAssign.write.mode("overwrite")
       .parquet(s"$storeDir/assign/batch=$batchId")
+  }
+
+  /** Offline maintenance: fold every per-batch partition into one
+    * compacted partition per store — `batch=-1`, a value no streaming
+    * batchId ever takes, so the partition-discovery schema stays
+    * uniform and the NEXT stream run keeps appending `batch=<id>`
+    * directories beside it. The assign store rewrites bucketed-sorted
+    * by cent_id (the probe join's blocking key — after compaction a
+    * cell's rows are contiguous instead of scattered across every
+    * batch file written since the last compaction); the edge store
+    * group-maxes duplicate (src, dst) rows appended by different
+    * batches. Value-preserving by construction: [[standingAssign]] /
+    * [[edges]] read the same rows before and after (StreamingSpec's
+    * durable-ingestion test asserts both, then appends a fresh batch
+    * beside the compacted partition).
+    *
+    * Contract: run with NO active query on the store, after a CLEAN
+    * shutdown — compaction folds only committed batches; an uncommitted
+    * batch's replay-idempotency depends on its `batch=<id>` directory
+    * being overwritten in place, which compaction would break. This is
+    * the same offline-maintenance contract as a bucketed-store rewrite
+    * in upsertBatch's world. At 100 TB the pattern is the standard
+    * log-structured one: O(batches) small files fold into O(buckets)
+    * sorted files on a schedule, appends stay O(batch).
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fold(sub: String, write: (DataFrame, String) => Unit): Unit = {
+      val dir = new Path(s"$storeDir/$sub")
+      if (!fs.exists(dir)) return
+      val tmp = new Path(s"$storeDir/${sub}_compacting")
+      val old = new Path(s"$storeDir/${sub}_precompact")
+      write(spark.read.parquet(dir.toString), tmp.toString)
+      // rename-aside swap (the upsertBatch convention): the original
+      // partitions move aside BEFORE the compacted data moves in and
+      // drop only at the end, so every crash window leaves a complete
+      // copy on disk — a leftover `_precompact`/`_compacting` directory
+      // is the recovery marker an operator acts on before restarting
+      fs.rename(dir, old)
+      fs.mkdirs(dir)
+      fs.rename(tmp, new Path(s"$storeDir/$sub/batch=-1"))
+      fs.delete(old, true)
+    }
+    fold("assign", (df, out) => df
+      .select("vec_id", "e", "cent_id")
+      .repartition(col("cent_id")).sortWithinPartitions("cent_id", "vec_id")
+      .write.parquet(out))
+    fold("edges", (df, out) => df
+      .groupBy("src", "dst").agg(max("sim").as("sim"))
+      .write.parquet(out))
   }
 }

@@ -79,6 +79,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_clustered_semdedup_recall",   // see CLUSTERED_SFX) — same
     "ann_clustered_graph_clustering",  // bounded broadcasts and 1-row
     "ann_clustered_ivf_probe_curve",   // crosses
+    "ann_clustered_ivfadc_topk",       // the r16 PQ/IVFADC + layered
+    "ann_clustered_ivfadc_recall",     // cohort arms — the identical
+    "ann_clustered_ivfadc_refine_curve", // whitelisted uniform shapes
+    "ann_clustered_layered_curve",     // routed through clusteredDir
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself

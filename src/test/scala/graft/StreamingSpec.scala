@@ -1821,6 +1821,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base2/store/assign")
       .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
       === refAssign, "replay changed the assign store")
+    // ── leg 4: offline compaction is value-preserving and appendable ──
+    // fold the per-batch partitions into batch=-1 (cent_id-bucketed
+    // assign, group-maxed edges): both readers must see the same rows,
+    // and a NEW batch must still append beside the compacted partition
+    // (mixed batch=-1 / batch=N layout). The fresh batch is the query
+    // vectors — ids the store has never ingested.
+    GraphIngest.compact(spark, s"$base2/store")
+    assert(storeEdges(base2) === refEdges, "compaction changed the edge store")
+    assert(spark.read.parquet(s"$base2/store/assign")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+      === refAssign, "compaction changed the assign store")
+    val fresh = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+    GraphIngest.appendBatch(s"$base2/store", cents, standAssign)(fresh, 2L)
+    val afterIds = spark.read.parquet(s"$base2/store/assign")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(Set(0L, 1L, 2L).subsetOf(afterIds),
+      "post-compaction append did not land beside batch=-1")
+    val grown = storeEdges(base2)
+    assert(refEdges.subsetOf(grown), "post-compaction append lost edges")
+    assert((grown -- refEdges).forall(e => e._1 < 3 || e._2 < 3),
+      "a post-compaction edge links two pre-existing nodes")
     batchDf.unpersist()
     CachePool.releaseAll()
   }
