@@ -62,10 +62,24 @@ object GraphIngest {
   }
 
   /** Every edge appended so far, deduplicated — the relation a reader
-    * unions with the standing build's symmetrized edges.
+    * unions with the standing build's symmetrized edges. Empty (not an
+    * error) before the first batch lands, so a search tier can compose
+    * it unconditionally.
     */
-  def edges(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/edges").select("src", "dst").distinct()
+  def edges(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = new Path(s"$storeDir/edges")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(p.toString).select("src", "dst").distinct()
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType))))
+  }
 
   /** The `foreachBatch` sink: build the batch's blocked top-G edges
     * against the current standing view and append both stores under

@@ -225,7 +225,7 @@ def hash_protocols(con, name, spark_glob, oracle_table, tmpdir):
     return bad
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -233,11 +233,22 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    if only:
+        # local-iteration filter matching Verify's third arg: restrict
+        # the compare to names starting with any given prefix, so a
+        # partial Verify dump checks clean without hand-trimming
+        # oracle_sql.json (names the dump lacks otherwise FAIL as
+        # "declared but NO dumped result" — correct for full runs)
+        prefixes = only.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
 
     hash_tmp = tempfile.mkdtemp(prefix="graft_oracle_hash_")
     failures, passed, skipped = [], 0, []
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        qdirs = [d for d in qdirs if d in oracle]
     # An oracle whose query never dumped means Verify caught a runtime
     # error for it (it prints [verify] <name> failed and moves on) — the
     # driver would record that as a hard failure, so the pre-flight must
@@ -351,4 +362,5 @@ def selftest():
 if __name__ == "__main__":
     if sys.argv[1:] == ["--selftest"]:
         sys.exit(selftest())
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
