@@ -1848,4 +1848,87 @@ class StreamingSpec extends AnyFunSuite {
     batchDf.unpersist()
     CachePool.releaseAll()
   }
+
+  test("graph store crash windows: readers refuse a half-finished compaction; recover restores") {
+    // r16 verdict #3: compact()'s crash contract used to be a scaladoc
+    // comment ("a leftover _precompact directory is the recovery marker
+    // an operator acts on") that neither reader enforced — the crash
+    // window silently served a half-swapped store. Now every crash
+    // window is simulated by hand-placing the marker/aside directories
+    // exactly as a killed compact() leaves them, and each one must make
+    // standingAssign/edges/compact REFUSE, then recover() must restore
+    // the byte-equal original. Plus the r16-advice centroid gate: a
+    // misconfigured appendBatch (empty cents) fails on its first batch
+    // instead of writing empty partitions forever.
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphIngest
+    val d = "/root/testdata/sf0.001"
+    val fence = graft.operators.Similarity.incFence(spark, d)
+    val (cents, standAssign) = graft.operators.Similarity.incStandingState(spark, d)
+    val batchDf = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") > fence)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+    val base = java.nio.file.Files.createTempDirectory("graft_gcrash").toString
+    val store = s"$base/store"
+    GraphIngest.appendBatch(store, cents, standAssign)(batchDf, 0L)
+    def readBoth(): (Seq[(Long, Long)], Set[(Long, Long)]) = (
+      GraphIngest.standingAssign(spark, store, standAssign)
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq,
+      GraphIngest.edges(spark, store).as[(Long, Long)].collect().toSet)
+    val (refAssign, refEdges) = readBoth()
+    val fs = new Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def refusesAll(window: String): Unit = {
+      Seq(
+        ("standingAssign", () => GraphIngest
+          .standingAssign(spark, store, standAssign).count()),
+        ("edges", () => GraphIngest.edges(spark, store).count()),
+        ("compact", () => { GraphIngest.compact(spark, store); 0L }),
+        ("appendBatch", () => {
+          GraphIngest.appendBatch(store, cents, standAssign)(batchDf, 9L); 0L
+        })).foreach { case (name, run) =>
+        val e = intercept[IllegalArgumentException](run())
+        assert(e.getMessage.contains("recover"),
+          s"$window: $name must refuse and point at recover(): ${e.getMessage}")
+      }
+    }
+    // window 1 — crash after the _compacting write, before the aside
+    // rename: live store untouched, orphan marker present
+    fs.mkdirs(new Path(s"$store/assign_compacting"))
+    refusesAll("window 1")
+    GraphIngest.recover(spark, store)
+    assert(readBoth() === ((refAssign, refEdges)), "window-1 recovery changed data")
+    // window 2 — crash between the aside rename and the rename-in: the
+    // assign sub-store is GONE, only the aside copy exists
+    assert(fs.rename(new Path(s"$store/assign"), new Path(s"$store/assign_precompact")))
+    fs.mkdirs(new Path(s"$store/assign_compacting"))
+    refusesAll("window 2")
+    GraphIngest.recover(spark, store)
+    assert(readBoth() === ((refAssign, refEdges)), "window-2 recovery changed data")
+    // window 3 — crash after the rename-in, before the final delete:
+    // the sub-store holds a complete compacted copy AND the aside copy
+    // remains; recover restores the (equal-valued) original
+    GraphIngest.compact(spark, store) // edges sub now holds the compacted copy
+    // stage the aside copy: an equal-valued original-layout edge store
+    // (appendGraphEdges is deterministic, so ref2 rebuilds batch 0 exactly)
+    GraphIngest.appendBatch(s"$base/ref2", cents, standAssign)(batchDf, 0L)
+    assert(fs.rename(new Path(s"$base/ref2/edges"), new Path(s"$store/edges_precompact")))
+    refusesAll("window 3")
+    GraphIngest.recover(spark, store)
+    assert(readBoth() === ((refAssign, refEdges)), "window-3 recovery changed data")
+    // recover() is idempotent on a clean store
+    GraphIngest.recover(spark, store)
+    assert(readBoth() === ((refAssign, refEdges)))
+    // the r16-advice gate: empty external centroids fail on the FIRST
+    // batch of a fresh store, before anything is written
+    val emptyCents = cents.filter(col("cent_id") < Long.MinValue)
+    val e = intercept[IllegalArgumentException](
+      GraphIngest.appendBatch(s"$base/empty", emptyCents, standAssign)(batchDf, 0L))
+    assert(e.getMessage.contains("empty centroid set"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/empty")),
+      "a failed-validation appendBatch must write nothing")
+    CachePool.releaseAll()
+  }
 }

@@ -122,4 +122,95 @@ class TopologySpec extends AnyFunSuite {
       s"silent published table census: $t9")
     assert(c9.consumed === c2.consumed, "t9 never appears in the feed")
   }
+
+  test("graph-ingest sink kind: config-built ingestion with restart equals the batch reference") {
+    // r16 verdict #2: the durable GraphIngest store was proven by
+    // StreamingSpec but unreachable from the config surface every other
+    // sink deploys through. This leg drives it end-to-end FROM A CONFIG
+    // FILE: publish the trained index state (centroids + standing
+    // assignment) as parquet, parse `sink.kind: graph-ingest`, run one
+    // feed file, restart the topology (new query object, same
+    // checkpoint) on a second file, and require the store to equal the
+    // deterministic two-fold batch reference — nothing lost, duplicated,
+    // or re-consumed across the restart. A third run with no new files
+    // must be a no-op.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphIngest
+    val spark2 = spark
+    import spark2.implicits._
+    val d = "/root/testdata/sf0.001"
+    val fence = graft.operators.Similarity.incFence(spark, d)
+    val (cents, standAssign) =
+      graft.operators.Similarity.incStandingState(spark, d)
+    val batchDf = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") > fence)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("e"))
+      .persist()
+    val mid = batchDf.agg(org.apache.spark.sql.functions
+        .percentile_approx(col("vec_id"), org.apache.spark.sql.functions
+          .lit(0.5), org.apache.spark.sql.functions.lit(1000)))
+      .head().getLong(0)
+    val (h1, h2) = (batchDf.filter(col("vec_id") <= mid),
+      batchDf.filter(col("vec_id") > mid))
+    val base = java.nio.file.Files.createTempDirectory("graft_topograph").toString
+    // the published index state the config points at
+    cents.write.parquet(s"$base/cents")
+    standAssign.write.parquet(s"$base/seed")
+    val yaml = Seq(
+      "# graph-ingest topology fixture (TopologySpec)",
+      "sink.kind: graph-ingest",
+      s"feed.dir: $base/feed",
+      s"graph.store.dir: $base/store",
+      s"graph.centroids.dir: $base/cents",
+      s"graph.seed.dir: $base/seed",
+      s"checkpoint.dir: $base/ckpt",
+      "future.knob: ignored")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/config.yaml"),
+      yaml.mkString("", "\n", "\n").getBytes)
+    val cfg = Topology.parseAny(s"$base/config.yaml")
+    assert(cfg === Topology.GraphIngestConfig(s"$base/feed", s"$base/store",
+      s"$base/cents", s"$base/seed", s"$base/ckpt"))
+    // a pre-r17 CDC config (no sink.kind) still parses through the
+    // same entry point, defaulting to the cdc sink
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/config_cdc.yaml"), Seq(
+        s"feed.dir: $base/feed", "publication.name: p",
+        "publication.tables: public.t0", s"sink.dir: $base/cdc_sink")
+        .mkString("", "\n", "\n").getBytes)
+    assert(Topology.parseAny(s"$base/config_cdc.yaml")
+      .isInstanceOf[Topology.Config])
+    def runOnce(file: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      file.foreach(_.coalesce(1).write.mode("append").parquet(s"$base/feed"))
+      Topology.runAny(spark, cfg) // new query object, same checkpoint
+    }
+    runOnce(Some(h1))
+    runOnce(Some(h2)) // RESTART: the checkpoint must skip h1's file
+    // deterministic two-fold reference (the StreamingSpec convention)
+    val (e1, a1) = graft.operators.Similarity
+      .appendGraphEdges(h1, standAssign, cents)
+    val standing2 = standAssign.unionByName(a1).localCheckpoint()
+    val (e2, _) = graft.operators.Similarity
+      .appendGraphEdges(h2, standing2, cents)
+    val refEdges = e1.select("src", "dst").unionByName(e2.select("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    def storeEdges(): Set[(Long, Long)] =
+      GraphIngest.edges(spark, s"$base/store").as[(Long, Long)].collect().toSet
+    assert(storeEdges() === refEdges,
+      "config-driven restart-crossing store diverged from the batch reference")
+    val refAssign = graft.operators.Similarity
+      .appendGraphEdges(batchDf, standAssign, cents)._2
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+    def storeAssign(): Seq[(Long, Long)] =
+      spark.read.parquet(s"$base/store/assign")
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(storeAssign() === refAssign,
+      "config-driven assign store diverged from the batch multi-probe rows")
+    runOnce(None) // no new files: the restart consumes nothing
+    assert(storeEdges() === refEdges && storeAssign() === refAssign,
+      "an empty restart mutated the store")
+    batchDf.unpersist()
+    CachePool.releaseAll()
+  }
 }
