@@ -36,6 +36,36 @@ object CdcQueries {
   private def dsumSql(c: String): String =
     s"CAST(SUM(CAST($c AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** The shared registry-replay FIXTURE (cdc_registry_asof /
+    * cdc_registry_dead_letter): the event envelope routed to two
+    * relations plus the registry log carrying every branch the
+    * r16-widened surface needs (same-lsn tie-breaks, the
+    * registered-but-absent column, activity's unregistered pre-f1
+    * window — see the cdc_registry_asof comment for the timeline).
+    * Fences derive from the corpus (max/3, 2·max/3 — planner-sized
+    * aggregates), so the fixture scales with the SF.
+    */
+  private def registryFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
+      .withColumn("tableName",
+        when(col("op").isin("insert", "delete"), "users")
+          .otherwise("activity"))
+    val mx = env.agg(max(col("lsn"))).head()
+    val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    val (f1, f2) = (m / 3, 2 * (m / 3))
+    val log = Seq(
+      ("users", 0L, Seq("user_id", "value")),
+      ("users", f1, Seq("user_id", "value", "k")),
+      ("users", f1, Seq("user_id", "value")),
+      ("users", f2, Seq("user_id", "value", "k", "flag")),
+      ("users", f2, Seq("user_id", "value")),
+      ("activity", f1, Seq("user_id", "k")))
+      .toDF("relation", "lsn", "columns")
+    (env, log)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A3: latest state per key — the flagship semantics.
     "cdc_latest_state" -> ((s, d) => {
@@ -212,22 +242,7 @@ object CdcQueries {
     // refreshing the projection without restart — is StreamingSpec's
     // registry-refresh test over the same RelationRegistry functions.
     "cdc_registry_asof" -> ((s, d) => {
-      import s.implicits._
-      val env = Envelope.toCdcEvents(Tables.events(s, d)).toDF()
-        .withColumn("tableName",
-          when(col("op").isin("insert", "delete"), "users")
-            .otherwise("activity"))
-      val mx = env.agg(max(col("lsn"))).head()
-      val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
-      val (f1, f2) = (m / 3, 2 * (m / 3))
-      val log = Seq(
-        ("users", 0L, Seq("user_id", "value")),
-        ("users", f1, Seq("user_id", "value", "k")),
-        ("users", f1, Seq("user_id", "value")),
-        ("users", f2, Seq("user_id", "value", "k", "flag")),
-        ("users", f2, Seq("user_id", "value")),
-        ("activity", f1, Seq("user_id", "k")))
-        .toDF("relation", "lsn", "columns")
+      val (env, log) = registryFixture(s, d)
       val cur = RelationRegistry.currentSchemas(log)
         .select(col("relation").as("cur_relation"),
           size(col("columns")).as("cur_cols"))
@@ -241,6 +256,29 @@ object CdcQueries {
           element_at(col("after"), "k").as("after_k"),
           element_at(col("after"), "flag").as("after_flag"),
           col("cur_cols"))
+    }),
+
+    // D4's dead-letter parity (r16 verdict #6): projectAsOf KEEPS
+    // events with no applicable registry version as NULL-projection
+    // rows where the reference CRASHES on an unregistered relation id
+    // (replicator.go:330-333) — a pipeline re-expresses that crash as
+    // a dead-letter route, and this query IS that route as a report:
+    // per (relation, op), total vs dead (NULL-projection) counts, the
+    // dead LSN range, and the rate — the cdc_dead_letter report shape
+    // applied to registry coverage. On this fixture the dead set is
+    // exactly activity's pre-f1 window (its first RelationMessage
+    // lands at f1); users registers at lsn 0 and never dead-letters.
+    // One broadcast interval join + an O(relations·ops) aggregate.
+    "cdc_registry_dead_letter" -> ((s, d) => {
+      val (env, log) = registryFixture(s, d)
+      RelationRegistry.projectAsOf(env, log)
+        .groupBy("tableName", "op")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("columns").isNull, 1L).otherwise(0L)).as("n_dead"),
+          min(when(col("columns").isNull, col("lsn"))).as("first_dead_lsn"),
+          max(when(col("columns").isNull, col("lsn"))).as("last_dead_lsn"))
+        .withColumn("dead_rate",
+          col("n_dead").cast("double") / col("n_total").cast("double"))
     }),
 
     // D9/D10 wire-format round trip: envelope → JSON → envelope must be
@@ -1085,6 +1123,27 @@ object CdcQueries {
          |  CAST(CASE WHEN tableName = 'users' THEN 4 ELSE 2 END AS INT)
          |    AS cur_cols
          |FROM r""".stripMargin,
+    // the registry dead-letter report: INDEPENDENT formulation — where
+    // Spark classifies dead rows off the interval join's NULL columns,
+    // the oracle derives the dead predicate from the fixture timeline
+    // directly (activity below its f1 registration; users never).
+    "cdc_registry_dead_letter" ->
+      s"""WITH f AS (SELECT COALESCE(MAX(event_id), 0) // 3 AS f1
+         |  FROM events),
+         |e AS (SELECT event_id AS lsn, $opSql AS op FROM events),
+         |r AS (SELECT lsn, op,
+         |    CASE WHEN op IN ('insert', 'delete')
+         |      THEN 'users' ELSE 'activity' END AS tableName
+         |  FROM e),
+         |w AS (SELECT *, CASE WHEN tableName = 'activity'
+         |    AND lsn < (SELECT f1 FROM f) THEN 1 ELSE 0 END AS dead
+         |  FROM r)
+         |SELECT tableName, op, COUNT(*) AS n_total,
+         |  CAST(SUM(dead) AS BIGINT) AS n_dead,
+         |  MIN(CASE WHEN dead = 1 THEN lsn END) AS first_dead_lsn,
+         |  MAX(CASE WHEN dead = 1 THEN lsn END) AS last_dead_lsn,
+         |  CAST(SUM(dead) AS DOUBLE) / COUNT(*) AS dead_rate
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "cdc_publication_routing" ->
       s"""SELECT 'users' AS tableName,
          |  CASE event_type WHEN 'signup' THEN 'insert' ELSE 'delete' END AS op,

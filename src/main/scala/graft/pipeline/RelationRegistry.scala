@@ -31,11 +31,14 @@ object RelationRegistry {
 
   /** Latest registered column set per relation (ties on lsn break to
     * the wider schema — a relation re-registered at one LSN keeps the
-    * richest message, deterministically).
+    * richest message, deterministically; equal-width ties break on the
+    * column array itself, so two same-lsn same-width registrations
+    * with different column SETS resolve the same way every run — r16
+    * advice: row_number over an under-specified order can flap).
     */
   def currentSchemas(log: DataFrame): DataFrame = {
     val w = Window.partitionBy("relation")
-      .orderBy(col("lsn").desc, size(col("columns")).desc)
+      .orderBy(col("lsn").desc, size(col("columns")).desc, col("columns"))
     log.withColumn("reg_rn", row_number().over(w))
       .filter(col("reg_rn") === 1)
       .select("relation", "columns")
@@ -87,8 +90,11 @@ object RelationRegistry {
     * re-expresses as a dead-letter filter, not a vanished row.
     */
   def projectAsOf(events: DataFrame, log: DataFrame): DataFrame = {
+    // equal-width same-lsn registrations tie-break on the column array
+    // itself (deterministic across runs — r16 advice), matching
+    // currentSchemas' resolution order
     val wDup = Window.partitionBy("relation", "reg_lsn")
-      .orderBy(size(col("columns")).desc)
+      .orderBy(size(col("columns")).desc, col("columns"))
     val wNext = Window.partitionBy("relation").orderBy("reg_lsn")
     val versions = log
       .select(col("relation"), col("lsn").as("reg_lsn"), col("columns"))
