@@ -206,13 +206,14 @@ object Smoke {
       spark.range(1 << 20).selectExpr("sum(id)", "count(distinct id % 7)").collect()
       sources.Tables.lineitem(spark, sfDir).limit(1).collect()
       // The SAME load-calibration micro-task Bench runs (pure codegen
-      // range sum): printed before and after the timed set so a `[time]`
-      // transcript carries its own environment anchor — the r15 judges'
-      // idle anchors drifted ~25-30% across sessions on byte-identical
-      // code, and without a probe in the output that drift is
-      // indistinguishable from a regression. check_bench.py parses these
-      // lines, so a `Smoke time` transcript is now a valid comparison
-      // artifact.
+      // range sum): printed before the set and after EVERY timed query
+      // (r16 verdict #4 — a single global probe pair over-corrected
+      // shuffle-bound queries: one ÷7 calib ratio tagged an unchanged
+      // query `<-- LOOK` on raw times that matched the idle anchors),
+      // so each query is bracketed by its own pair of probes and
+      // check_bench.py scales it by the BRACKET's min — the same
+      // window-local rule the bench's calib_fams families use. A
+      // `Smoke time` transcript is a first-class comparison artifact.
       def calibPass(): Double = {
         val t0 = System.nanoTime()
         spark.range(1L << 24).selectExpr("sum(id * 3)").collect()
@@ -229,8 +230,8 @@ object Smoke {
         val m2 = math.min(pass(), pass())
         val t = if (m2 > 1.5) math.min(m2, pass()) else m2
         println(f"[time] $name%-28s ${t}%.3f s")
+        println(f"[time] calib ${math.round(calibPass() * 1000)}%d ms (after)")
       }
-      println(f"[time] calib ${math.round(calibPass() * 1000)}%d ms (after)")
       CachePool.releaseAll()
     } else if (args.nonEmpty) {
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"

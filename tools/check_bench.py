@@ -61,20 +61,43 @@ def extract(text):
 
 
 def parse_time_transcript(text):
-    """A `graft.Smoke time` transcript (r16: `[time]` lines carry the
-    bench calib probe before and after the timed set) as a bench-shaped
-    dict: the min probe is the run's calib_sec, so the transcript scales
-    and diffs exactly like a Bench artifact."""
-    probes = [int(m) for m in re.findall(
-        r"\[time\] calib (\d+) ms", text)]
-    queries = {m[0]: float(m[1]) for m in re.findall(
-        r"\[time\] (?!calib\b)(\S+)\s+([0-9.]+) s", text)}
+    """A `graft.Smoke time` transcript as a bench-shaped dict. Since r17
+    Smoke prints the calib probe before the set and after EVERY query,
+    so each query is scaled by its own BRACKETING probes' min (the same
+    window-local rule the bench's calib_fams families use) — one global
+    ratio over-corrected shuffle-bound queries (r16 verdict #4: an
+    unchanged query got `<-- LOOK` purely from the /7 global scale).
+    r16 transcripts (one probe pair around the whole set) degrade to
+    the run-wide bracket, i.e. the old behavior."""
+    events = []
+    for m in re.finditer(
+            r"\[time\] calib (\d+) ms|\[time\] (?!calib\b)(\S+)\s+([0-9.]+) s",
+            text):
+        if m.group(1):
+            events.append(("calib", int(m.group(1))))
+        else:
+            events.append(("q", m.group(2), float(m.group(3))))
+    probes = [e[1] for e in events if e[0] == "calib"]
+    queries, qcal = {}, {}
+    last = None
+    for i, e in enumerate(events):
+        if e[0] == "calib":
+            last = e[1]
+        else:
+            nxt = next((x[1] for x in events[i + 1:] if x[0] == "calib"),
+                       None)
+            bracket = [pb for pb in (last, nxt) if pb is not None]
+            queries[e[1]] = e[2]
+            if bracket:
+                qcal[e[1]] = (min(bracket) / 1000.0, max(bracket) / 1000.0)
     if not queries:
         return None
     out = {"total": sum(queries.values()), "queries": queries,
            "n_queries": len(queries), "_transcript": True}
     if probes:
         out["calib_sec"] = min(probes) / 1000.0
+    if qcal:
+        out["calib_queries"] = qcal
     return out
 
 
@@ -88,11 +111,17 @@ def load_bench(path):
             return outer  # target/bench_full.json shape
     except ValueError:
         pass
-    if "[time]" in raw:
-        t = parse_time_transcript(raw)
-        if t is not None:
-            return t
-    return extract(raw)
+    # the bench JSON line wins when present: an artifact whose log also
+    # happens to contain stray [time] lines must parse as the (richer)
+    # metric line, not as a partial transcript (r16 advice)
+    try:
+        return extract(raw)
+    except SystemExit:
+        pass
+    t = parse_time_transcript(raw)
+    if t is not None:
+        return t
+    raise SystemExit("no bench JSON line or [time] transcript in input")
 
 
 def fam_of(name):
@@ -115,24 +144,45 @@ def global_load(b):
     return max(1.0, calib / IDLE_CALIB) if calib else 1.0
 
 
-def scaled_queries(b):
-    """Each query divided by its family window's MIN-probe load (the
-    load-robust floor — a min probe only inflates when load was
-    sustained across the whole window), falling back to the global
-    factor. Returns (scaled map, description string, loads-or-None)."""
+def query_loads(b):
+    """A (lo, hi) load-factor lookup per query name: per-query bracket
+    probes first (Smoke time transcripts since r17), else the query's
+    family window (calib_fams), else the global factor."""
+    qc = b.get("calib_queries")
     loads = fam_loads(b)
     g = global_load(b)
+
+    def look(name):
+        if qc and name in qc:
+            lo, hi = qc[name]
+            return (max(1.0, lo / IDLE_CALIB), max(1.0, hi / IDLE_CALIB))
+        if loads is not None:
+            return loads.get(fam_of(name), (g, g))
+        return (g, g)
+    return look
+
+
+def scaled_queries(b):
+    """Each query divided by its window's MIN-probe load (the
+    load-robust floor — a min probe only inflates when load was
+    sustained across the whole window): the query's own probe bracket
+    when the artifact carries one, else its family window, else the
+    global factor. Returns (scaled map, description, load lookup)."""
     q = b.get("queries", {})
-    if loads is None:
-        return {k: v / g for k, v in q.items()}, f"global /{g:.2f}", None
-    out = {k: v / loads.get(fam_of(k), (g, g))[0] for k, v in q.items()}
-    return out, "per-family min-probe", loads
+    look = query_loads(b)
+    if b.get("calib_queries"):
+        desc = "per-query bracket min-probe"
+    elif fam_loads(b) is not None:
+        desc = "per-family min-probe"
+    else:
+        desc = f"global /{global_load(b):.2f}"
+    return {k: v / look(k)[0] for k, v in q.items()}, desc, look
 
 
 def diff_movers(cur, prev, top=5):
     """Per-query drift, both sides scaled to idle by their own calib."""
-    cq, cdesc, cloads = scaled_queries(cur)
-    pq, pdesc, ploads = scaled_queries(prev)
+    cq, cdesc, clook = scaled_queries(cur)
+    pq, pdesc, plook = scaled_queries(prev)
     if not cq or not pq:
         print("per-query diff: one side carries no queries map "
               "(truncated tail?) — skipping")
@@ -146,10 +196,8 @@ def diff_movers(cur, prev, top=5):
     print(f"\nper-query drift (cur: {cdesc}, prev: {pdesc}; "
           f"{len(both)} shared, +{len(added)} added, -{len(removed)} removed)")
     for k, p, c, d in movers:
-        fam = fam_of(k)
         windows_loaded = any(
-            ld is not None and ld.get(fam, (1.0, 1.0))[1] > 1.5
-            for ld in (cloads, ploads))
+            look(k)[1] > 1.5 for look in (clook, plook))
         flag = ""
         if abs(d) > 0.5 and c > 2 * max(p, 0.05):
             flag = ("  (family window loaded — re-time idle before believing)"
