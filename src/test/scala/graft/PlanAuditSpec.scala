@@ -83,6 +83,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_clustered_ivfadc_recall",     // cohort arms — the identical
     "ann_clustered_ivfadc_refine_curve", // whitelisted uniform shapes
     "ann_clustered_layered_curve",     // routed through clusteredDir
+    "ann_clustered_bridge_curve",      // r17 bridge arm — the beam-curve
+                                       // shape over base+bridge edges
     "ann_lsh_bucket",       // bucket-join, but tiny bucket count at sf0.001
     "ann_semdedup",         // broadcast centroids × corpus (assignment —
                             // the ann_ivf_topk shape); pair search itself
