@@ -291,6 +291,12 @@ object Similarity {
     * the uniform corpus was the binding case, not the codebook size.
     * All numbers are measured per run by the recall queries, never
     * assumed.
+    *
+    * Since r17 this constant is the POOL bound — the deepest point of
+    * [[ADC_DEPTHS]] and the cap on full-precision re-scores — while
+    * the depth `ann_ivfadc_topk` actually re-ranks at is MEASURED per
+    * cohort from the refine curve ([[adcShortlist]]): the r16
+    * codebook-sizing flip acted on, as a knob instead of a sentence.
     */
   private val ADC_SHORTLIST = 200
 
@@ -445,6 +451,134 @@ object Similarity {
   /** Probe budget for this corpus' index — see [[PROBE_FRAC]]. */
   private def nprobe(s: SparkSession, d: String): Int =
     math.max(PROBE_MIN, math.ceil(PROBE_FRAC * centroidSeq(s, d).size).toInt)
+
+  /** The refine-depth grid the curve measures and the shipped
+    * shortlist derives from ([[adcShortlist]]); the deepest point is
+    * [[ADC_SHORTLIST]], the pool bound.
+    */
+  private val ADC_DEPTHS = Seq(10, 25, 50, 100, 200)
+
+  private val adcDepthCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** The IVFADC scored pool — PQ-encode the corpus against the trained
+    * codebooks, IVF-assign + probe, rank probed candidates by ADC, and
+    * re-score the top [[ADC_SHORTLIST]] (the POOL bound = the grid's
+    * deepest point) at full precision, keeping each candidate's ADC
+    * rank `srn`. ONE relation, persisted and memoized per dir (r17 —
+    * previously ann_ivfadc_topk and _refine_curve each rebuilt the
+    * whole encode+probe+ADC chain), consumed by the topk re-rank at
+    * the derived depth, the refine curve's five re-ranks, and the
+    * depth knob itself.
+    */
+  private def ivfadcScored(s: SparkSession, d: String): DataFrame =
+    memoRel(d, "adc_scored", () => {
+      graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
+      val cents = centroidsDf(s, d)
+      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
+      // PQ-encode the corpus: nearest TRAINED codeword per (vector,
+      // subspace) — the k ≤ 256 Lloyd codebooks, not the 10-codeword
+      // label baseline (round 10 measured that baseline at recall
+      // 0.68/0.76/0.52; same 8-byte budget, real codebooks close it)
+      val wCode = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist"), col("plabel"))
+      val recon = corpusDf(s, d)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
+          .as(Seq("s", "sub")))
+        .join(broadcast(pqTrainedDf(s, d)), "s")
+        .withColumn("dist", l2(col("sub"), col("cw")))
+        .withColumn("crn", row_number().over(wCode))
+        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("cw")))),
+          x => x.getField("cw"))).as("recon"))
+      // IVF assignment + probe, exactly the ann_ivf_topk shapes
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = corpusDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("ccos", cos(col("e"), col("ce")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("cent_id"))
+      val probe = queriesDf(s, d)
+        .join(broadcast(cents))
+        .withColumn("qcos", cos(col("qe"), col("ce")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nprobe(s, d))
+        .select(col("q_id"), col("qe"), col("cent_id"))
+      // ADC pool: approximate scores rank ADC_SHORTLIST candidates per
+      // query — only THESE fetch their full-precision vectors for the
+      // re-rank (the FAISS refine stage). At 100 TB the ADC pass
+      // touches 8-byte codes; the expensive 256-byte rows are read for
+      // ADC_SHORTLIST·|queries| candidates, not the probed cells.
+      val wShort = Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("vec_id"))
+      probe.join(assign, "cent_id")
+        .join(recon, "vec_id")
+        .withColumn("adc", cos(col("qe"), col("recon")))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= ADC_SHORTLIST)
+        .select(col("q_id"), col("qe"), col("vec_id"), col("srn"))
+        .join(corpusDf(s, d), "vec_id")
+        .withColumn("cosine", cos(col("qe"), col("e")))
+        .select("q_id", "vec_id", "cosine", "srn")
+        .transform(graft.CachePool.persist)
+    })
+
+  /** The brute-force exact top-K ground truth (q_id, vec_id) — the
+    * declared whitelisted baseline every recall arm joins against,
+    * memoized per dir so the four graph curves, the refine curve, and
+    * the depth knob share one persisted relation.
+    */
+  private def annExactTopK(s: SparkSession, d: String): DataFrame =
+    memoRel(d, "ann_exact", () =>
+      topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
+          .withColumn("cosine", cos(col("qe"), col("e"))))
+        .select("q_id", "vec_id")
+        .transform(graft.CachePool.persist))
+
+  /** MEASURED refine depth (r16 verdict #5): the smallest grid depth
+    * whose exact-hit count reaches ≥ 99% of the deepest depth's — the
+    * knob `ann_ivfadc_topk` ships instead of one fleet-wide constant,
+    * derived per cohort from the same curve `ann_ivfadc_refine_curve`
+    * reports (the r16 flip showed the right depth is a property of
+    * corpus shape: clustered saturates at half the uniform shortlist).
+    * Integer-hit comparison (hits·100 ≥ 99·max), no IEEE boundary; an
+    * empty corpus yields max = 0 and the shallowest depth. One small
+    * aggregate per grid point over the persisted pool, memoized per
+    * dir — the cheap experiment run once per corpus, which is exactly
+    * how a 100 TB deployment should pick its refine budget. Measured
+    * picks (r17): uniform 100 / 50 / 200 at sf0.001/0.01/0.1 (the
+    * sf0.1 curve still climbs on its last doubling, so the knob keeps
+    * the full pool); clustered 25 / 25 / 100 — half to an eighth of
+    * the uniform budget at the same recall, the corpus-shape
+    * adaptivity the constant could not express. End-to-end recall
+    * (ann_ivfadc_recall) is unchanged at every SF on both cohorts by
+    * construction of the ≥99% rule.
+    */
+  private def adcShortlist(s: SparkSession, d: String): Int =
+    adcDepthCache.getOrElseUpdate(d, {
+      val sc = ivfadcScored(s, d)
+      val exact = annExactTopK(s, d)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      def hits(dp: Int): Long = exact.join(
+        sc.filter(col("srn") <= dp)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TOP_K)
+          .select("q_id", "vec_id"),
+        Seq("q_id", "vec_id")).count()
+      val h = ADC_DEPTHS.map(dp => dp -> hits(dp))
+      val maxH = h.last._2
+      h.collectFirst { case (dp, c) if c * 100L >= 99L * maxH => dp }
+        .getOrElse(ADC_DEPTHS.last)
+    })
 
   /** Incremental-maintenance fence (the `dedup_incremental`
     * snapshot-vs-corpus convention carried to the vector tier): the
@@ -788,7 +922,7 @@ object Similarity {
     * recall-identical at 1-2% extra cost.
     */
   private def graphEdgesBridged(s: SparkSession, d: String): DataFrame =
-    memoEdges(d, "bridged", () => {
+    memoRel(d, "bridged", () => {
       val sd = semdedupAssign(s, d).filter(col("vec_id") >= N_QUERIES)
       val prim = sd.filter(col("arn") === 1)
         .select(col("vec_id"), col("cent_id").as("pcell"))
@@ -830,15 +964,16 @@ object Similarity {
   private val graphSearchCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int, String), (DataFrame, DataFrame)]
 
-  /** Memoized edge RELATIONS per (dir, tag) for the incremental arms —
-    * the DataFrame (already CachePool-persisted inside its builder) is
-    * reused by the search memo AND the edge census without a second
-    * construction; cleared with the search memo below.
+  /** Memoized RELATIONS per (dir, tag) — edge relations for the
+    * incremental/bridge arms and (r17) the shared IVFADC scored pool +
+    * exact ground truth: the DataFrame (already CachePool-persisted
+    * inside its builder) is reused across the queries that consume it
+    * without a second construction; cleared with the search memo below.
     */
   private val graphEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), DataFrame]
 
-  private def memoEdges(d: String, tag: String, fn: () => DataFrame)
+  private def memoRel(d: String, tag: String, fn: () => DataFrame)
       : DataFrame =
     graphEdgeCache.getOrElseUpdate((d, tag), fn())
 
@@ -849,11 +984,11 @@ object Similarity {
     * batch node — instead of a corpus-tuned volume tolerance, and (b)
     * the streaming ingestion test can compare a per-microbatch edge
     * append against the exact batch relations. All memoized per dir
-    * via [[memoEdges]]; the multi-probe assignments are persisted
+    * via [[memoRel]]; the multi-probe assignments are persisted
     * because the standing build and the batch append both consume them.
     */
   private def incStandAssign(s: SparkSession, d: String): DataFrame =
-    memoEdges(d, "inc_sassign", () => {
+    memoRel(d, "inc_sassign", () => {
       import s.implicits._
       probeAssign(
           corpusDf(s, d).filter(col("vec_id") <= incFence(s, d)),
@@ -862,7 +997,7 @@ object Similarity {
     })
 
   private def incBatchAssign(s: SparkSession, d: String): DataFrame =
-    memoEdges(d, "inc_bassign", () => {
+    memoRel(d, "inc_bassign", () => {
       import s.implicits._
       probeAssign(
           corpusDf(s, d).filter(col("vec_id") > incFence(s, d)),
@@ -875,7 +1010,7 @@ object Similarity {
     */
   private[graft] def incStandingSymEdges(s: SparkSession, d: String)
       : DataFrame =
-    memoEdges(d, "inc_standing", () =>
+    memoRel(d, "inc_standing", () =>
       symmetrize(topGEdges(incStandAssign(s, d), incStandAssign(s, d)))
         .transform(graft.CachePool.persist))
 
@@ -885,7 +1020,7 @@ object Similarity {
     */
   private[graft] def incAppendedEdges(s: SparkSession, d: String)
       : DataFrame =
-    memoEdges(d, "inc_append", () => {
+    memoRel(d, "inc_append", () => {
       val bTop = topGEdges(incBatchAssign(s, d),
         incStandAssign(s, d).unionByName(incBatchAssign(s, d)))
       incStandingSymEdges(s, d).unionByName(bTop)
@@ -958,7 +1093,7 @@ object Similarity {
     */
   private[graft] def incRebuiltEdges(s: SparkSession, d: String)
       : DataFrame =
-    memoEdges(d, "inc_rebuild", () => {
+    memoRel(d, "inc_rebuild", () => {
       import s.implicits._
       val assign = probeAssign(corpusDf(s, d),
           incCents(s, d)._2.toDF("cent_id", "ce"))
@@ -984,6 +1119,7 @@ object Similarity {
     covCache.clear()
     pqCache.clear()
     pqTrainedCache.clear()
+    adcDepthCache.clear()
   }
 
   /** [[GRAPH_HOPS]] unrolled best-first rounds at the given beam width.
@@ -1146,7 +1282,7 @@ object Similarity {
     * mid-th vector, then symmetrized.
     */
   private def midEdges(s: SparkSession, d: String): DataFrame =
-    memoEdges(d, "mid", () => {
+    memoRel(d, "mid", () => {
       val sd = semdedupAssign(s, d)
         .filter(col("vec_id") >= N_QUERIES &&
           col("vec_id") % graphMidStride(s, d) === 0)
@@ -1166,10 +1302,9 @@ object Similarity {
 
   private def graphCurveOver(s: SparkSession, d: String,
       search: Int => (DataFrame, DataFrame)): DataFrame = {
-    val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
-        .withColumn("cosine", cos(col("qe"), col("e"))))
-      .select("q_id", "vec_id")
-      .transform(graft.CachePool.persist) // hit-join per beam width
+    // hit-join per beam width; shared per-dir memo (r17) — the five
+    // curve arms and the IVFADC knob read one persisted ground truth
+    val exact = annExactTopK(s, d)
     def rowFor(bw: Int): DataFrame = {
       val (visited, trace) = search(bw)
       val approx = topK(visited).select("q_id", "vec_id")
@@ -1665,64 +1800,13 @@ object Similarity {
     // scoring/probing reuse the memoized Lloyd centroids, and every
     // cosine folds in fixed element order — engine-identical ranks.
     "ann_ivfadc_topk" -> ((s, d) => {
-      graft.plans.TopK.installedWithRewrite(s)
-      GraftFunctions.register(s)
-      val cents = centroidsDf(s, d)
-      // native codegen kernel; bitwise-identical to the HOF fold and
-      // the oracle's list_reduce (same adds, same order)
-      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
-      // PQ-encode the corpus: nearest TRAINED codeword per (vector,
-      // subspace) — the k ≤ 256 Lloyd codebooks, not the 10-codeword
-      // label baseline (round 10 measured that baseline at recall
-      // 0.68/0.76/0.52; same 8-byte budget, real codebooks close it)
-      val wCode = Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist"), col("plabel"))
-      val recon = corpusDf(s, d)
-        .select(col("vec_id"), posexplode(array(
-          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
-          .as(Seq("s", "sub")))
-        .join(broadcast(pqTrainedDf(s, d)), "s")
-        .withColumn("dist", l2(col("sub"), col("cw")))
-        .withColumn("crn", row_number().over(wCode))
-        .filter(col("crn") === 1)
-        .groupBy("vec_id")
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("s"), col("cw")))),
-          x => x.getField("cw"))).as("recon"))
-      // IVF assignment + probe, exactly the ann_ivf_topk shapes
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assign = corpusDf(s, d)
-        .join(broadcast(cents))
-        .withColumn("ccos", cos(col("e"), col("ce")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("qcos").desc, col("cent_id"))
-      val probe = queriesDf(s, d)
-        .join(broadcast(cents))
-        .withColumn("qcos", cos(col("qe"), col("ce")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= nprobe(s, d))
-        .select(col("q_id"), col("qe"), col("cent_id"))
-      // ADC shortlist: approximate scores rank ADC_SHORTLIST candidates
-      // per query — only THESE fetch their full-precision vectors for
-      // the re-rank (the FAISS refine stage). At 100 TB the ADC pass
-      // touches 8-byte codes; the expensive 256-byte rows are read for
-      // ADC_SHORTLIST·|queries| candidates, not the probed cells.
-      val wShort = Window.partitionBy("q_id")
-        .orderBy(col("adc").desc, col("vec_id"))
-      val shortlist = probe.join(assign, "cent_id")
-        .join(recon, "vec_id")
-        .withColumn("adc", cos(col("qe"), col("recon")))
-        .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= ADC_SHORTLIST)
-        .select(col("q_id"), col("qe"), col("vec_id"))
-      val scored = shortlist
-        .join(corpusDf(s, d), "vec_id")
-        .withColumn("cosine", cos(col("qe"), col("e")))
-      topK(scored)
+      // re-rank the shared scored pool at the MEASURED depth (r16
+      // verdict #5 — see [[adcShortlist]]): the shipped chain adapts
+      // its refine budget to the cohort's own curve instead of one
+      // fleet-wide constant
+      topK(ivfadcScored(s, d)
+        .filter(col("srn") <= adcShortlist(s, d))
+        .drop("srn"))
     }),
 
     // Measured recall of the IVFADC tier against the brute-force
@@ -2299,56 +2383,11 @@ object Similarity {
     // re-cut per depth, exactly the probe-curve shape). Report: 5
     // rows, integer hits, one IEEE division.
     "ann_ivfadc_refine_curve" -> ((s, d) => {
-      graft.plans.TopK.installedWithRewrite(s)
-      GraftFunctions.register(s)
-      val cents = centroidsDf(s, d)
-      def l2(a: Column, b: Column) = GraftFunctions.l2DistSq(a, b)
-      val wCode = Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist"), col("plabel"))
-      val recon = corpusDf(s, d)
-        .select(col("vec_id"), posexplode(array(
-          (0 until PQ_M).map(i => slice(col("e"), i * PQ_SUB + 1, PQ_SUB)): _*))
-          .as(Seq("s", "sub")))
-        .join(broadcast(pqTrainedDf(s, d)), "s")
-        .withColumn("dist", l2(col("sub"), col("cw")))
-        .withColumn("crn", row_number().over(wCode))
-        .filter(col("crn") === 1)
-        .groupBy("vec_id")
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("s"), col("cw")))),
-          x => x.getField("cw"))).as("recon"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assign = corpusDf(s, d)
-        .join(broadcast(cents))
-        .withColumn("ccos", cos(col("e"), col("ce")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("qcos").desc, col("cent_id"))
-      val probe = queriesDf(s, d)
-        .join(broadcast(cents))
-        .withColumn("qcos", cos(col("qe"), col("ce")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= nprobe(s, d))
-        .select(col("q_id"), col("qe"), col("cent_id"))
-      val wShort = Window.partitionBy("q_id")
-        .orderBy(col("adc").desc, col("vec_id"))
-      val sc = probe.join(assign, "cent_id")
-        .join(recon, "vec_id")
-        .withColumn("adc", cos(col("qe"), col("recon")))
-        .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= ADC_SHORTLIST)
-        .select(col("q_id"), col("qe"), col("vec_id"), col("srn"))
-        .join(corpusDf(s, d), "vec_id")
-        .withColumn("cosine", cos(col("qe"), col("e")))
-        .select("q_id", "vec_id", "cosine", "srn")
-        .transform(graft.CachePool.persist) // 5 depths re-rank these rows
-      val exact = topK(corpusDf(s, d).join(broadcast(queriesDf(s, d)))
-          .withColumn("cosine", cos(col("qe"), col("e"))))
-        .select("q_id", "vec_id")
-        .transform(graft.CachePool.persist)
+      // five re-ranks over the SHARED persisted pool (see
+      // [[ivfadcScored]]) against the shared ground truth — the curve
+      // [[adcShortlist]] derives the shipped depth from
+      val sc = ivfadcScored(s, d)
+      val exact = annExactTopK(s, d)
       def rowFor(dp: Int): DataFrame = {
         val w = Window.partitionBy("q_id")
           .orderBy(col("cosine").desc, col("vec_id"))
@@ -2364,7 +2403,7 @@ object Similarity {
             (col("total_hits").cast("double") /
               col("exact_rows").cast("double")).as("recall"))
       }
-      Seq(10, 25, 50, 100, 200).map(rowFor).reduce(_.unionByName(_))
+      ADC_DEPTHS.map(rowFor).reduce(_.unionByName(_))
     }),
 
     // The IVF tuning curve — recall vs candidates-scored at nprobe ∈
@@ -2927,18 +2966,47 @@ object Similarity {
        |  FROM probe JOIN assign USING (cent_id)
        |  JOIN recon ON assign.vec_id = recon.vec_id)""".stripMargin
 
-  private def annIvfadcSqlOver(base: String) =
+  /** The topk oracle mirrors the r17 measured-depth knob: the scored
+    * pool, the per-depth exact-hit counts (the refine curve's
+    * integers), the chosen depth (smallest with hits·100 ≥ 99·max —
+    * integer comparison, no IEEE boundary), then the re-rank at that
+    * depth. Parameterizes over the cohort base exactly like the Spark
+    * chain routes through clusteredDir.
+    */
+  private def annIvfadcSqlOver(base: String) = {
+    val perDepth = ADC_DEPTHS.map { dp =>
+      s"""(SELECT CAST($dp AS INT) AS refine_depth,
+         |  (SELECT COUNT(*) FROM kexact e JOIN
+         |    (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rn
+         |      FROM sc WHERE srn <= $dp) t WHERE rn <= $TOP_K) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id) AS hits)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""${annIvfadcChainSqlOver(base)},
-       |shortlist AS (SELECT q_id, qe, vec_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY adc DESC, vec_id) AS srn FROM adc) t
+       |srt AS (SELECT q_id, qe, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, vec_id) AS srn FROM adc),
+       |sc AS MATERIALIZED (SELECT q_id, srn, corpus.vec_id AS vec_id,
+       |    $cosQC AS cosine
+       |  FROM srt JOIN corpus ON srt.vec_id = corpus.vec_id
        |  WHERE srn <= $ADC_SHORTLIST),
-       |scored AS (SELECT q_id, corpus.vec_id AS vec_id, $cosQC AS cosine
-       |  FROM shortlist JOIN corpus ON shortlist.vec_id = corpus.vec_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |  ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+       |kbscored AS (SELECT q_id, vec_id, $cosQC AS cosine FROM q, corpus),
+       |kexact AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM kbscored) t
+       |  WHERE rn <= $TOP_K),
+       |dhits AS MATERIALIZED ($perDepth),
+       |chosen AS (SELECT MIN(refine_depth) AS depth FROM dhits
+       |  WHERE hits * 100 >= 99 * (SELECT hits FROM dhits
+       |    WHERE refine_depth = ${ADC_DEPTHS.last})),
+       |ranked AS (SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc WHERE srn <= (SELECT depth FROM chosen))
        |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
        |FROM ranked WHERE rn <= $TOP_K""".stripMargin
+  }
 
   private lazy val annIvfadcSql = annIvfadcSqlOver(baseSql)
 
