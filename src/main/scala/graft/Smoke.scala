@@ -16,6 +16,8 @@ object Smoke {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT_BYTES", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // ext mode: prove the config-driven extensions path resolves graft
@@ -231,6 +233,26 @@ object Smoke {
         val t = if (m2 > 1.5) math.min(m2, pass()) else m2
         println(f"[time] $name%-28s ${t}%.3f s")
         println(f"[time] calib ${math.round(calibPass() * 1000)}%d ms (after)")
+      }
+      CachePool.releaseAll()
+    } else if (args.headOption.contains("plan")) {
+      // Batch plan dump: runMain graft.Smoke plan <q1>[,<q2>...] <outDir> [sfDir]
+      // — one file per query with the formatted physical plan (the
+      // optimization-round evidence artifact: plans/rNN/<q>_{before,after}.txt).
+      if (args.length < 3) {
+        System.err.println("usage: graft.Smoke plan <q1>[,...] <outDir> [sfDir]")
+        spark.stop(); sys.exit(2)
+      }
+      spark.sparkContext.setLogLevel("ERROR")
+      val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+      val outDir = java.nio.file.Paths.get(args(2))
+      java.nio.file.Files.createDirectories(outDir)
+      args(1).split(',').foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(outDir.resolve(s"$name.txt"), plan)
+        println(s"[plan] $name -> $outDir/$name.txt")
       }
       CachePool.releaseAll()
     } else if (args.nonEmpty) {

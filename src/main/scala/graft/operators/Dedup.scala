@@ -538,7 +538,15 @@ object Dedup {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= MIN_SHARED)
         .select("doc_a", "doc_b")
+      // r17: the verified pair set is the family's ground-truth relation
+      // — dedup_pair_triangles, dedup_lsh_recall and
+      // dedup_lexical_semantic_overlap all re-derive it via this entry,
+      // and the CacheManager serves their identical analyzed subtree
+      // from this one persisted copy (O(pairs) rows, released with the
+      // family window) instead of re-running the posting self-join per
+      // consumer.
       verifyPairs(cand, sh, JACCARD_RELATED)
+        .transform(graft.CachePool.persist)
     }),
 
     // Triangle census + global transitivity of the near-dup pair graph —
@@ -828,6 +836,10 @@ object Dedup {
         .withColumn("cosine", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
         .filter(col("cosine") >= COSINE_NEAR)
         .select("vec_a", "vec_b", "cosine")
+        // r17: consumed by dedup_embedding_lsh_recall and
+        // dedup_lexical_semantic_overlap (twice each) — one persisted
+        // copy serves every identical subtree in the family window
+        .transform(graft.CachePool.persist)
     }),
 
     // Benchmark-contamination detection: how much of a benchmark doc's

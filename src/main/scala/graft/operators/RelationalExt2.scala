@@ -66,28 +66,49 @@ object RelationalExt2 {
     // measured 3.2 s at sf0.01 and quadratic beyond. Output is O(n):
     // per name, how many near-matches and the smallest one.
     "join_fuzzy_block" -> ((s, d) => {
+      // r17 (guide §2.3, narrower types): block keys are LONGs computed
+      // by integer digit surgery, not strings built by substring+concat.
+      // The 9-digit suffix is a value < 10^9; deleting the digit at
+      // position i (1-based from the left) is
+      //   (id DIV 10^(10-i)) · 10^(9-i) + id % 10^(9-i)  ∈ [0, 10^8),
+      // and the position tag becomes i·10^8 — bijective with the old
+      // "i:<8 digits>" strings (fixed width ⇒ value ⇔ digit string), so
+      // the colliding PAIR SET is identical while the join hashes and
+      // ships 8-byte longs instead of ~11-char strings and the Generate
+      // does integer arithmetic instead of per-key string allocation.
+      // The old post-hoc `levenshtein ≤ 1` filter was VACUOUS (the
+      // join_fuzzy_block2 argument, one tier down): a collision on a
+      // position-TAGGED key means both names delete the SAME position
+      // and agree everywhere else ⇒ they differ in at most that one
+      // digit ⇒ distance ≤ 1 by construction. The DuckDB oracle keeps
+      // its explicit levenshtein filter, so the equivalence is
+      // machine-checked per round.
+      // The repartition is load-bearing (guide §2.5, input parallelism):
+      // customer at the test SFs is ONE parquet split, and without it
+      // the explode → join → partial-aggregate stage — the ~1.5M-row
+      // part of the query — runs in a single task while every other
+      // core idles. One exchange of the O(n) 8-byte ids buys a
+      // cores-wide heavy stage; the count is derived, not a constant.
       val c = Tables.customer(s, d)
-        .select(col("c_name"), substring(col("c_name"), 10, 9).as("sfx"))
+        .select(substring(col("c_name"), 10, 9).cast("long").as("id"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      def pw(k: Int): Long = Seq.fill(k)(10L).product
       val keys = (1 to 9).map { i =>
-        concat(lit(s"$i:"), substring(col("sfx"), 1, i - 1),
-          substring(col("sfx"), i + 1, 9 - i))
+        val (hi, lo) = (pw(10 - i), pw(9 - i))
+        expr(s"${i}L * 100000000L + (id DIV ${hi}L) * ${lo}L + id % ${lo}L")
       }
-      val keyed = c.select(col("c_name"), explode(array(keys: _*)).as("blk"))
-      val l = keyed.select(col("c_name").as("name_a"), col("blk"))
-      val r = keyed.select(col("c_name").as("name_b"), col("blk"))
+      val keyed = c.select(col("id"), explode(array(keys: _*)).as("blk"))
+      val l = keyed.select(col("id").as("id_a"), col("blk"))
+      val r = keyed.select(col("id").as("id_b"), col("blk"))
       l.join(r, "blk")
-        .filter(col("name_a") < col("name_b"))
-        .select("name_a", "name_b").distinct() // a pair may share keys
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-        .groupBy(col("name_a").as("name"))
-        // min over the NUMERIC suffix, not the string: a StringType
-        // aggregation buffer silently downgrades hash aggregation to
-        // SortAggregate (whole-partition sorts — PlanQualitySpec's
-        // repo-wide sweep rejects it). Fixed-width names make the
-        // numeric min equivalent; reconstruct the name after the agg.
-        .agg(count(lit(1)).as("n_near"),
-          min(substring(col("name_b"), 10, 9).cast("long")).as("mn"))
-        .select(col("name"), col("n_near"),
+        .filter(col("id_a") < col("id_b")) // fixed width ⇒ name order
+        .select("id_a", "id_b").distinct() // a pair may share keys
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_near"), min(col("id_b")).as("mn"))
+        .select(
+          concat(lit("Customer#"), lpad(col("id_a").cast("string"), 9, "0"))
+            .as("name"),
+          col("n_near"),
           concat(lit("Customer#"), lpad(col("mn").cast("string"), 9, "0"))
             .as("nearest"))
     }),
@@ -134,25 +155,50 @@ object RelationalExt2 {
     // (The first cut verified 18-char strings post-hoc: 269 s at sf0.1.
     // Tagging depth-2 keys made it 24 s; this form measures ~3 s.)
     "join_fuzzy_block2" -> ((s, d) => {
+      // r17 (guide §2.3, narrower types): LONG block keys via integer
+      // digit surgery — the join_fuzzy_block rationale one tier up.
+      // Untagged depth-1 keys are the 8-digit deletion value itself
+      // (∈ [0, 10^8)); depth-2 keys are the 7-digit two-deletion value
+      // tagged (i·10+j)·10^7 (i<j ⇒ tag ≥ 12 ⇒ range [1.2·10^8, 9·10^8),
+      // disjoint from depth-1 and distinct per position pair) —
+      // bijective with the old "1:<8>"/"2:i,j:<7>" strings (fixed
+      // width ⇔ numeric value), so the colliding pair set is identical
+      // while the blow-up join hashes longs instead of strings.
+      // Same load-bearing repartition as join_fuzzy_block: the one-split
+      // customer scan would otherwise put the 15M-row join+aggregate
+      // stage on a single core (guide §2.5).
       val c = Tables.customer(s, d)
-        .select(substring(col("c_name"), 10, 9).as("sfx"))
+        .select(substring(col("c_name"), 10, 9).cast("long").as("id"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      def pw(k: Int): Long = Seq.fill(k)(10L).product
       val del1 = (1 to 9).map { i =>
-        concat(lit("1:"), substring(col("sfx"), 1, i - 1),
-          substring(col("sfx"), i + 1, 9 - i))
+        val (hi, lo) = (pw(10 - i), pw(9 - i))
+        expr(s"(id DIV ${hi}L) * ${lo}L + id % ${lo}L")
       }
-      val del2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield
-        concat(lit(s"2:$i,$j:"), substring(col("sfx"), 1, i - 1),
-          substring(col("sfx"), i + 1, j - i - 1),
-          substring(col("sfx"), j + 1, 9 - j))
-      val keyed = c.select(col("sfx").cast("long").as("id"),
+      val del2 = for { i <- 1 to 8; j <- (i + 1) to 9 } yield {
+        // delete position j first (yielding an 8-digit value), then
+        // position i (i < j keeps its index) — 7 digits + the pair tag
+        val (hj, lj) = (pw(10 - j), pw(9 - j))
+        val (hi, lo) = (pw(9 - i), pw(8 - i))
+        val v1 = s"((id DIV ${hj}L) * ${lj}L + id % ${lj}L)"
+        expr(s"${(i * 10 + j).toLong}L * 10000000L + " +
+          s"($v1 DIV ${hi}L) * ${lo}L + $v1 % ${lo}L")
+      }
+      val keyed = c.select(col("id"),
         explode(array(del1 ++ del2: _*)).as("blk"))
       val l = keyed.select(col("id").as("id_a"), col("blk"))
       val r = keyed.select(col("id").as("id_b"), col("blk"))
       l.join(r, "blk")
         .filter(col("id_a") < col("id_b")) // fixed width ⇒ name order
-        .select("id_a", "id_b").distinct() // a pair shares many keys
-        .groupBy(col("id_a"))
-        .agg(count(lit(1)).as("n_near"), min(col("id_b")).as("mn"))
+        // pair-dedup on ONE long, not two (guide §2.3): ids < 10^9, so
+        // id_a·10^9 + id_b is a bijective pair code < 2^60 — the 15M-row
+        // partial aggregate hashes a single 8-byte key and the distinct
+        // exchange ships half the bytes; id_a/id_b decode exactly after.
+        .select((col("id_a") * lit(1000000000L) + col("id_b")).as("pk"))
+        .distinct() // a pair shares many keys
+        .groupBy(expr("pk DIV 1000000000L").as("id_a")) // integral DIV: exact at any id width
+        .agg(count(lit(1)).as("n_near"),
+          min(col("pk") % lit(1000000000L)).as("mn"))
         .select(
           concat(lit("Customer#"), lpad(col("id_a").cast("string"), 9, "0"))
             .as("name"),

@@ -566,15 +566,22 @@ object Similarity {
     adcDepthCache.getOrElseUpdate(d, {
       val sc = ivfadcScored(s, d)
       val exact = annExactTopK(s, d)
-      val w = Window.partitionBy("q_id")
+      // one depth-tagged job for the whole grid (r17 — was one
+      // join+count per grid point): the ann_ivfadc_refine_curve fusion,
+      // collected as the planner-sized (depth, hits) pairs the rule
+      // reads. A depth with no hits is simply absent → 0.
+      val w = Window.partitionBy("dp", "q_id")
         .orderBy(col("cosine").desc, col("vec_id"))
-      def hits(dp: Int): Long = exact.join(
-        sc.filter(col("srn") <= dp)
+      val byDepth = exact.join(
+        sc.withColumn("dp", explode(filter(
+            array(ADC_DEPTHS.map(x => lit(x)): _*), b => b >= col("srn"))))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= TOP_K)
-          .select("q_id", "vec_id"),
-        Seq("q_id", "vec_id")).count()
-      val h = ADC_DEPTHS.map(dp => dp -> hits(dp))
+          .select("dp", "q_id", "vec_id"),
+        Seq("q_id", "vec_id"))
+        .groupBy("dp").agg(count(lit(1)).as("h"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val h = ADC_DEPTHS.map(dp => dp -> byDepth.getOrElse(dp, 0L))
       val maxH = h.last._2
       h.collectFirst { case (dp, c) if c * 100L >= 99L * maxH => dp }
         .getOrElse(ADC_DEPTHS.last)
@@ -947,7 +954,7 @@ object Similarity {
         .transform(graft.CachePool.persist)
     })
 
-  /** Memoized search RELATIONS per (dir, beam, pruned) — the walk is a
+  /** Memoized search RELATIONS per (dir, beams, tag) — the walk is a
     * pure function of the data and three queries plus every bench pass
     * would otherwise re-run the same 8-round job chain (measured
     * 15.5 s for the 4-width curve at sf0.1 before memoization). Unlike
@@ -960,9 +967,13 @@ object Similarity {
     * clears on CachePool.releaseAll via the onRelease hook below, so
     * the reuse pricer sees an honest cold run and regenerated data at
     * the same path can never serve stale results (r13 advice).
+    *
+    * Since r17 one entry holds ALL the curve's beam widths (the `bw`
+    * column — see [[beamWalkRounds]]): the key's middle component is
+    * the width SET, and per-width consumers filter on bw.
     */
   private val graphSearchCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (DataFrame, DataFrame)]
+    .empty[(String, Seq[Int], String), (DataFrame, DataFrame)]
 
   /** Memoized RELATIONS per (dir, tag) — edge relations for the
     * incremental/bridge arms and (r17) the shared IVFADC scored pool +
@@ -1147,29 +1158,55 @@ object Similarity {
       if (pruned) "pruned" else "plain",
       () => if (pruned) graphEdgesPruned(s, d) else graphEdges(s, d))
 
-  /** The search over an arbitrary (src, dst) edge relation, memo-keyed
-    * by `tag` (a pure function of dir + construction recipe, like the
-    * pruned flag it generalizes). `edgesFn` is by-name so a memo hit
-    * never constructs the edge relation at all.
+  /** The per-width view the consumers keep reading: filter the shared
+    * multi-width walk to one beam width and drop the width column. A
+    * width in [[GRAPH_BEAMS]] shares the curve's one memoized chain;
+    * any other width walks alone (same machinery, singleton width set).
     */
   private def graphBeamSearchOver(s: SparkSession, d: String, beam: Int,
                                   tag: String, edgesFn: () => DataFrame)
       : (DataFrame, DataFrame) = {
-    graphSearchCache.getOrElseUpdate((d, beam, tag), {
+    val beams = if (GRAPH_BEAMS.contains(beam)) GRAPH_BEAMS else Seq(beam)
+    val (visited, trace) = multiBeamSearchOver(s, d, beams, tag, edgesFn)
+    (visited.filter(col("bw") === beam).drop("bw"),
+      trace.filter(col("bw") === beam).drop("bw"))
+  }
+
+  /** The search over an arbitrary (src, dst) edge relation, memo-keyed
+    * by `tag` (a pure function of dir + construction recipe, like the
+    * pruned flag it generalizes) + the width set. `edgesFn` is by-name
+    * so a memo hit never constructs the edge relation at all. ONE
+    * [[GRAPH_HOPS]]-round chain carries every requested width (r17,
+    * guide §1.2: the hop-round JOB chain — not the per-row work — is
+    * the dominant cost of a walk over any corpus, and the four-point
+    * curve used to run it four times; the `bw`-tagged walk runs it
+    * once for row-identical per-width results).
+    */
+  private def multiBeamSearchOver(s: SparkSession, d: String,
+                                  beams: Seq[Int], tag: String,
+                                  edgesFn: () => DataFrame)
+      : (DataFrame, DataFrame) = {
+    graphSearchCache.getOrElseUpdate((d, beams, tag), {
       graft.plans.TopK.installedWithRewrite(s)
       GraftFunctions.register(s)
       val edges = edgesFn()
       val corpus = corpusDf(s, d)
       val qs = queriesDf(s, d)
-      val seed = entryScan(s, d, graphStride(s, d))
+      val seed = withWidths(entryScan(s, d, graphStride(s, d)), beams)
       val (visited, traces) =
-        beamWalkRounds(qs, corpus, edges, seed, beam, GRAPH_HOPS, 0)
+        beamWalkRounds(qs, corpus, edges, seed, GRAPH_HOPS, 0)
       val trace = (seedTrace(seed) +: traces).reduce(_ unionByName _)
-        .select(col("hop").cast("int").as("hop"), col("q_id"))
+        .select(col("hop").cast("int").as("hop"), col("q_id"), col("bw"))
         .localCheckpoint(eager = false) // flatten the 9-way union too
-      (visited.select("q_id", "vec_id", "cosine"), trace)
+      (visited.select("bw", "q_id", "vec_id", "cosine"), trace)
     })
   }
+
+  /** Replicate a relation once per beam width — the multi-width walk's
+    * seed: every width starts from the identical hop-0 entry scan.
+    */
+  private def withWidths(df: DataFrame, beams: Seq[Int]): DataFrame =
+    df.withColumn("bw", explode(array(beams.map(b => lit(b)): _*)))
 
   /** hop 0 — the coarse entry layer: brute-scan the given-stride
     * sample, keep everything scored (the ledger charges it as hop 0).
@@ -1183,7 +1220,7 @@ object Similarity {
       .localCheckpoint(eager = false)
 
   private def seedTrace(seed: DataFrame): DataFrame =
-    seed.select(lit(0).cast("int").as("hop"), col("q_id"))
+    seed.select(lit(0).cast("int").as("hop"), col("q_id"), col("bw"))
 
   /** One greedy walk SEGMENT: `hops` frontier-disciplined rounds over
     * `edges` starting from `visited0`, trace hops labeled
@@ -1196,38 +1233,49 @@ object Similarity {
     * measured first: the beam stabilizes after ~3 rounds and the
     * remaining hops re-expand the same nodes for zero new candidates
     * (sf0.1 recall 0.44 at beam 8 vs 0.72 with the discipline).
+    *
+    * MULTI-WIDTH (r17): every relation carries a `bw` column and the
+    * per-round window partitions by (bw, q_id), so each width's
+    * frontier, visited set and ledger are ROW-IDENTICAL to the
+    * single-width walk's (widths never mix inside a window partition,
+    * a join key, or a group) while the round chain — the hop-round
+    * JOBS that dominate walk cost at any scale — runs once for the
+    * whole width set instead of once per width (the 4-point curves
+    * ran 4 × [[GRAPH_HOPS]] rounds; now [[GRAPH_HOPS]]).
     */
   private def beamWalkRounds(qs: DataFrame, corpus: DataFrame,
-      edges: DataFrame, visited0: DataFrame, beam: Int, hops: Int,
+      edges: DataFrame, visited0: DataFrame, hops: Int,
       hopBase: Int): (DataFrame, Seq[DataFrame]) = {
     var visited = visited0
     val traces = Seq.newBuilder[DataFrame]
     var expanded: DataFrame = null
-    val wB = Window.partitionBy("q_id")
+    val wB = Window.partitionBy("bw", "q_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     for (h <- 1 to hops) {
       val unexpanded =
         if (expanded == null) visited
-        else visited.join(expanded, Seq("q_id", "vec_id"), "left_anti")
+        else visited.join(expanded, Seq("bw", "q_id", "vec_id"), "left_anti")
       val frontier = unexpanded.withColumn("brn", row_number().over(wB))
-        .filter(col("brn") <= beam).drop("brn")
+        .filter(col("brn") <= col("bw")).drop("brn")
         .localCheckpoint(eager = false) // expansion + expanded set
-      val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
+      val expand = frontier
+        .select(col("bw"), col("q_id"), col("vec_id").as("src"))
         .join(edges, "src")
-        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .select(col("bw"), col("q_id"), col("dst").as("vec_id")).distinct()
       val scoredNew = expand.join(broadcast(qs), "q_id")
         .join(corpus, "vec_id")
         .withColumn("cosine", cos(col("qe"), col("e")))
-        .select("q_id", "vec_id", "cosine")
+        .select("bw", "q_id", "vec_id", "cosine")
         .localCheckpoint(eager = false) // visited + the trace ledger
       traces += scoredNew
-        .select(lit(hopBase + h).cast("int").as("hop"), col("q_id"))
+        .select(lit(hopBase + h).cast("int").as("hop"), col("q_id"),
+          col("bw"))
       expanded = {
-        val f = frontier.select("q_id", "vec_id")
+        val f = frontier.select("bw", "q_id", "vec_id")
         if (expanded == null) f else expanded.unionByName(f)
       }
       visited = visited.unionByName(scoredNew)
-        .groupBy("q_id", "vec_id").agg(max("cosine").as("cosine"))
+        .groupBy("bw", "q_id", "vec_id").agg(max("cosine").as("cosine"))
         .localCheckpoint(eager = false)
     }
     (visited, traces.result())
@@ -1248,25 +1296,25 @@ object Similarity {
     * the flat walk, so `ann_graph_layered_curve` is a fair column-wise
     * A/B against `ann_graph_beam_curve`.
     */
-  private def graphLayeredSearch(s: SparkSession, d: String, beam: Int)
-      : (DataFrame, DataFrame) = {
-    graphSearchCache.getOrElseUpdate((d, beam, "layered"), {
-      graft.plans.TopK.installedWithRewrite(s)
-      GraftFunctions.register(s)
-      val corpus = corpusDf(s, d)
-      val qs = queriesDf(s, d)
-      val mid = graphMidStride(s, d)
-      val seed = entryScan(s, d, mid * mid)
-      val (v1, t1) = beamWalkRounds(qs, corpus, midEdges(s, d), seed,
-        beam, GRAPH_MID_HOPS, 0)
-      val (v2, t2) = beamWalkRounds(qs, corpus, graphEdges(s, d), v1,
-        beam, GRAPH_HOPS - GRAPH_MID_HOPS, GRAPH_MID_HOPS)
-      val trace = ((seedTrace(seed) +: t1) ++ t2).reduce(_ unionByName _)
-        .select(col("hop").cast("int").as("hop"), col("q_id"))
-        .localCheckpoint(eager = false)
-      (v2.select("q_id", "vec_id", "cosine"), trace)
-    })
-  }
+  private def graphLayeredSearch(s: SparkSession, d: String,
+                                 beams: Seq[Int]): (DataFrame, DataFrame) =
+    graphSearchCache.getOrElseUpdate(
+      (d, beams, "layered"), {
+        graft.plans.TopK.installedWithRewrite(s)
+        GraftFunctions.register(s)
+        val corpus = corpusDf(s, d)
+        val qs = queriesDf(s, d)
+        val mid = graphMidStride(s, d)
+        val seed = withWidths(entryScan(s, d, mid * mid), beams)
+        val (v1, t1) = beamWalkRounds(qs, corpus, midEdges(s, d), seed,
+          GRAPH_MID_HOPS, 0)
+        val (v2, t2) = beamWalkRounds(qs, corpus, graphEdges(s, d), v1,
+          GRAPH_HOPS - GRAPH_MID_HOPS, GRAPH_MID_HOPS)
+        val trace = ((seedTrace(seed) +: t1) ++ t2).reduce(_ unionByName _)
+          .select(col("hop").cast("int").as("hop"), col("q_id"), col("bw"))
+          .localCheckpoint(eager = false)
+        (v2.select("bw", "q_id", "vec_id", "cosine"), trace)
+      })
 
   /** mid = ceil(√stride): the middle layer keeps ≈ n/√stride members —
     * the geometric mean between the full corpus and the ≈32-row entry
@@ -1298,27 +1346,44 @@ object Similarity {
     */
   private def graphCurve(s: SparkSession, d: String, pruned: Boolean)
       : DataFrame =
-    graphCurveOver(s, d, bw => graphBeamSearch(s, d, bw, pruned))
+    graphCurveOver(s, d, multiBeamSearchOver(s, d, GRAPH_BEAMS,
+      if (pruned) "pruned" else "plain",
+      () => if (pruned) graphEdgesPruned(s, d) else graphEdges(s, d)))
 
+  /** The curve report over a multi-width (bw-tagged) search pair: ONE
+    * window + ONE hit-join + ONE ledger aggregation grouped by bw (r17
+    * — previously each width ran its own topK + three aggregates: 4×
+    * the jobs over the same cached rows). The width spine LEFT-joins
+    * the grouped counts so an empty corpus still reports every
+    * operating point with zero counts, exactly as the per-width
+    * aggregates did; the final ascending sort reproduces the old
+    * union-in-width-order row order.
+    */
   private def graphCurveOver(s: SparkSession, d: String,
-      search: Int => (DataFrame, DataFrame)): DataFrame = {
+      searchAll: (DataFrame, DataFrame)): DataFrame = {
+    import s.implicits._
     // hit-join per beam width; shared per-dir memo (r17) — the five
     // curve arms and the IVFADC knob read one persisted ground truth
     val exact = annExactTopK(s, d)
-    def rowFor(bw: Int): DataFrame = {
-      val (visited, trace) = search(bw)
-      val approx = topK(visited).select("q_id", "vec_id")
-      val cand = trace.agg(count(lit(1)).as("candidates_scored"))
-      val hit = exact.join(approx, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("total_hits"))
-      val ex = exact.agg(count(lit(1)).as("exact_rows"))
-      cand.crossJoin(broadcast(hit)).crossJoin(broadcast(ex))
-        .select(lit(bw).cast("int").as("beam_width"),
-          col("candidates_scored"), col("total_hits"),
-          (col("total_hits").cast("double") /
-            col("exact_rows").cast("double")).as("recall"))
-    }
-    GRAPH_BEAMS.map(rowFor).reduce(_ unionByName _)
+    val (visitedAll, traceAll) = searchAll
+    val wB = Window.partitionBy("bw", "q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = visitedAll.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= TOP_K).select("bw", "q_id", "vec_id")
+    val cand = traceAll.groupBy("bw")
+      .agg(count(lit(1)).as("candidates_scored"))
+    val hit = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy("bw").agg(count(lit(1)).as("total_hits"))
+    val ex = exact.agg(count(lit(1)).as("exact_rows"))
+    GRAPH_BEAMS.toDF("bw")
+      .join(cand, Seq("bw"), "left").join(hit, Seq("bw"), "left")
+      .crossJoin(broadcast(ex))
+      .select(col("bw").cast("int").as("beam_width"),
+        coalesce(col("candidates_scored"), lit(0L)).as("candidates_scored"),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+        (coalesce(col("total_hits"), lit(0L)).cast("double") /
+          col("exact_rows").cast("double")).as("recall"))
+      .orderBy("beam_width")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1905,7 +1970,7 @@ object Similarity {
     // segment is what makes the walk start close. Kept as a standing
     // curve so that regime's decision is a re-measure, not a rebuild.
     "ann_graph_layered_curve" -> ((s, d) =>
-      graphCurveOver(s, d, bw => graphLayeredSearch(s, d, bw))),
+      graphCurveOver(s, d, graphLayeredSearch(s, d, GRAPH_BEAMS))),
 
     // The BUILD half of the graph tier's cost story (the search half is
     // ann_graph_beam_curve): the one-off construction price a 100 TB
@@ -2055,8 +2120,14 @@ object Similarity {
         .transform(graft.CachePool.persist) // hit-join per arm
       def armRow(arm: String, tag: String, edgesFn: () => DataFrame)
           : DataFrame = {
+        // singleton width set: these arms only ever search the shipped
+        // beam, so the multi-width chain would walk three widths nobody
+        // reads (r17 — the curve tags share their 4-width chain instead)
+        val (visitedW, traceW) =
+          multiBeamSearchOver(s, d, Seq(GRAPH_BEAM), tag, edgesFn)
         val (visited, trace) =
-          graphBeamSearchOver(s, d, GRAPH_BEAM, tag, edgesFn)
+          (visitedW.filter(col("bw") === GRAPH_BEAM).drop("bw"),
+            traceW.filter(col("bw") === GRAPH_BEAM).drop("bw"))
         val approx = topK(visited).select("q_id", "vec_id")
         val ne = edgesFn().agg(count(lit(1)).as("n_edges"))
         val cand = trace.agg(count(lit(1)).as("candidates_scored"))
@@ -2179,7 +2250,7 @@ object Similarity {
     // vectors) = the regime it exists for, still a re-measure.
     "ann_clustered_layered_curve" -> ((s, d) =>
       graphCurveOver(s, clusteredDir(d),
-        bw => graphLayeredSearch(s, clusteredDir(d), bw))),
+        graphLayeredSearch(s, clusteredDir(d), GRAPH_BEAMS))),
 
     // The BRIDGE arm (r16 verdict #1 — see [[graphEdgesBridged]]): the
     // identical walk at the identical operating points over the base
@@ -2207,7 +2278,7 @@ object Similarity {
     // the graph is already navigable.
     "ann_clustered_bridge_curve" -> ((s, d) =>
       graphCurveOver(s, clusteredDir(d),
-        bw => graphBeamSearchOver(s, clusteredDir(d), bw, "bridged",
+        multiBeamSearchOver(s, clusteredDir(d), GRAPH_BEAMS, "bridged",
           () => graphEdgesBridged(s, clusteredDir(d))))),
 
     // The ROTATION arm of the cohort A/B: ann_opq_rotation's honest
@@ -2264,6 +2335,7 @@ object Similarity {
       val Q = 1073741824.0    // 2^30
       val Q2 = 1099511627776.0 // 2^40
       Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(VectorOps.asDouble(col("embedding")).as("e"))
         .select(posexplode(col("e")).as(Seq("dim", "val")))
         .groupBy(col("dim").cast("long").as("dim"))
@@ -2296,7 +2368,14 @@ object Similarity {
       val Q = 1073741824.0    // 2^30
       val Q2 = 1099511627776.0 // 2^40
       covarianceRowBound(Tables.embeddings(s, d).count())
+      // r17 (guide §2.5, input parallelism): embeddings at the test SFs
+      // is ONE parquet split, and the O(rows·d²) grid expansion + its
+      // partial aggregation — the whole cost of this query — ran in a
+      // single task. One exchange of the raw rows buys a cores-wide map
+      // stage; LONG grid sums are order-free, so partitioning cannot
+      // change a bit.
       Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(VectorOps.asDouble(col("embedding")).as("e"))
         .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
         .select(col("i"), col("vi"),
@@ -2329,7 +2408,10 @@ object Similarity {
       val Q = 1073741824.0    // 2^30
       val Q2 = 1099511627776.0 // 2^40
       covarianceShardBound(Tables.embeddings(s, d).count())
+      // r17: same load-bearing repartition as ann_covariance (the
+      // one-split scan put the whole O(rows·d²) stage on one core)
       Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select((col("vec_id") % COV_SHARDS).as("shard"),
           VectorOps.asDouble(col("embedding")).as("e"))
         .select(col("shard"), col("e"), posexplode(col("e")).as(Seq("i", "vi")))
@@ -2383,27 +2465,34 @@ object Similarity {
     // re-cut per depth, exactly the probe-curve shape). Report: 5
     // rows, integer hits, one IEEE division.
     "ann_ivfadc_refine_curve" -> ((s, d) => {
-      // five re-ranks over the SHARED persisted pool (see
+      // ONE depth-tagged re-rank over the SHARED persisted pool (see
       // [[ivfadcScored]]) against the shared ground truth — the curve
-      // [[adcShortlist]] derives the shipped depth from
+      // [[adcShortlist]] derives the shipped depth from. r17 (the
+      // multi-width-walk convention): each pool row explodes into the
+      // grid depths that include it (dp ≥ srn), so one window + one
+      // hit-join grouped by dp replace five per-depth re-ranks over
+      // the same cached rows; per-depth rows are identical by
+      // construction (srn ≤ dp ⟺ membership, ordering unchanged).
       val sc = ivfadcScored(s, d)
       val exact = annExactTopK(s, d)
-      def rowFor(dp: Int): DataFrame = {
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id"))
-        val approx = sc.filter(col("srn") <= dp)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= TOP_K)
-          .select("q_id", "vec_id")
-        val hit = exact.join(approx, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("total_hits"))
-        val ex = exact.agg(count(lit(1)).as("exact_rows"))
-        hit.crossJoin(broadcast(ex))
-          .select(lit(dp).cast("int").as("refine_depth"), col("total_hits"),
-            (col("total_hits").cast("double") /
-              col("exact_rows").cast("double")).as("recall"))
-      }
-      ADC_DEPTHS.map(rowFor).reduce(_.unionByName(_))
+      val w = Window.partitionBy("dp", "q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val approx = sc.withColumn("dp", explode(filter(
+          array(ADC_DEPTHS.map(x => lit(x)): _*), b => b >= col("srn"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOP_K)
+        .select("dp", "q_id", "vec_id")
+      val hit = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("dp").agg(count(lit(1)).as("total_hits"))
+      val ex = exact.agg(count(lit(1)).as("exact_rows"))
+      import s.implicits._
+      ADC_DEPTHS.toDF("dp").join(hit, Seq("dp"), "left")
+        .crossJoin(broadcast(ex))
+        .select(col("dp").cast("int").as("refine_depth"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+          (coalesce(col("total_hits"), lit(0L)).cast("double") /
+            col("exact_rows").cast("double")).as("recall"))
+        .orderBy("refine_depth")
     }),
 
     // The IVF tuning curve — recall vs candidates-scored at nprobe ∈
@@ -2447,25 +2536,35 @@ object Similarity {
           .withColumn("cosine", cos(col("qe"), col("e"))))
         .select("q_id", "vec_id")
         .transform(graft.CachePool.persist) // hit-join per budget
-      def rowFor(np: Int): DataFrame = {
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id"))
-        val sub = scored.filter(col("prn") <= np)
-        val approx = sub.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= TOP_K)
-          .select("q_id", "vec_id")
-        val cand = sub.agg(count(lit(1)).as("candidates"))
-        val hit = exact.join(approx, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("total_hits"))
-        val ex = exact.agg(count(lit(1)).as("exact_rows"))
-        cand.crossJoin(broadcast(hit)).crossJoin(broadcast(ex))
-          .select(lit(np).cast("int").as("nprobe"), col("candidates"),
-            col("total_hits"),
-            (col("total_hits").cast("double") /
-              col("exact_rows").cast("double")).as("recall"))
-      }
-      rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(4))
-        .unionByName(rowFor(8))
+      // r17 (the multi-width-walk convention): one budget-tagged pass —
+      // each scored row explodes into the budgets that include it
+      // (np ≥ prn), so one window + one hit-join + one ledger count
+      // grouped by np replace four per-budget re-ranks of the same
+      // cached rows. The budget spine LEFT-joins the grouped counts so
+      // an empty corpus still reports all four budgets with zero
+      // counts, exactly as the per-budget aggregates did.
+      val budgets = Seq(1, 2, 4, 8)
+      val tagged = scored.withColumn("np", explode(filter(
+        array(budgets.map(x => lit(x)): _*), b => b >= col("prn"))))
+      val w = Window.partitionBy("np", "q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val approx = tagged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOP_K)
+        .select("np", "q_id", "vec_id")
+      val cand = tagged.groupBy("np").agg(count(lit(1)).as("candidates"))
+      val hit = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy("np").agg(count(lit(1)).as("total_hits"))
+      val ex = exact.agg(count(lit(1)).as("exact_rows"))
+      import s.implicits._
+      budgets.toDF("np")
+        .join(cand, Seq("np"), "left").join(hit, Seq("np"), "left")
+        .crossJoin(broadcast(ex))
+        .select(col("np").cast("int").as("nprobe"),
+          coalesce(col("candidates"), lit(0L)).as("candidates"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+          (coalesce(col("total_hits"), lit(0L)).cast("double") /
+            col("exact_rows").cast("double")).as("recall"))
+        .orderBy("nprobe")
     }),
 
     // Hybrid retrieval fusion — the modern RAG-retrieval shape: a
@@ -2533,44 +2632,65 @@ object Similarity {
     // tree — the plan-doubling gotcha).
     "search_mmr_rerank" -> ((s, d) => {
       graft.plans.TopK.installedWithRewrite(s)
+      GraftFunctions.register(s)
       val wS = Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))
       val short = corpusDf(s, d).join(broadcast(queriesDf(s, d)))
         .withColumn("rel", cos(col("qe"), col("e")))
         .withColumn("srn", row_number().over(wS))
         .filter(col("srn") <= MMR_SHORTLIST)
         .select("q_id", "vec_id", "rel", "e")
-        .transform(graft.CachePool.persist) // every pick round reads it
-      // the seed is checkpointed too: every round's anti-join puts
-      // `picked` (short-derived) against `short` itself, and the lazy
-      // checkpoint's fresh attribute ids are what keep the self-join
-      // resolvable (the iterative-loop gotcha's second face)
-      var picked = short.limit(0)
-        .select(col("q_id"), lit(0).cast("int").as("mmr_rank"),
-          col("vec_id"), col("rel"), lit(0.0).as("mmr"))
+      // r17 (guide §1.2 / §4): the greedy rounds are LOCAL to a query's
+      // ≤[[MMR_SHORTLIST]]-row candidate set by definition, so the
+      // whole selection runs as array expressions over ONE collected
+      // shortlist row per query — the 5 unrolled rounds of
+      // anti-join + join + grouped-max + window (≈20 tiny jobs per
+      // pass, no memo) become 5 per-row Projects. Numerics are
+      // unchanged: the same cosine_sim kernel scores candidate×picked
+      // (array_max = the grouped MAX), the same
+      // 0.5·rel − 0.5·coalesce(max_sim, 0) is compared with the same
+      // (mmr desc, vec_id asc) tie-break the old window used, and the
+      // per-round localCheckpoint keeps Catalyst from collapsing the
+      // round Projects into one exponentially-substituted expression
+      // (the plan-doubling gotcha's expression-level face).
+      val pickedT =
+        "array<struct<mmr_rank:int,vec_id:bigint,rel:double,mmr:double>>"
+      var st = short.groupBy("q_id")
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("rel"),
+          col("e")))).as("cands"))
+        .withColumn("picked", expr(s"CAST(array() AS $pickedT)"))
         .localCheckpoint(eager = false)
-      val wP = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))
       for (r <- 1 to MMR_K) {
-        val remaining = short
-          .join(picked.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-          .localCheckpoint(eager = false) // consumed by sims AND cand
-        val pickedVecs = picked.select("q_id", "vec_id")
-          .join(short.select(col("q_id"), col("vec_id"), col("e").as("pe")),
-            Seq("q_id", "vec_id"))
-          .select("q_id", "pe")
-        val sims = remaining.select("q_id", "vec_id", "e")
-          .join(pickedVecs, Seq("q_id"))
-          .withColumn("ps", cos(col("e"), col("pe")))
-          .groupBy("q_id", "vec_id").agg(max("ps").as("max_sim"))
-        val cand = remaining.join(sims, Seq("q_id", "vec_id"), "left")
-          .withColumn("mmr", lit(0.5) * col("rel") -
-            lit(0.5) * coalesce(col("max_sim"), lit(0.0)))
-        val pick = cand.withColumn("prn", row_number().over(wP))
-          .filter(col("prn") === 1)
-          .select(col("q_id"), lit(r).cast("int").as("mmr_rank"),
-            col("vec_id"), col("rel"), col("mmr"))
-        picked = picked.unionByName(pick).localCheckpoint(eager = false)
+        st = st.withColumn("picked", expr(s"""
+          |CASE WHEN best$r IS NULL THEN picked
+          |     ELSE array_append(picked, named_struct(
+          |       'mmr_rank', $r, 'vec_id', best$r.vec_id,
+          |       'rel', best$r.rel, 'mmr', best$r.mmr)) END
+          |""".stripMargin
+          .replace(s"best$r", s"""
+            |aggregate(
+            |  transform(
+            |    filter(cands, c -> NOT exists(picked,
+            |      p -> p.vec_id = c.vec_id)),
+            |    c -> named_struct(
+            |      'mmr', 0.5D * c.rel - 0.5D * coalesce(
+            |        array_max(transform(
+            |          filter(cands, p0 -> exists(picked,
+            |            pp -> pp.vec_id = p0.vec_id)),
+            |          p0 -> cosine_sim(c.e, p0.e))), 0.0D),
+            |      'vec_id', c.vec_id, 'rel', c.rel)),
+            |  CAST(NULL AS struct<mmr:double,vec_id:bigint,rel:double>),
+            |  (acc, x) -> CASE
+            |    WHEN acc IS NULL THEN x
+            |    WHEN x.mmr > acc.mmr THEN x
+            |    WHEN x.mmr = acc.mmr AND x.vec_id < acc.vec_id THEN x
+            |    ELSE acc END)
+            |""".stripMargin)))
+          .localCheckpoint(eager = false)
       }
-      picked.withColumnRenamed("rel", "relevance")
+      st.select(col("q_id"), explode(col("picked")).as("p"))
+        .select(col("q_id"), col("p.mmr_rank").as("mmr_rank"),
+          col("p.vec_id").as("vec_id"), col("p.rel").as("relevance"),
+          col("p.mmr").as("mmr"))
     }),
 
     // Top principal component by POWER ITERATION — the one-vector slice
