@@ -119,7 +119,15 @@ object Bench {
     // MEMORY_AND_DISK blocks to the end of the run raises the late-run
     // memory floor and makes tail queries hostage to co-tenant load
     // (round-2 bench recorded 41 s for a 0.2 s query that way).
-    def family(name: String): String = name.takeWhile(_ != '_')
+    //
+    // r18: the release boundary is the REPORTING family (group(), which
+    // collapses q<digits> to "q") — the raw takeWhile('_') prefix made
+    // every TPC-H query its own one-query window, so the r18 shared
+    // fact-table persists (Tables.lineitemShared et al.) would have been
+    // rebuilt and dropped 22 times across the contiguous q block for
+    // zero reuse. Verify.scala applies the same collapse. Timing
+    // methodology (min of two passes, adaptive third) is unchanged.
+    def family(name: String): String = group(name)
     var prevFamily: String = null
     var prevGroup: String = null
     var sinceProbe = 0
@@ -202,10 +210,23 @@ object Bench {
     val fullPasses = results
       .map { case (k, v) => s"\"$k\":${v.map(fmt).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    // cold-cost attribution (r17 verdict #6): pass 1 of a memo-building
+    // query carries the family's shared-relation build; the min the
+    // bench reports is the warm number. "cold" = every query's FIRST
+    // pass, so warm vs cold family costs are separable by artifact.
+    val fullCold = results
+      .map { case (k, v) => s"\"$k\":${fmt(v.head)}" }
+      .mkString("{", ",", "}")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"calib_sec":${fmt(calib)},"calib_fams":$calibFams,"fam_tot":$famTot,"sf":"$sfDir","queries":$full,"passes":$fullPasses}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calib)},"calib_fams":$calibFams,"fam_tot":$famTot,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":${fmt(total)},"calib_sec":${fmt(calib)},"calib_fams":$calibFams,"fam_tot":$famTot,"sf":"$sfDir","queries":$full,"cold":$fullCold,"passes":$fullPasses}""")
+    // The printed line drops calib_fams (r17 verdict #8): at 22 families
+    // the band map alone is ~500 chars and pushed the line to ~1,900 of
+    // the driver's ~2,000-char tail budget — one more family would have
+    // cost the round its PERF comparison (exactly what happened to r16's
+    // line, lost to a harness-side parse at the cliff). The bands stay
+    // in target/bench_full.json for load adjudication.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_sec":${fmt(calib)},"fam_tot":$famTot,"queries":$qs,"sf":"$sfDir"}""")
     CachePool.releaseAll()
     spark.stop()
   }

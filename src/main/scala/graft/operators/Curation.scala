@@ -68,7 +68,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_redact_ids" -> ((s, d) => {
-      val masked = Tables.customer(s, d)
+      val masked = Tables.customerShared(s, d)
         .select(col("c_mktsegment"), col("c_name"),
           regexp_replace(col("c_name"), "[0-9]{5,}", "*").as("redacted"))
       masked.groupBy("c_mktsegment")
@@ -82,7 +82,7 @@ object Curation {
     }),
 
     "text_cross_source_dups" -> ((s, d) => {
-      val fps = Tables.documents(s, d)
+      val fps = TextAnalysis.docsPar(s, d)
         .select(
           md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("fp"),
           col("source"))
@@ -109,7 +109,7 @@ object Curation {
       val sp = when(h < "e666", "train").when(h < "f333", "val")
         .otherwise("test")
       val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
-      val docs = Tables.documents(s, d)
+      val docs = TextAnalysis.docsPar(s, d)
         .select(fp.as("fp"), sp.as("split"))
         .transform(graft.CachePool.persist) // train-fp pass + leak pass
       val trainFp = docs.filter(col("split") === "train")
@@ -130,7 +130,7 @@ object Curation {
     // on the fingerprint.
     "text_dedup_savings" -> ((s, d) => {
       val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
-      val docs = Tables.documents(s, d)
+      val docs = TextAnalysis.docsPar(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
       val keeper = docs.groupBy("fp").agg(min("doc_id").as("keep_id"))
       docs.join(keeper, "fp")
@@ -151,7 +151,7 @@ object Curation {
     // widen to decimal(38,0) (the ann_covariance_sharded convention).
     "text_source_modularity" -> ((s, d) => {
       val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
-      val gs = Tables.documents(s, d)
+      val gs = TextAnalysis.docsPar(s, d)
         .select(fp.as("fp"), col("source"))
         .groupBy("fp", "source").agg(count(lit(1)).as("n_gc"))
         .transform(graft.CachePool.persist) // group-total pass + per-source pass
@@ -176,7 +176,7 @@ object Curation {
     }),
 
     "text_source_temperature" -> ((s, d) => {
-      val counts = Tables.documents(s, d)
+      val counts = TextAnalysis.docsPar(s, d)
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("q",
           floor(sqrt(col("n_docs").cast("double")) * GRID).cast("long"))
@@ -190,7 +190,7 @@ object Curation {
     }),
 
     "text_length_histogram" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = TextAnalysis.docsPar(s, d)
         .select(expr("(n_chars div 100) * 100").as("bucket_lo"), col("n_chars"))
       val tot = docs.agg(count(lit(1)).as("total_docs"))
       docs.groupBy("bucket_lo")
@@ -203,7 +203,7 @@ object Curation {
     }),
 
     "text_export_shuffle" -> ((s, d) => {
-      Tables.documents(s, d)
+      TextAnalysis.docsPar(s, d)
         .select(col("doc_id"),
           md5(concat(lit(SEED), col("doc_id").cast("string"))).as("sort_key"))
         .withColumn("shard", substring(col("sort_key"), 1, 1))
@@ -229,7 +229,7 @@ object Curation {
       val hv = conv(substring(
         md5(concat(lit("cap|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long")
-      val docs = Tables.documents(s, d)
+      val docs = TextAnalysis.docsPar(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"), hv.as("hv"))
       val totals = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

@@ -81,11 +81,12 @@ object Dedup {
     // CacheManager, so sequential dedup queries in one session reuse
     // this persist instead of recomputing the shingle pipeline.
     Tables.documents(s, d)
-      // the corpus arrives as one parquet file = one partition; spread
-      // the per-doc hash pipeline across cores (at 100 TB the scan is
-      // already many splits and this shuffle of raw text is a no-op to
-      // drop)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // project to the two consumed columns BEFORE the (gated) spread —
+      // when the exchange exists it moves (doc_id, text), never the
+      // lang/source/n_chars payload (guide §2.3: project before the
+      // exchange)
+      .select(col("doc_id"), col("text"))
+      .transform(Tables.spread(_, col("doc_id")))
       .filter(size(words) >= 3)
       .select(col("doc_id"), shingleCol(3).as("sh"))
       .transform(graft.CachePool.persist)
@@ -826,7 +827,7 @@ object Dedup {
     "dedup_embedding_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
         .withColumn("bucket", VectorOps.signBucket(col("e"), EMB_LSH_DIMS))
       val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("e").as("e_a"))
@@ -853,7 +854,8 @@ object Dedup {
       // corpus postings stream through the join with no shuffle and
       // only matching shingles reach the aggregate
       val five = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text")) // project before the exchange
+        .transform(Tables.spread(_, col("doc_id")))
         .filter(size(words) >= 5)
         .select(col("doc_id"), shingleCol(5).as("sh"))
         .transform(graft.CachePool.persist)
@@ -972,7 +974,7 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
       val a = e.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
@@ -993,7 +995,8 @@ object Dedup {
     */
   private[operators] def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text")) // project before the exchange
+      .transform(Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
       .select(col("doc_id"),

@@ -71,8 +71,8 @@ object Graph {
     * probe this stationary relation.
     */
   private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+    val pairs = Tables.ordersShared(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitemShared(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("c_node"),
         concat(lit("s"), col("l_suppkey")).as("s_node"))
@@ -98,8 +98,8 @@ object Graph {
     * CacheManager).
     */
   private def keptCustSup(s: SparkSession, d: String): DataFrame = {
-    val cs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+    val cs = Tables.ordersShared(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitemShared(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
       .distinct()

@@ -133,7 +133,7 @@ object Layout {
     // covering ~1/8 of EACH key's range simultaneously — the 2-D
     // pruning a linear sort on one key cannot give.
     "layout_zorder" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val li = Tables.lineitemShared(s, d).select("l_partkey", "l_suppkey")
       val m = li.agg((max("l_partkey") + 1L).as("mp"),
         (max("l_suppkey") + 1L).as("ms"))
       val coords = li.crossJoin(broadcast(m))
@@ -158,7 +158,7 @@ object Layout {
     // read amplification is the cost of the wrong layout. Two hash
     // aggregations over one scan + O(buckets) verdicts — all integer.
     "layout_skipping_gain" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val li = Tables.lineitemShared(s, d).select("l_partkey", "l_suppkey")
       val m = li.agg((max("l_partkey") + 1L).as("mp"),
         (max("l_suppkey") + 1L).as("ms"))
       val coords = li.crossJoin(broadcast(m))
@@ -240,7 +240,7 @@ object Layout {
     // SIZES are sample-approximate — which is precisely the contract of
     // repartitionByRange itself.
     "layout_range_split" -> ((s, d) => {
-      val ks = Tables.lineitem(s, d).select("l_orderkey").distinct()
+      val ks = Tables.lineitemShared(s, d).select("l_orderkey").distinct()
       val samp = ks.filter(
         substring(md5(concat(lit("rs|"), col("l_orderkey").cast("string"))),
           1, 3) < RS_RATE_HEX)
@@ -268,7 +268,7 @@ object Layout {
     // comparable rows; layout_hilbert_gain below runs the measured
     // head-to-head under the same box predicate.
     "layout_hilbert" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val li = Tables.lineitemShared(s, d).select("l_partkey", "l_suppkey")
       val m = li.agg((max("l_partkey") + 1L).as("mp"),
         (max("l_suppkey") + 1L).as("ms"))
       val coords = li.crossJoin(broadcast(m))
@@ -297,7 +297,7 @@ object Layout {
     // both midlines — the worst case for quadrant jumps. All integer;
     // one scan, one persist, two O(buckets) verdicts.
     "layout_hilbert_gain" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val li = Tables.lineitemShared(s, d).select("l_partkey", "l_suppkey")
       val m = li.agg((max("l_partkey") + 1L).as("mp"),
         (max("l_suppkey") + 1L).as("ms"))
       val coords = withHilbert(li.crossJoin(broadcast(m))

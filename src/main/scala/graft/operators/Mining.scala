@@ -63,7 +63,7 @@ object Mining {
     // both engines (sum ≤ event count ≪ 2^53).
     "events_transition_matrix" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
-      val trans = Tables.events(s, d)
+      val trans = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .withColumn("to_event", lead(col("event_type"), 1).over(w))
         .filter(col("to_event").isNotNull)
@@ -95,7 +95,7 @@ object Mining {
     "events_markov_stationary" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy("user_id").orderBy("event_id")
-      val trans = Tables.events(s, d)
+      val trans = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .withColumn("to_event", lead(col("event_type"), 1).over(w))
         .filter(col("to_event").isNotNull)
@@ -124,7 +124,7 @@ object Mining {
     // (part_a < part_b) without a distinct; ties in the top-k are fully
     // ordered.
     "basket_part_pairs" -> ((s, d) => {
-      val baskets = Tables.lineitem(s, d)
+      val baskets = Tables.lineitemShared(s, d)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       baskets
@@ -145,7 +145,7 @@ object Mining {
     // match outside the window correctly yields NULL (stale click
     // ignored), which an unbounded-preceding frame cannot express.
     "asof_tolerance" -> ((s, d) => {
-      val ec = Tables.events(s, d)
+      val ec = Tables.eventsShared(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           when(col("event_type") === "click", col("event_id")).as("click_id"))
@@ -176,7 +176,7 @@ object Mining {
     // once regardless of corpus size.
     "events_decay_score" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"))
         .withColumn("m", max("event_id").over(w))
         .withColumn("n_events", count(lit(1)).over(w))
@@ -208,7 +208,7 @@ object Mining {
     // then a user-partition window over day rows — O(user-days), the
     // raw event payload moves once.
     "events_burst_days" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       val w = Window.partitionBy("user_id")
@@ -243,7 +243,7 @@ object Mining {
         unix_micros(col("ts")) -
           unix_micros(lag(col("ts"), 1).over(byUser)) > 1800L * 1000000L, 1)
         .otherwise(0)
-      val sessions = Tables.events(s, d)
+      val sessions = Tables.eventsShared(s, d)
         .withColumn("new_session", gapFlag)
         .withColumn("session_id",
           sum(col("new_session")).over(
@@ -282,7 +282,7 @@ object Mining {
     "events_top_paths" -> ((s, d) => {
       graft.plans.TopK.installedWithRewrite(s)
       val w = Window.partitionBy("user_id").orderBy("event_id")
-      val prefix = Tables.events(s, d)
+      val prefix = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= PATH_LEN)

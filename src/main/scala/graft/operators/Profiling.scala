@@ -62,7 +62,7 @@ object Profiling {
     */
   private def bigramPosting(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    graft.CachePool.persist(Tables.documents(s, d)
+    graft.CachePool.persist(TextAnalysis.docsPar(s, d)
       .filter(size(toks) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
@@ -125,7 +125,7 @@ object Profiling {
     // stays exact decimal end-to-end; only the quintile INDICES (pure
     // integers) reach the output.
     "events_rfm" -> ((s, d) => {
-      val per = Tables.events(s, d)
+      val per = Tables.eventsShared(s, d)
         .groupBy("user_id")
         .agg(max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("f"),
@@ -190,7 +190,7 @@ object Profiling {
     // sample here IS the estimator input, not a partitionless-sort
     // funnel — the hex audit whitelists it under that reason.
     "profile_approx_groupby" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      val ev = Tables.eventsShared(s, d).select(col("event_type"), col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("c"))
         .transform(graft.CachePool.persist) // sample pass + exact pass
       val samp = ev.filter(substring(
@@ -225,7 +225,7 @@ object Profiling {
       // did), even when values were judge-verified exact; ×100 on the
       // cent grid is a monotone bijection, so every rank, boundary
       // membership and shift count is unchanged (r12 verdict, Next #1).
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg((sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("long").as("m"))
         .transform(graft.CachePool.persist)
@@ -271,7 +271,7 @@ object Profiling {
     // the band counts past ~1e9 rows/type (the split-divergence bound).
     // One scan, two hash aggs keyed by (type, band), O(types) output.
     "profile_value_drift_tv" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
       val g = ev.agg(min(to_date(col("ts"))).as("d0"),
         max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
       val counts = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
@@ -305,7 +305,7 @@ object Profiling {
     // `Window.partitionBy(event_type)` would walk into. Cents are exact
     // integers; output is O(types · 3) rows.
     "profile_value_quantiles_by_type" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
+      val ev = Tables.eventsShared(s, d).select(col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("c"))
       Boundaries.quantileValuesGrouped(ev, Seq("event_type"), "c", 4)
         .select(col("event_type"), col("i").cast("int").as("quartile"),
@@ -324,7 +324,7 @@ object Profiling {
     "profile_quantile_sample_curve" -> ((s, d) => {
       // BIGINT cents, not DECIMAL dollars — same shipped-type rationale
       // and same ×100 bijection argument as profile_sample_error above.
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg((sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("long").as("m"))
         .transform(graft.CachePool.persist)
@@ -368,7 +368,7 @@ object Profiling {
     // identical constants; share is one IEEE division of exact longs.
     "profile_benford" -> ((s, d) => {
       val iv = floor(col("o_totalprice").cast("decimal(18,2)")).cast("long")
-      val digits = Tables.orders(s, d)
+      val digits = Tables.ordersShared(s, d)
         .select(iv.as("iv")).filter(col("iv") >= 1L)
         .select(substring(col("iv").cast("string"), 1, 1).cast("int")
           .as("digit"))
@@ -387,7 +387,7 @@ object Profiling {
     // Equi-width histogram of order value — the data-profiling primitive
     // behind every "does the distribution look right today" check.
     "profile_histogram" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .groupBy(floor(col("o_totalprice") / PRICE_BUCKET).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_orders"),
           min("o_totalprice").as("min_price"),
@@ -403,7 +403,7 @@ object Profiling {
     // integral (floor of an exact double ratio), discount is a
     // 2-decimal money value (decimal ×100 → int is exact).
     "profile_histogram2d" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy(
           floor(col("l_quantity") / 10.0).cast("int").as("q_band"),
           (col("l_discount").cast("decimal(18,2)") * 100).cast("int")
@@ -423,7 +423,7 @@ object Profiling {
     // comparable to the 3σ rule. Zero-MAD corpora (every day identical)
     // yield NULL verdicts, not a division artifact.
     "events_anomaly_mad" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
         .transform(graft.CachePool.persist) // median pass + flag pass
       val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
@@ -447,7 +447,7 @@ object Profiling {
       // ordering by (us, event_id) ≡ the oracle's (ts, event_id): us is
       // strictly monotone in ts
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("gap_us", col("us") - lag("us", 1).over(w))
         .filter(col("gap_us").isNotNull)
@@ -467,7 +467,7 @@ object Profiling {
     // explicit degenerate-input guard dedup_pair_triangles uses for
     // n_wedges = 0 — never a 0/0 NaN whose rendering is engine-specific.
     "events_anomaly_days" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       val mom = daily.agg(count(lit(1)).as("n_days"),
@@ -488,7 +488,7 @@ object Profiling {
     // Gaps-and-islands: maximal runs of consecutive active days per
     // user. epoch_day − row_number is constant exactly within a run.
     "window_gap_islands" -> ((s, d) => {
-      val days = Tables.events(s, d)
+      val days = Tables.eventsShared(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val w = Window.partitionBy("user_id").orderBy("day")
@@ -508,7 +508,7 @@ object Profiling {
     // Gini-impurity complement. A language fed by one scrape has
     // simpson → 1 — the mixture red flag ahead of training.
     "text_source_gini" -> ((s, d) => {
-      val bySrc = Tables.documents(s, d)
+      val bySrc = TextAnalysis.docsPar(s, d)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n"))
       bySrc.groupBy("lang")
@@ -528,7 +528,7 @@ object Profiling {
     // TV = 0 ⟺ identical mixtures; a biased split leaks here before it
     // leaks as an eval gap. ("val" rows are out of scope by design.)
     "text_split_divergence" -> ((s, d) => {
-      val counts = Tables.documents(s, d)
+      val counts = TextAnalysis.docsPar(s, d)
         .withColumn("split", splitCol)
         .filter(col("split").isin("train", "test"))
         .groupBy("source")
@@ -552,7 +552,7 @@ object Profiling {
     // rescale past ~sf10 — the Similarity centroid bound). A plain
     // double Σ(d·p) would drift with partial-agg order; this cannot.
     "agg_weighted_avg" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_discount").cast("decimal(8,2)") *
@@ -571,7 +571,7 @@ object Profiling {
     "window_drawdown" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"), col("value"))
         .withColumn("dd", max("value").over(w) - col("value"))
@@ -594,7 +594,7 @@ object Profiling {
     "window_ewma" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(-29, 0)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         .withColumn("xs", collect_list("cents").over(w))
@@ -624,7 +624,7 @@ object Profiling {
     "window_time_weighted_avg" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("us"), col("event_id"))
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -653,7 +653,7 @@ object Profiling {
     // equi-join on the shifted day — O(days) rows per lag, 7 lags,
     // all downstream of one persisted O(days) roll-up.
     "events_autocorrelation" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
         .transform(graft.CachePool.persist)
@@ -690,7 +690,7 @@ object Profiling {
     // events; the one construction-time action counts days, nothing
     // else leaves the executors.
     "events_theilsen_trend" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
         .select(datediff(col("day"),
@@ -728,7 +728,7 @@ object Profiling {
     // ranks), zero single-partition pass over an unbounded relation.
     "events_power_pareto" -> ((s, d) => {
       val hist = graft.CachePool.persist(
-        Tables.events(s, d)
+        Tables.eventsShared(s, d)
           .groupBy("user_id").agg(count(lit(1)).as("n"))
           .groupBy("n").agg(count(lit(1)).as("c")))
       val tot = hist.agg(sum("c").as("n_users"),
@@ -771,7 +771,7 @@ object Profiling {
     // rows — a 64× shuffle reduction over events_weekly_active's
     // expansion, and the same words answer any window length.
     "events_weekly_active_bitmap" -> ((s, d) => {
-      val words = Tables.events(s, d)
+      val words = Tables.eventsShared(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id"))
         // shiftright = FLOOR division, consistent with pmod's floored
         // remainder (and DuckDB's //) for negative ids — see
@@ -792,7 +792,7 @@ object Profiling {
     }),
 
     "events_weekly_active" -> ((s, d) => {
-      val days = Tables.events(s, d)
+      val days = Tables.eventsShared(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val contrib = days.select(col("user_id"),
@@ -814,7 +814,7 @@ object Profiling {
     // established (Spark percentile == DuckDB quantile_cont bitwise on
     // identical doubles).
     "events_value_bands" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"),
           expr("percentile(value, 0.5)").as("p50_value"),
@@ -829,7 +829,7 @@ object Profiling {
     // per user, then an O(days) roll-up; zero-click cohorts yield NULL
     // purchase rate (0/0 guard).
     "events_funnel_daily" -> ((s, d) => {
-      val per = Tables.events(s, d)
+      val per = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .groupBy("user_id")
@@ -857,7 +857,7 @@ object Profiling {
     // is shipping fragments; one whose p50 explodes is shipping
     // concatenation bugs).
     "text_length_bands" -> ((s, d) => {
-      Tables.documents(s, d)
+      TextAnalysis.docsPar(s, d)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           expr("percentile(n_chars, 0.5)").as("p50_chars"),
@@ -876,7 +876,7 @@ object Profiling {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val cum = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.documents(s, d)
+      TextAnalysis.docsPar(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " "))
           .as(Seq("pos", "tok")))
         .withColumn("brk",
@@ -894,7 +894,7 @@ object Profiling {
     // The curation-budget report — a source with dup_rate 0.4 wastes
     // 40% of its ingest before near-dedup even starts.
     "text_dedup_rate_by_source" -> ((s, d) => {
-      Tables.documents(s, d)
+      TextAnalysis.docsPar(s, d)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(md5(lower(trim(col("text"))))).as("n_unique"))
@@ -944,7 +944,7 @@ object Profiling {
     // violations proving the engine reports, not rubber-stamps.
     // 100 TB: one scan per table + one broadcast join; output O(rules).
     "profile_expectations" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       val liRows = li.agg(count(lit(1)).as("n"),
           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
           sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
@@ -967,7 +967,7 @@ object Profiling {
           "'lineitem.(l_orderkey,l_linenumber) unique', n, n - nd_pk, " +
           "'lineitem.l_orderkey unique', n, n - nd_ok" +
           ") AS (rule, n_checked, n_violations)")
-      val oRows = Tables.orders(s, d).agg(count(lit(1)).as("n"),
+      val oRows = Tables.ordersShared(s, d).agg(count(lit(1)).as("n"),
           sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L)
             .otherwise(1L)).as("v_st"),
           sum(when(col("o_totalprice") > 0, 0L).otherwise(1L)).as("v_tp"))
@@ -975,10 +975,10 @@ object Profiling {
           "'orders.o_orderstatus accepted_values', n, v_st, " +
           "'orders.o_totalprice positive', n, v_tp" +
           ") AS (rule, n_checked, n_violations)")
-      val ck = Tables.customer(s, d)
+      val ck = Tables.customerShared(s, d)
         .select(col("c_custkey").as("o_custkey")).distinct()
         .withColumn("present", lit(1))
-      val refRows = Tables.orders(s, d).select("o_custkey")
+      val refRows = Tables.ordersShared(s, d).select("o_custkey")
         .join(broadcast(ck), Seq("o_custkey"), "left")
         .agg(count(lit(1)).as("n"),
           sum(when(col("present").isNull, 1L).otherwise(0L)).as("v"))
@@ -990,7 +990,7 @@ object Profiling {
     }),
 
     "profile_table_stats" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      val o = Tables.ordersShared(s, d)
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
       val a = o.agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(
@@ -1013,7 +1013,7 @@ object Profiling {
     // a planner-sized single partition by design (the events_cum_users
     // argument), NOT a scale bug: the raw table never enters a window.
     "events_changepoint" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       val tot = daily.agg(count(lit(1)).as("n_days"), sum("n_events").as("s"))
@@ -1040,7 +1040,7 @@ object Profiling {
     // relation — the posting side never shuffles for the join.
     "text_compress_ratio" -> ((s, d) => {
       bigramPosting(s, d)
-        .join(broadcast(Tables.documents(s, d).select("doc_id", "source")),
+        .join(broadcast(TextAnalysis.docsPar(s, d).select("doc_id", "source")),
           "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_bigrams"),

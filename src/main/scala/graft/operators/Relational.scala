@@ -43,7 +43,7 @@ object Relational {
 
     // TPC-H Q1 shape: wide grouped aggregation with derived measures.
     "q1_pricing_summary" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -61,10 +61,10 @@ object Relational {
 
     // TPC-H Q3 shape: 3-way join (dim filter → facts), agg, top-k.
     "q3_topk_revenue" -> ((s, d) => {
-      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val ord = Tables.orders(s, d)
+      val cust = Tables.customerShared(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.ordersShared(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -78,10 +78,10 @@ object Relational {
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val nat = Tables.nation(s, d)
         .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
-      val cust = Tables.customer(s, d)
+      val cust = Tables.customerShared(s, d)
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      Tables.lineitemShared(s, d)
+        .join(Tables.ordersShared(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust.select("c_custkey", "n_name")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("n_name")
@@ -95,10 +95,10 @@ object Relational {
     // side streams, the EXISTS never duplicates orders, and the
     // non-equi shipdate condition rides the semi join.
     "q4_priority_exists" -> ((s, d) => {
-      val ord = Tables.orders(s, d)
+      val ord = Tables.ordersShared(s, d)
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      val li = Tables.lineitemShared(s, d).select("l_orderkey", "l_shipdate")
       ord.join(li,
           col("o_orderkey") === col("l_orderkey") &&
             col("l_shipdate") > col("o_orderdate"), "leftsemi")
@@ -111,7 +111,7 @@ object Relational {
     // numerator/denominator exact; the single final division is the
     // only float op, so the percentage is bit-identical to the oracle.
     "q14_promo_share" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
@@ -128,7 +128,7 @@ object Relational {
     // branches; the OR-filter evaluates post-join inside codegen — no
     // union-of-three-scans blowup, one pass over the fact table.
     "q19_disjunct_bands" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       val branch1 = col("p_brand") === "Brand#12" &&
         col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
       val branch2 = col("p_brand") === "Brand#23" &&
@@ -162,18 +162,18 @@ object Relational {
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
           col("s_nationkey") === col("sn_key"))
         .select("s_suppkey", "supp_nation")
-      val custEur = Tables.customer(s, d)
+      val custEur = Tables.customerShared(s, d)
         .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey")
-      val ord = Tables.orders(s, d)
+      val ord = Tables.ordersShared(s, d)
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .join(custEur, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -203,12 +203,12 @@ object Relational {
       val sup = Tables.supplier(s, d)
         .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
         .select(col("s_suppkey"), col("supp_nation"))
-      val custN = Tables.customer(s, d)
+      val custN = Tables.customerShared(s, d)
         .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
         .select(col("c_custkey"), col("cust_nation"))
-      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val ord = Tables.ordersShared(s, d).select("o_orderkey", "o_custkey")
         .join(custN, col("o_custkey") === col("c_custkey"))
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -225,14 +225,14 @@ object Relational {
     // by shuffle (unfiltered), nation by broadcast; top-20 is a bounded
     // TakeOrdered, never a global sort.
     "q10_returned_revenue" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      val ord = Tables.orders(s, d)
+      val li = Tables.lineitemShared(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.ordersShared(s, d)
         .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
       val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customerShared(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
         .agg(sum(revenue).cast("double").as("revenue"))
@@ -247,7 +247,7 @@ object Relational {
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
-      Tables.customer(s, d)
+      Tables.customerShared(s, d)
         .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_customers"),
@@ -256,8 +256,8 @@ object Relational {
 
     // Big-big equi-join (shuffle on the key, AQE decides the algorithm).
     "join_orders_lineitem" -> ((s, d) => {
-      Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      Tables.ordersShared(s, d)
+        .join(Tables.lineitemShared(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("total_price"),
@@ -266,10 +266,10 @@ object Relational {
 
     // EXISTS — left-semi: customers that placed at least one urgent order.
     "join_semi" -> ((s, d) => {
-      val urgent = Tables.orders(s, d)
+      val urgent = Tables.ordersShared(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey"))
-      Tables.customer(s, d)
+      Tables.customerShared(s, d)
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"))
@@ -277,8 +277,8 @@ object Relational {
 
     // NOT EXISTS — left-anti: customers with no orders at all.
     "join_anti" -> ((s, d) => {
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+      Tables.customerShared(s, d)
+        .join(Tables.ordersShared(s, d), col("c_custkey") === col("o_custkey"),
           "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
@@ -294,9 +294,9 @@ object Relational {
     // degrades to BNLJ.
     "join_null_safe" -> ((s, d) => {
       val k = when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag"))
-      val a = Tables.lineitem(s, d).groupBy(k.as("flag"))
+      val a = Tables.lineitemShared(s, d).groupBy(k.as("flag"))
         .agg(count(lit(1)).as("n_all"))
-      val b = Tables.lineitem(s, d).filter(col("l_linestatus") === "F")
+      val b = Tables.lineitemShared(s, d).filter(col("l_linestatus") === "F")
         .groupBy(k.as("flag_b")).agg(count(lit(1)).as("n_finished"))
       a.join(b, col("flag") <=> col("flag_b"))
         .select(col("flag"), col("n_all"), col("n_finished"))
@@ -304,7 +304,7 @@ object Relational {
 
     // Sort + limit top-k with total tie-break (rank boundary stable).
     "topk_orders" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
@@ -319,7 +319,7 @@ object Relational {
       graft.plans.TopK.installedWithRewrite(s)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
@@ -329,7 +329,7 @@ object Relational {
     "window_lag_events" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id")
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .withColumn("prev_value", lag("value", 1).over(w))
         .withColumn("delta", col("value") - col("prev_value"))
         .select("event_id", "user_id", "value", "prev_value", "delta")
@@ -342,7 +342,7 @@ object Relational {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("event_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .withColumn("running_value", sum(col("value").cast(money)).over(w)
           .cast("double"))
         .select("event_id", "user_id", "value", "running_value")
@@ -350,43 +350,43 @@ object Relational {
 
     // Set operations.
     "set_intersect" -> ((s, d) => {
-      val building = Tables.customer(s, d)
+      val building = Tables.customerShared(s, d)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
-      val withOrders = Tables.orders(s, d)
+      val withOrders = Tables.ordersShared(s, d)
         .select(col("o_custkey").as("custkey"))
       building.intersect(withOrders)
     }),
     "set_except" -> ((s, d) => {
-      val all = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
-      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      val all = Tables.customerShared(s, d).select(col("c_custkey").as("custkey"))
+      val withOrders = Tables.ordersShared(s, d).select(col("o_custkey").as("custkey"))
       all.except(withOrders)
     }),
     "set_union" -> ((s, d) => {
-      val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      val a = Tables.ordersShared(s, d).filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey").as("custkey"))
-      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val b = Tables.ordersShared(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
       a.union(b).distinct()
     }),
 
     // ROLLUP hierarchy totals.
     "agg_rollup" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
     // CUBE over two dims.
     "agg_cube" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     }),
 
     // Exact distinct counting (expands to two-phase agg in Spark).
     "agg_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
@@ -395,7 +395,7 @@ object Relational {
 
     // GROUP BY + HAVING.
     "agg_having" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
         .filter(col("n_orders") >= 5)
@@ -417,7 +417,7 @@ object Relational {
 
     // Scalar date functions.
     "scalar_date" -> ((s, d) => {
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
@@ -430,7 +430,7 @@ object Relational {
 
     // Scalar math (only operations with engine-identical IEEE results).
     "scalar_math" -> ((s, d) => {
-      Tables.lineitem(s, d).select(
+      Tables.lineitemShared(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_extendedprice")).as("abs_price"),
         ceil(col("l_extendedprice")).as("ceil_price"),
@@ -444,7 +444,7 @@ object Relational {
 
     // CASE WHEN bucketing + conditional aggregation.
     "scalar_case" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .withColumn("tier",
           when(col("o_totalprice") >= 200000, "high")
             .when(col("o_totalprice") >= 100000, "mid")

@@ -114,7 +114,7 @@ object RelationalExt {
       val kll = udaf(new KllAgg, org.apache.spark.sql.Encoders.scalaDouble)
       val kllMerge = udaf(new KllMergeAgg,
         org.apache.spark.sql.Encoders.BINARY)
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       // ONE array-percentile buffer per group, not three scalar ones —
       // percentile() materializes every group value in its aggregation
       // buffer, so asking for the three ranks separately tripled the
@@ -160,7 +160,7 @@ object RelationalExt {
       import org.apache.datasketches.theta.{SetOperation, Sketches}
       import org.apache.datasketches.memory.Memory
       val theta = udaf(new ThetaAgg, org.apache.spark.sql.Encoders.scalaLong)
-      val o = Tables.orders(s, d)
+      val o = Tables.ordersShared(s, d)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select(col("o_custkey"),
           (col("o_orderpriority") === "1-URGENT").as("is_a"))
@@ -205,7 +205,7 @@ object RelationalExt {
     // of the same user. event_id is the total order (LSN analog), so
     // max(click_id) over the preceding frame IS the as-of match.
     "asof_click_purchase" -> ((s, d) => {
-      val ec = Tables.events(s, d)
+      val ec = Tables.eventsShared(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           when(col("event_type") === "click", col("event_id")).as("click_id"))
@@ -229,7 +229,7 @@ object RelationalExt {
     // this is one pass.
     "asof_nearest_click" -> ((s, d) => {
       val tolUs = 3600L * 1000000L
-      val ec = Tables.events(s, d)
+      val ec = Tables.eventsShared(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"),
@@ -257,7 +257,7 @@ object RelationalExt {
     // Point-in-time (time travel): latest state per key as of LSN 5000.
     "cdc_state_asof" -> ((s, d) => {
       graft.pipeline.ChangeLog.latestState(
-        Tables.events(s, d).filter(col("event_id") <= 5000),
+        Tables.eventsShared(s, d).filter(col("event_id") <= 5000),
         Seq("user_id"), "event_id")
         .select("user_id", "event_id", "event_type", "value")
     }),
@@ -268,7 +268,7 @@ object RelationalExt {
     "events_funnel" -> ((s, d) => {
       def firstOf(t: String) =
         min(when(col("event_type") === t, col("event_id")))
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .groupBy("user_id")
         .agg(firstOf("signup").as("first_signup"),
           firstOf("click").as("first_click"),
@@ -301,7 +301,7 @@ object RelationalExt {
       val T = FUNNEL_WINDOW_US
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
       val clickQ = (c: Column) => col("event_type") === "click" &&
@@ -330,7 +330,7 @@ object RelationalExt {
     // join back; week arithmetic is integer day math (datediff div 7),
     // exact on both engines.
     "events_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
       val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
       ev.join(cohort, "user_id")
@@ -348,7 +348,7 @@ object RelationalExt {
     // global-stats broadcast; the top-10 is a bounded TakeOrdered. A
     // key at x_avg ≫ 1 is the one that stalls a reducer at 100 TB.
     "join_skew_profile" -> ((s, d) => {
-      val freq = Tables.lineitem(s, d)
+      val freq = Tables.lineitemShared(s, d)
         .groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
       val tot = freq.agg(sum("n_rows").as("total_rows"),
         count(lit(1)).as("n_keys"))
@@ -368,7 +368,7 @@ object RelationalExt {
 
     // GROUPING SETS (finer than rollup/cube).
     "agg_grouping_sets" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      val o = Tables.ordersShared(s, d)
       o.groupingSets(
         Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
           Seq(col("o_orderstatus")), Seq.empty),
@@ -380,7 +380,7 @@ object RelationalExt {
     // PIVOT: order counts by status × priority (explicit value list →
     // stable schema; empty cells are NULL on both sides).
     "agg_pivot" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .groupBy("o_orderstatus")
         .pivot("o_orderpriority",
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
@@ -393,7 +393,7 @@ object RelationalExt {
     // ~5σ headroom; HLL++ is deterministic, so this is a stable check).
     // The oracle computes the exact count and asserts the bound TRUE.
     "agg_approx_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           (abs(approx_count_distinct(col("l_partkey"), 0.01) -
@@ -418,7 +418,7 @@ object RelationalExt {
     // failure ~1e-4, negligible across the 5 checked rows even if the
     // corpus is regenerated), NOT a theorem.
     "agg_hll_mergeable" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       val perFlag = li.groupBy("l_returnflag")
         .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
           countDistinct(col("l_partkey")).as("exact_parts"))
@@ -447,7 +447,7 @@ object RelationalExt {
     // (≈3.7σ at lgK=12, the agg_hll_mergeable argument) and is the
     // recomputation the sketch lattice REPLACES.
     "agg_hll_cube" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
       val leaf = li.groupBy("l_returnflag", "l_linestatus")
         .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
           countDistinct(col("l_partkey")).as("exact_parts"))
@@ -484,7 +484,7 @@ object RelationalExt {
     // stat.countMinSketch); only the O(width·depth) sketch and the
     // bounded top-10 ever reach the driver.
     "agg_cms_heavy_hitters" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_suppkey")
+      val li = Tables.lineitemShared(s, d).select("l_suppkey")
       val cms = li.stat.countMinSketch(col("l_suppkey"),
         eps = 0.001, confidence = 0.99, seed = 42)
       val slack = math.ceil(0.001 * cms.totalCount()).toLong
@@ -503,7 +503,7 @@ object RelationalExt {
     "window_ntile" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d).select(
+      Tables.customerShared(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
@@ -514,7 +514,7 @@ object RelationalExt {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"), col("o_custkey"),
         first(col("o_totalprice")).over(w).as("first_price"),
         last(col("o_totalprice")).over(w).as("last_price"))
@@ -539,7 +539,7 @@ object RelationalExt {
 
     // NULL semantics: nullif/coalesce/null-aware aggregation.
     "scalar_null" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .withColumn("disc_or_null", nullif(col("l_discount"), lit(0.0)))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -555,7 +555,7 @@ object RelationalExt {
     // window row_number formulation it replaces.
     "topk_per_key_native" -> ((s, d) => {
       graft.plans.TopK.perKey(
-        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Tables.ordersShared(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
         Seq("o_custkey"),
         Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
     }),
@@ -569,7 +569,7 @@ object RelationalExt {
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name"), lit("supplier").as("role"),
           col("s_acctbal").as("bal"))
-      val cust = Tables.customer(s, d)
+      val cust = Tables.customerShared(s, d)
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), lit("customer").as("role"),
           col("c_acctbal").as("bal"))
@@ -582,7 +582,7 @@ object RelationalExt {
     // Exact interpolated percentiles (sort-based; both engines use
     // lo + frac*(hi-lo) interpolation on the same sorted values).
     "agg_percentile" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
           expr("percentile(o_totalprice, 0.9)").as("p90"))
@@ -598,7 +598,7 @@ object RelationalExt {
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >
           1800L * 1000000L, 1)
         .otherwise(0)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .withColumn("new_session", gapFlag)
         .withColumn("session_id",
           sum(col("new_session")).over(
@@ -619,7 +619,7 @@ object RelationalExt {
       val SALT = 8
       val saltedDim = Tables.nation(s, d)
         .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
-      val saltedFact = Tables.customer(s, d)
+      val saltedFact = Tables.customerShared(s, d)
         .withColumn("salt", pmod(col("c_custkey"), lit(SALT)).cast("int"))
       saltedFact.join(saltedDim,
         col("c_nationkey") === col("n_nationkey") && saltedFact("salt") === saltedDim("salt"))
@@ -632,7 +632,7 @@ object RelationalExt {
     // new-schema by name; missing columns become nulls instead of a
     // pipeline failure — CDC streams change shape over time.
     "cdc_schema_evolution" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.eventsShared(s, d)
       // tag origin explicitly: counting `props IS NULL` would also count
       // genuinely-null source payloads, diverging from the oracle on any
       // corpus that has them
@@ -654,7 +654,7 @@ object RelationalExt {
     // Legacy rows surface null props; pre-meta rows surface null meta;
     // the nested field aggregates through the null structs correctly.
     "cdc_schema_evolution_widen" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.eventsShared(s, d)
       val v0 = e.filter(col("event_id") % 3 === 0) // legacy: int key, no props
         .select(col("event_id"), col("user_id").cast("int").as("user_id"),
           col("value"))
@@ -701,7 +701,7 @@ object RelationalExt {
     // Second date-function wave (month clamping, day arithmetic).
     "scalar_date2" -> ((s, d) => {
       val od = col("o_orderdate").cast("date")
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"),
         last_day(od).as("month_end"),
         add_months(od, 1).as("next_month"),
@@ -713,14 +713,14 @@ object RelationalExt {
     "window_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
         .rangeBetween(-10000L, 10000L)
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         count(lit(1)).over(w).as("n_nearby"))
     }),
 
     // ROLLUP with grouping indicators (distinguishing subtotal rows).
     "agg_rollup_grouping" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),

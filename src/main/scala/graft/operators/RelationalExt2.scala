@@ -89,9 +89,9 @@ object RelationalExt2 {
       // part of the query — runs in a single task while every other
       // core idles. One exchange of the O(n) 8-byte ids buys a
       // cores-wide heavy stage; the count is derived, not a constant.
-      val c = Tables.customer(s, d)
+      val c = Tables.customerShared(s, d)
         .select(substring(col("c_name"), 10, 9).cast("long").as("id"))
-        .repartition(s.sparkContext.defaultParallelism, col("id"))
+        .transform(Tables.spread(_, col("id")))
       def pw(k: Int): Long = Seq.fill(k)(10L).product
       val keys = (1 to 9).map { i =>
         val (hi, lo) = (pw(10 - i), pw(9 - i))
@@ -167,9 +167,9 @@ object RelationalExt2 {
       // Same load-bearing repartition as join_fuzzy_block: the one-split
       // customer scan would otherwise put the 15M-row join+aggregate
       // stage on a single core (guide §2.5).
-      val c = Tables.customer(s, d)
+      val c = Tables.customerShared(s, d)
         .select(substring(col("c_name"), 10, 9).cast("long").as("id"))
-        .repartition(s.sparkContext.defaultParallelism, col("id"))
+        .transform(Tables.spread(_, col("id")))
       def pw(k: Int): Long = Seq.fill(k)(10L).product
       val del1 = (1 to 9).map { i =>
         val (hi, lo) = (pw(10 - i), pw(9 - i))
@@ -215,7 +215,7 @@ object RelationalExt2 {
     // The downstream use is every "daily active / churn / streak"
     // metric that needs explicit gap rows.
     "events_resample_daily" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
           col("value"))
       val daily = ev.groupBy("user_id", "day")
@@ -241,7 +241,7 @@ object RelationalExt2 {
     // value parity on the typed k, not on any engine's encoding.
     "events_variant_props" -> ((s, d) => {
       val v = parse_json(col("props"))
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("event_type"),
           variant_get(v, "$.k", "int").as("k"))
         .groupBy("event_type")
@@ -261,7 +261,7 @@ object RelationalExt2 {
         ("p100_200k", 100000.0, 200000.0),
         ("p200_300k", 200000.0, 300000.0),
         ("p300_up", 300000.0, 1e9)).toDF("band", "lo", "hi")
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .join(broadcast(bands),
           col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("band")
@@ -280,7 +280,7 @@ object RelationalExt2 {
         ("p100_200k", 100000.0, 200000.0),
         ("p200_300k", 200000.0, 300000.0),
         ("p300_up", 300000.0, 700000.0)).toDF("band", "lo", "hi")
-      RangeJoin.banded(Tables.orders(s, d), bands,
+      RangeJoin.banded(Tables.ordersShared(s, d), bands,
         "o_totalprice", "lo", "hi", width = 50000.0)
         .groupBy("band")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
@@ -289,9 +289,9 @@ object RelationalExt2 {
     // FULL OUTER JOIN with null rows on both sides: high-balance
     // customers vs per-customer order counts.
     "join_full_outer" -> ((s, d) => {
-      val cs = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      val cs = Tables.customerShared(s, d).filter(col("c_acctbal") > 9000)
         .select(col("c_custkey"), col("c_name"))
-      val os = Tables.orders(s, d).groupBy(col("o_custkey"))
+      val os = Tables.ordersShared(s, d).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"))
       cs.join(os, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(
@@ -328,7 +328,7 @@ object RelationalExt2 {
         conv(substring(md5(concat(lit(s"bf$i|"), key.cast("string"))),
           1, 8), 16, 10).cast("long") % m
       val hashes = 1 to BLOOM_K
-      val build = Tables.customer(s, d)
+      val build = Tables.customerShared(s, d)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("k")).distinct()
         .transform(graft.CachePool.persist) // bits + m + exact verify
@@ -338,7 +338,7 @@ object RelationalExt2 {
         .select(explode(array(hashes.map(i =>
           pos(i, col("k"), col("m"))): _*)).as("pos"))
         .distinct()
-      val probe = Tables.orders(s, d)
+      val probe = Tables.ordersShared(s, d)
         .select(col("o_custkey").as("k")).distinct()
         .transform(graft.CachePool.persist)
       val pass = probe.withColumn("__j", lit(1)).join(broadcast(mDf), "__j")
@@ -377,7 +377,7 @@ object RelationalExt2 {
     // family is fixed. Σ cA·cB fits a LONG through ~10⁹ shared pairs
     // per key-square; past that, re-run the sums in decimal(38,0).
     "join_size_estimate" -> ((s, d) => {
-      def keyCounts(tp: String) = Tables.events(s, d)
+      def keyCounts(tp: String) = Tables.eventsShared(s, d)
         .filter(col("event_type") === tp)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .transform(graft.CachePool.persist) // sketch build + exact check
@@ -427,7 +427,7 @@ object RelationalExt2 {
         val p = math.pow(10, scale)
         (c * lit(p.toLong)).cast("decimal(38,0)").cast("double") / lit(p)
       }
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -461,7 +461,7 @@ object RelationalExt2 {
       // any magnitude the decimal can hold.
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)").cast("long")
-      val stats = Tables.orders(s, d)
+      val stats = Tables.ordersShared(s, d)
         .select(col("o_orderpriority"), cents.as("c"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -471,7 +471,7 @@ object RelationalExt2 {
           (col("sc") / lit(100.0) / col("n")).as("mean_price"),
           (sqrt((col("scc") - col("sc") * col("sc") / col("n")) / (col("n") - 1))
             / lit(100.0)).as("std_price"))
-      Tables.orders(s, d).select("o_orderpriority", "o_totalprice")
+      Tables.ordersShared(s, d).select("o_orderpriority", "o_totalprice")
         .join(broadcast(stats), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -485,7 +485,7 @@ object RelationalExt2 {
 
     // Ordered string aggregation over a small deterministic subset.
     "agg_string_concat" -> ((s, d) => {
-      Tables.customer(s, d)
+      Tables.customerShared(s, d)
         .filter(col("c_custkey") % 97 === 0)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
@@ -498,7 +498,7 @@ object RelationalExt2 {
     "agg_argmax" -> ((s, d) => {
       val key = round(col("c_acctbal") * 100).cast("long") *
         lit(100000000000L) + col("c_custkey")
-      Tables.customer(s, d)
+      Tables.customerShared(s, d)
         .groupBy("c_mktsegment")
         .agg(
           max_by(col("c_name"), key).as("richest"),
@@ -508,7 +508,7 @@ object RelationalExt2 {
 
     // Boolean aggregates + conditional count.
     "agg_bool" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(
           expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
@@ -534,7 +534,7 @@ object RelationalExt2 {
     // the rank error is ≤ 0.1%, so the bound has ~50× headroom — and the
     // GK sketch is deterministic, making this stable.
     "agg_approx_percentile" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
           (expr("approx_percentile(o_totalprice, 0.5, 1000)") >=
@@ -547,7 +547,7 @@ object RelationalExt2 {
     // date construction.
     "scalar_date3" -> ((s, d) => {
       val od = col("o_orderdate")
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"),
         date_format(od, "yyyy-MM").as("ym"),
         unix_timestamp(od).as("epoch_s"),
@@ -566,7 +566,7 @@ object RelationalExt2 {
         array(col("user_id").cast("string"), col("event_type")))
       val m2 = transform_values(m, (_, v) => upper(v))
       val sm = expr("str_to_map(concat('id:', event_id, ',val:', value), ',', ':')")
-      Tables.events(s, d).select(
+      Tables.eventsShared(s, d).select(
         col("event_id"),
         element_at(m, "uid").cast("long").as("uid_back"),
         element_at(m2, "typ").as("typ_upper"),
@@ -577,15 +577,15 @@ object RelationalExt2 {
     // Multiset semantics: EXCEPT ALL / INTERSECT ALL keep duplicate
     // cardinalities (bag difference/intersection), unlike the set forms.
     "set_except_all" -> ((s, d) => {
-      val a = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
-      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val a = Tables.ordersShared(s, d).select(col("o_custkey").as("custkey"))
+      val b = Tables.ordersShared(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
       a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
     }),
     "set_intersect_all" -> ((s, d) => {
-      val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      val a = Tables.ordersShared(s, d).filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey").as("custkey"))
-      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val b = Tables.ordersShared(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
       a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
     }),
@@ -593,7 +593,7 @@ object RelationalExt2 {
     // Pagination: ORDER BY ... OFFSET/LIMIT with a total tie-broken
     // order (page boundaries are only stable when the sort is total).
     "topk_offset_page" -> ((s, d) => {
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(20).limit(10)
@@ -602,7 +602,7 @@ object RelationalExt2 {
     // NULL ordering: NULLS LAST ascending, with nulls manufactured via
     // NULLIF — visible in the result only because of the LIMIT.
     "sort_nulls" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           nullif(col("l_discount"), lit(0.0)).as("disc_n"))
         .orderBy(col("disc_n").asc_nulls_last, col("l_orderkey"),
@@ -636,7 +636,7 @@ object RelationalExt2 {
     "window_rank_dense" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(floor(col("o_totalprice") / 10000).asc, col("o_orderkey"))
-      Tables.orders(s, d).select(
+      Tables.ordersShared(s, d).select(
         col("o_orderkey"), col("o_orderstatus"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
@@ -657,7 +657,7 @@ object RelationalExt2 {
     // 97th LSN) to make the detector's output non-vacuous.
     "cdc_gap_detect" -> ((s, d) => {
       val BUCKET = 1000L
-      val ids = Tables.events(s, d)
+      val ids = Tables.eventsShared(s, d)
         .filter(col("event_id") % 97 =!= 0)
         .select(col("event_id"), (col("event_id") / BUCKET).cast("long").as("bk"))
       // interior gaps: lag within each bucket (parallel across buckets)
@@ -681,7 +681,7 @@ object RelationalExt2 {
     // per-column summary every ingestion pipeline materializes before
     // trusting a 100 TB drop (wide agg → melt, no per-column scans).
     "profile_orders" -> ((s, d) => {
-      val wide = Tables.orders(s, d).agg(
+      val wide = Tables.ordersShared(s, d).agg(
         count(lit(1)).cast("double").as("n_rows"),
         countDistinct(col("o_custkey")).cast("double").as("custkey_distinct"),
         countDistinct(col("o_orderstatus")).cast("double").as("status_distinct"),
@@ -695,7 +695,7 @@ object RelationalExt2 {
     // Sliding event-time windows (batch analog of streaming
     // window(ts, 1h, 30m)): each event lands in BOTH covering windows.
     "cdc_window_sliding" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"),
@@ -709,7 +709,7 @@ object RelationalExt2 {
     "window_fill_forward" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .withColumn("sparse_v",
           when(col("event_id") % 3 === 0, col("value")))
         .withColumn("filled_v",
@@ -728,7 +728,7 @@ object RelationalExt2 {
 
     // Bitwise scalar family over integer keys.
     "scalar_bitwise" -> ((s, d) => {
-      Tables.lineitem(s, d).select(
+      Tables.lineitemShared(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_orderkey").bitwiseAND(lit(255L))).as("and255"),
         (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),

@@ -142,7 +142,7 @@ object Similarity {
     GraftFunctions.register(s)
     if (d.endsWith(CLUSTERED_SFX)) {
       val ev = Tables.embeddings(s, d.stripSuffix(CLUSTERED_SFX))
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"),
           VectorOps.asDouble(col("embedding")).as("e0"))
       val wA = Window.partitionBy("label").orderBy("vec_id")
@@ -155,7 +155,7 @@ object Similarity {
           zip_with(col("ae"), col("e0"), _ + _).as("e"))
     } else
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"),
           VectorOps.asDouble(col("embedding")).as("e"))
   }
@@ -2335,7 +2335,7 @@ object Similarity {
       val Q = 1073741824.0    // 2^30
       val Q2 = 1099511627776.0 // 2^40
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(VectorOps.asDouble(col("embedding")).as("e"))
         .select(posexplode(col("e")).as(Seq("dim", "val")))
         .groupBy(col("dim").cast("long").as("dim"))
@@ -2375,7 +2375,7 @@ object Similarity {
       // stage; LONG grid sums are order-free, so partitioning cannot
       // change a bit.
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(VectorOps.asDouble(col("embedding")).as("e"))
         .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
         .select(col("i"), col("vi"),
@@ -2411,7 +2411,7 @@ object Similarity {
       // r17: same load-bearing repartition as ann_covariance (the
       // one-split scan put the whole O(rows·d²) stage on one core)
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select((col("vec_id") % COV_SHARDS).as("shard"),
           VectorOps.asDouble(col("embedding")).as("e"))
         .select(col("shard"), col("e"), posexplode(col("e")).as(Seq("i", "vi")))

@@ -124,7 +124,7 @@ object Stats {
 
     // Cumulative distinct users by first-activity day.
     "events_cum_users" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy("user_id")
         .agg(min(to_date(col("ts"))).as("day"))
         .groupBy("day")
@@ -137,7 +137,7 @@ object Stats {
     // Day-of-week activity mix. Spark's dayofweek is 1=Sunday..7; the
     // oracle shifts DuckDB's 0-based dayofweek to match.
     "events_dow_mix" -> ((s, d) => {
-      val agg = Tables.events(s, d)
+      val agg = Tables.eventsShared(s, d)
         .groupBy(dayofweek(col("ts")).as("dow"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
       agg.withColumn("share",
@@ -148,7 +148,7 @@ object Stats {
     // Exact mode of order priority per order status, deterministic
     // tie-break.
     "agg_mode_per_group" -> ((s, d) => {
-      val counts = Tables.orders(s, d)
+      val counts = Tables.ordersShared(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"))
       val w = Window.partitionBy("o_orderstatus")
@@ -162,7 +162,7 @@ object Stats {
     // Relative standing of every customer inside its market segment.
     "window_percent_rank" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-      Tables.customer(s, d)
+      Tables.customerShared(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
@@ -170,10 +170,10 @@ object Stats {
 
     // Median absolute deviation of order value per order status.
     "agg_median_abs_dev" -> ((s, d) => {
-      val med = Tables.orders(s, d)
+      val med = Tables.ordersShared(s, d)
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
-      Tables.orders(s, d)
+      Tables.ordersShared(s, d)
         .join(broadcast(med), "o_orderstatus")
         .withColumn("adev", abs(col("o_totalprice") - col("med")))
         .groupBy("o_orderstatus")
@@ -183,7 +183,7 @@ object Stats {
     // Corpus vocabulary census (same whitespace tokenization as the
     // text_* family).
     "text_hapax" -> ((s, d) => {
-      Tables.documents(s, d)
+      TextAnalysis.docsPar(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok")
         .agg(count(lit(1)).as("n"))
@@ -203,7 +203,7 @@ object Stats {
     // mirror shiftright with DuckDB's `>>`, which IS arithmetic
     // (layout_fingerprint_order does exactly that).
     "agg_bitmap_distinct" -> ((s, d) => {
-      val words = Tables.events(s, d)
+      val words = Tables.eventsShared(s, d)
         .groupBy(col("event_type"), expr("shiftright(user_id, 6)").as("bucket"))
         .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))")
           .as("word"))
@@ -228,7 +228,7 @@ object Stats {
       val dy = col("n") * col("syy") - col("sy") * col("sy")
       val num = col("n") * col("sxy") - col("sx") * col("sy")
       val slope = when(dx === 0.0, lit(null)).otherwise(num / dx)
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -251,7 +251,7 @@ object Stats {
         .cast("decimal(38,0)").cast("long")
       def pd(e: org.apache.spark.sql.Column) =
         sum(e.cast("decimal(38,0)")).cast("double")
-      val stats = Tables.lineitem(s, d)
+      val stats = Tables.lineitemShared(s, d)
         .select(col("l_returnflag"), c.as("c"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"),
@@ -276,7 +276,7 @@ object Stats {
 
     // Weekly growth accounting: new / retained / resurrected / churned.
     "events_lifecycle" -> ((s, d) => {
-      val wk = Tables.events(s, d)
+      val wk = Tables.eventsShared(s, d)
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("date").as("wk"))
         .distinct()
@@ -308,7 +308,7 @@ object Stats {
 
     // Hour-of-day seasonality profile.
     "events_hour_of_day" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .groupBy(hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
@@ -319,7 +319,7 @@ object Stats {
 
     // DAU / rolling-28-day MAU / stickiness per day.
     "events_stickiness" -> ((s, d) => {
-      val days = Tables.events(s, d)
+      val days = Tables.eventsShared(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
@@ -338,7 +338,7 @@ object Stats {
     "events_cohort_ltv" -> ((s, d) => {
       def d2(c: org.apache.spark.sql.Column) =
         (c * lit(100L)).cast("decimal(38,0)").cast("double") / lit(100.0)
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("date").as("wk"),
           col("value").cast("decimal(18,2)").as("v"))
@@ -364,7 +364,7 @@ object Stats {
     "events_out_of_order" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .withColumn("prior_max", max("ts").over(w))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -379,7 +379,7 @@ object Stats {
     "agg_winsorized_mean" -> ((s, d) => {
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)").cast("long")
-      val base = Tables.orders(s, d)
+      val base = Tables.ordersShared(s, d)
         .select(col("o_orderpriority"), cents.as("c"))
         .transform(graft.CachePool.persist) // bounds pass + clamp pass
       val bounds = base.groupBy("o_orderpriority")
@@ -408,7 +408,7 @@ object Stats {
     // and silently skew both sides' moments). Floored on both engines →
     // agreement for ALL ids, not just the corpus's non-negative ones.
     "events_ab_readout" -> ((s, d) => {
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converted"))
       val v = per.groupBy(expr("pmod(user_id, 2)").as("variant"))
@@ -443,7 +443,7 @@ object Stats {
     // (bounded, one per offset) so both engines multiply the same
     // doubles in the same order — no libm exp/ln detour.
     "events_survival_curve" -> ((s, d) => {
-      val u = Tables.events(s, d)
+      val u = Tables.eventsShared(s, d)
         .select(col("user_id"), col("ts").cast("date").as("dy"),
           col("event_type"))
         .groupBy("user_id")
@@ -488,7 +488,7 @@ object Stats {
     // task, and the histogram collapse happens inside the helper (the
     // prefix sum walks O(distinct values), never the fact table).
     "agg_weighted_median" -> ((s, d) => {
-      val rows = Tables.lineitem(s, d).select(col("l_returnflag"),
+      val rows = Tables.lineitemShared(s, d).select(col("l_returnflag"),
         col("l_quantity").cast("decimal(18,2)").as("q"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("w"))
@@ -510,7 +510,7 @@ object Stats {
     // whenever price correlates with quantity). Same helper, same
     // all-integer k·cum ≥ i·W rule, boundaries shipped as DOUBLE.
     "agg_weighted_quartiles" -> ((s, d) => {
-      val rows = Tables.lineitem(s, d).select(col("l_returnflag"),
+      val rows = Tables.lineitemShared(s, d).select(col("l_returnflag"),
         col("l_quantity").cast("decimal(18,2)").as("q"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("w"))
@@ -533,7 +533,7 @@ object Stats {
     // empty cell NULLs the effect (null propagation, both engines).
     // Shape: one scan, a ≤4-row hash agg, a 1-row conditional pivot.
     "events_ab_did" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
       val g = ev.agg(min(to_date(col("ts"))).as("d0"),
         max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
       val cells = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
@@ -576,7 +576,7 @@ object Stats {
     // interval got for free. Degenerate guard: var(X) = 0 (or a lone
     // user) NULLs θ and everything downstream, both engines.
     "events_ab_cuped" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
       val g = ev.agg(min(to_date(col("ts"))).as("d0"),
         max(to_date(col("ts"))).as("d1")).withColumn("__k", lit(1))
       val per = ev.withColumn("__k", lit(1)).join(broadcast(g), "__k")
@@ -640,7 +640,7 @@ object Stats {
     // integer until the single division; the 3.84 threshold is the
     // shared χ²(1, 0.95) literal the t-test verdict already uses.
     "events_ab_srm" -> ((s, d) => {
-      Tables.events(s, d).select("user_id").distinct()
+      Tables.eventsShared(s, d).select("user_id").distinct()
         .agg(sum(when(expr("pmod(user_id, 2)") === 0, 1L).otherwise(0L))
           .as("n_a"),
           sum(when(expr("pmod(user_id, 2)") === 1, 1L).otherwise(0L))
@@ -667,7 +667,7 @@ object Stats {
     // rank actually collapsed, both engines. For arms with ≥ 4 users
     // (every test SF) the values are unchanged.
     "events_ab_qte" -> ((s, d) => {
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("v"))
         .select(expr("pmod(user_id, 2)").as("variant"), col("v"))
@@ -705,7 +705,7 @@ object Stats {
     // agg, a 2-row arm agg, a 1-row pivot.
     "events_ab_ratio_delta" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val per = Tables.events(s, d)
+      val per = Tables.eventsShared(s, d)
         .withColumn("new_session",
           when(unix_micros(col("ts")) -
             unix_micros(lag(col("ts"), 1).over(byUser)) >
@@ -784,7 +784,7 @@ object Stats {
     // day spine both read), two ≤days-sized histograms, a 2·days grid
     // window, a 1-row final-total broadcast.
     "events_ab_sequential" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
       val g = ev.agg(min(to_date(col("ts"))).as("d0")).withColumn("__k", lit(1))
       // persisted: the per-user pass AND the day spine both read the
       // day-stamped projection, so the fact table is scanned twice in
@@ -868,7 +868,7 @@ object Stats {
         val p = math.pow(10, scale).toLong
         (c * lit(p)).cast("decimal(38,0)").cast("double") / lit(p.toDouble)
       }
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).as("m"))
@@ -922,7 +922,7 @@ object Stats {
     "events_ab_holm" -> ((s, d) => {
       val metrics = Seq("rev" -> "revenue_cents", "nev" -> "events_per_user",
         "npur" -> "purchases_per_user", "nday" -> "active_days")
-      val per = Tables.events(s, d).groupBy("user_id").agg(
+      val per = Tables.eventsShared(s, d).groupBy("user_id").agg(
         coalesce(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("rev"),
         count(lit(1)).as("nev"),
@@ -998,7 +998,7 @@ object Stats {
     // Spark's raw IEEE division would say NaN/±Inf where DuckDB's
     // NULL-propagating arithmetic stays NULL).
     "events_ab_mannwhitney" -> ((s, d) => {
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100 + 0.5).cast("long"))), lit(0L)).as("v"))
         .select(expr("pmod(user_id, 2)").as("variant"), col("v"))
@@ -1048,7 +1048,7 @@ object Stats {
     "events_attribution" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .withColumn("seg", coalesce(
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -1082,7 +1082,7 @@ object Stats {
         3600L * 1000000L, 21600L * 1000000L, 86400L * 1000000L)
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("lateness_us",
           greatest(lit(0L), coalesce(max("us").over(w) - col("us"), lit(0L))))
@@ -1103,7 +1103,7 @@ object Stats {
     "events_lag_percentiles" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
+      Tables.eventsShared(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .withColumn("lateness_us",
@@ -1122,7 +1122,7 @@ object Stats {
 
     // Seasonal-naive forecast backtest per day-of-week.
     "events_forecast_naive" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
       val pred = daily.select(date_add(col("day"), 7).as("day"),
         col("n").as("pred"))
@@ -1146,7 +1146,7 @@ object Stats {
     // (the r9 advice convention). One hash aggregation over O(types ×
     // days) rows; the ×7 horizon explode is map-side.
     "events_forecast_linear" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val daily = Tables.eventsShared(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
         .select(col("event_type"),
@@ -1187,7 +1187,7 @@ object Stats {
     // boolean is engine-exact regardless of the constant's provenance.
     // Shape: O(types × 24) aggregation rows after one hash agg.
     "events_hourly_seasonality" -> ((s, d) => {
-      val byHour = Tables.events(s, d)
+      val byHour = Tables.eventsShared(s, d)
         .groupBy(col("event_type"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("o"))
       byHour.groupBy("event_type")
@@ -1218,7 +1218,7 @@ object Stats {
         val p = math.pow(10, scale).toLong
         (c * lit(p)).cast("decimal(38,0)").cast("double") / lit(p.toDouble)
       }
-      val per = Tables.events(s, d).groupBy("user_id")
+      val per = Tables.eventsShared(s, d).groupBy("user_id")
         .agg(coalesce(sum(when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).as("m"))

@@ -53,14 +53,36 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et"),
     "es" -> Seq("el", "los", "que"))
 
-  /** documents arrives as one parquet file = one partition locally;
-    * spread per-row HOF pipelines across cores (no-op at real scale).
+  /** The text family's shared base relation: the documents scan, spread
+    * across cores when the scan is under-parallel, memoized per dir and
+    * CachePool-persisted (r18). ~60 text_* queries each re-scanned and
+    * re-exchanged this relation per session; one materialization now
+    * serves the whole family window (guide §1.2 — reuse before
+    * per-task tuning), and the per-query repartition Exchange moves
+    * into the one cached build. Cleared with every releaseAll via the
+    * onRelease hook below, the memoRel convention.
+    *
+    * The repartition is GATED on measured scan parallelism (r17 verdict
+    * what's-wrong #2): locally the single parquet file arrives as one
+    * split and the exchange is load-bearing for the per-row HOF
+    * pipelines; at 100 TB the scan already yields thousands of splits
+    * and the same exchange would be a pure full-table shuffle — so it
+    * exists only when the scan is under-parallel.
     */
-  private def docsPar(s: SparkSession, d: String): DataFrame =
-    // explicit count: AQE would coalesce a small keyed shuffle back to
-    // one partition, defeating the parallelism this exists to create
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  private val docsCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+
+  private[operators] def docsPar(s: SparkSession, d: String): DataFrame =
+    docsCache.getOrElseUpdate(d, {
+      val base = Tables.documents(s, d)
+      val par = s.sparkContext.defaultParallelism
+      // explicit count: AQE would coalesce a small keyed shuffle back to
+      // one partition, defeating the parallelism this exists to create
+      val spread =
+        if (base.rdd.getNumPartitions < par) base.repartition(par, col("doc_id"))
+        else base
+      graft.CachePool.persist(spread)
+    })
 
   /** Iterated BPE merge table (r13 verdict #4): `text_bpe_pairs` ranks
     * merge candidates ONCE; a tokenizer trainer needs the ITERATED
@@ -99,6 +121,7 @@ object TextAnalysis {
   graft.CachePool.onRelease { () =>
     bpeCache.clear()
     bpeHeldCache.clear()
+    docsCache.clear()
   }
 
   /** The tokenized long relation a BPE pass starts from. */
@@ -419,7 +442,7 @@ object TextAnalysis {
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream.
     "text_tokens" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      docsPar(s, d).select(
         col("doc_id"),
         size(toks).as("n_tokens_ws"),
         size(regexp_extract_all(col("text"), lit(TOKEN_RE), lit(0))).as("n_tokens_re"),
@@ -658,7 +681,7 @@ object TextAnalysis {
     // decile histogram; everything integer-exact.
     "text_heaps_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = docsPar(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("ntok"),
           array_distinct(toks).as("terms"))
         .transform(graft.CachePool.persist) // doc census + postings
@@ -697,7 +720,7 @@ object TextAnalysis {
     // batch instead of the O(corpus) rebuild, which is the entire point
     // of maintaining an inverted index under CDC at 100 TB.
     "text_incremental_df" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsPar(s, d)
       val isNew = col("doc_id") % 10 === 0
       val isUpd = col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0
       val halfTerms = expr(
@@ -750,7 +773,7 @@ object TextAnalysis {
     // stop-term island guard — candidates cost Σ df², bounded), and the
     // norm relation is O(docs), co-partitioned on doc_id.
     "text_tfidf_cosine_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsPar(s, d)
       val nDf = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -793,7 +816,7 @@ object TextAnalysis {
     "text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.TopK.installedWithRewrite(s)
-      val docs = Tables.documents(s, d)
+      val docs = docsPar(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // scalar N (the oracle's COUNT(*) subquery) joined in as a
       // single-row broadcast on a constant key — a BroadcastHashJoin,
@@ -842,7 +865,7 @@ object TextAnalysis {
     // |vocab|-sized counts) and the per-source coverage join — the
     // top-V relation broadcasts, so the postings never reshuffle.
     "text_vocab_coverage" -> ((s, d) => {
-      val posting = Tables.documents(s, d)
+      val posting = docsPar(s, d)
         .select(col("source"), explode(toks).as("term"))
         .transform(graft.CachePool.persist) // vocab census + coverage pass
       val top = posting.groupBy("term").agg(count(lit(1)).as("n"))
@@ -1230,7 +1253,7 @@ object TextAnalysis {
     // n_chars vs actual length, duplicate ids. One full scan, one tiny
     // aggregate row out — nothing shuffles but the partial aggregates.
     "text_integrity_audit" -> ((s, d) => {
-      Tables.documents(s, d).agg(
+      docsPar(s, d).agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("text").isNull, 1).otherwise(0)).cast("long").as("n_null_text"),
         sum(when(length(col("text")) === 0, 1).otherwise(0)).cast("long").as("n_empty_text"),
@@ -1266,10 +1289,11 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // raw scan, not docsPar: the shard exchange right below IS the
-      // parallelism (docsPar's doc_id repartition would just add a
-      // second, immediately-discarded shuffle)
-      Tables.documents(s, d)
+      // r18: reads the family's shared persisted relation — the shard
+      // exchange below still provides this query's parallelism; the
+      // doc_id spread inside docsPar is paid once per family window,
+      // not per query
+      docsPar(s, d)
         .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
           size(toks).cast("long").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -1294,7 +1318,7 @@ object TextAnalysis {
     // less than the packing it justifies.
     "text_pack_waste" -> ((s, d) => {
       val ctx = PACK_CTX.toLong
-      val t = Tables.documents(s, d)
+      val t = docsPar(s, d)
         .select(col("doc_id"), (col("doc_id") % PACK_SHARDS).as("shard"),
           size(toks).cast("long").as("n_tokens"))
       def withEff(df: DataFrame, label: String) = df.select(
@@ -1620,7 +1644,7 @@ object TextAnalysis {
     // mirrored verbatim. 100 TB: per-row token counting is embarrassingly
     // parallel; the aggregate state is 4 longs × sources.
     "text_token_fertility" -> ((s, d) => {
-      Tables.documents(s, d)
+      docsPar(s, d)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(toks).cast("long")).as("ws_tokens"),

@@ -50,7 +50,7 @@ object TpchRest {
     // map-side partial sum. At 100 TB this is a pure scan-bandwidth
     // query; any shuffle here is a bug.
     "q6_forecast_revenue" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
@@ -75,7 +75,7 @@ object TpchRest {
             col("n_regionkey") === col("r_regionkey"))
           .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      val cost = Tables.lineitem(s, d)
+      val cost = Tables.lineitemShared(s, d)
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
         .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("p_partkey", "s_name")
@@ -106,10 +106,10 @@ object TpchRest {
       val cost = col("l_quantity").cast("decimal(12,2)") *
         col("p_retailprice").cast("decimal(12,2)") *
         lit(0.05).cast("decimal(4,2)")
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        .join(Tables.ordersShared(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
@@ -127,7 +127,7 @@ object TpchRest {
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      val value = Tables.lineitem(s, d)
+      val value = Tables.lineitemShared(s, d)
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum(revenue).as("val"))
@@ -142,10 +142,10 @@ object TpchRest {
     // co-keyed on the order key and the CASE-sums are map-side partial.
     "q12_priority_class" -> ((s, d) => {
       val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      Tables.lineitem(s, d)
+      Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        .join(Tables.ordersShared(s, d).select("o_orderkey", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
@@ -158,10 +158,10 @@ object TpchRest {
     // would turn it inner). Two shuffles: custkey, then count value —
     // the second is O(distinct counts), tiny.
     "q13_order_distribution" -> ((s, d) => {
-      val ord = Tables.orders(s, d)
+      val ord = Tables.ordersShared(s, d)
         .filter(col("o_orderpriority") =!= "1-URGENT")
         .select("o_orderkey", "o_custkey")
-      Tables.customer(s, d).select("c_custkey")
+      Tables.customerShared(s, d).select("c_custkey")
         .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("c_count"))
@@ -173,7 +173,7 @@ object TpchRest {
     // 1-row scalar broadcast; equality runs on the EXACT decimal sums
     // (not doubles), so ties are well-defined and engine-identical.
     "q15_top_supplier" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
+      val rev = Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
@@ -195,7 +195,7 @@ object TpchRest {
     // agg — the distinct-pair rollup already deduplicated, so the
     // shuffle is O(pairs).
     "q16_supplier_diversity" -> ((s, d) => {
-      val pairs = Tables.lineitem(s, d)
+      val pairs = Tables.lineitemShared(s, d)
         .select("l_partkey", "l_suppkey").distinct()
       val excluded = Tables.supplier(s, d)
         .filter(col("s_acctbal") < 1000).select("s_suppkey")
@@ -219,7 +219,7 @@ object TpchRest {
     "q17_small_qty_revenue" -> ((s, d) => {
       val pt = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#23").select("p_partkey")
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemShared(s, d)
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((sum(col("l_quantity").cast(money)).cast("double") /
@@ -235,12 +235,12 @@ object TpchRest {
     // customer — both joins co-keyed, survivors are ~1% of orders so AQE
     // broadcasts the rollup side. Bounded top-100 with a full tie-break.
     "q18_large_volume" -> ((s, d) => {
-      val big = Tables.lineitem(s, d)
+      val big = Tables.lineitemShared(s, d)
         .groupBy("l_orderkey")
         .agg(sum(col("l_quantity").cast(money)).as("qty"))
         .filter(col("qty") > 250)
-      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+      big.join(Tables.ordersShared(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customerShared(s, d).select("c_custkey", "c_name"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"),
@@ -257,7 +257,7 @@ object TpchRest {
     "q20_excess_suppliers" -> ((s, d) => {
       val pt = Tables.part(s, d)
         .filter(col("p_name").like("small%")).select("p_partkey")
-      val heavy = Tables.lineitem(s, d)
+      val heavy = Tables.lineitemShared(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
@@ -289,14 +289,24 @@ object TpchRest {
     // defeat AQE's shuffle-stage reuse. With it, both branches share one
     // shuffle stage (asserted in TpchRestSpec).
     "q21_sole_fault_supplier" -> ((s, d) => {
-      val perSupp = Tables.lineitem(s, d)
+      import org.apache.spark.sql.expressions.Window
+      // r18 (guide §2.4): the per-order stats ride a WINDOW over the
+      // per-(order,supplier) rollup instead of a second aggregation
+      // joined back — the window partitions by the same key the rollup
+      // is repartitioned on, so the fact relation crosses exactly ONE
+      // exchange (was: the rollup exchange + the perOrder exchange +
+      // a join of the two). Values are identical: count(*) over the
+      // order partition IS perOrder.n_supp, sum(has_r) IS n_fault.
+      val perSupp = Tables.lineitemShared(s, d)
         .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-      val perOrder = perSupp.groupBy(col("l_orderkey").as("o_key"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_fault"))
+      val w = Window.partitionBy("l_orderkey")
       perSupp
-        .join(perOrder, col("l_orderkey") === col("o_key"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_fault", sum(col("has_r")).over(w))
         .filter(col("has_r") === 1 && col("n_supp") >= 2 && col("n_fault") === 1)
         .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
@@ -312,11 +322,11 @@ object TpchRest {
     // orders key set; the rollup groups by nation (the phone-prefix
     // proxy). Anti-join build side is O(urgent customers), broadcast.
     "q22_idle_balances" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
+      val cust = Tables.customerShared(s, d)
       val avgBal = cust.filter(col("c_acctbal") > 0)
         .agg((sum(col("c_acctbal").cast(money)).cast("double") /
           count(lit(1))).as("avg_bal"))
-      val urgent = Tables.orders(s, d)
+      val urgent = Tables.ordersShared(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_custkey").distinct()
       cust.crossJoin(broadcast(avgBal))

@@ -14,19 +14,77 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("q1: shipdate predicate is pushed to the parquet scan") {
+  /** The plan text with every InMemoryRelation's cached-build subtree
+    * removed. The r18 family-window shared relations (Tables.*Shared,
+    * TextAnalysis.docsPar) embed their ONE-TIME build (scan + gated
+    * spread exchange — printed twice once its inner AQE plan is final)
+    * inside the cached leaf; per-query shape assertions must count only
+    * the query's own operators, or the amortized build would be charged
+    * to every consumer.
+    */
+  private def outerOnly(p: String): String = {
+    // depth = column of the first payload char (tree prefixes are
+    // spaces, ':', '|', '+', '-'); InMemoryTableScan is a LEAF of the
+    // outer plan, so anything printed deeper after it is the cached
+    // build (including its AQE query-stage / "== Initial Plan ==" dump)
+    def depth(l: String): Int = {
+      val i = l.indexWhere(c => !" :|+-".contains(c))
+      if (i < 0) Int.MaxValue else i
+    }
+    val out = Seq.newBuilder[String]
+    var cut = -1
+    for (l <- p.linesIterator) {
+      val d = depth(l)
+      if (cut >= 0 && d > cut) () // inside a cached-build subtree
+      else {
+        cut = if (l.contains("InMemoryTableScan")) d else -1
+        out += l
+      }
+    }
+    out.result().mkString("\n")
+  }
+
+  /** Output-column list of the first cached-relation scan mentioning
+    * `col` — the r18 equivalent of the old per-query ReadSchema
+    * assertion: column pruning now happens at the InMemoryTableScan
+    * (the cache stores the full already-minimal table once per window;
+    * each consumer reads only its columns from it).
+    */
+  private def cacheScanCols(p: String, col: String): String = {
+    val line = p.linesIterator
+      .find(l => l.contains("InMemoryTableScan") && l.contains(col))
+      .getOrElse("")
+    val from = line.indexOf('[')
+    val to = line.indexOf(']')
+    if (from >= 0 && to > from) line.substring(from + 1, to) else ""
+  }
+
+  /** Full first InMemoryTableScan line mentioning `col` (output list +
+    * pushed cache predicates). */
+  private def cacheScanLine(p: String, col: String): String =
+    p.linesIterator
+      .find(l => l.contains("InMemoryTableScan") && l.contains(col))
+      .getOrElse("")
+
+  test("q1: shipdate predicate is pushed to the cached-relation scan") {
+    // r18: q-family queries read the family-window shared lineitem
+    // persist; the shipdate bound must reach the InMemoryTableScan
+    // (batch-stat pruning) exactly as it used to reach the parquet scan.
     val p = plan("q1_pricing_summary")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    val l = cacheScanLine(p, "l_shipdate")
+    assert(l.contains("isnotnull(l_shipdate") && l.contains("l_shipdate") &&
+      l.contains("<="), s"shipdate predicate must reach the cache scan:\n$p")
   }
 
   test("q1: scan reads only the columns the query needs") {
     val p = plan("q1_pricing_summary")
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    // 7 needed columns; the 9+ unused lineitem columns must be pruned
+    val cols = cacheScanCols(p, "l_shipdate")
+    // 7 needed columns; the unused lineitem columns must be pruned from
+    // the cache read
     assert(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-      "l_discount", "l_tax", "l_shipdate").forall(readSchema.contains), readSchema)
-    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
-      readSchema)
+      "l_discount", "l_tax", "l_shipdate").forall(cols.contains), cols)
+    assert(!cols.contains("l_partkey") && !cols.contains("l_suppkey") &&
+      !cols.contains("l_orderkey"), cols)
   }
 
   test("dimension joins broadcast; no sort-merge of the fact table") {
@@ -87,20 +145,22 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("profile scans prune to exactly the profiled columns") {
     val hist = plan("profile_histogram")
-    val rs = hist.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs.contains("o_totalprice") && !rs.contains("o_orderkey") &&
-      !rs.contains("o_orderdate"), rs)
+    val cols = cacheScanCols(hist, "o_totalprice")
+    assert(cols.contains("o_totalprice") && !cols.contains("o_orderkey") &&
+      !cols.contains("o_orderdate"), cols)
     val bg = plan("text_bigram_commonness")
-    val rs2 = bg.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs2.contains("doc_id") && rs2.contains("text") &&
-      !rs2.contains("lang") && !rs2.contains("source"), rs2)
+    val cols2 = cacheScanCols(bg, "text")
+    assert(cols2.contains("doc_id") && cols2.contains("text") &&
+      !cols2.contains("lang") && !cols2.contains("source"), cols2)
   }
 
   test("sequence packing shuffles ONCE: shard partitioning serves window AND agg") {
     // the per-shard prefix-sum window hashes on shard; the (shard, bin)
     // aggregation's required clustering is satisfied by that same
     // partitioning (shard ⊆ grouping keys), so no second exchange
-    val p = plan("text_pack_sequences")
+    // (outerOnly: the shared docsPar build's amortized exchange is the
+    // family window's, not this query's)
+    val p = outerOnly(plan("text_pack_sequences"))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"expected exactly one shuffle:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
@@ -220,15 +280,14 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("moment statistics plan one hash-agg pass each, scans pruned to the aggregated columns") {
     for (name <- Seq("agg_skewness", "profile_histogram2d")) {
-      val p = plan(name)
+      val p = outerOnly(plan(name))
       assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
         s"$name: expected exactly one shuffle:\n$p")
       assert(!p.contains("SortAggregate"), s"$name:\n$p")
     }
-    val rs = plan("agg_skewness").linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs.contains("l_quantity") && rs.contains("l_returnflag") &&
-      !rs.contains("l_extendedprice") && !rs.contains("l_orderkey"), rs)
+    val cols = cacheScanCols(plan("agg_skewness"), "l_quantity")
+    assert(cols.contains("l_quantity") && cols.contains("l_returnflag") &&
+      !cols.contains("l_extendedprice") && !cols.contains("l_orderkey"), cols)
   }
 
   test("growth-accounting family: no single-partition exchange, windows all user-partitioned") {
@@ -312,28 +371,24 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("growth scans prune to exactly the aggregated columns") {
-    val rs = plan("events_stickiness").linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs.contains("user_id") && rs.contains("ts") &&
-      !rs.contains("value") && !rs.contains("props") &&
-      !rs.contains("event_type"), rs)
-    val rs2 = plan("events_cohort_ltv").linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs2.contains("value") && !rs2.contains("props") &&
-      !rs2.contains("event_type"), rs2)
-    val rs3 = plan("agg_winsorized_mean").linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs3.contains("o_totalprice") && rs3.contains("o_orderpriority") &&
-      !rs3.contains("o_orderdate") && !rs3.contains("o_custkey"), rs3)
+    val cols = cacheScanCols(plan("events_stickiness"), "user_id")
+    assert(cols.contains("user_id") && cols.contains("ts") &&
+      !cols.contains("value") && !cols.contains("props") &&
+      !cols.contains("event_type"), cols)
+    val cols2 = cacheScanCols(plan("events_cohort_ltv"), "value")
+    assert(cols2.contains("value") && !cols2.contains("props") &&
+      !cols2.contains("event_type"), cols2)
+    val cols3 = cacheScanCols(plan("agg_winsorized_mean"), "o_totalprice")
+    assert(cols3.contains("o_totalprice") && cols3.contains("o_orderpriority") &&
+      !cols3.contains("o_orderdate") && !cols3.contains("o_custkey"), cols3)
   }
 
   test("r10 screens prune their scans: vocab coverage and similarity spectrum") {
-    // text_vocab_coverage explodes tokens per source — the documents
-    // scan must carry ONLY (source, text)
-    val rs = plan("text_vocab_coverage").linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs.contains("source") && rs.contains("text") &&
-      !rs.contains("doc_id") && !rs.contains("lang"), rs)
+    // text_vocab_coverage explodes tokens per source — the cache read
+    // must carry ONLY (source, text)
+    val cols = cacheScanCols(plan("text_vocab_coverage"), "text")
+    assert(cols.contains("source") && cols.contains("text") &&
+      !cols.contains("doc_id") && !cols.contains("lang"), cols)
     // ann_similarity_histogram reads vectors only — the label column
     // must never leave the parquet footer
     val rs2 = plan("ann_similarity_histogram").linesIterator

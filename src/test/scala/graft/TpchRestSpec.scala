@@ -20,14 +20,22 @@ class TpchRestSpec extends AnyFunSuite {
     run(name).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  test("q6: every predicate reaches the parquet scan; schema pruned to 4 columns") {
+  test("q6: every predicate reaches the cache scan; read pruned to 4 columns") {
+    // r18: q6 reads the family-window shared lineitem persist; the
+    // predicates must reach the InMemoryTableScan (batch-stat pruning)
+    // and the cache read must carry only the 4 consumed columns.
     val p = formatted("q6_forecast_revenue")
-    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
-    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"), p)
-    assert(p.contains("LessThan(l_quantity,24.0)"), p)
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
-      readSchema)
+    val scanArgs = p.linesIterator
+      .filter(_.startsWith("Arguments: ["))
+      .find(_.contains("l_shipdate")).getOrElse("")
+    assert(scanArgs.contains("l_shipdate") && scanArgs.contains("1996-01-01"),
+      s"shipdate bound must reach the cache scan:\n$p")
+    assert(scanArgs.contains("l_discount") && scanArgs.contains("0.02"), scanArgs)
+    assert(scanArgs.contains("l_quantity") && scanArgs.contains("24"), scanArgs)
+    val out = p.linesIterator.find(l => l.startsWith("Output [4]") &&
+      l.contains("l_shipdate")).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(out.contains), s"cache read must prune to 4 columns:\n$p")
     assert(!p.contains("Join"), s"q6 must be a pure scan+agg:\n$p")
   }
 
@@ -67,14 +75,23 @@ class TpchRestSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
   }
 
-  test("q21: the per-(order,supplier) rollup stage is computed once (AQE stage reuse)") {
+  test("q21: one fact pass, one fact exchange (window rollup, r18)") {
+    // r18 shape: per-order stats are a WINDOW over the per-(order,
+    // supplier) rollup, partitioned by the key the rollup was
+    // repartitioned on — so the fact relation appears ONCE and crosses
+    // ONE l_orderkey exchange; no (l_orderkey, l_suppkey) shuffle and
+    // no second rollup joined back may ever reappear.
     val df = run("q21_sole_fault_supplier")
     df.collect() // materialize so AQE finalizes stages
     val p = df.queryExecution.executedPlan.toString
     val finalPlan = p.linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
-    val factScans = "FileScan parquet \\[l_orderkey".r.findAllIn(finalPlan).length
-    assert(factScans == 1,
-      s"expected ONE lineitem scan in the final plan (stage reuse), got $factScans:\n$finalPlan")
+    assert(finalPlan.contains("Window"), finalPlan)
+    assert(!"hashpartitioning\\(l_orderkey#\\d+L, l_suppkey".r
+      .findFirstIn(finalPlan).isDefined,
+      s"rollup must reuse the l_orderkey partitioning, not reshuffle on the pair:\n$finalPlan")
+    val factReads = "InMemoryTableScan \\[l_orderkey".r.findAllIn(finalPlan).length
+    assert(factReads == 1,
+      s"expected ONE lineitem pass in the final plan, got $factReads:\n$finalPlan")
   }
 
   test("q21: sole-fault semantics — every counted supplier is the only R in a multi-supplier order") {
