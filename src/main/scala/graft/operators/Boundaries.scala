@@ -156,6 +156,43 @@ object Boundaries {
     }.toMap
   }
 
+  /** [[taggedQuantileArrays]] folded into ONE 1-row relation carrying
+    * every tag's array side by side (r18): consumers that attach all
+    * the walks' boundary arrays to the same relation paid one broadcast
+    * BUILD JOB and one 1-row join PER TAG (events_rfm: three, the
+    * sample curve: four); a single aggregation over the shared tagged
+    * qv relation emits all arrays at once, so the consumer joins once.
+    * Per-tag array contents are exactly [[taggedQuantileArrays]]'s —
+    * collect_list skips the other tags' NULLed rows and sort_array
+    * orders identically.
+    */
+  def taggedQuantileArraysRow(parts: Seq[(String, DataFrame, String)],
+                              metric: String, k: Int): DataFrame = {
+    require(parts.map(_._1).distinct.size == parts.size,
+      s"tags must be distinct: ${parts.map(_._1).mkString(", ")}")
+    require(parts.map(_._3).distinct.size == parts.size,
+      s"output names must be distinct: ${parts.map(_._3).mkString(", ")}")
+    val tagged = parts.map { case (t, df, _) =>
+      df.select(col(metric)).withColumn("__tag", lit(t))
+    }.reduce(_ unionByName _)
+    val hist = graft.CachePool.persist( // prefix-sum + rank totals
+      tagged.groupBy(col("__tag"), col(metric))
+        .agg(count(lit(1)).as("__c")))
+    val cum = prefixSumGrouped(hist, Seq("__tag"), metric, "__c", "__cum")
+    val ranks = hist.groupBy("__tag").agg(sum("__c").as("__nn"))
+      .withColumn("i", explode(sequence(lit(1L), lit((k - 1).toLong))))
+      .select(col("__tag"), expr(s"(i * __nn) div $k").as("rk"))
+      .filter(col("rk") >= 1L).distinct()
+    val qv = cum.join(broadcast(ranks), "__tag")
+      .filter(col("__cum") >= col("rk"))
+      .groupBy("__tag", "rk").agg(min(col(metric)).as("bv"))
+    val aggs = parts.map { case (t, _, outName) =>
+      sort_array(collect_list(when(col("__tag") === t, col("bv"))))
+        .as(outName)
+    }
+    qv.agg(aggs.head, aggs.tail: _*).withColumn("__k", lit(1))
+  }
+
   /** GROUPED prefix-sum: cumulative `cntCol` in `orderCol` order WITHIN
     * each `grpCols` group, by the same two-level scan — range-shuffle
     * on (group…, value) so each group's rows are contiguous across

@@ -149,13 +149,14 @@ object Profiling {
       // offset collect for the family instead of three
       def mv(src: DataFrame, c: String) =
         src.select(col(c).cast("decimal(18,2)").as("mv"))
-      val b = Boundaries.taggedQuantileArrays(Seq(
+      // r18: ONE 1-row boundary relation carrying all three arrays —
+      // the per-tag Map form cost one broadcast build job + one 1-row
+      // join per metric (3 of events_rfm's ~33 jobs) for the same values
+      val b = Boundaries.taggedQuantileArraysRow(Seq(
         ("r", mv(base, "r"), "r_b"), ("f", mv(base, "f"), "f_b"),
         ("m", mv(msamp, "m"), "m_b")), "mv", 5)
       base.withColumn("__k", lit(1))
-        .join(broadcast(b("r")), "__k")
-        .join(broadcast(b("f")), "__k")
-        .join(broadcast(b("m")), "__k")
+        .join(broadcast(b), "__k")
         .select(
           size(filter(col("r_b"), x => x < col("r"))).as("r_q"),
           size(filter(col("f_b"), x => x < col("f"))).as("f_q"),
@@ -239,11 +240,11 @@ object Profiling {
       val samp = per.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2)
         < RFM_RATE_HEX)
-      val b = Boundaries.taggedQuantileArrays(Seq(
+      // r18: one fused boundary row (exact + sampled arrays), one join
+      val b = Boundaries.taggedQuantileArraysRow(Seq(
         ("exact", per, "eb"), ("samp", samp, "sb")), "m", 5)
       per.withColumn("__k", lit(1))
-        .join(broadcast(b("exact")), "__k")
-        .join(broadcast(b("samp")), "__k")
+        .join(broadcast(b), "__k")
         .withColumn("i", explode(sequence(lit(1), lit(4))))
         .select(col("m"), col("i"),
           get(col("eb"), col("i") - 1).as("e"),
@@ -334,17 +335,19 @@ object Profiling {
         graft.SampleRates.rates("profile_quantile_curve_hi"))
       def samp(hex: String) = per.filter(substring(
         md5(concat(lit("rfm|"), col("user_id").cast("string"))), 1, 2) < hex)
-      // one tagged walk covers the exact boundary and all three rates
-      val b = Boundaries.taggedQuantileArrays(
-        ("exact", per, "eb") +: hexes.map(h => (h, samp(h), "sb")), "m", 5)
-      hexes.map { hex =>
+      // one tagged walk covers the exact boundary and all three rates;
+      // r18: the four arrays ride ONE 1-row relation (distinct column
+      // per rate), so each curve branch joins once instead of twice
+      val b = Boundaries.taggedQuantileArraysRow(
+        ("exact", per, "eb") +: hexes.zipWithIndex.map { case (h, i) =>
+          (h, samp(h), s"sb_$i") }, "m", 5)
+      hexes.zipWithIndex.map { case (hex, hi) =>
         per.withColumn("__k", lit(1))
-          .join(broadcast(b("exact")), "__k")
-          .join(broadcast(b(hex)), "__k")
+          .join(broadcast(b), "__k")
           .withColumn("i", explode(sequence(lit(1), lit(4))))
           .select(lit(hex).as("rate_hex"), col("m"), col("i"),
             get(col("eb"), col("i") - 1).as("e"),
-            get(col("sb"), col("i") - 1).as("s"))
+            get(col(s"sb_$hi"), col("i") - 1).as("s"))
           .groupBy(col("rate_hex"),
             col("i").cast("int").as("quintile_boundary"),
             col("e").as("exact_boundary_cents"),

@@ -196,6 +196,37 @@ class BoundariesSpec extends AnyFunSuite {
     CachePool.releaseAll()
   }
 
+  test("taggedQuantileArraysRow == one quantileArray per tag (r18 fused row)") {
+    // the 1-row all-arrays form must carry, per tag, exactly the array
+    // the per-tag Map form (and therefore quantileArray) produces —
+    // collect_list over the when()-NULLed shared qv relation skips the
+    // other tags' rows and sorts identically
+    forSeeds(8) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val parts = (0 until 2 + rnd.nextInt(3)).map { t =>
+        val n = 1 + rnd.nextInt(150)
+        (s"tag$t", List.fill(n)(rnd.nextInt(30).toLong).toDF("m"), s"arr$t")
+      }
+      val row = Boundaries.taggedQuantileArraysRow(parts, "m", 5)
+      for ((tag, df, out) <- parts) {
+        val got = row.select(out).as[Seq[Long]].collect().head
+        val want = Boundaries.quantileArray(df, "m", 5, out)
+          .select(out).as[Seq[Long]].collect().head
+        assert(got == want, s"tag=$tag got=$got want=$want")
+      }
+      CachePool.releaseAll()
+    }
+  }
+
+  test("taggedQuantileArraysRow rejects duplicate output names") {
+    val df = (1 to 10).map(_.toLong).toDF("m")
+    val e = intercept[IllegalArgumentException] {
+      Boundaries.taggedQuantileArraysRow(
+        Seq(("t1", df, "a"), ("t2", df, "a")), "m", 5)
+    }
+    assert(e.getMessage.contains("output names must be distinct"))
+  }
+
   test("taggedQuantileArrays rejects duplicate tags") {
     // duplicate tags would merge rows into one shared histogram while
     // the result map silently keeps only the last entry (r12 advice)
